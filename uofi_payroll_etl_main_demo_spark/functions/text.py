@@ -1,0 +1,181 @@
+"""Text-analysis column builders — extension surface.
+
+The reference has only cleanse-grade string ops (SURVEY.md §2.9); these
+add the text-pipeline operators a large-scale training-data pipeline
+needs (BASELINE.json north star): tokenization, token/char statistics,
+quality scoring, stopword/language scoring, shingling, fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen) —
+no Python in the hot path, so each op is a narrow map over the
+documents table and scales linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately minimal and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+_PUNCT_RE = r"[^\w\s]"
+# BPE-ish word/number/punctuation segmentation (public GPT-2 style shape,
+# simplified): runs of letters, runs of digits, single punctuation marks.
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize_ws(c: ColumnOrName) -> Column:
+    """Whitespace tokenization → array<string>; empty string → empty array."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def tokenize_bpe_ish(c: ColumnOrName) -> Column:
+    """BPE-ish regex token extraction (letters / digits / punct marks)."""
+    return F.regexp_extract_all(_col(c), F.lit(_BPE_ISH_RE), 0)
+
+
+def token_count(c: ColumnOrName) -> Column:
+    """Whitespace token count → int."""
+    return F.size(tokenize_ws(c)).cast("bigint")
+
+
+def distinct_token_count(c: ColumnOrName) -> Column:
+    return F.size(F.array_distinct(tokenize_ws(c))).cast("bigint")
+
+
+def char_count(c: ColumnOrName) -> Column:
+    return F.length(_col(c)).cast("bigint")
+
+
+def punct_count(c: ColumnOrName) -> Column:
+    """Number of non-word, non-space characters."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(_PUNCT_RE), 0)
+    ).cast("bigint")
+
+
+def avg_token_length(c: ColumnOrName) -> Column:
+    """Mean token length over whitespace tokens → double (null if empty)."""
+    toks = tokenize_ws(c)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total / n)
+
+
+def stopword_count(c: ColumnOrName, lang: str = "en") -> Column:
+    """Count of tokens in the ``lang`` stopword list."""
+    sw = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokenize_ws(c), lambda t: F.lower(t).isin(*sw))
+    ).cast("bigint")
+
+
+def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
+    n = token_count(c)
+    return F.when(n > 0, stopword_count(c, lang) / n)
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Heuristic document-quality score in [0, 1].
+
+    Combines length saturation, lexical diversity, and low punctuation
+    density — the standard cheap pre-filters of a training-data
+    pipeline. Deterministic closed-form so the DuckDB oracle can
+    reproduce it exactly.
+    """
+    n_tok = token_count(c)
+    n_chars = char_count(c)
+    length_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(
+        n_tok > 0, distinct_token_count(c).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_density = F.when(
+        n_chars > 0, punct_count(c).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * length_component
+        + F.lit(0.4) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_density * 5, F.lit(1.0)))
+    )
+
+
+def language_scores(c: ColumnOrName) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID heuristic).
+
+    Returns ``{lang: count_column}``; argmax over the counts is the
+    predicted language. Kept as separate columns (not a struct) so the
+    DuckDB oracle can mirror each one.
+    """
+    return {lang: stopword_count(c, lang) for lang in STOPWORDS}
+
+
+def predicted_language(c: ColumnOrName, default: str = "und") -> Column:
+    """Argmax language by stopword hits, deterministic tie-break by
+    language code; 'und' (undetermined) when no stopwords hit."""
+    toks = tokenize_ws(c)
+    pairs = F.array(*[
+        F.struct(
+            F.size(
+                F.filter(toks, lambda t, sw=sw: F.lower(t).isin(*sw))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(STOPWORDS.items())
+    ])
+    best = F.array_max(
+        F.transform(
+            pairs,
+            # array_max on struct compares fields in order: hits then
+            # (desc-coded) lang. Negate nothing: ties broken by LARGEST
+            # lang string; to get smallest-code tie-break, compare on
+            # (hits, reverse_rank) — encode rank as negative index.
+            lambda s: s,
+        )
+    )
+    # array_max picks max (hits, lang) lexicographically → ties go to the
+    # lexicographically largest lang. For a deterministic result that's
+    # acceptable; document it.
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def word_shingles(c: ColumnOrName, k: int = 4) -> Column:
+    """Distinct k-word shingles of a document → array<string>.
+
+    Built with ``sequence`` + ``transform`` + ``slice`` (all JVM-side
+    higher-order functions): positions 1..n-k+1, each joined with a
+    single space. Documents shorter than k words → empty array.
+    """
+    toks = tokenize_ws(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    return F.array_distinct(shingles)
+
+
+def fingerprint64(c: ColumnOrName) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercased, whitespace-collapsed). A cheap stand-in for a rolling
+    hash: equal normalized content ⇒ equal fingerprint."""
+    normalized = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+    return F.xxhash64(normalized)

@@ -1,0 +1,18 @@
+"""Sources, sinks, and the file-inventory catalog."""
+
+from uofi_payroll_etl_main_demo_spark.io.catalog import (  # noqa: F401
+    build_file_inventory,
+    resolve_source,
+)
+from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
+    read_csv,
+    read_excel,
+    read_parquet_table,
+    read_tables,
+)
+from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
+    date_stamped_name,
+    write_csv,
+    write_excel,
+    write_parquet,
+)

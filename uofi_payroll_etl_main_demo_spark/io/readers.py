@@ -1,0 +1,79 @@
+"""Sources (SURVEY.md §2.1 S3/S4/S10).
+
+Parquet is the scale path (vectorized scan, predicate pushdown, column
+pruning). CSV is a first-class Spark reader. Excel has no first-party
+Spark source, so it is a DRIVER-SIDE pandas bridge
+(``pd.read_excel`` → ``spark.createDataFrame`` over Arrow) — correct
+for the reference's human-sized payroll workbooks
+(etl_payroll_pipeline_demo.py:94, 102, 161), and explicitly NOT a
+100 TB path; anything large must arrive as parquet/CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver test table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {
+        n: read_parquet_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)
+    }
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema=None,
+) -> DataFrame:
+    """CSV source (reference S4: lookup CSVs at 133-143, certs 178/183).
+
+    Pass an explicit ``schema`` in production — inference reads the data
+    twice and guesses; the default mirrors the reference's inference.
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.csv(path)
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet_name: int | str = 0
+) -> DataFrame:
+    """Excel source via the driver-side pandas bridge (reference S3).
+
+    Gated behind an import-try: openpyxl may be absent in minimal
+    environments; parquet/CSV remain the scale ingest paths.
+    """
+    try:
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas required for the Excel bridge") from exc
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "openpyxl not installed; convert the workbook to CSV/parquet"
+        ) from exc
+    # Excel columns routinely arrive as mixed object dtype; stringify
+    # non-numeric object columns so Arrow conversion cannot fail.
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype("string")
+    return spark.createDataFrame(pdf)

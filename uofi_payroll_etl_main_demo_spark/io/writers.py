@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md §2.1 S6/S7/S9).
+
+Parquet (partitioned) is the scale sink. CSV supports both the scale
+layout (one file per partition) and single-file parity with the
+reference's ``to_csv`` (coalesce(1)). Excel is a driver-side bridge
+like its reader twin.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def date_stamped_name(prefix: str, ext: str, when: datetime | None = None) -> str:
+    """``<prefix>_MMDDYYYY.<ext>`` — reference's output naming
+    (etl_payroll_pipeline_demo.py:432, 438-439, 750, 758-759)."""
+    when = when or datetime.now()
+    return f"{prefix}_{when.strftime('%m%d%Y')}.{ext.lstrip('.')}"
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, single_file: bool = False, mode: str = "overwrite"
+) -> None:
+    """CSV sink (reference S6 at 444-445, 764-765). ``single_file=True``
+    matches the reference's one-artifact output; leave False at scale so
+    every task writes its own part."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """Excel sink via driver-side pandas (reference S7 at 460-461,
+    780-781). Collects to the driver — human-sized outputs only."""
+    try:
+        df.toPandas().to_excel(path, index=False, engine="openpyxl")
+    except ImportError as exc:
+        raise NotImplementedError(
+            "openpyxl not installed; use write_csv/write_parquet"
+        ) from exc

@@ -1,0 +1,23 @@
+"""Relational operators: join builders, dedup, aggregates, set ops."""
+
+from uofi_payroll_etl_main_demo_spark.operators.aggregates import (  # noqa: F401
+    mode_by_group,
+    mode_lookup_map,
+    null_count,
+)
+from uofi_payroll_etl_main_demo_spark.operators.dedup import (  # noqa: F401
+    dedup_keep_first,
+    distinct_rows,
+)
+from uofi_payroll_etl_main_demo_spark.operators.joins import (  # noqa: F401
+    FanOutError,
+    anti_join,
+    enrich_left,
+    safe_left_join,
+    semi_join,
+)
+from uofi_payroll_etl_main_demo_spark.operators.setops import (  # noqa: F401
+    except_rows,
+    intersect_rows,
+    union_by_name,
+)

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the engine.
+
+The reference runs a single pandas process (SURVEY.md §4.2); our engine
+targets a multi-executor cluster. The confs below are the scale posture:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow on (fast pandas boundary for the Excel bridge and pandas UDFs),
+broadcast threshold generous because every reference dimension is
+KB-scale (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "uofi-payroll-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's scale posture.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{DEFAULT_CPUS}]"
+    builder = builder.master(master)
+    conf = {
+        # Runtime adaptivity: partition coalescing, skew-join splitting,
+        # broadcast demotion/promotion. Essential at 100 TB where static
+        # planning guesses wrong.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # All reference dimensions are KB–MB scale: broadcast aggressively.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Arrow for any pandas boundary (Excel bridge, pandas UDFs).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Deterministic timestamp semantics regardless of host TZ.
+        "spark.sql.session.timeZone": "UTC",
+        # Keep parquet scans pruned + vectorized (defaults, stated for intent).
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
