@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's headline queries (registry subset spanning scan,
+join, agg, window-dedup, setop, text, dedup-LSH, similarity, pipeline)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully executed via the no-op sink (computes every row,
+writes nothing) — .count() alone would let Catalyst prune the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from uofi_payroll_etl_main_demo_spark import queries as R
+from uofi_payroll_etl_main_demo_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "p1_projection",
+    "p6_p7_filter_eq_between",
+    "j1_broadcast_left_join",
+    "j7_multi_key_join",
+    "jx_semi_join",
+    "j10_mode_lookup_join",
+    "w2_dedup_keep_first",
+    "d2_dedup_business_key",
+    "u1_union_by_name",
+    "json_extract",
+    "ext_doc_stats",
+    "ext_language_id",
+    "ext_exact_dedup",
+    "ext_ngram_jaccard",
+    "ext_minhash_pairs",
+    "ext_simhash_pairs",
+    "ext_topk_cosine",
+    "ext_lsh_topk",
+    "pipeline_payroll_shape",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = R.queries()
+    # Warm the JVM + parquet footer caches so query timings measure the
+    # plans, not session startup.
+    R.q_projection(spark, SF_DIR).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

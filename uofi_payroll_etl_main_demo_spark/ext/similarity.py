@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a narrow map (one score per row)
+plus a global top-k (``orderBy(...).limit(k)``), which Spark executes
+as per-partition partial top-k + driver merge of k·partitions rows:
+no full sort, no shuffle of the corpus. Correct at any scale, compute-
+bound at 100 TB.
+
+Scale path: random-hyperplane LSH — bucketize vectors by the sign
+pattern of dot products with fixed random hyperplanes, search only the
+query's bucket (optionally with multi-probe). Recall < 1.0 by design;
+the bucket join replaces the corpus-wide scan with a hash lookup.
+
+An IVF variant (coarse k-means centroids + inverted lists) is the
+next step beyond LSH and follows the same join shape; deferred until
+a k-means fit is worth it (pyspark.ml KMeans works out of the box).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+
+
+def brute_force_top_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k rows most similar to ``query_vec``.
+
+    The query vector is a literal array (broadcast to every task by the
+    plan itself); scoring is a JVM-side higher-order expression. Output:
+    (id, score) ordered by score desc with id as deterministic tie-break.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = (
+        cosine_similarity(F.col(vec_col), q)
+        if metric == "cosine"
+        else dot_product(F.col(vec_col), q)
+    )
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side,
+    broadcast as literals in the plan)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append an LSH bucket id: bit b = sign(v · plane_b).
+
+    2^n_planes buckets; cosine-similar vectors collide with probability
+    1 − θ/π per plane (random-hyperplane LSH, public SimHash/LSH
+    literature). Bucketing is a narrow map — the bucket id then serves
+    as the equi-join / partition key for search or pair generation.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_product(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, b))
+    return embeddings.withColumn(out_col, bucket)
+
+
+def lsh_bucket_top_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``multiprobe_hamming`` bit-flips of the query's bucket.
+
+    Multi-probe raises recall without extra tables: probing all buckets
+    at Hamming distance ≤ 1 costs n_planes+1 bucket lookups. The bucket
+    filter is an ``isin`` over a driver-computed bucket list — a
+    pushdown-able predicate, so a bucket-partitioned corpus prunes
+    whole files before scoring.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for b, plane in enumerate(planes):
+        dot = sum(float(x) * float(y) for x, y in zip(query_vec, plane))
+        if dot >= 0:
+            qbits |= 1 << b
+    probe = {qbits}
+    if multiprobe_hamming >= 1:
+        for b in range(n_planes):
+            probe.add(qbits ^ (1 << b))
+
+    bucketed = random_hyperplane_buckets(
+        embeddings, dim, n_planes, vec_col, seed
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("bucket").isin(*probe))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_above(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+
+    Pairs are generated only within LSH buckets (equi-join on bucket),
+    then exact-cosine filtered: (id_a, id_b, cosine) with id_a < id_b.
+    Approximate (bucket-boundary pairs can be missed) — the standard
+    recall/throughput trade at corpus scale.
+    """
+    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("v_a", "v_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -132,11 +132,16 @@ def predicted_language(c: ColumnOrName, default: str = "und") -> Column:
     """Argmax language by stopword hits, deterministic tie-break by
     language code; 'und' (undetermined) when no stopwords hit."""
     toks = tokenize_ws(c)
+
+    def hit_pred(sw):
+        # A default-arg lambda (`lambda t, sw=sw:`) would be read by the
+        # higher-order-function binder as a two-variable lambda; use a
+        # closure factory.
+        return lambda t: F.lower(t).isin(*sw)
+
     pairs = F.array(*[
         F.struct(
-            F.size(
-                F.filter(toks, lambda t, sw=sw: F.lower(t).isin(*sw))
-            ).alias("hits"),
+            F.size(F.filter(toks, hit_pred(sw))).alias("hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, sw in sorted(STOPWORDS.items())

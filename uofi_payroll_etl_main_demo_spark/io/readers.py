@@ -12,6 +12,7 @@ for the reference's human-sized payroll workbooks
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TPCH_TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -20,8 +21,24 @@ TPCH_TABLES = (
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver test table (TESTDATA.md layout)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """One driver test table (TESTDATA.md layout).
+
+    Parquet TIMESTAMP(NANOS) columns (the events.ts column) are illegal
+    for Spark's reader by default; read them as raw nanos via the
+    ``nanosAsLong`` legacy conf and truncate to micros — exactly what a
+    micros-native engine (DuckDB, Spark itself) does with nano input.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf absent on future versions
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division keeps full int64 precision (a double
+            # round-trip would corrupt nano timestamps > 2^53).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def read_tables(

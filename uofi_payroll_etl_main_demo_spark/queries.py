@@ -1,0 +1,932 @@
+"""Named query registry — the engine's operator inventory as runnable queries.
+
+Each entry re-expresses one operator row of SURVEY.md §2 (reference
+use-sites cited there into /root/reference/etl_payroll_pipeline_demo.py)
+as a PySpark DataFrame plan over the driver test tables (TESTDATA.md),
+paired with an ANSI-SQL oracle string DuckDB can run on the same
+parquet. The driver compares row-count + schema + order-insensitive
+value-hash at sf0.01 (CORRECTNESS_r{N}.json).
+
+Conventions (driver comparator contract):
+- every computed/aggregate column is aliased IDENTICALLY in the Spark
+  plan and the oracle SQL;
+- aggregate numerics go through ``decimal`` casts (double summation is
+  partition-order-dependent; decimal is exact and deterministic);
+- per-row doubles are rounded to 6 digits on BOTH sides;
+- timestamps are emitted as 'yyyy-MM-dd' strings (UTC session).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+    extract_features,
+    synthetic_media,
+)
+from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+    brute_force_top_k,
+    lsh_bucket_top_k,
+)
+from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+    document_stats,
+    fingerprints,
+    language_id,
+)
+from uofi_payroll_etl_main_demo_spark.functions.cleanse import (
+    concat_key,
+    fiscal_year,
+    is_missing,
+    normalize_numeric_string,
+    select_contract,
+    split_code_name,
+    strip_decimal_str,
+    to_timestamp_coerce,
+)
+from uofi_payroll_etl_main_demo_spark.io.readers import read_parquet_table
+from uofi_payroll_etl_main_demo_spark.operators.aggregates import mode_by_group
+from uofi_payroll_etl_main_demo_spark.operators.dedup import (
+    dedup_keep_first,
+    distinct_rows,
+)
+from uofi_payroll_etl_main_demo_spark.operators.joins import (
+    anti_join,
+    safe_left_join,
+    semi_join,
+)
+from uofi_payroll_etl_main_demo_spark.operators.setops import union_by_name
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Deterministic 64-dim query vector for similarity queries (module-level
+# constant so the Spark literal and the SQL literal are byte-identical).
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_QV_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
+
+_DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (P7 filter, A aggregates, sort).
+# Mirrors the reference's filter→group→project spine (SURVEY.md §7.1).
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # Sum in DECIMAL (exact ⇒ partition-order independent), emit as
+            # DOUBLE (one deterministic conversion) — SURVEY §4.3 posture.
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast(_DEC)
+                    * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------- projections / filters (P*) -----------------------
+
+def q_projection(spark, sf_dir):
+    """P1: column-subset select → pruned parquet scan (ReadSchema)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_output_contract(spark, sf_dir):
+    """P2: rename + reorder + null-fill projection (reference col_map 362-400)."""
+    part = _t(spark, sf_dir, "part")
+    return select_contract(
+        part,
+        [
+            ("part_id", "p_partkey"),
+            ("part_name", "p_name"),
+            ("brand", "p_brand"),
+            ("legacy_code", None),
+        ],
+    )
+
+
+def q_filter_contains_ci(spark, sf_dir):
+    """P3: case-insensitive contains with null-as-false (reference 78)."""
+    doc = _t(spark, sf_dir, "documents")
+    pred = F.upper(F.col("text")).contains("SPARK")
+    return doc.filter(F.coalesce(pred, F.lit(False))).select("doc_id", "source")
+
+
+def q_filter_regex(spark, sf_dir):
+    """P4: regex contains, case-insensitive (reference 83)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").rlike(r"(?i)(^|\s)red(\s|$)")).select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_filter_inlist(spark, sf_dir):
+    """P5: IN-list filter (reference 79/84) + count per key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_filter_eq_between(spark, sf_dir):
+    """P6+P7: equality + timestamp-range filters (reference 666, 515-518)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == F.lit("F"))
+        & F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_filter_format_violations(spark, sf_dir):
+    """P8: negated full-match regex — validation filter (reference 564-569)."""
+    part = _t(spark, sf_dir, "part")
+    ok = F.col("p_brand").rlike(r"^Brand#[0-9]{2}$")
+    return (
+        part.filter(~F.coalesce(ok, F.lit(False)))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tristate_missing(spark, sf_dir):
+    """P9: NULL/''/'nan' tri-state missing predicate (reference 354)."""
+    li = _t(spark, sf_dir, "lineitem")
+    messy = (
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("l_linenumber") % 7 == 1, F.lit(""))
+        .when(F.col("l_linenumber") % 7 == 2, F.lit("  nan "))
+        .otherwise(F.col("l_returnflag"))
+    )
+    return (
+        li.select(F.col("l_returnflag"), is_missing(messy).alias("missing"))
+        .groupBy("l_returnflag", "missing")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_first_pick(spark, sf_dir):
+    """P10/O1: deterministic first-row pick (reference iloc[0], 92/100/137)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_name")
+        .limit(1)
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """O: global top-k = per-partition partial top-k + driver merge."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ------------------------------- joins (J*) --------------------------------
+
+def q_broadcast_left_join(spark, sf_dir):
+    """J1/J2/J4/J5: broadcast left equi-join cascade over dimensions."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    enriched = safe_left_join(
+        cust, nat, {"c_nationkey": "n_nationkey"}, payload=["n_name", "n_regionkey"]
+    )
+    enriched = safe_left_join(
+        enriched, reg, {"n_regionkey": "r_regionkey"}, payload=["r_name"]
+    )
+    return (
+        enriched.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_synthetic_key_join(spark, sf_dir):
+    """J6: join on a derived concat key (reference UIN Job, 591/627-631)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.withColumn(
+        "line_key",
+        concat_key(
+            F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ),
+    )
+    # Deterministic dim survivor: lineitem has duplicate (orderkey,
+    # linenumber) pairs, so an arbitrary-survivor dropDuplicates would be
+    # nondeterministic — take MIN shipdate per key (total order).
+    dim = fact.groupBy("line_key").agg(F.min("l_shipdate").alias("ship2"))
+    joined = safe_left_join(fact, dim, ["line_key"], payload=["ship2"], dedup_dim=False)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_shipdate") == F.col("ship2")).alias("n_matched"),
+    )
+
+
+def q_multi_key_join(spark, sf_dir):
+    """J7: multi-column equi-join against a derived dimension (reference 653-658)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("grp_qty")
+    )
+    joined = safe_left_join(
+        li, dim, ["l_returnflag", "l_linestatus"], payload=["grp_qty"], dedup_dim=False
+    )
+    return joined.groupBy("l_returnflag", "l_linestatus", "grp_qty").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi join — relational EXISTS (reference P11 existence checks)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return semi_join(o, li, ["o_orderkey"]).select("o_orderkey", "o_orderstatus")
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti join — NOT EXISTS (reference missing-lookup warnings 141-142)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+def q_mode_lookup_join(spark, sf_dir):
+    """J10+A1: mode-per-key dimension joined back (reference 319-324, 633-650)."""
+    o = _t(spark, sf_dir, "orders")
+    mode = mode_by_group(o, "o_orderstatus", "o_orderpriority", "mode_priority")
+    joined = safe_left_join(
+        o, mode, ["o_orderstatus"], payload=["mode_priority"], dedup_dim=False
+    )
+    return (
+        joined.groupBy("o_orderstatus", "mode_priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------- aggregates (A*) -------------------------------
+
+def q_mode_by_group(spark, sf_dir):
+    """A1: deterministic mode (count desc, value asc tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    return mode_by_group(o, "o_orderstatus", "o_orderpriority", "mode_priority")
+
+
+def q_minmax_counts(spark, sf_dir):
+    """A2/A3/A4: min/max, null counts, row count in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("min_ship"),
+        F.max(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("max_ship"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("n_null_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    """Substrate agg: count_distinct per group (SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------- window / dedup (W/D) ---------------------------
+
+def q_dedup_keep_first(spark, sf_dir):
+    """W2: order-faithful keep-first dedup (reference keep='first' 668/695)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup_keep_first(
+        li, ["l_orderkey"], [F.asc("l_linenumber"), F.asc("l_partkey")]
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+def q_distinct_rows(spark, sf_dir):
+    """D1: full-row distinct (reference 667/693)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_rows(li.select("l_returnflag", "l_linestatus"))
+
+
+def q_dedup_business_key(spark, sf_dir):
+    """D2: dedup by business key, key columns projected (reference 343)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_rows(li, subset=["l_partkey", "l_suppkey"]).select(
+        "l_partkey", "l_suppkey"
+    )
+
+
+# ------------------------------ set ops (U*) --------------------------------
+
+def q_union_by_name(spark, sf_dir):
+    """U1: union-by-name with missing columns null-filled (reference 491)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return union_by_name(c, s)
+
+
+def q_intersect(spark, sf_dir):
+    """Set-intersect over rows (engine addition, SURVEY §2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return a.intersect(b)
+
+
+def q_except(spark, sf_dir):
+    """Set-except over rows (engine addition, SURVEY §2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return a.subtract(b)
+
+
+# --------------------------- scalar functions (F*) ---------------------------
+
+def q_cleanse_normalize(spark, sf_dir):
+    """F1/F2/F4/F15: trim, .0-strip, numeric normalize, null-propagating concat."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    messy_int = F.concat(
+        F.lit("  "), F.col("l_partkey").cast("string"), F.lit(".0  ")
+    )
+    messy_num = F.concat(F.lit(" "), F.col("l_quantity").cast("string"), F.lit(" "))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        strip_decimal_str(messy_int).alias("code_clean"),
+        normalize_numeric_string(messy_num).alias("qty_clean"),
+        concat_key(
+            F.col("l_returnflag"),
+            F.nullif(F.col("l_linestatus"), F.lit("F")),
+        ).alias("flag_key"),
+    )
+
+
+def q_split_code_name(spark, sf_dir):
+    """F6: '<code>-<name>' split, nullable name (reference 698-706)."""
+    o = _t(spark, sf_dir, "orders")
+    code, name = split_code_name("o_orderpriority")
+    return o.select(
+        "o_orderpriority", code.alias("code"), name.alias("name")
+    ).distinct()
+
+
+def q_timestamp_coerce(spark, sf_dir):
+    """F10: to_timestamp with null-on-failure (errors='coerce' parity)."""
+    o = _t(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit("not-a-date")
+    ).otherwise(F.col("o_orderdate").cast("string"))
+    parsed = to_timestamp_coerce(raw)
+    return o.select(parsed.alias("p")).agg(
+        F.count_if(F.col("p").isNotNull()).alias("n_parsed"),
+        F.count_if(F.col("p").isNull()).alias("n_failed"),
+    )
+
+
+def q_fiscal_year(spark, sf_dir):
+    """F12: fiscal-year derivation (Jul 1 → Jun 30; reference 499-512)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(fiscal_year("o_orderdate").alias("fy"))
+        .groupBy("fy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fy")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Extension: JSON extraction over events.props (SURVEY §2.9 note)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ------------------------- LLM-pipeline extensions --------------------------
+
+def q_doc_stats(spark, sf_dir):
+    """Text analysis: per-document token/char/quality statistics."""
+    d = _t(spark, sf_dir, "documents")
+    out = document_stats(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars",
+        "n_punct",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_language_id(spark, sf_dir):
+    """Text analysis: stopword-hit language ID + argmax prediction."""
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup: exact content dedup via md5 hash-groupBy, min-id survivor."""
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact n-gram Jaccard similar pairs (k=3 shingles)."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Dedup: MinHash+LSH candidate pairs, Jaccard-verified (rows-only oracle:
+    xxhash64 has no DuckDB twin; verified variant is hash-independent but
+    candidate recall is not)."""
+    pairs = minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=16, k=3, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Dedup: SimHash near-dup pairs, Hamming ≤ 3 (rows-only oracle)."""
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_fingerprints(spark, sf_dir):
+    """Text: 64-bit normalized content fingerprints (rows-only oracle)."""
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_topk_cosine(spark, sf_dir):
+    """Similarity: exact brute-force cosine top-k over embeddings."""
+    out = brute_force_top_k(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Similarity: LSH-bucketed approximate top-k (rows-only oracle)."""
+    out = lsh_bucket_top_k(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, dim=64, k=10
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: mapInPandas feature extraction over binary
+    payloads (stubbed decode; rows-only oracle — synthetic media table)."""
+    media = synthetic_media(spark, n=64)
+    return extract_features(media).select(
+        "media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean")
+    )
+
+
+# ------------------------- pipeline composition -----------------------------
+
+def q_pipeline_payroll_shape(spark, sf_dir):
+    """End-to-end PUA-shaped pipeline (SURVEY §3.2 spine): derive concat
+    key → broadcast-enrich → date filter → keep-first dedup → contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    fact = li.filter(
+        F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1998-12-31"))
+    ).withColumn(
+        "line_key",
+        concat_key(
+            F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ),
+    )
+    fact = safe_left_join(fact, part, {"l_partkey": "p_partkey"}, payload=["p_brand"])
+    fact = safe_left_join(fact, supp, {"l_suppkey": "s_suppkey"}, payload=["s_name"])
+    # Keep-first under a TOTAL order within each key group — lineitem has
+    # duplicate (orderkey, linenumber) pairs, so ordering by derived
+    # line_key alone would tie and pick arbitrary survivors.
+    fact = dedup_keep_first(
+        fact,
+        ["l_orderkey", "l_linenumber"],
+        [F.asc("l_partkey"), F.asc("l_suppkey"), F.asc("l_shipdate")],
+    )
+    return select_contract(
+        fact,
+        [
+            ("Line Key", "line_key"),
+            ("Order Key", "l_orderkey"),
+            ("Ship Date", None),  # exercised null-fill
+            ("Part Brand", "p_brand"),
+            ("Supplier Name", "s_name"),
+            ("Legacy Flag", None),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry: name -> (spark_fn, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "p1_projection": (
+        q_projection,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    ),
+    "p2_output_contract": (
+        q_output_contract,
+        "SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand, "
+        "CAST(NULL AS VARCHAR) AS legacy_code FROM part",
+    ),
+    "p3_filter_contains_ci": (
+        q_filter_contains_ci,
+        "SELECT doc_id, source FROM documents WHERE text ILIKE '%spark%'",
+    ),
+    "p4_filter_regex": (
+        q_filter_regex,
+        r"SELECT p_partkey, p_name FROM part "
+        r"WHERE regexp_matches(p_name, '(?i)(^|\s)red(\s|$)')",
+    ),
+    "p5_filter_inlist": (
+        q_filter_inlist,
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag",
+    ),
+    "p6_p7_filter_eq_between": (
+        q_filter_eq_between,
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' "
+        "AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'",
+    ),
+    "p8_format_violations": (
+        q_filter_format_violations,
+        "SELECT p_brand, count(*) AS n FROM part "
+        "WHERE NOT coalesce(regexp_matches(p_brand, '^Brand#[0-9]{2}$'), false) "
+        "GROUP BY p_brand",
+    ),
+    "p9_tristate_missing": (
+        q_tristate_missing,
+        "SELECT l_returnflag, "
+        "(v IS NULL OR trim(v) IN ('', 'nan', 'NaN')) AS missing, "
+        "count(*) AS n FROM (SELECT l_returnflag, "
+        "CASE WHEN l_linenumber % 7 = 0 THEN NULL "
+        "WHEN l_linenumber % 7 = 1 THEN '' "
+        "WHEN l_linenumber % 7 = 2 THEN '  nan ' "
+        "ELSE l_returnflag END AS v FROM lineitem) "
+        "GROUP BY l_returnflag, missing",
+    ),
+    "p10_first_pick": (
+        q_first_pick,
+        "SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 1",
+    ),
+    "o_topk_orders": (
+        q_topk_orders,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    ),
+    "j1_broadcast_left_join": (
+        q_broadcast_left_join,
+        "SELECT r_name, count(*) AS n_cust, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal "
+        "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "LEFT JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name",
+    ),
+    "j6_synthetic_key_join": (
+        q_synthetic_key_join,
+        "WITH fact AS (SELECT *, l_orderkey || '-' || l_linenumber AS line_key "
+        "FROM lineitem), dim AS (SELECT line_key, min(l_shipdate) AS ship2 "
+        "FROM fact GROUP BY line_key) SELECT count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN f.l_shipdate = d.ship2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_matched FROM fact f LEFT JOIN dim d ON f.line_key = d.line_key",
+    ),
+    "j7_multi_key_join": (
+        q_multi_key_join,
+        "WITH dim AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS grp_qty "
+        "FROM lineitem "
+        "GROUP BY 1, 2) SELECT l.l_returnflag, l.l_linestatus, d.grp_qty, "
+        "count(*) AS n FROM lineitem l LEFT JOIN dim d "
+        "ON l.l_returnflag = d.l_returnflag AND l.l_linestatus = d.l_linestatus "
+        "GROUP BY 1, 2, 3",
+    ),
+    "jx_semi_join": (
+        q_semi_join,
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > TIMESTAMP '2000-01-01')",
+    ),
+    "jx_anti_join": (
+        q_anti_join,
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    "j10_mode_lookup_join": (
+        q_mode_lookup_join,
+        "WITH mode AS (SELECT o_orderstatus, o_orderpriority AS mode_priority "
+        "FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt "
+        "FROM orders GROUP BY 1, 2) "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY cnt DESC, o_orderpriority) = 1) "
+        "SELECT o.o_orderstatus, m.mode_priority, count(*) AS n "
+        "FROM orders o LEFT JOIN mode m ON o.o_orderstatus = m.o_orderstatus "
+        "GROUP BY 1, 2 ORDER BY o.o_orderstatus",
+    ),
+    "a1_mode_by_group": (
+        q_mode_by_group,
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority "
+        "FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt "
+        "FROM orders GROUP BY 1, 2) "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY cnt DESC, o_orderpriority) = 1",
+    ),
+    "a2_a4_minmax_counts": (
+        q_minmax_counts,
+        "SELECT min(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship, "
+        "max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship, "
+        "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null_ship, count(*) AS n_rows FROM lineitem",
+    ),
+    "a5_count_distinct": (
+        q_count_distinct,
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+    ),
+    "w2_dedup_keep_first": (
+        q_dedup_keep_first,
+        "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_partkey) = 1",
+    ),
+    "d1_distinct_rows": (
+        q_distinct_rows,
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    ),
+    "d2_dedup_business_key": (
+        q_dedup_business_key,
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+    ),
+    "u1_union_by_name": (
+        q_union_by_name,
+        "SELECT c_name AS name, c_acctbal AS acctbal, "
+        "c_mktsegment AS mktsegment, 'customer' AS src FROM customer "
+        "UNION ALL SELECT s_name, s_acctbal, CAST(NULL AS VARCHAR), 'supplier' "
+        "FROM supplier",
+    ),
+    "u2_intersect": (
+        q_intersect,
+        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'",
+    ),
+    "u3_except": (
+        q_except,
+        "SELECT o_orderpriority FROM orders "
+        "EXCEPT SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'",
+    ),
+    "f_cleanse_normalize": (
+        q_cleanse_normalize,
+        r"SELECT l_orderkey, l_linenumber, "
+        r"regexp_replace(trim('  ' || l_partkey || '.0  '), '\.0$', '') "
+        r"AS code_clean, "
+        r"CASE WHEN regexp_matches(trim(' ' || l_quantity || ' '), "
+        r"'^\d+(\.0+)?$') THEN regexp_replace(trim(' ' || l_quantity || ' '), "
+        r"'\.0+$', '') ELSE trim(' ' || l_quantity || ' ') END AS qty_clean, "
+        r"l_returnflag || '-' || nullif(l_linestatus, 'F') AS flag_key "
+        r"FROM lineitem WHERE l_orderkey < 100",
+    ),
+    "f6_split_code_name": (
+        q_split_code_name,
+        "SELECT DISTINCT o_orderpriority, "
+        "trim(split_part(o_orderpriority, '-', 1)) AS code, "
+        "CASE WHEN contains(o_orderpriority, '-') THEN "
+        "trim(substr(o_orderpriority, position('-' IN o_orderpriority) + 1)) "
+        "END AS name FROM orders",
+    ),
+    "f10_timestamp_coerce": (
+        q_timestamp_coerce,
+        "SELECT CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_parsed, CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_failed FROM (SELECT try_cast(CASE WHEN o_orderkey % 5 = 0 "
+        "THEN 'not-a-date' ELSE CAST(o_orderdate AS VARCHAR) END "
+        "AS TIMESTAMP) AS p FROM orders)",
+    ),
+    "f12_fiscal_year": (
+        q_fiscal_year,
+        "SELECT CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 7 "
+        "THEN 1 ELSE 0 END AS INTEGER) AS fy, count(*) AS n "
+        "FROM orders GROUP BY fy ORDER BY fy",
+    ),
+    "json_extract": (
+        q_json_extract,
+        "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
+        "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
+        "ORDER BY event_type",
+    ),
+    "ext_doc_stats": (q_doc_stats, None),  # SQL built below
+    "ext_language_id": (q_language_id, None),  # SQL built below
+    "ext_exact_dedup": (
+        q_exact_dedup,
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id IN ("
+        "SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    ),
+    "ext_ngram_jaccard": (q_ngram_jaccard, None),  # SQL built below
+    "ext_minhash_pairs": (q_minhash_pairs, None),  # rows-only (xxhash64)
+    "ext_simhash_pairs": (q_simhash_pairs, None),  # rows-only (xxhash64)
+    "ext_fingerprints": (q_fingerprints, None),  # rows-only (xxhash64)
+    "ext_topk_cosine": (q_topk_cosine, None),  # SQL built below
+    "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
+    "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
+    "pipeline_payroll_shape": (
+        q_pipeline_payroll_shape,
+        'SELECT l.l_orderkey || \'-\' || l.l_linenumber AS "Line Key", '
+        'l.l_orderkey AS "Order Key", CAST(NULL AS VARCHAR) AS "Ship Date", '
+        'p.p_brand AS "Part Brand", s.s_name AS "Supplier Name", '
+        'CAST(NULL AS VARCHAR) AS "Legacy Flag" FROM lineitem l '
+        "LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+        "LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' "
+        "AND TIMESTAMP '1998-12-31' "
+        "QUALIFY row_number() OVER (PARTITION BY l.l_orderkey, l.l_linenumber "
+        "ORDER BY l.l_partkey, l.l_suppkey, l.l_shipdate) = 1",
+    ),
+}
+
+# ---- oracle SQL for the text-extension queries (built programmatically so
+# the stopword lists / formulas stay in lockstep with functions.text) ----
+
+from uofi_payroll_etl_main_demo_spark.functions.text import STOPWORDS  # noqa: E402
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_doc_stats() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+  round(CASE WHEN len(toks) > 0 THEN
+    CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+         'sum') AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
+  round(
+    0.4 * least(len(toks) / 100.0, 1.0)
+    + 0.4 * (CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END)
+    + 0.2 * (1.0 - least(
+        (CASE WHEN length(text) > 0
+         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+              / length(text) ELSE 0.0 END) * 5, 1.0)), 6) AS quality
+FROM t
+"""
+
+
+def _sql_language_id() -> str:
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        hit_cols.append(
+            f"CAST(len(list_filter({_TOKS}, x -> "
+            f"list_contains({lst}, lower(x)))) AS BIGINT) AS hits_{lang}"
+        )
+    langs_desc = sorted(STOPWORDS, reverse=True)  # ties → largest lang code
+    mx = "greatest(" + ", ".join(f"hits_{lg}" for lg in sorted(STOPWORDS)) + ")"
+    pred = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lg in langs_desc[:-1]:
+        pred += f"WHEN hits_{lg} = {mx} THEN '{lg}' "
+    pred += f"ELSE '{langs_desc[-1]}' END AS predicted_lang"
+    return (
+        "SELECT doc_id, "
+        + ", ".join(f"hits_{lg}" for lg in sorted(STOPWORDS))
+        + ", "
+        + pred
+        + " FROM (SELECT doc_id, "
+        + ", ".join(hit_cols)
+        + " FROM documents)"
+    )
+
+
+def _sql_ngram_jaccard(k: int = 3, threshold: float = 0.2) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' ')))) AS s
+  FROM t WHERE len(toks) >= {k}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
+def _sql_topk_cosine(k: int = 10) -> str:
+    return (
+        "SELECT vec_id, round(score, 6) AS score FROM ("
+        "SELECT vec_id, list_cosine_similarity("
+        f"CAST(embedding AS DOUBLE[]), CAST({_QV_SQL} AS DOUBLE[])) AS score "
+        f"FROM embeddings) ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+
+
+REGISTRY["ext_doc_stats"] = (q_doc_stats, _sql_doc_stats())
+REGISTRY["ext_language_id"] = (q_language_id, _sql_language_id())
+REGISTRY["ext_ngram_jaccard"] = (q_ngram_jaccard, _sql_ngram_jaccard())
+REGISTRY["ext_topk_cosine"] = (q_topk_cosine, _sql_topk_cosine())
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
+    }
