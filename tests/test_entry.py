@@ -1,0 +1,81 @@
+"""Driver-contract smoke + a fast oracle-differential subset at sf0.001.
+
+The full differential across every registry query runs via
+``scripts/check_oracle.py`` (and by the driver itself at sf0.01); here
+we pin the contract shape and a representative query sample so plain
+``pytest`` catches regressions quickly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SAMPLE = [
+    "pricing_summary",
+    "j1_broadcast_left_join",
+    "a1_mode_by_group",
+    "w2_dedup_keep_first",
+    "u1_union_by_name",
+    "f_cleanse_normalize",
+    "ext_doc_stats",
+    "ext_exact_dedup",
+    "ext_topk_cosine",
+    "pipeline_payroll_shape",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_contract_shape():
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(qs) >= 40
+    assert set(osql) <= set(qs)
+    # every SQL-expressible op has an oracle; rows-only set is the
+    # documented hash-family/approximate ops
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "ext_minhash_pairs",
+        "ext_simhash_pairs",
+        "ext_fingerprints",
+        "ext_lsh_topk",
+        "ext_multimodal_features",
+    }
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        out[c] = out[c].map(lambda v: "NULL" if v is None or v != v else str(v))
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, sf_dir, oracle, name):
+    qs, osql = E.queries(), E.oracle_sql()
+    sdf = _normalize(qs[name](spark, sf_dir).toPandas())
+    odf = _normalize(oracle.sql(osql[name]).df())
+    assert sdf.shape == odf.shape
+    assert list(sdf.columns) == list(odf.columns)
+    assert (sdf.values == odf.values).all()

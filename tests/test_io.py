@@ -1,0 +1,110 @@
+"""IO: catalog/resolver, readers, writers, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from uofi_payroll_etl_main_demo_spark.io import (
+    build_file_inventory,
+    read_csv,
+    read_parquet_table,
+    read_tables,
+    resolve_source,
+    write_csv,
+    write_parquet,
+)
+from uofi_payroll_etl_main_demo_spark.io.writers import date_stamped_name
+
+
+def test_inventory_and_resolver(spark, sf_dir):
+    inv = build_file_inventory(spark, sf_dir)
+    assert inv.count() == 10
+    assert set(inv.columns) >= {"file_name", "file_path", "extension", "size_bytes"}
+    hit = resolve_source(inv, name_contains="LINE", extensions=[".parquet"])
+    assert hit and hit.endswith("lineitem.parquet")
+    assert resolve_source(inv, name_contains="zzz-missing") is None
+    regex_hit = resolve_source(inv, name_regex=r"^ord.*\.parquet$")
+    assert regex_hit and regex_hit.endswith("orders.parquet")
+
+
+def test_read_tables(spark, sf_dir):
+    tables = read_tables(spark, sf_dir, ["region", "nation"])
+    assert tables["region"].count() == 5
+    assert tables["nation"].count() == 25
+
+
+def test_events_nanos_timestamp(spark, sf_dir):
+    ev = read_parquet_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path, single_file=True)
+    back = read_csv(spark, path)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, part string"
+    )
+    path = str(tmp_path / "out_parquet")
+    write_parquet(df, path, partition_by=["part"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition pruning: reading one partition only touches its files
+    assert back.filter(F.col("part") == "a").count() == 2
+
+
+def test_date_stamped_name():
+    from datetime import datetime
+
+    assert date_stamped_name("rpt", "csv", datetime(2026, 8, 13)) == "rpt_08132026.csv"
+
+
+def test_excel_roundtrip_if_openpyxl(spark, tmp_path):
+    pytest.importorskip("openpyxl")
+    from uofi_payroll_etl_main_demo_spark.io import read_excel, write_excel
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    path = str(tmp_path / "wb.xlsx")
+    write_excel(df, path)
+    back = read_excel(spark, path)
+    assert [(r["id"], r["name"]) for r in back.collect()] == [(1, "a")]
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=12, payload_bytes=64)
+    feats = extract_features(media, feature_dim=4)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["n_bytes"] == 64
+        assert len(r["feature"]) == 4
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, n=12)
+    plan = frame_sample_plan(media, every_ms=500)
+    assert plan.columns == ["media_id", "frame_ms"]
+    videos = plan.select("media_id").distinct().count()
+    assert videos > 0

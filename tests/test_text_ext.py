@@ -1,0 +1,181 @@
+"""Text functions + LLM-pipeline extension operators (dedup, similarity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+    brute_force_top_k,
+    lsh_bucket_top_k,
+    random_hyperplane_buckets,
+)
+from uofi_payroll_etl_main_demo_spark.functions.text import (
+    fingerprint64,
+    predicted_language,
+    quality_score,
+    token_count,
+    tokenize_ws,
+    word_shingles,
+)
+from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    normalize_vector,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    return spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact duplicate of 0
+            (2, near),  # near duplicate of 0
+            (3, "completely different words here about spark engines"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_tokenize_and_count(spark):
+    df = spark.createDataFrame([("a  b\tc",), ("",), ("  ",)], "text string")
+    got = df.select(
+        token_count("text").alias("n"), F.size(tokenize_ws("text")).alias("s")
+    ).collect()
+    assert [(r["n"], r["s"]) for r in got] == [(3, 3), (0, 0), (0, 0)]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert sorted(got[0]["s"]) == ["a b c", "b c d"]
+    assert got[1]["s"] == []  # shorter than k
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r["q"] for r in docs.select(quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_predicted_language(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house",), ("el gato es un animal que",), ("zzz qqq",)],
+        "text string",
+    )
+    got = [r["l"] for r in df.select(predicted_language("text").alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("different",)], "text string"
+    )
+    got = [r["f"] for r in df.select(fingerprint64("text").alias("f")).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+def test_exact_dedup_min_survivor(docs):
+    out = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 collapsed into doc 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_signature_shape_and_identity(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, k=3).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    assert len(sigs[0]) == 32
+    assert sigs[4] is None  # empty doc -> null signature
+
+
+def test_minhash_near_dup_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs, num_hashes=32, bands=16, k=3, threshold=0.3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near-dup candidate found and verified
+
+
+def test_simhash_near_dup(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] and sh[4] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        dot_product("a", "b").alias("d"),
+        cosine_similarity("a", "b").alias("c"),
+        l2_norm("a").alias("n"),
+    ).collect()
+    assert rows[0]["d"] == 0.0 and rows[0]["c"] == 0.0
+    assert rows[1]["c"] == pytest.approx(1.0)
+    assert rows[1]["n"] == pytest.approx(math.sqrt(5))
+    normed = df.select(normalize_vector("a").alias("u")).collect()
+    assert sum(x * x for x in normed[1]["u"]) == pytest.approx(1.0)
+
+
+def test_brute_force_top_k_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in brute_force_top_k(df, [1.0, 0.0], k=2).collect()]
+    assert got == [0, 1]
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    exact = [r["vec_id"] for r in brute_force_top_k(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_bucket_top_k(
+            emb, q, dim=64, k=10, n_planes=4, multiprobe_hamming=2
+        ).collect()
+    ]
+    # Synthetic embeddings are near-uniform (no cluster structure), so
+    # recall ≈ fraction of buckets probed: 11/16 here. Require half.
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_hyperplane_buckets_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = random_hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket")
+    b2 = random_hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket")
+    assert b1.subtract(b2).count() == 0 and b2.subtract(b1).count() == 0

@@ -1,0 +1,55 @@
+"""Validation library — ports of the reference's inline assertions (§5.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from uofi_payroll_etl_main_demo_spark.validate import (
+    ContractViolation,
+    FreshnessError,
+    check_format,
+    check_freshness,
+    check_schema_contract,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [("1-123456", datetime(2024, 1, 1)), ("bad", datetime(2024, 6, 1))],
+        "code string, ts timestamp",
+    )
+
+
+def test_schema_contract_ok(df):
+    report = check_schema_contract(df, ["code", "ts"])
+    assert report.ok
+
+
+def test_schema_contract_missing_extra(df):
+    with pytest.raises(ContractViolation) as ei:
+        check_schema_contract(df, ["code", "nope"])
+    assert "nope" in str(ei.value)
+    report = check_schema_contract(df, ["code", "nope"], raise_on_fail=False)
+    assert report.missing == ["nope"] and report.extra == ["ts"]
+
+
+def test_schema_contract_order(df):
+    report = check_schema_contract(
+        df, ["ts", "code"], raise_on_fail=False
+    )
+    assert not report.ok and report.misplaced
+
+
+def test_freshness(df):
+    assert check_freshness(df, "ts", not_before=datetime(2023, 12, 31))
+    with pytest.raises(FreshnessError):
+        check_freshness(df, "ts", not_before=datetime(2024, 3, 1))
+
+
+def test_check_format(df):
+    count, sample = check_format(df, "code", r"^\d-\d{6}$")
+    assert count == 1
+    assert sample[0]["code"] == "bad"

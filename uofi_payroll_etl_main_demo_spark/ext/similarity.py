@@ -125,6 +125,10 @@ def lsh_bucket_top_k(
     if multiprobe_hamming >= 1:
         for b in range(n_planes):
             probe.add(qbits ^ (1 << b))
+    if multiprobe_hamming >= 2:
+        for b1 in range(n_planes):
+            for b2 in range(b1 + 1, n_planes):
+                probe.add(qbits ^ (1 << b1) ^ (1 << b2))
 
     bucketed = random_hyperplane_buckets(
         embeddings, dim, n_planes, vec_col, seed

@@ -170,12 +170,17 @@ def word_shingles(c: ColumnOrName, k: int = 4) -> Column:
     single space. Documents shorter than k words → empty array.
     """
     toks = tokenize_ws(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    n_sh = F.size(toks) - (k - 1)  # number of shingles
     shingles = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return F.array_distinct(shingles)
+    # Guard BEFORE building the sequence result: Spark's sequence(1, 0)
+    # steps DOWNWARD ([1, 0]) and slice(toks, 0, k) is a runtime error,
+    # so documents shorter than k words must short-circuit to [].
+    return F.when(n_sh >= 1, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def fingerprint64(c: ColumnOrName) -> Column:
