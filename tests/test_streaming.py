@@ -1,0 +1,135 @@
+"""Structured Streaming operators: batch/stream parity + stateful ops.
+
+Strategy: write the driver events table into a multi-file parquet dir,
+stream it with availableNow into a memory sink, and compare against the
+BATCH run of the same transform — the unified-semantics guarantee.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.io.readers import read_parquet_table
+from uofi_payroll_etl_main_demo_spark.streaming import (
+    dedup_events,
+    event_type_rollup,
+    read_events_stream,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    read_parquet_table(spark, sf_dir, "events").repartition(4).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def run_stream(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r[c] for c in cols) for r in df.orderBy(*cols).collect()]
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream(
+        spark, windowed_event_counts(stream), "win_counts", "append"
+    )
+    want = windowed_event_counts(events_batch)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    got_rows, want_rows = _sorted_rows(got, cols), _sorted_rows(want, cols)
+    # Append mode only emits windows the watermark has passed: the tail
+    # windows near max(ts) are correctly withheld at stream end. Finalized
+    # output must match the batch result exactly; anything missing must
+    # lie within watermark (30m) + window (10m) of the stream's end.
+    assert set(got_rows) <= set(want_rows)
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    from datetime import timedelta
+
+    cutoff = max_ts - timedelta(minutes=40)
+    missing = set(want_rows) - set(got_rows)
+    assert all(w[0] >= cutoff for w in missing)
+    finalized = [w for w in want_rows if w[0] < cutoff]
+    assert [w for w in got_rows if w[0] < cutoff] == finalized
+    assert len(finalized) > 10  # the comparison is not vacuous
+
+
+def test_rollup_complete_mode(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = run_stream(spark, event_type_rollup(stream), "rollup", "complete")
+    want = event_type_rollup(events_batch)
+    cols = ["event_type", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_dedup_stream(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = run_stream(spark, dedup_events(stream), "dedup_ev", "append")
+    assert got.count() == dedup_events(events_batch).count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    # user 1: two events 5 min apart (one session), then 2h gap (new session)
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 00:05:00", 1, "click", 2.0, None),
+        (3, "2024-01-01 02:05:00", 1, "view", 4.0, None),
+        (4, "2024-01-01 00:00:00", 2, "view", 8.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap="30 minutes")
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (2, 3.0),
+        (1, "2024-01-01 02:05:00"): (1, 4.0),
+        (2, "2024-01-01 00:00:00"): (1, 8.0),
+    }
+
+
+def test_sessionize_streaming_stateful(spark, tmp_path):
+    # stream the same micro-corpus; closed sessions emit on timeout —
+    # with availableNow the final batch triggers timeouts at shutdown
+    # only for state whose timeout elapsed, so assert the operator runs
+    # and emits a valid (possibly empty) append result with the right
+    # schema rather than full convergence.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 00:05:00", 1, "click", 2.0, None),
+        (3, "2024-01-01 02:05:00", 1, "view", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess_events")
+    df.write.parquet(src)
+    stream = read_events_stream(spark, src)
+    got = run_stream(spark, sessionize(stream, timeout_ms=1), "sessions", "append")
+    assert got.columns == [
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    ]

@@ -555,6 +555,42 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# -------------------- streaming operators (batch mode) ---------------------
+# The streaming module's transforms are batch/stream-unified; their batch
+# runs are oracle-checkable here, and tests/test_streaming.py proves the
+# streaming runs converge to the same result.
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """Tumbling-window counts (batch mode of the streaming aggregation)."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+def q_stream_rollup(spark, sf_dir):
+    """Running per-type totals (batch mode of the complete-mode rollup)."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import event_type_rollup
+
+    return event_type_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of applyInPandasWithState)."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 # ------------------------- pipeline composition -----------------------------
 
 def q_pipeline_payroll_shape(spark, sf_dir):
@@ -792,6 +828,32 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
         "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
         "ORDER BY event_type",
+    ),
+    "stream_window_counts": (
+        q_stream_window_counts,
+        "SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, "
+        "time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' "
+        "AS window_end, event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2, 3",
+    ),
+    "stream_rollup": (
+        q_stream_rollup,
+        "SELECT event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type",
+    ),
+    "stream_sessionize": (
+        q_stream_sessionize,
+        "WITH o AS (SELECT user_id, ts, event_id, value, "
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, CAST(0 AS BIGINT)) "
+        "OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM s GROUP BY user_id, sess",
     ),
     "ext_doc_stats": (q_doc_stats, None),  # SQL built below
     "ext_language_id": (q_language_id, None),  # SQL built below

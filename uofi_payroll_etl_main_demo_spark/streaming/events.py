@@ -1,0 +1,246 @@
+"""Streaming operators over the events table (ts, user_id, event_type, value).
+
+Batch/streaming-unified transforms: each takes a DataFrame that may be
+either a batch frame or a streaming frame. Watermarks only engage on
+streaming input (Spark ignores them in batch mode), so the batch run of
+the same function doubles as the correctness oracle for the streaming
+run — the engine's differential-testing story for §2.10.
+
+Scale posture: windowed aggregation state is bounded by the watermark
+(late data beyond it is dropped and its state evicted); dedup state
+likewise via ``dropDuplicatesWithinWatermark``. The shuffle key is
+(window, event_type) / user_id — high-cardinality enough to spread, and
+AQE handles residual skew in batch mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory of events.
+
+    File sources need an explicit schema (no inference on streams);
+    ``maxFilesPerTrigger`` paces micro-batches for tests/backfills.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type.
+
+    Streaming: watermark bounds state and admits late data up to
+    ``watermark``. Batch: identical grouped aggregation (watermark is a
+    no-op), so the batch result is the converged streaming result.
+    Output: window_start, window_end, event_type, n_events, sum_value.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once-per-key event stream.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps state only for
+    the watermark horizon — the unbounded-state-safe form of streaming
+    dedup. Batch: plain ``dropDuplicates`` (same converged semantics
+    when keys are globally unique).
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def event_type_rollup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Running per-type totals (complete-mode aggregate in streaming)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation.
+
+    Streaming path: ``applyInPandasWithState`` with processing-time
+    timeout — the engine's pattern for operators Spark lacks natively
+    (SURVEY.md build directive: applyInPandasWithState for custom
+    stateful ops). A session closes when no event arrives within the
+    timeout; closed sessions are emitted with start/end/count/sum.
+
+    Batch path (the oracle): classic gap-based sessionization via a
+    lag/window cumulative-sum — same output schema, converged result.
+    """
+    gap_us = _duration_to_us(gap)
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # exact micros arithmetic (a seconds cast would truncate
+        # sub-second gaps and disagree with the streaming path)
+        with_gap = events.withColumn(
+            "__new_session",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1, 0).over(w)
+                > gap_us
+            ).cast("int"),
+        )
+        with_id = with_gap.withColumn(
+            "__session", F.sum("__new_session").over(w)
+        )
+        return (
+            with_id.groupBy("user_id", "__session")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .drop("__session")
+        )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator, state
+    ) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [total],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000
+        closed = []
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us = end_us = int(ts_us.iloc[0])
+            n, total = 0, 0.0
+        for t_us, val in zip(ts_us, rows["value"].fillna(0.0)):
+            t_us = int(t_us)
+            if n > 0 and t_us - end_us > gap_us:
+                closed.append((start_us, end_us, n, total))
+                start_us, n, total = t_us, 0, 0.0
+            if n == 0:
+                start_us = t_us
+            end_us = t_us
+            n += 1
+            total += float(val)
+        state.update((start_us, end_us, n, total))
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def _duration_to_us(s: str) -> int:
+    qty, unit = s.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult
