@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from uofi_payroll_etl_main_demo_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    l2_norm,
 )
 
 
@@ -142,6 +143,46 @@ def lsh_bucket_top_k(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def exact_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (all-pairs baseline).
+
+    Broadcast nested-loop self-join: O(n²) pair scoring with the right
+    side broadcast, so no shuffle of the corpus — correct and fine up
+    to ~10⁵ vectors per broadcast block. This is the exactness baseline
+    the approximate ``all_pairs_above`` (LSH-bucketed) trades against
+    at corpus scale; pick by n: exact ≲ 1e5, LSH beyond.
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    """
+    # Norms are per-ROW quantities: compute them once on each side
+    # (n² pairs would otherwise each re-derive two norms — 3 dot
+    # products per pair instead of 1). Same arithmetic, same bits.
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        l2_norm(vec_col).alias("n_a"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        l2_norm(vec_col).alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.when(denom != 0, dot_product("v_a", "v_b") / denom),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

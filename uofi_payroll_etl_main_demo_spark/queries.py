@@ -336,6 +336,64 @@ def q_minmax_counts(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    """A-ext: GROUP BY ROLLUP — subtotal hierarchy in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """A-ext: pivot (orderstatus columns × priority rows)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return out.orderBy("o_orderpriority")
+
+
+def q_running_total(spark, sf_dir):
+    """W-ext: cumulative windowed sum per key (exact decimal, emitted
+    as double)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_rank_lag(spark, sf_dir):
+    """W-ext: rank + lag analytic functions per key."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
 def q_count_distinct(spark, sf_dir):
     """Substrate agg: count_distinct per group (SURVEY §2.4 note)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -546,6 +604,15 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_embedding_pairs_exact(spark, sf_dir):
+    """Similarity: exact cosine near-dup pairs (broadcast all-pairs
+    baseline; LSH-bucketed variant is the corpus-scale path)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import exact_cosine_pairs
+
+    pairs = exact_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: mapInPandas feature extraction over binary
     payloads (stubbed decode; rows-only oracle — synthetic media table)."""
@@ -753,6 +820,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_null_ship, count(*) AS n_rows FROM lineitem",
     ),
+    "a6_rollup": (
+        q_rollup,
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    ),
+    "a7_pivot": (
+        q_pivot,
+        'SELECT o_orderpriority, '
+        'count(*) FILTER (WHERE o_orderstatus = \'F\') AS "F", '
+        'count(*) FILTER (WHERE o_orderstatus = \'O\') AS "O", '
+        'count(*) FILTER (WHERE o_orderstatus = \'P\') AS "P" '
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ),
+    "w3_running_total": (
+        q_running_total,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total FROM orders",
+    ),
+    "w4_rank_lag": (
+        q_rank_lag,
+        "SELECT o_custkey, o_orderkey, "
+        "rank() OVER w AS price_rank, lag(o_totalprice, 1) OVER w AS prev_price "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey)",
+    ),
     "a5_count_distinct": (
         q_count_distinct,
         "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
@@ -867,6 +962,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ext_simhash_pairs": (q_simhash_pairs, None),  # rows-only (xxhash64)
     "ext_fingerprints": (q_fingerprints, None),  # rows-only (xxhash64)
     "ext_topk_cosine": (q_topk_cosine, None),  # SQL built below
+    "ext_embedding_pairs_exact": (
+        q_embedding_pairs_exact,
+        "SELECT id_a, id_b, round(c, 6) AS cosine FROM ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) AS c "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+        "WHERE c >= 0.35",
+    ),
     "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
     "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
     "pipeline_payroll_shape": (
