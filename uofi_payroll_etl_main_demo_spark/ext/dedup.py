@@ -87,10 +87,13 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(text_col, k)).alias("__n")
-    )
     sh = _shingle_hashes(df, text_col, id_col, k)
+    # self-joined below: persist so the shingle explode runs once, not
+    # once per join side (MEMORY_AND_DISK — spills, never recomputes)
+    sh = sh.persist()
+    # shingles are distinct per doc, so set size == exploded row count;
+    # deriving it from `sh` avoids a third shingle computation
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -205,23 +208,43 @@ def minhash_near_dup_pairs(
     ]
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    # Candidate pairs WITHOUT a self-join (a self-join would re-derive
+    # every signature once per side): one shuffle groups ids per
+    # (band, band_hash) bucket, then ordered pairs expand in-bucket via
+    # higher-order functions. Bucket sizes are small by LSH design, so
+    # the quadratic expansion is local and bounded.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
     )
     cand = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
+        sig_a = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+        )
+        sig_b = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+        )
         est = (
             F.size(
                 F.filter(
@@ -233,11 +256,21 @@ def minhash_near_dup_pairs(
             ).cast("double")
             / F.lit(num_hashes)
         )
-        return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        return (
+            cand.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .select("id_a", "id_b", est.alias("est_jaccard"))
+        )
 
-    # Exact verification on the candidate set only.
+    # Exact verification on the candidate set only. Sets are stored as
+    # int64 shingle hashes (8B/element vs full strings; Jaccard is
+    # identical modulo 64-bit collisions) and persisted because the
+    # candidate frame joins them twice (a-side, b-side).
     sets_ = df.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__set")
+        F.col(id_col),
+        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
+            "__set"
+        ),
     )
     with_a = cand.select("id_a", "id_b").join(
         sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")),
