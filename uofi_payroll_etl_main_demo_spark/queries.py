@@ -548,6 +548,20 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+def q_token_stats(spark, sf_dir):
+    """Text analysis: BPE-ish regex token counting (letters / digits /
+    punctuation marks — the GPT-2-style pre-tokenization shape)."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_bpe_ish("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
 def q_language_id(spark, sf_dir):
     """Text analysis: stopword-hit language ID + argmax prediction."""
     return language_id(_t(spark, sf_dir, "documents"))
@@ -952,6 +966,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ext_doc_stats": (q_doc_stats, None),  # SQL built below
     "ext_language_id": (q_language_id, None),  # SQL built below
+    "ext_token_stats": (
+        q_token_stats,
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens, "
+        r"CAST(len(list_distinct(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) "
+        r"AS n_distinct_bpe_tokens FROM documents",
+    ),
     "ext_exact_dedup": (
         q_exact_dedup,
         "SELECT doc_id, n_chars FROM documents WHERE doc_id IN ("
