@@ -59,6 +59,8 @@ def test_contract_shape():
         "ext_simhash_pairs",
         "ext_fingerprints",
         "ext_lsh_topk",
+        "ext_topk_cosine_gemm",
+        "ext_ivf_topk",
         "ext_multimodal_features",
     }
 

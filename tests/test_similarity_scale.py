@@ -1,0 +1,44 @@
+"""Scale-path similarity operators: GEMM top-k and IVF index."""
+
+from __future__ import annotations
+
+import pytest
+
+from uofi_payroll_etl_main_demo_spark.ext import (
+    brute_force_top_k,
+    brute_force_top_k_gemm,
+    build_ivf_index,
+)
+
+QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_gemm_topk_matches_hof_baseline(spark, emb):
+    exact = brute_force_top_k(emb, QV, k=10).collect()
+    gemm = brute_force_top_k_gemm(emb, QV, k=10).collect()
+    assert [r["vec_id"] for r in gemm] == [r["vec_id"] for r in exact]
+    for g, e in zip(gemm, exact):
+        assert g["score"] == pytest.approx(e["score"], abs=1e-12)
+
+
+def test_ivf_search_recall(spark, emb):
+    index = build_ivf_index(emb, n_centroids=8)
+    exact_ids = {r["vec_id"] for r in brute_force_top_k(emb, QV, k=10).collect()}
+    # nprobe = all lists => exhaustive => exact
+    got_all = {r["vec_id"] for r in index.search(QV, k=10, nprobe=8).collect()}
+    assert got_all == exact_ids
+    # small nprobe: still non-trivial overlap on near-uniform data
+    got_2 = {r["vec_id"] for r in index.search(QV, k=10, nprobe=2).collect()}
+    assert len(got_2 & exact_ids) >= 2
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    index = build_ivf_index(emb, n_centroids=8)
+    counts = index.assigned.groupBy("centroid").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert len(counts) == 8  # every list non-empty at this size

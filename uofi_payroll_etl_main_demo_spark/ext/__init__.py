@@ -14,8 +14,14 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup import (  # noqa: F401
     simhash,
     simhash_near_dup_pairs,
 )
+from uofi_payroll_etl_main_demo_spark.ext.ivf import (  # noqa: F401
+    IVFIndex,
+    build_ivf_index,
+)
 from uofi_payroll_etl_main_demo_spark.ext.similarity import (  # noqa: F401
     brute_force_top_k,
+    brute_force_top_k_gemm,
+    exact_cosine_pairs,
     lsh_bucket_top_k,
     random_hyperplane_buckets,
 )

@@ -1,0 +1,89 @@
+"""IVF (inverted-file) approximate nearest-neighbor index.
+
+The classic coarse-quantizer design (public FAISS/IVF literature): fit
+k-means centroids over the corpus, assign every vector to its nearest
+centroid (the "inverted list"), and at query time scan only the
+``nprobe`` lists whose centroids are closest to the query.
+
+Scale shape: the fit samples/aggregates through ``pyspark.ml`` KMeans
+(tree-aggregated, executor-side); assignment is a narrow map; the
+probe filter is an ``isin`` over a driver-computed centroid id list —
+a pushdown-able predicate, so a corpus WRITTEN partitioned by
+``centroid`` prunes whole files before scoring. Recall/latency trades
+via nprobe, exactly like the LSH variant (``lsh_bucket_top_k``); IVF
+adapts to the data distribution where LSH is data-oblivious.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.vectors import cosine_similarity
+
+
+class IVFIndex:
+    """Centroids (driver-side, small) + cluster-assigned corpus (lazy)."""
+
+    def __init__(self, assigned: DataFrame, centroids: list[list[float]],
+                 id_col: str, vec_col: str):
+        self.assigned = assigned  # corpus + 'centroid' int column
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def nearest_centroids(self, query_vec: list[float], nprobe: int) -> list[int]:
+        """Driver-side: rank the (small) centroid table against the query."""
+        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+        def cos(c: list[float]) -> float:
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+        ranked = sorted(
+            range(len(self.centroids)),
+            key=lambda i: (-cos(self.centroids[i]), i),
+        )
+        return ranked[:nprobe]
+
+    def search(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """Top-k over the nprobe nearest inverted lists only."""
+        probe = self.nearest_centroids(query_vec, nprobe)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            self.assigned.filter(F.col("centroid").isin(*probe))
+            .select(
+                F.col(self.id_col),
+                cosine_similarity(F.col(self.vec_col), q).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Fit the coarse quantizer and assign every vector to a list."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__feat",
+        predictionCol="centroid",
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__feat")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return IVFIndex(assigned, centroids, id_col, vec_col)

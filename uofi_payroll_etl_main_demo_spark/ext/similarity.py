@@ -146,6 +146,64 @@ def lsh_bucket_top_k(
     )
 
 
+def brute_force_top_k_gemm(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via vectorized numpy GEMM (the compute-bound
+    scale path).
+
+    Each Arrow batch is scored as ONE matrix-vector product
+    (``M @ q``), and only the batch-local top-k rows are emitted —
+    so the driver merges k rows per batch, not the corpus. Per-element
+    work is a fused BLAS op instead of an interpreted higher-order
+    expression: at wide dims/large corpora this is the variant to use;
+    ``brute_force_top_k`` (pure Column expressions) is the zero-Python
+    baseline the oracle checks.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id_out", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom != 0, mat @ q / denom, np.nan)
+            top = np.argsort(-scores)[:k]
+            yield pd.DataFrame(
+                {
+                    "vec_id_out": pdf[id_col].to_numpy()[top],
+                    "score": scores[top],
+                }
+            )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(score_batches, schema)
+        .withColumnRenamed("vec_id_out", id_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def exact_cosine_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -627,6 +627,30 @@ def q_embedding_pairs_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_topk_cosine_gemm(spark, sf_dir):
+    """Similarity: exact top-k via numpy GEMM over Arrow batches — the
+    compute-bound scale path (rows-only oracle: BLAS summation order
+    differs from the fold-left oracle arithmetic at the last ulp; its
+    parity with the oracle-checked HOF baseline is pinned in
+    tests/test_similarity_scale.py)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k_gemm,
+    )
+
+    out = brute_force_top_k_gemm(_t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """Similarity: IVF (k-means inverted lists) approximate top-k
+    (rows-only oracle: data-adaptive index)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
+
+    index = build_ivf_index(_t(spark, sf_dir, "embeddings"), n_centroids=8)
+    out = index.search(QUERY_VEC, k=10, nprobe=3)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: mapInPandas feature extraction over binary
     payloads (stubbed decode; rows-only oracle — synthetic media table)."""
@@ -994,6 +1018,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "WHERE c >= 0.35",
     ),
     "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
+    "ext_topk_cosine_gemm": (q_topk_cosine_gemm, None),  # rows-only (BLAS)
+    "ext_ivf_topk": (q_ivf_topk, None),  # rows-only (approximate)
     "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
     "pipeline_payroll_shape": (
         q_pipeline_payroll_shape,
