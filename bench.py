@@ -37,6 +37,10 @@ HEADLINE = [
     "d2_dedup_business_key",
     "u1_union_by_name",
     "json_extract",
+    "a6_rollup",
+    "w3_running_total",
+    "stream_window_counts",
+    "stream_sessionize",
     "ext_doc_stats",
     "ext_language_id",
     "ext_exact_dedup",
