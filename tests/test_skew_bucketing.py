@@ -1,0 +1,98 @@
+"""Skew mitigation + bucketed co-located joins (100 TB posture tools)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.io import write_bucketed
+from uofi_payroll_etl_main_demo_spark.operators import (
+    salted_left_join,
+    two_phase_agg,
+    with_salt,
+)
+from uofi_payroll_etl_main_demo_spark.plans import inspect_plan
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key ('hot' = 80% of rows) + a tail
+    rows = [(i, "hot" if i % 5 != 0 else f"k{i % 7}", float(i % 10)) for i in range(1000)]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_with_salt_deterministic_and_bounded(spark, skewed):
+    a = with_salt(skewed, ["id"], n_salts=8).select("id", "__salt")
+    b = with_salt(skewed, ["id"], n_salts=8).select("id", "__salt")
+    assert a.subtract(b).count() == 0
+    r = a.agg(F.min("__salt"), F.max("__salt")).first()
+    assert r[0] >= 0 and r[1] <= 7
+    # the hot key's rows actually spread over many salts
+    n_buckets = (
+        with_salt(skewed, ["id"], n_salts=8)
+        .filter(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k0", "K0"), ("k7", "K7")], "k string, label string"
+    )
+    plain = skewed.join(dim, "k", "left").select("id", "k", "label")
+    salted = salted_left_join(
+        skewed, dim, on=["k"], salt_from=["id"], n_salts=8
+    ).select("id", "k", "label")
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
+    assert salted.count() == plain.count()
+
+
+def test_two_phase_agg_equals_direct(spark, skewed):
+    direct = skewed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+    )
+    two = two_phase_agg(
+        skewed,
+        keys=["k"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "s": F.sum(F.col("v").cast("decimal(18,2)")),
+        },
+        salt_from=["id"],
+        n_salts=8,
+    )
+    d = {r["k"]: (r["n"], float(r["s"])) for r in direct.collect()}
+    t = {r["k"]: (r["n"], float(r["s"])) for r in two.collect()}
+    assert d == t
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "t_li_bucketed", ["l_orderkey"], num_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_ord_bucketed",
+        ["l_orderkey"],
+        num_buckets=8,
+    )
+    try:
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_ord_bucketed")
+        joined = a.join(b, "l_orderkey")
+        r = inspect_plan(joined)
+        # co-located: same keys, same bucket count -> no shuffle exchange
+        assert r.exchanges == 0
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")

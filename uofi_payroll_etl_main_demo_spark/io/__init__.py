@@ -12,6 +12,7 @@ from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
 )
 from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
     date_stamped_name,
+    write_bucketed,
     write_csv,
     write_excel,
     write_parquet,

@@ -16,6 +16,11 @@ from uofi_payroll_etl_main_demo_spark.operators.joins import (  # noqa: F401
     safe_left_join,
     semi_join,
 )
+from uofi_payroll_etl_main_demo_spark.operators.skew import (  # noqa: F401
+    salted_left_join,
+    two_phase_agg,
+    with_salt,
+)
 from uofi_payroll_etl_main_demo_spark.operators.setops import (  # noqa: F401
     except_rows,
     intersect_rows,

@@ -50,6 +50,10 @@ def get_spark(
         # Keep parquet scans pruned + vectorized (defaults, stated for intent).
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # Managed (bucketed) tables land outside the repo checkout.
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)
