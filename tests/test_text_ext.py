@@ -123,6 +123,14 @@ def test_minhash_near_dup_pairs(docs):
     assert (0, 2) in pairs  # near-dup candidate found and verified
 
 
+def test_minhash_bucket_cap_drops_mega_buckets(docs):
+    # cap of 1 drops every bucket (all useful buckets have >= 2 docs)
+    none_left = minhash_near_dup_pairs(
+        docs, num_hashes=32, bands=16, k=3, threshold=0.3, max_bucket_size=1
+    )
+    assert none_left.count() == 0
+
+
 def test_simhash_near_dup(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1] and sh[4] is None

@@ -175,8 +175,15 @@ def minhash_near_dup_pairs(
     k: int = 4,
     threshold: float = 0.5,
     verify: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
+
+    ``max_bucket_size`` drops degenerate mega-buckets (a bucket of m
+    documents yields m·(m−1)/2 candidates; boilerplate-heavy corpora
+    produce buckets where that quadratic dominates the whole job).
+    Dropping loses only pairs whose EVERY shared band is oversized —
+    the standard recall/throughput trade at corpus scale.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
     candidate pairs share at least one identical band (equi-join on
@@ -221,6 +228,8 @@ def minhash_near_dup_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
