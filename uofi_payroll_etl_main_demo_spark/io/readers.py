@@ -30,6 +30,11 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Engine contract: timestamps are UTC-naive wall clocks (the
+        # parquet NANOS column is isAdjustedToUTC=false). A non-UTC
+        # session would render timestamp_micros shifted; pin it here so
+        # queries behave identically under any caller's session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf absent on future versions
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -394,6 +394,45 @@ def q_rank_lag(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """A-ext: exact interpolated percentiles per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.9).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """A-ext: HyperLogLog++ approximate distinct counting — the sketch
+    for cardinality at 100 TB (rows-only oracle: DuckDB's sketch
+    differs; the ≤2% error bound vs exact is pinned in
+    tests/test_queries_extra.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_json_struct(spark, sf_dir):
+    """F-ext: from_json with an explicit schema (typed struct path,
+    complementing get_json_object's string path)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        e.select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def q_count_distinct(spark, sf_dir):
     """Substrate agg: count_distinct per group (SURVEY §2.4 note)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -857,6 +896,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship, "
         "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_null_ship, count(*) AS n_rows FROM lineitem",
+    ),
+    "a8_percentiles": (
+        q_percentiles,
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, "
+        "quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+    ),
+    "a9_approx_distinct": (q_approx_distinct, None),  # rows-only (HLL sketch)
+    "json_struct": (
+        q_json_struct,
+        "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
+        "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
+        "ORDER BY event_type",
     ),
     "a6_rollup": (
         q_rollup,
