@@ -65,6 +65,21 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     assert back.filter(F.col("part") == "a").count() == 2
 
 
+def test_jsonl_roundtrip(spark, tmp_path):
+    from uofi_payroll_etl_main_demo_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", None)],
+        "id bigint, name string, vec array<double>",
+    )
+    path = str(tmp_path / "out_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(
+        (r["id"], r["name"], r["vec"]) for r in back.collect()
+    ) == [(1, "a", [1.0, 2.0]), (2, "b", None)]
+
+
 def test_date_stamped_name():
     from datetime import datetime
 

@@ -7,6 +7,7 @@ from uofi_payroll_etl_main_demo_spark.io.catalog import (  # noqa: F401
 from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
     read_csv,
     read_excel,
+    read_jsonl,
     read_parquet_table,
     read_tables,
 )
@@ -14,6 +15,7 @@ from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
     date_stamped_name,
     write_bucketed,
     write_csv,
+    write_jsonl,
     write_excel,
     write_parquet,
 )

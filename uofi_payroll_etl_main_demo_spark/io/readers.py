@@ -75,6 +75,17 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, *, schema=None
+) -> DataFrame:
+    """JSON-lines source. Explicit ``schema`` avoids the inference scan
+    (two passes over the data) — pass one in production."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_excel(
     spark: SparkSession, path: str, sheet_name: int | str = 0
 ) -> DataFrame:

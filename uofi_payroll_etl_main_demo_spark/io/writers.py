@@ -62,6 +62,11 @@ def write_csv(
     out.write.mode(mode).option("header", True).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row, one file per task)."""
+    df.write.mode(mode).json(path)
+
+
 def write_excel(df: DataFrame, path: str) -> None:
     """Excel sink via driver-side pandas (reference S7 at 460-461,
     780-781). Collects to the driver — human-sized outputs only."""
