@@ -124,6 +124,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def _min_sig_agg(df: DataFrame, id_col: str, num_hashes: int, *extra_aggs):
+    """(id, m0..m{n-1} [, extra]) via explode + partial-min aggregates.
+
+    The i-th family member is a cheap long-rehash ``xxhash64(sh, i)`` of
+    the 64-bit shingle hash; ``min()`` partial-aggregates map-side, so
+    the shuffle carries ONE narrow (id, n longs) row per doc per input
+    partition — never the exploded shingles. This explode+agg shape
+    measured ~2× faster than the higher-order-function form (32 nested
+    ``array_min(transform(...))`` defeats whole-stage codegen).
+    """
+    sh = df
+    mins = [
+        F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins, *extra_aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -134,35 +152,17 @@ def minhash_signatures(
     """MinHash signature per document → (id, array<bigint> sig).
 
     Two-level hash family: every shingle STRING is hashed exactly once
-    (``xxhash64(shingle)``, materialized through a projection boundary
-    so it isn't recomputed per hash function), then the i-th family
-    member is a cheap long-rehash ``xxhash64(base, i)``. sig[i] = min
-    over shingles of h_i. All higher-order functions — no explode, no
-    shuffle, no Python. Documents with no shingles get a null signature.
-
-    (The naive form — hashing the string num_hashes times inside a
-    nested lambda — re-evaluates the whole shingle expression per
-    family member: ~30× slower at bench scale.)
+    (``xxhash64(shingle)``), then sig[i] = min over shingles of
+    ``xxhash64(base, i)``. Computed as explode → n partial-min
+    aggregates (see ``_min_sig_agg``). Documents with no shingles get a
+    null signature (restored by a left join back onto the id set).
     """
-    base = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
-            "__hs"
-        ),
+    wide = _min_sig_agg(
+        _shingle_hashes(df, text_col, id_col, k), id_col, num_hashes
     )
-
-    def rehash(i: int):
-        # closure factory: a default-arg lambda would be read by the
-        # higher-order-function binder as a two-variable (elem, index)
-        # lambda.
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__hs"), rehash(i))) for i in range(num_hashes)]
-    )
-    return base.select(
-        F.col(id_col),
-        F.when(F.size("__hs") > 0, sig).alias("sig"),
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    return df.select(id_col).join(
+        wide.select(F.col(id_col), sig.alias("sig")), id_col, "left"
     )
 
 
@@ -193,27 +193,38 @@ def minhash_near_dup_pairs(
     carry estimated signature similarity (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).filter(
-        F.col("sig").isNotNull()
-    )
+    # ONE shingle pass feeds everything downstream: the same explode +
+    # groupBy produces the n partial-min signature columns AND (for
+    # verify) the exact shingle set. Persisted because banding, both
+    # candidate-join sides, and verification all consume it — without
+    # the persist each consumer would re-tokenize the whole corpus
+    # (measured 12.1s → 8.2s at sf0.1). Per-doc rows are narrow
+    # (id + 32 longs + shingle-hash list), so this caches O(corpus
+    # signature) bytes, not documents.
+    per_doc = _min_sig_agg(
+        _shingle_hashes(df, text_col, id_col, k),
+        id_col,
+        num_hashes,
+        *([F.collect_list("sh").alias("__set")] if verify else []),
+    ).persist()
     # Static band count → Python loop of literal slices; each band key
-    # is the hash of its signature slice.
+    # is the hash of its signature-slice columns.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
                 )
             ).alias("bh"),
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    banded = per_doc.select(
         F.col(id_col),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -247,12 +258,13 @@ def minhash_near_dup_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     if not verify:
-        sig_a = sigs.select(
-            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+        sig_a = per_doc.select(
+            F.col(id_col).alias("id_a"), sig_arr.alias("sig_a")
         )
-        sig_b = sigs.select(
-            F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+        sig_b = per_doc.select(
+            F.col(id_col).alias("id_b"), sig_arr.alias("sig_b")
         )
         est = (
             F.size(
@@ -271,16 +283,11 @@ def minhash_near_dup_pairs(
             .select("id_a", "id_b", est.alias("est_jaccard"))
         )
 
-    # Exact verification on the candidate set only. Sets are stored as
-    # int64 shingle hashes (8B/element vs full strings; Jaccard is
-    # identical modulo 64-bit collisions) and persisted because the
-    # candidate frame joins them twice (a-side, b-side).
-    sets_ = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
-            "__set"
-        ),
-    )
+    # Exact verification on the candidate set only. Sets are the int64
+    # shingle hashes already collected in `per_doc` (8B/element vs full
+    # strings; Jaccard is identical modulo 64-bit collisions) — no
+    # second pass over the documents.
+    sets_ = per_doc.select(F.col(id_col), F.col("__set"))
     with_a = cand.select("id_a", "id_b").join(
         sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")),
         "id_a",

@@ -699,6 +699,136 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# ------------------- temporal joins (engine extension) ---------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each error event picks the latest prior-or-equal click
+    of the same user (union+window, one shuffle — operators/temporal.py)."""
+    from uofi_payroll_etl_main_demo_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(errors, clicks, on="user_id", payload=["value"]).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts"
+        ),
+        F.round("asof_value", 6).alias("click_value"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Band join: clicks per user in the hour up to each error event
+    (bucketed equi-join, not a theta join — operators/temporal.py)."""
+    from uofi_payroll_etl_main_demo_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    pairs = range_join(
+        errors, clicks, on="user_id", right_payload=["event_id"]
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )
+
+
+# ---------------- cube / stats / arrays / series (A/F-ext) ------------------
+
+
+def q_cube(spark, sf_dir):
+    """A-ext: GROUP BY CUBE with grouping flags (full subtotal lattice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+def q_stat_aggs(spark, sf_dir):
+    """A-ext: statistical aggregates (stddev/variance/corr/covariance).
+
+    Computed over small-magnitude measures (quantity/discount) so the
+    1e-6 rounding absorbs the order-dependence of double reduction.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+    )
+
+
+def q_explode_norms(spark, sf_dir):
+    """Array explode → re-aggregate: posexplode each embedding and
+    rebuild its L2 norm and dimension count from the exploded rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    return ex.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(
+            F.sqrt(F.sum(F.col("val").cast("double") * F.col("val").cast("double"))),
+            6,
+        ).alias("l2_norm"),
+    )
+
+
+def q_collect_sorted(spark, sf_dir):
+    """collect_set → array_sort → join to string (deterministic list
+    aggregation; oracle = string_agg DISTINCT ... ORDER BY)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("l_linestatus"))
+        ).alias("statuses"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_set(F.col("l_linenumber").cast("string"))),
+        ).alias("linenumbers"),
+    )
+
+
+def q_date_series(spark, sf_dir):
+    """Generated date dimension (sequence+explode) left-joined to daily
+    order counts — calendar densification with zero-filled gaps."""
+    o = _t(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1996-01-01")),
+                F.to_date(F.lit("1996-03-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return days.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
 # -------------------- streaming operators (batch mode) ---------------------
 # The streaming module's transforms are batch/stream-unified; their batch
 # runs are oracle-checkable here, and tests/test_streaming.py proves the
@@ -1013,6 +1143,72 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
         "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
         "ORDER BY event_type",
+    ),
+    "tj_asof_join": (
+        q_asof_join,
+        "WITH e AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'error'), "
+        "c AS (SELECT user_id, ts, max(value) AS value FROM events "
+        "WHERE event_type = 'click' GROUP BY 1, 2) "
+        "SELECT e.event_id, e.user_id, "
+        "strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+        "strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, "
+        "round(c.value, 6) AS click_value "
+        "FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts",
+    ),
+    "tj_range_join": (
+        q_range_join,
+        "SELECT e.event_id, e.user_id, "
+        "strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+        "count(c.event_id) AS n_clicks "
+        "FROM events e LEFT JOIN events c ON c.user_id = e.user_id "
+        "AND c.event_type = 'click' "
+        "AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts "
+        "WHERE e.event_type = 'error' GROUP BY 1, 2, 3",
+    ),
+    "a10_cube": (
+        q_cube,
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
+        "CAST(grouping(l_linestatus) AS INT) AS g_status, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    ),
+    "a11_stat_aggs": (
+        q_stat_aggs,
+        "SELECT l_returnflag, "
+        "round(stddev_samp(l_quantity), 6) AS sd_qty, "
+        "round(var_samp(l_quantity), 6) AS var_qty, "
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+        "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "arr_explode_norms": (
+        q_explode_norms,
+        "SELECT vec_id, len(embedding) AS n_dims, "
+        "round(sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm "
+        "FROM embeddings",
+    ),
+    "arr_collect_sorted": (
+        q_collect_sorted,
+        "SELECT l_returnflag, "
+        "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) "
+        "AS statuses, "
+        "string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), ',' "
+        "ORDER BY CAST(l_linenumber AS VARCHAR)) "
+        "AS linenumbers FROM lineitem GROUP BY l_returnflag",
+    ),
+    "gen_date_series": (
+        q_date_series,
+        "WITH days AS (SELECT unnest(generate_series(DATE '1996-01-01', "
+        "DATE '1996-03-31', INTERVAL 1 DAY)) AS day), "
+        "daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS "
+        "n_orders FROM orders GROUP BY 1) "
+        "SELECT strftime(d.day, '%Y-%m-%d') AS day, "
+        "coalesce(n_orders, 0) AS n_orders "
+        "FROM days d LEFT JOIN daily USING (day)",
     ),
     "stream_window_counts": (
         q_stream_window_counts,
