@@ -39,6 +39,10 @@ HEADLINE = [
     "json_extract",
     "a6_rollup",
     "w3_running_total",
+    "tj_asof_join",
+    "tj_range_join",
+    "a10_cube",
+    "arr_explode_norms",
     "stream_window_counts",
     "stream_sessionize",
     "ext_doc_stats",

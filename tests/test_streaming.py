@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from uofi_payroll_etl_main_demo_spark.io.readers import read_parquet_table
 from uofi_payroll_etl_main_demo_spark.streaming import (
     dedup_events,
+    enrich_stream,
     event_type_rollup,
     read_events_stream,
     sessionize,
@@ -70,6 +71,20 @@ def test_windowed_counts_stream_matches_batch(spark, events_dir, events_batch):
     finalized = [w for w in want_rows if w[0] < cutoff]
     assert [w for w in got_rows if w[0] < cutoff] == finalized
     assert len(finalized) > 10  # the comparison is not vacuous
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_dir, events_batch):
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    on, payload = {"user_id": "c_custkey"}, ["c_mktsegment"]
+    got = run_stream(
+        spark, enrich_stream(stream, cust, on, payload), "enriched", "append"
+    )
+    want = enrich_stream(events_batch, cust, on, payload)
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # left semantics: every event survives, matched or not
+    assert got.count() == events_batch.count()
 
 
 def test_rollup_complete_mode(spark, events_dir, events_batch):

@@ -829,6 +829,19 @@ def q_date_series(spark, sf_dir):
     )
 
 
+# --------------------------- SQL front-end ---------------------------------
+
+
+def q_sql_frontend(spark, sf_dir):
+    """The flagship query submitted as SQL TEXT through spark.sql over
+    registered views (sql.py) — proves the engine's SQL surface compiles
+    to the same plans as the DataFrame builders. The oracle is the very
+    same string run by DuckDB."""
+    from uofi_payroll_etl_main_demo_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_PRICING)
+
+
 # -------------------- streaming operators (batch mode) ---------------------
 # The streaming module's transforms are batch/stream-unified; their batch
 # runs are oracle-checkable here, and tests/test_streaming.py proves the
@@ -849,6 +862,21 @@ def q_stream_rollup(spark, sf_dir):
     from uofi_payroll_etl_main_demo_spark.streaming.events import event_type_rollup
 
     return event_type_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_stream_static_join(spark, sf_dir):
+    """Batch mode of the stream-static broadcast enrichment join."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import enrich_stream
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    enriched = enrich_stream(
+        ev, cust, {"user_id": "c_custkey"}, ["c_mktsegment"]
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
 
 
 def q_stream_sessionize(spark, sf_dir):
@@ -1144,6 +1172,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
         "ORDER BY event_type",
     ),
+    "sql_frontend_pricing": (q_sql_frontend, _SQL_PRICING),
     "tj_asof_join": (
         q_asof_join,
         "WITH e AS (SELECT event_id, user_id, ts, value FROM events "
@@ -1223,6 +1252,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT event_type, count(*) AS n_events, "
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY event_type",
+    ),
+    "stream_static_join": (
+        q_stream_static_join,
+        "SELECT c_mktsegment, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events LEFT JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment",
     ),
     "stream_sessionize": (
         q_stream_sessionize,

@@ -10,6 +10,7 @@ core guarantee.
 
 from uofi_payroll_etl_main_demo_spark.streaming.events import (  # noqa: F401
     dedup_events,
+    enrich_stream,
     event_type_rollup,
     read_events_stream,
     sessionize,

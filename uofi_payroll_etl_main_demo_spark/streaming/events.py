@@ -98,6 +98,29 @@ def dedup_events(
     return events.dropDuplicates(keys)
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str],
+    payload: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    ``on`` maps the event column to the dim key column. The static side
+    is explicitly ``broadcast`` so every micro-batch hash-joins against
+    an executor-local copy — no per-batch shuffle of the stream, which
+    is the only stream-join shape that needs zero state. Works
+    identically on a batch frame (same plan, minus triggers), so the
+    batch run is the oracle for the streaming run.
+    """
+    (ev_key, dim_key), = on.items()
+    d = dim.select(
+        F.col(dim_key).alias(ev_key),
+        *[F.col(c) for c in payload],
+    ).dropDuplicates([ev_key])
+    return events.join(F.broadcast(d), ev_key, "left")
+
+
 def event_type_rollup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Running per-type totals (complete-mode aggregate in streaming)."""
     src = events
