@@ -80,6 +80,30 @@ def test_jsonl_roundtrip(spark, tmp_path):
     ) == [(1, "a", [1.0, 2.0]), (2, "b", None)]
 
 
+def test_write_partitioned_sorted_layout(spark, tmp_path):
+    """One file per partition dir; rows sorted within each file (parquet
+    row-group stats usable for pruning)."""
+    import glob
+
+    from uofi_payroll_etl_main_demo_spark.io import write_partitioned_sorted
+
+    df = spark.createDataFrame(
+        [(p, i * 37 % 100, f"r{i}") for p in ("a", "b") for i in range(50)],
+        "part string, k int, v string",
+    )
+    path = str(tmp_path / "psorted")
+    write_partitioned_sorted(df, path, partition_by=["part"], sort_by=["k"])
+    for p in ("a", "b"):
+        files = glob.glob(f"{path}/part={p}/*.parquet")
+        assert len(files) == 1
+        import pyarrow.parquet as pq
+
+        ks = pq.read_table(files[0], columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+
+
 def test_date_stamped_name():
     from datetime import datetime
 

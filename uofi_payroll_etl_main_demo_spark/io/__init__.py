@@ -15,6 +15,7 @@ from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
     date_stamped_name,
     write_bucketed,
     write_csv,
+    write_partitioned_sorted,
     write_jsonl,
     write_excel,
     write_parquet,

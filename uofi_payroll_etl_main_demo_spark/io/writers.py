@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def date_stamped_name(prefix: str, ext: str, when: datetime | None = None) -> str:
@@ -28,6 +29,39 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_partitioned_sorted(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet with controlled file count and in-file
+    ordering — the 100 TB output-layout sink.
+
+    Without the explicit ``repartition(partition_by)``, EVERY upstream
+    task writes a file into EVERY partition directory: tasks ×
+    partitions small files, the classic small-files failure at scale.
+    Repartitioning by the partition columns first sends each partition's
+    rows to ``files_per_partition`` tasks (salted when >1), and
+    ``sortWithinPartitions`` gives parquet min/max row-group statistics
+    that downstream range predicates prune on.
+    """
+    parts = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = (F.crc32(F.concat_ws("\x00", *sort_by)) % files_per_partition)
+        out = df.repartition(*parts, salt)
+    else:
+        out = df.repartition(*parts)
+    (
+        out.sortWithinPartitions(*partition_by, *sort_by)
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

@@ -16,6 +16,18 @@ from uofi_payroll_etl_main_demo_spark.operators.joins import (  # noqa: F401
     safe_left_join,
     semi_join,
 )
+from uofi_payroll_etl_main_demo_spark.operators.history import (  # noqa: F401
+    scd2_intervals,
+)
+from uofi_payroll_etl_main_demo_spark.operators.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    stratified_hash_sample,
+)
+from uofi_payroll_etl_main_demo_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from uofi_payroll_etl_main_demo_spark.operators.skew import (  # noqa: F401
     salted_left_join,
     two_phase_agg,

@@ -829,6 +829,56 @@ def q_date_series(spark, sf_dir):
     )
 
 
+# ---------------- deterministic sampling / SCD2 history --------------------
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-keyed ~10% sample (engine-portable md5
+    bucketing — operators/sampling.py; the oracle reproduces the exact
+    row set, which no seed-based sample() can promise)."""
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 10).select("o_orderkey", "o_totalprice")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (class rebalancing): keep 50%
+    of F-status orders, 10% of O, drop P."""
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = stratified_hash_sample(
+        o, "o_orderstatus", "o_orderkey", {"F": 50, "O": 10}
+    )
+    return out.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals from change rows (one lead-window pass):
+    each customer's order history as [valid_from, valid_to) + current."""
+    from uofi_payroll_etl_main_demo_spark.operators.history import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    out = scd2_intervals(
+        o,
+        key="o_custkey",
+        ts="o_orderdate",
+        attrs=["o_orderkey", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 # --------------------------- SQL front-end ---------------------------------
 
 
@@ -1171,6 +1221,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
         "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
         "ORDER BY event_type",
+    ),
+    "samp_hash_sample": (
+        q_hash_sample,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+        "::BIGINT % 100 < 10",
+    ),
+    "samp_stratified": (
+        q_stratified_sample,
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+        "::BIGINT % 100 < CASE o_orderstatus WHEN 'F' THEN 50 "
+        "WHEN 'O' THEN 10 END GROUP BY o_orderstatus",
+    ),
+    "scd2_history": (
+        q_scd2_history,
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS valid_from, "
+        "strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to, "
+        "lead(o_orderdate) OVER w IS NULL AS is_current "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)",
     ),
     "sql_frontend_pricing": (q_sql_frontend, _SQL_PRICING),
     "tj_asof_join": (
