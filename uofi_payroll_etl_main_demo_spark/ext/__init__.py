@@ -6,6 +6,10 @@ near-dup), similarity search over embeddings, text analysis, and
 multimodal column plumbing.
 """
 
+from uofi_payroll_etl_main_demo_spark.ext.clusters import (  # noqa: F401
+    connected_components,
+    dedup_survivors,
+)
 from uofi_payroll_etl_main_demo_spark.ext.dedup import (  # noqa: F401
     exact_dedup,
     minhash_near_dup_pairs,

@@ -621,6 +621,22 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over the exact n-gram Jaccard pair graph. Oracle =
+    DuckDB recursive CTE over the identical pair SQL."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """Dedup: MinHash+LSH candidate pairs, Jaccard-verified (rows-only oracle:
     xxhash64 has no DuckDB twin; verified variant is hash-independent but
@@ -1490,6 +1506,28 @@ REGISTRY["ext_doc_stats"] = (q_doc_stats, _sql_doc_stats())
 REGISTRY["ext_language_id"] = (q_language_id, _sql_language_id())
 REGISTRY["ext_ngram_jaccard"] = (q_ngram_jaccard, _sql_ngram_jaccard())
 REGISTRY["ext_topk_cosine"] = (q_topk_cosine, _sql_topk_cosine())
+
+
+def _sql_dedup_clusters() -> str:
+    """Transitive closure of the ngram pair graph; component = min
+    reachable id (exactly what min-label propagation converges to)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_ngram_jaccard()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+)
+SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+"""
+
+
+REGISTRY["ext_dedup_clusters"] = (q_dedup_clusters, _sql_dedup_clusters())
 
 
 def queries() -> dict[str, QueryFn]:
