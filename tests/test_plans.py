@@ -58,6 +58,13 @@ def test_doc_stats_no_shuffle(spark, sf_dir):
     assert r.exchanges == 0
 
 
+def test_range_join_is_equi_join_not_theta(spark, sf_dir):
+    """The band join must compile to a hash-partitionable EQUI-join on
+    (key, bucket) — a nested-loop theta join would be O(n·m) at scale."""
+    r = inspect_plan(R.q_range_join(spark, sf_dir))
+    assert r.nested_loop_joins == 0
+
+
 def test_exact_pairs_is_broadcast_nested_loop(spark, sf_dir):
     r = inspect_plan(R.q_embedding_pairs_exact(spark, sf_dir))
     assert r.nested_loop_joins >= 1  # right side broadcast, corpus stays put

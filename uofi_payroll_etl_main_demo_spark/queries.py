@@ -845,6 +845,52 @@ def q_date_series(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """A-ext: unpivot/melt — wide measure columns to (measure, value)
+    rows (the inverse of a7_pivot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_discount").alias("disc"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"], ["qty", "disc"], "measure", "value"
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W-ext: per-group top-k (rank window + filter): 3 highest-price
+    orders per order status, deterministic tie-break by key."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderstatus", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_json_map_explode(spark, sf_dir):
+    """F-ext: JSON object → typed map → exploded (key, value) rows."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
 # ---------------- deterministic sampling / SCD2 history --------------------
 
 
@@ -1237,6 +1283,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) "
         "AS sum_k, count(*) AS n FROM events GROUP BY event_type "
         "ORDER BY event_type",
+    ),
+    "a12_unpivot": (
+        q_unpivot,
+        "SELECT l_orderkey, l_linenumber, measure, "
+        "round(CAST(value AS DOUBLE), 6) AS value FROM (UNPIVOT "
+        "(SELECT l_orderkey, l_linenumber, l_quantity AS qty, "
+        "l_discount AS disc FROM lineitem) "
+        "ON qty, disc INTO NAME measure VALUE value)",
+    ),
+    "w5_topk_per_group": (
+        q_topk_per_group,
+        "SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM ("
+        "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
+        "WHERE rk <= 3",
+    ),
+    "json_map_explode": (
+        q_json_map_explode,
+        "SELECT event_id, unnest(map_keys(m)) AS prop_key, "
+        "unnest(map_values(m)) AS prop_value FROM "
+        "(SELECT event_id, CAST(props AS JSON)::MAP(VARCHAR, INT) AS m "
+        "FROM events)",
     ),
     "samp_hash_sample": (
         q_hash_sample,
