@@ -54,6 +54,8 @@ HEADLINE = [
     "ext_topk_cosine",
     "ext_lsh_topk",
     "pipeline_payroll_shape",
+    "ext_winnow_fingerprints",
+    "pipeline_curation",
 ]
 
 

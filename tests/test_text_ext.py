@@ -187,3 +187,44 @@ def test_hyperplane_buckets_deterministic(spark, sf_dir):
     b1 = random_hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket")
     b2 = random_hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket")
     assert b1.subtract(b2).count() == 0 and b2.subtract(b1).count() == 0
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing invariant: a shared run of >= k+w-1 words yields at
+    least one shared fingerprint; disjoint texts share none."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        winnowed_fingerprints,
+    )
+
+    k, w = 5, 4
+    shared = " ".join(f"common{i}" for i in range(k + w - 1))  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            (3, " ".join(f"other{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnowed_fingerprints(docs, k=k, w=w)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(f"doc_id = {i}").collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        winnowed_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "just five words in here"), (2, ""), (3, "tiny")],
+        "doc_id bigint, text string",
+    )
+    rows = winnowed_fingerprints(docs, k=5, w=4).collect()
+    # doc 1 has exactly 1 shingle -> 1 fingerprint; docs 2-3 none
+    assert [r["doc_id"] for r in rows] == [1]

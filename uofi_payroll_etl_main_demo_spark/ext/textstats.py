@@ -122,3 +122,62 @@ def fingerprints(
 ) -> DataFrame:
     """64-bit content fingerprints (normalized xxhash64)."""
     return df.select(F.col(id_col), fingerprint64(text_col).alias("fingerprint"))
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-word shingle IN
+    ORDER, slide a window of ``w`` hashes, keep each window's minimum.
+
+    Guarantees: any shared run of ≥ k+w−1 words between two documents
+    yields at least one shared fingerprint — positional near-dup
+    detection that whole-doc hashing (``fingerprint64``) cannot give.
+
+    Output: (id, fp) exploded rows, distinct per doc. Documents with
+    fewer than ``w`` shingles contribute their single minimum; empty
+    docs contribute nothing.
+
+    Scale/portability: a narrow per-row map (higher-order functions, no
+    shuffle). Hashes are md5-prefix-derived — bit-identical in any
+    engine, so the DuckDB oracle reproduces exact fingerprint values
+    (xxhash64 would be Spark-only).
+    """
+    toks = tokenize_ws(text_col)
+    n_sh = F.size(toks) - (k - 1)
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("__hs"),
+    )
+    nw = F.size("__hs") - (w - 1)
+    fps = (
+        F.when(
+            nw >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+                )
+            ),
+        )
+        .when(F.size("__hs") >= 1, F.array(F.array_min("__hs")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))

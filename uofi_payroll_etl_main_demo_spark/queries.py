@@ -41,6 +41,7 @@ from uofi_payroll_etl_main_demo_spark.ext.textstats import (
     document_stats,
     fingerprints,
     language_id,
+    winnowed_fingerprints,
 )
 from uofi_payroll_etl_main_demo_spark.functions.cleanse import (
     concat_key,
@@ -621,6 +622,12 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) positional fingerprints; engine-portable md5
+    hashes, so the oracle matches exact fingerprint values."""
+    return winnowed_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the exact n-gram Jaccard pair graph. Oracle =
@@ -1041,6 +1048,37 @@ def q_pipeline_payroll_shape(spark, sf_dir):
             ("Supplier Name", "s_name"),
             ("Legacy Flag", None),
         ],
+    )
+
+
+def q_pipeline_curation(spark, sf_dir):
+    """End-to-end LLM-data curation pipeline — the north-star composite:
+    quality-score → language-filter → near-dup cluster removal, all as
+    ONE lazy plan (each stage is a narrow map or one shuffle; the only
+    iterative part is component propagation over the tiny pair graph).
+    """
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = document_stats(docs).select("doc_id", "quality")
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") == "en"))
+        .join(losers, "doc_id", "left_anti")
+        .select(
+            "doc_id", F.round("quality", 6).alias("quality"), "predicted_lang"
+        )
     )
 
 
@@ -1597,6 +1635,59 @@ SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
 
 
 REGISTRY["ext_dedup_clusters"] = (q_dedup_clusters, _sql_dedup_clusters())
+
+
+def _sql_winnow(k: int = 5, w: int = 4) -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(toks) >= {k}
+        THEN list_transform(range(1, len(toks) - {k} + 2),
+          i -> ('0x' || substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')),
+                1, 15))::BIGINT)
+        ELSE [] END AS hs FROM t),
+win AS (SELECT doc_id, CASE
+        WHEN len(hs) >= {w} THEN list_distinct(
+          list_transform(range(1, len(hs) - {w} + 2),
+            i -> list_min(hs[i:i + {w - 1}])))
+        WHEN len(hs) >= 1 THEN [list_min(hs)]
+        ELSE [] END AS fps FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM win
+"""
+
+
+REGISTRY["ext_winnow_fingerprints"] = (q_winnow_fingerprints, _sql_winnow())
+
+
+def _sql_pipeline_curation() -> str:
+    """Quality + language + cluster-loser removal, composed from the
+    same oracle pieces the individual queries use."""
+    return f"""
+WITH RECURSIVE
+stats AS ({_sql_doc_stats()}),
+lang AS ({_sql_language_id()}),
+pairs AS ({_sql_ngram_jaccard()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src)
+SELECT s.doc_id, round(s.quality, 6) AS quality, l.predicted_lang
+FROM stats s
+JOIN lang l USING (doc_id)
+WHERE s.quality >= 0.5 AND l.predicted_lang = 'en'
+  AND NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.doc_id = s.doc_id AND c.component <> c.doc_id)
+"""
+
+
+REGISTRY["pipeline_curation"] = (q_pipeline_curation, _sql_pipeline_curation())
 
 
 def queries() -> dict[str, QueryFn]:
