@@ -891,6 +891,77 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_range_frame_window(spark, sf_dir):
+    """W-ext: RANGE-frame window — per customer, rolling sum of order
+    totals over the 30 days preceding each order (time-based frame, not
+    row-based; frames on the epoch-second ordering column)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d_total"),
+    )
+
+
+def q_try_cast(spark, sf_dir):
+    """F-ext: ANSI-safe coercion — try_cast/try_divide return null on
+    failure instead of raising (the ANSI-mode-on idiom for messy data;
+    Spark 4 enables ANSI by default)."""
+    li = _t(spark, sf_dir, "lineitem")
+    messy = F.when(
+        F.col("l_linenumber") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("l_quantity").cast("string"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            messy.try_cast("double").alias("qty_parsed"),
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity") - F.lit(1.0)
+            ).alias("unit_ish"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "qty_parsed",
+            # floor(x·1e6), not round(x, 6): both engines compute the
+            # SAME IEEE double for the division, but their ROUND rules
+            # differ on exact .5 decimal boundaries; floor of the same
+            # double is always identical.
+            F.floor(F.col("unit_ish") * 1e6).alias("unit_micro"),
+        )
+    )
+
+
+def q_date_trunc_agg(spark, sf_dir):
+    """F-ext: date_trunc month rollup of order totals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 def q_json_map_explode(spark, sf_dir):
     """F-ext: JSON object → typed map → exploded (key, value) rows."""
     ev = _t(spark, sf_dir, "events")
@@ -1337,6 +1408,31 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "row_number() OVER (PARTITION BY o_orderstatus "
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
         "WHERE rk <= 3",
+    ),
+    "w6_range_frame": (
+        q_range_frame_window,
+        "SELECT o_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY o_custkey ORDER BY epoch(o_orderdate) "
+        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS rolling_30d_total FROM orders",
+    ),
+    "f_try_cast": (
+        q_try_cast,
+        "SELECT l_orderkey, l_linenumber, "
+        "TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'not-a-number' "
+        "ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS qty_parsed, "
+        "CAST(floor((CASE WHEN l_quantity - 1.0 = 0 THEN NULL "
+        "ELSE l_extendedprice / (l_quantity - 1.0) END) * 1e6) AS BIGINT) "
+        "AS unit_micro FROM lineitem",
+    ),
+    "f_date_trunc": (
+        q_date_trunc_agg,
+        "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') "
+        "AS month, count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY 1",
     ),
     "json_map_explode": (
         q_json_map_explode,
