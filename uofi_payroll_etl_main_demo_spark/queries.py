@@ -1122,6 +1122,22 @@ def q_pipeline_payroll_shape(spark, sf_dir):
     )
 
 
+def q_zscore(spark, sf_dir):
+    """Per-group z-score normalization (window mean/stddev — the
+    JVM-side production form; the applyInPandas twin is pinned equal in
+    tests)."""
+    from uofi_payroll_etl_main_demo_spark.ext.features import zscore_window
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_window(ev, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        # floor(x·1e6): IEEE-stable emission (round() rule divergence)
+        F.floor(F.col("zscore") * 1e6).alias("z_micro"),
+    )
+
+
 def q_pipeline_curation(spark, sf_dir):
     """End-to-end LLM-data curation pipeline — the north-star composite:
     quality-score → language-filter → near-dup cluster removal, all as
@@ -1440,6 +1456,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "unnest(map_values(m)) AS prop_value FROM "
         "(SELECT event_id, CAST(props AS JSON)::MAP(VARCHAR, INT) AS m "
         "FROM events)",
+    ),
+    "ext_zscore": (
+        q_zscore,
+        "SELECT event_id, event_type, "
+        "CAST(floor((CASE WHEN stddev_samp(value) OVER w > 0 THEN "
+        "(value - avg(value) OVER w) / (stddev_samp(value) OVER w) "
+        "END) * 1e6) AS BIGINT) AS z_micro "
+        "FROM events WINDOW w AS (PARTITION BY event_type)",
     ),
     "samp_hash_sample": (
         q_hash_sample,
