@@ -23,7 +23,8 @@ def _csv_bytes(df) -> bytes:
 @pytest.mark.parametrize(
     "name",
     ["pipeline_payroll_shape", "w2_dedup_keep_first", "a1_mode_by_group",
-     "stream_sessionize", "pricing_summary"],
+     "stream_sessionize", "pricing_summary", "pipeline_curation",
+     "tj_asof_join", "scd2_history", "samp_hash_sample"],
 )
 def test_output_stable_under_repartition(spark, sf_dir, name):
     fn = R.queries()[name]

@@ -115,6 +115,59 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
     assert set(ms) == {m for m in range(0, 60, 7) if m <= 59}  # all in band
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential vs pandas.merge_asof (an independent
+    reference implementation of backward-inclusive as-of semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n_l) * 10**6, utc=False
+            ),
+            "lid": np.arange(n_l),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n_r) * 10**6, utc=False
+            ),
+            "v": np.round(rng.random(n_r), 6),
+        }
+    )
+    # merge_asof requires unique right (k, ts) for a deterministic pick;
+    # mirror asof_join's tie rule (max payload) by pre-aggregating
+    right_pd = right_pd.groupby(["k", "ts"], as_index=False)["v"].max()
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["v"]
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, on="k", payload=["v"]).collect()
+    }
+    assert len(got) == n_l
+    for lid, w in want.items():
+        g = got[lid]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert g is not None and abs(g - w) < 1e-12
+
+
 def test_asof_single_shuffle_plan(spark, quotes, trades):
     """The as-of plan must contain exactly one exchange below the window
     (union + one hash partition by key) — no join operator at all."""
