@@ -9,6 +9,14 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is fully executed via the no-op sink (computes every row,
 writes nothing) — .count() alone would let Catalyst prune the plan.
+
+Timing is STEADY-STATE: each query runs twice and the second run is
+recorded. The first run pays one-time JVM costs (Catalyst codegen
+compilation, JIT warmup) that a long-lived cluster amortizes across
+thousands of queries — at the 100 TB design point those costs are
+noise, and folding them into a 600k-row measurement would measure the
+JIT, not the engine. Set SPARK_GRAFT_BENCH_COLD=1 to record cold
+first-run timings instead.
 """
 
 from __future__ import annotations
@@ -67,12 +75,15 @@ def main() -> None:
     # plans, not session startup.
     R.q_projection(spark, SF_DIR).limit(1).collect()
 
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = 1 if cold else 2
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
