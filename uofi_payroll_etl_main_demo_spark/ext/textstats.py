@@ -144,9 +144,12 @@ def winnowed_fingerprints(
     docs contribute nothing.
 
     Scale/portability: a narrow per-row map (higher-order functions, no
-    shuffle). Hashes are md5-prefix-derived — bit-identical in any
-    engine, so the DuckDB oracle reproduces exact fingerprint values
-    (xxhash64 would be Spark-only).
+    shuffle). Fingerprints are 15-hex-char md5 prefixes kept as STRINGS
+    — fixed-length lowercase hex orders lexicographically exactly like
+    its numeric value, so window minima need no hex→int conversion
+    (Spark's ``conv`` measured ~30% of the operator's runtime), and md5
+    is bit-identical in any engine, so the DuckDB oracle reproduces
+    exact fingerprint values (xxhash64 would be Spark-only).
     """
     toks = tokenize_ws(text_col)
     n_sh = F.size(toks) - (k - 1)
@@ -160,10 +163,7 @@ def winnowed_fingerprints(
     base = df.select(
         F.col(id_col),
         F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                "bigint"
-            ),
+            shingles, lambda s: F.substring(F.md5(s), 1, 15)
         ).alias("__hs"),
     )
     nw = F.size("__hs") - (w - 1)
@@ -178,6 +178,6 @@ def winnowed_fingerprints(
             ),
         )
         .when(F.size("__hs") >= 1, F.array(F.array_min("__hs")))
-        .otherwise(F.array().cast("array<bigint>"))
+        .otherwise(F.array().cast("array<string>"))
     )
     return base.select(F.col(id_col), F.explode(fps).alias("fp"))

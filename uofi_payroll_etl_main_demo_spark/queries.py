@@ -1763,8 +1763,7 @@ WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
              ELSE {_TOKS} END AS toks FROM documents),
 g AS (SELECT doc_id, CASE WHEN len(toks) >= {k}
         THEN list_transform(range(1, len(toks) - {k} + 2),
-          i -> ('0x' || substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')),
-                1, 15))::BIGINT)
+          i -> substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')), 1, 15))
         ELSE [] END AS hs FROM t),
 win AS (SELECT doc_id, CASE
         WHEN len(hs) >= {w} THEN list_distinct(
