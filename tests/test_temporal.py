@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.operators.temporal import (
     asof_join,
+    asof_join_sliced,
     range_join,
 )
 
@@ -166,6 +167,34 @@ def test_asof_matches_pandas_merge_asof(spark):
             assert g is None
         else:
             assert g is not None and abs(g - w) < 1e-12
+
+
+def test_sliced_asof_equals_plain(spark, sf_dir, quotes, trades):
+    """The skew-resilient two-phase variant must be semantics-identical
+    to the plain union+window form — on the fixtures (cross-slice
+    carries, no-match keys) AND on real event data with slices small
+    enough that most matches cross slice boundaries."""
+    from uofi_payroll_etl_main_demo_spark.io.readers import read_parquet_table
+
+    for slice_s in (60.0, 3600.0):
+        a = asof_join(trades, quotes, on="k", payload=["px"])
+        b = asof_join_sliced(
+            trades, quotes, on="k", payload=["px"], slice_seconds=slice_s
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    plain = asof_join(errors, clicks, on="user_id", payload=["value"])
+    sliced = asof_join_sliced(
+        errors, clicks, on="user_id", payload=["value"], slice_seconds=600.0
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, sliced.collect())
+    )
 
 
 def test_asof_single_shuffle_plan(spark, quotes, trades):

@@ -26,6 +26,7 @@ from uofi_payroll_etl_main_demo_spark.operators.sampling import (  # noqa: F401
 )
 from uofi_payroll_etl_main_demo_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    asof_join_sliced,
     range_join,
 )
 from uofi_payroll_etl_main_demo_spark.operators.skew import (  # noqa: F401

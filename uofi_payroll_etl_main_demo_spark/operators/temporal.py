@@ -99,6 +99,108 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    prefix: str = "asof_",
+    slice_seconds: float = 86400.0,
+) -> DataFrame:
+    """Skew-resilient variant of :func:`asof_join` (same semantics).
+
+    ``asof_join`` windows by key alone — one pathological key (a bot
+    user, a hot instrument) serializes its entire history into a single
+    task. This variant splits time into ``slice_seconds`` slices and
+    resolves in two phases:
+
+    1. within-slice pass windowed by (key, slice) — the hot key's rows
+       now spread across time-slice tasks;
+    2. carry-in pass over the per-(key, slice) summaries (one row per
+       key×slice — orders of magnitude smaller than the data), where a
+       per-key window is harmless, joined back and coalesced with the
+       within-slice match.
+
+    Three narrow shuffles total, none keyed by the raw hot key alone.
+    Pick ``slice_seconds`` so a hot key's densest slice fits a task;
+    the plain variant stays preferable when keys are well distributed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(payload or [])
+
+    def _slice(ts: Column) -> Column:
+        return F.floor(ts.cast("double") / F.lit(float(slice_seconds))).cast(
+            "long"
+        )
+
+    r_payload = F.struct(
+        F.col(right_ts).alias(prefix + right_ts),
+        *[F.col(c).alias(prefix + c) for c in payload],
+    )
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("__l")).schema["__l"].dataType
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .groupBy(*keys, right_ts)
+        .agg(F.max(r_payload).alias("__p"))
+        .select(
+            *keys,
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            F.col("__p"),
+            F.lit(None).cast(l_type).alias("__l"),
+        )
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        l_struct.alias("__l"),
+    )
+    u = l.unionByName(r).withColumn("__slice", _slice(F.col("__ts")))
+
+    # Phase 1: within-slice carry-forward, partitioned by (key, slice).
+    w_slice = (
+        Window.partitionBy(*keys, "__slice")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w_slice))
+
+    # Phase 2: per-(key, slice) summary -> carry-in from earlier slices.
+    # The summary frame has ONE row per key x slice, so the per-key
+    # window here touches slice counts, not row counts.
+    summary = u.groupBy(*keys, "__slice").agg(
+        F.max("__p").alias("__slice_last")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__slice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *keys,
+        "__slice",
+        F.last("__slice_last", ignorenulls=True).over(w_carry).alias(
+            "__carry"
+        ),
+    )
+    matched = (
+        u.filter(F.col("__side") == 1)
+        .join(carry, [*keys, "__slice"], "left")
+        .withColumn("__m", F.coalesce("__m", "__carry"))
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__m.{prefix}{c}").alias(prefix + c)
+        for c in [right_ts, *payload]
+    ]
+    return matched.select(*out_cols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
