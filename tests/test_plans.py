@@ -69,3 +69,77 @@ def test_exact_pairs_is_broadcast_nested_loop(spark, sf_dir):
     r = inspect_plan(R.q_embedding_pairs_exact(spark, sf_dir))
     assert r.nested_loop_joins >= 1  # right side broadcast, corpus stays put
     assert r.sort_merge_joins == 0
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# the explicitly-labeled small-n quadratic baselines (SURVEY-noted) and
+# driver-literal lookups.
+_NESTED_LOOP_OK = {
+    "ext_embedding_pairs_exact",  # labeled exact quadratic baseline
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """Every registry query's physical plan must be scale-shaped:
+
+    - no CartesianProduct anywhere;
+    - no BroadcastNestedLoopJoin outside the whitelisted exact-pair
+      baselines;
+    - every parquet scan of a >3-column table prunes columns unless the
+      query genuinely consumes the full row.
+
+    This is the lint that catches a silently-degraded plan when a query
+    is edited — per-query pins above cover the load-bearing cases.
+    """
+    from uofi_payroll_etl_main_demo_spark.plans import formatted_plan
+
+    wide_ok = {
+        # full-width by design: contract projections / full-row dedups /
+        # pipeline outputs re-emitting the source row
+        "p2_output_contract", "d1_distinct_rows", "u1_union_by_name",
+        "w2_dedup_keep_first", "d2_dedup_business_key", "u2_intersect",
+        "u3_except", "pipeline_payroll_shape", "ext_exact_dedup",
+        "w5_topk_per_group", "w6_range_frame", "scd2_history",
+        "samp_hash_sample", "samp_stratified", "sql_frontend_pricing",
+        "stream_static_join",
+    }
+    failures = []
+    for name, fn in R.queries().items():
+        try:
+            text = formatted_plan(fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - lint must name it
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in text:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if (
+            "BroadcastNestedLoopJoin" in text
+            and name not in _NESTED_LOOP_OK
+        ):
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if name not in wide_ok:
+            r = inspect_plan(fn(spark, sf_dir))
+            for scan in r.scans:
+                width = next(
+                    (
+                        w
+                        for t, w in _TABLE_WIDTHS.items()
+                        if f"{t}.parquet" in scan["location"]
+                    ),
+                    None,
+                )
+                if width and width > 3:
+                    read = scan["read_schema"].count(":")
+                    if read >= width:
+                        failures.append(
+                            f"{name}: full-width scan "
+                            f"({read} cols) of {scan['location']}"
+                        )
+    assert not failures, "\n".join(failures)
+
+
+_TABLE_WIDTHS = {
+    "lineitem": 11, "orders": 6, "customer": 8, "part": 9,
+    "supplier": 7, "nation": 4, "region": 3, "events": 6,
+    "documents": 5, "embeddings": 3,
+}
