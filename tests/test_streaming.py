@@ -18,6 +18,7 @@ from uofi_payroll_etl_main_demo_spark.streaming import (
     read_events_stream,
     sessionize,
     windowed_event_counts,
+    write_stream_foreach_batch,
 )
 
 
@@ -85,6 +86,32 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_dir, events_batc
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     # left semantics: every event survives, matched or not
     assert got.count() == events_batch.count()
+
+
+def test_foreach_batch_sink_exactly_once(spark, events_dir, events_batch, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = write_stream_foreach_batch(stream, out, ckpt)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    # several micro-batches landed, union of partitions == source exactly
+    assert back.select("__batch_id").distinct().count() > 1
+    assert back.count() == events_batch.count()
+    assert (
+        back.select("event_id").exceptAll(events_batch.select("event_id")).count()
+        == 0
+    )
+    # idempotency: re-running one batch's write overwrites, not appends
+    b0 = back.filter("__batch_id = 0").drop("__batch_id")
+    (
+        b0.withColumn("__batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == events_batch.count()
 
 
 def test_rollup_complete_mode(spark, events_dir, events_batch):

@@ -15,4 +15,5 @@ from uofi_payroll_etl_main_demo_spark.streaming.events import (  # noqa: F401
     read_events_stream,
     sessionize,
     windowed_event_counts,
+    write_stream_foreach_batch,
 )

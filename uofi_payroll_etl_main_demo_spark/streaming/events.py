@@ -132,6 +132,44 @@ def event_type_rollup(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+def write_stream_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Exactly-once parquet sink via ``foreachBatch`` + idempotent
+    batch-id partition overwrite.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``; exactly-once lands on the SINK being idempotent
+    per batch. The standard pattern: write each micro-batch into a
+    ``__batch_id=<id>`` partition with DYNAMIC partition overwrite — a
+    replayed batch rewrites its own partition instead of duplicating
+    rows. Combined with the checkpoint (which makes batch ids stable
+    across restarts), the output is exactly-once at any scale.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
