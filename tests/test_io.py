@@ -104,6 +104,42 @@ def test_write_partitioned_sorted_layout(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_python_datasource_synthetic_docs(spark):
+    """Python Data Source API connector: registered format, partition
+    fan-out honored, deterministic under any parallelism."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.io.datasources import (
+        HAS_PYTHON_DATASOURCE,
+        SyntheticDocsDataSource,
+    )
+
+    if not HAS_PYTHON_DATASOURCE:
+        _pytest.skip("Python DataSource API needs Spark 4+")
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 2000
+    assert df.rdd.getNumPartitions() == 8
+    assert df.columns == ["doc_id", "text", "lang", "source"]
+    # content is a function of doc_id alone, not of partitioning
+    df3 = (
+        spark.read.format("synthetic_docs")
+        .option("n", 2000)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.exceptAll(df3).count() == 0 and df3.exceptAll(df).count() == 0
+    # the generated corpus feeds the engine's text operators directly
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import document_stats
+
+    assert document_stats(df).count() == 2000
+
+
 def test_date_stamped_name():
     from datetime import datetime
 

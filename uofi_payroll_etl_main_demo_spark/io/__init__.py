@@ -4,6 +4,10 @@ from uofi_payroll_etl_main_demo_spark.io.catalog import (  # noqa: F401
     build_file_inventory,
     resolve_source,
 )
+from uofi_payroll_etl_main_demo_spark.io.datasources import (  # noqa: F401
+    HAS_PYTHON_DATASOURCE,
+    SyntheticDocsDataSource,
+)
 from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
     read_csv,
     read_excel,

@@ -969,6 +969,18 @@ def q_json_map_explode(spark, sf_dir):
     return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
 
 
+def q_json_variant(spark, sf_dir):
+    """F-ext: VARIANT semi-structured path access (Spark 4
+    parse_json/variant_get — schema-on-read without a declared struct)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_value"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+    )
+
+
 # ---------------- deterministic sampling / SCD2 history --------------------
 
 
@@ -1449,6 +1461,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "AS month, count(*) AS n_orders, "
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
         "FROM orders GROUP BY 1",
+    ),
+    "json_variant": (
+        q_json_variant,
+        "SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS INT) AS k_value, "
+        "CAST(json_extract(props, '$.missing') AS VARCHAR) AS absent "
+        "FROM events",
     ),
     "json_map_explode": (
         q_json_map_explode,
