@@ -114,6 +114,44 @@ def test_foreach_batch_sink_exactly_once(spark, events_dir, events_batch, tmp_pa
     assert spark.read.parquet(out).count() == events_batch.count()
 
 
+def test_transform_with_state_totals(spark, events_dir, events_batch):
+    """transformWithStateInPandas accumulator: state carries across
+    micro-batches; the last per-user snapshot equals the batch totals."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import (
+        user_totals_batch,
+        user_totals_stateful,
+    )
+
+    # batch mode of the same transform is the batch aggregate itself
+    assert (
+        user_totals_stateful(events_batch)
+        .exceptAll(user_totals_batch(events_batch))
+        .count()
+        == 0
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        # container lacks protobuf: the operator must fail loud + early
+        with pytest.raises(ImportError, match="google.protobuf"):
+            user_totals_stateful(stream)
+        return
+    got = run_stream(
+        spark, user_totals_stateful(stream), "tws_totals", "append"
+    ).toPandas()
+    # several micro-batches -> several snapshots for at least one user
+    assert got.groupby("user_id").size().max() > 1
+    last = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+    want = user_totals_batch(events_batch).toPandas()
+    a = last.sort_values("user_id").reset_index(drop=True)
+    b = want.sort_values("user_id").reset_index(drop=True)
+    assert list(a["user_id"]) == list(b["user_id"])
+    assert list(a["n_events"]) == list(b["n_events"])
+    assert all(abs(x - y) < 1e-6 for x, y in zip(a["total_value"], b["total_value"]))
+
+
 def test_rollup_complete_mode(spark, events_dir, events_batch):
     stream = read_events_stream(spark, events_dir)
     got = run_stream(spark, event_type_rollup(stream), "rollup", "complete")

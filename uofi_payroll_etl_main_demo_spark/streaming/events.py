@@ -170,6 +170,95 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+USER_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the transformWithState accumulator: final per-user
+    totals (count + decimal-exact sum)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful API, successor to
+    ``applyInPandasWithState``).
+
+    Each micro-batch updates a ValueState of (n, total) per user and
+    emits the post-batch snapshot — a COMMUTATIVE accumulation, so the
+    result is independent of arrival order across micro-batches (the
+    property that makes it exactly testable: the last snapshot per user
+    must equal the batch aggregate). State is one tiny row per user;
+    TTL/timers available on the same handle when eviction is needed.
+
+    On a batch frame this simply returns :func:`user_totals_batch`
+    (identical converged semantics, same unified-API contract as every
+    transform in this module).
+
+    Environment note: the streaming path's state protocol requires
+    ``google.protobuf`` (ships with full Spark distributions; absent in
+    minimal containers) — a clear ImportError is raised up front rather
+    than a mid-query executor crash.
+    """
+    if not events.isStreaming:
+        return user_totals_batch(events)
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise ImportError(
+            "transformWithStateInPandas streaming requires google.protobuf; "
+            "use applyInPandasWithState-based operators (sessionize) instead"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # totals kept in integer cents: float state would accumulate
+            # nondeterministically across batch orderings
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, cents = 0, 0
+            if self._state.exists():
+                prev = self._state.get()
+                n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"].sum() * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
