@@ -104,6 +104,22 @@ def test_write_partitioned_sorted_layout(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from uofi_payroll_etl_main_demo_spark.io import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n_files = compact_parquet(spark, path, target_file_mb=128)
+    assert n_files == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
 def test_python_datasource_synthetic_docs(spark):
     """Python Data Source API connector: registered format, partition
     fan-out honored, deterministic under any parallelism."""

@@ -16,6 +16,7 @@ from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
     read_tables,
 )
 from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
+    compact_parquet,
     date_stamped_name,
     write_bucketed,
     write_csv,

@@ -101,6 +101,40 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files —
+    the small-files maintenance job every long-lived table needs
+    (streaming sinks and fine-grained partitions accrete KB-scale files
+    whose per-file open/footer cost eventually dominates scans).
+
+    Reads the current bytes on disk, repartitions to
+    ``ceil(bytes / target)`` and atomically replaces via
+    write-to-temp + rename. Returns the new file count.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_excel(df: DataFrame, path: str) -> None:
     """Excel sink via driver-side pandas (reference S7 at 460-461,
     780-781). Collects to the driver — human-sized outputs only."""

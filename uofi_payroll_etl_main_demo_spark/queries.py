@@ -622,6 +622,22 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram frequency: explode 2-word shingles → count →
+    deterministic top-20 (count desc, gram asc). The map-side partial
+    aggregation carries (gram, count) rows, never documents."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_shingles("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) positional fingerprints; engine-portable md5
     hashes, so the oracle matches exact fingerprint values."""
@@ -1795,6 +1811,20 @@ SELECT doc_id, unnest(fps) AS fp FROM win
 
 
 REGISTRY["ext_winnow_fingerprints"] = (q_winnow_fingerprints, _sql_winnow())
+
+REGISTRY["ext_top_ngrams"] = (
+    q_top_ngrams,
+    f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+g AS (SELECT unnest(list_distinct(list_transform(
+         range(1, len(toks) - 2 + 2),
+         i -> array_to_string(toks[i:i + 1], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 2)
+SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+ORDER BY n_docs DESC, gram LIMIT 20
+""",
+)
 
 
 def _sql_pipeline_curation() -> str:
