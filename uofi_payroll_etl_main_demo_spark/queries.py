@@ -1166,6 +1166,17 @@ def q_zscore(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    """Per-column profiling of customer in ONE scan (nulls / distinct /
+    min / max per column, unpivoted to a row per column)."""
+    from uofi_payroll_etl_main_demo_spark.validate.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
 def q_pipeline_curation(spark, sf_dir):
     """End-to-end LLM-data curation pipeline — the north-star composite:
     quality-score → language-filter → near-dup cluster removal, all as
@@ -1521,6 +1532,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "lead(o_orderdate) OVER w IS NULL AS is_current "
         "FROM orders WINDOW w AS (PARTITION BY o_custkey "
         "ORDER BY o_orderdate, o_orderkey)",
+    ),
+    "v_profile_table": (
+        q_profile_table,
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count(*) FILTER (WHERE {c} IS NULL) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value FROM customer"
+            for c in [
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            ]
+        ),
     ),
     "sql_frontend_pricing": (q_sql_frontend, _SQL_PRICING),
     "tj_asof_join": (
