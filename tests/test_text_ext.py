@@ -228,3 +228,24 @@ def test_winnow_short_and_empty_docs(spark):
     rows = winnowed_fingerprints(docs, k=5, w=4).collect()
     # doc 1 has exactly 1 shingle -> 1 fingerprint; docs 2-3 none
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_sq_rerank_recall_vs_exact(spark, sf_dir):
+    """int8-quantize + rerank: with a generous candidate margin the
+    two-stage result must EQUAL the exact top-k (rerank restores exact
+    ordering; only candidate-set misses could diverge)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import sq_rerank_top_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    exact = [r["vec_id"] for r in brute_force_top_k(emb, q, k=10).collect()]
+    staged = [
+        r["vec_id"]
+        for r in sq_rerank_top_k(emb, q, k=10, candidates=100).collect()
+    ]
+    assert staged == exact
+    # tight margin (candidates == k) may lose recall but never order:
+    tight = [
+        r["vec_id"] for r in sq_rerank_top_k(emb, q, k=10, candidates=10).collect()
+    ]
+    assert len(set(tight) & set(exact)) >= 7

@@ -28,6 +28,7 @@ from uofi_payroll_etl_main_demo_spark.ext.similarity import (  # noqa: F401
     exact_cosine_pairs,
     lsh_bucket_top_k,
     random_hyperplane_buckets,
+    sq_rerank_top_k,
 )
 from uofi_payroll_etl_main_demo_spark.ext.textstats import (  # noqa: F401
     document_stats,

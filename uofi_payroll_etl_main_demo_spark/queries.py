@@ -705,6 +705,16 @@ def q_embedding_pairs_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_sq_rerank_topk(spark, sf_dir):
+    """Two-stage ANN: int8-quantized scan → exact rerank (rows-only;
+    recall vs the exact baseline is pinned in tests)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import sq_rerank_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sq_rerank_top_k(emb, QUERY_VEC, k=10, candidates=100)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_topk_cosine_gemm(spark, sf_dir):
     """Similarity: exact top-k via numpy GEMM over Arrow batches — the
     compute-bound scale path (rows-only oracle: BLAS summation order
@@ -1682,6 +1692,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
     "ext_topk_cosine_gemm": (q_topk_cosine_gemm, None),  # rows-only (BLAS)
     "ext_ivf_topk": (q_ivf_topk, None),  # rows-only (approximate)
+    "ext_sq_rerank_topk": (q_sq_rerank_topk, None),  # rows-only (approx)
     "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
     "pipeline_payroll_shape": (
         q_pipeline_payroll_shape,
