@@ -995,6 +995,44 @@ def q_json_map_explode(spark, sf_dir):
     return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
 
 
+def q_regexp_extract_groups(spark, sf_dir):
+    """F-ext: regex capture-group extraction (structured field out of a
+    formatted code)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Entity resolution: near-identical customer names by Levenshtein
+    distance, blocked by nation (the classic blocking-key pattern —
+    candidate pairs form only within a block, never corpus×corpus; at
+    100 TB the block key is the lever that keeps this quadratic local)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def q_json_variant(spark, sf_dir):
     """F-ext: VARIANT semi-structured path access (Spark 4
     parse_json/variant_get — schema-on-read without a declared struct)."""
@@ -1498,6 +1536,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "AS month, count(*) AS n_orders, "
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
         "FROM orders GROUP BY 1",
+    ),
+    "f_regexp_extract": (
+        q_regexp_extract_groups,
+        r"SELECT p_partkey, "
+        r"regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num, "
+        r"regexp_extract(p_name, '^(\w+)', 1) AS first_word FROM part",
+    ),
+    "ext_fuzzy_name_pairs": (
+        q_fuzzy_name_pairs,
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "levenshtein(a.c_name, b.c_name) AS dist "
+        "FROM customer a JOIN customer b "
+        "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 3",
     ),
     "json_variant": (
         q_json_variant,
