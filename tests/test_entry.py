@@ -63,6 +63,7 @@ def test_contract_shape():
         "ext_topk_cosine_gemm",
         "ext_ivf_topk",
         "ext_multimodal_features",
+        "ext_sq_rerank_topk",
     }
 
 
