@@ -32,6 +32,14 @@ def test_separate_components_stay_separate(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer jumping must resolve a 250-node path well inside the
+    default sweep budget (plain propagation would need 250 sweeps)."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 250)])
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 250
+
+
 def test_max_iter_guard(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
     with pytest.raises(RuntimeError, match="no convergence"):

@@ -12,12 +12,13 @@ algorithm:
 - ``localCheckpoint`` after every step truncates the lineage (an
   unbounded iterative plan otherwise re-derives all previous steps and
   eventually overwhelms the optimizer);
-- iterations needed = graph diameter — for dedup graphs (tight cliques
-  of near-identical docs) almost always ≤ 3. The two-phase
-  large-star/small-star variant (Kiveris et al., "Connected Components
-  in MapReduce and Beyond", SoCC'14) drops the bound to
-  O(log² n) for adversarial chains; plain propagation is the right
-  default for dedup-shaped graphs.
+- each sweep combines NEIGHBOR propagation with POINTER JUMPING
+  (label := label[label], the classic shortcutting step): neighbor
+  moves cover distance 1, shortcutting doubles resolved-chain length,
+  so convergence is O(log diameter) sweeps — a 300-node path resolves
+  in ~9 sweeps, not 300. (Same bound class as large-star/small-star,
+  Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14, with simpler per-sweep plans.)
 
 Convergence is checked with a count of changed labels per iteration —
 one tiny driver scalar per step, not a collect of data.
@@ -57,19 +58,37 @@ def connected_components(
             .groupBy(F.col("d").alias("id2"))
             .agg(F.min("comp").alias("nb_comp"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["id2"], "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jumping: comp := comp[comp] (resolve through the
+        # label's own current label) — doubles chain resolution per sweep
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["id2"], "left")
+            stepped.join(parent, stepped["comp"] == parent["p_id"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("p_comp", F.col("comp"))
                 ).alias("comp"),
-                (F.col("nb_comp") < F.col("comp")).alias("__changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter("__changed").limit(1).count()
-        labels = new_labels.drop("__changed")
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             edges.unpersist()
             return labels

@@ -644,6 +644,23 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnowed_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+def q_winnow_containment(spark, sf_dir):
+    """Passage-overlap pairs: docs sharing ≥ 2 winnowing fingerprints
+    (detects CONTAINED/copied passages that whole-doc similarity
+    misses). Equi-join on fingerprint, group-count per pair — the same
+    bounded-pair shape as the LSH paths."""
+    fps = winnowed_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the exact n-gram Jaccard pair graph. Oracle =
@@ -1902,6 +1919,17 @@ SELECT doc_id, unnest(fps) AS fp FROM win
 
 
 REGISTRY["ext_winnow_fingerprints"] = (q_winnow_fingerprints, _sql_winnow())
+
+REGISTRY["ext_winnow_containment"] = (
+    q_winnow_containment,
+    f"""
+WITH fps AS ({_sql_winnow()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+)
 
 REGISTRY["ext_top_ngrams"] = (
     q_top_ngrams,
