@@ -104,6 +104,28 @@ def test_write_partitioned_sorted_layout(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Ingesting an evolved schema: mergeSchema widens the parquet read
+    across generations; unionByName(allowMissingColumns) aligns frames
+    — the two tools that keep a long-lived table readable after columns
+    are added."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    v1.write.parquet(f"{path}/gen=1")
+    v2.write.parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}  # old rows null-fill the new column
+    from uofi_payroll_etl_main_demo_spark.operators import union_by_name
+
+    u = union_by_name(v1, v2)
+    assert u.count() == 2 and "score" in u.columns
+
+
 def test_compact_parquet_merges_small_files(spark, tmp_path):
     import glob
 

@@ -934,6 +934,35 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_locf_fill(spark, sf_dir):
+    """W-ext: last-observation-carried-forward imputation — nulls in a
+    per-key time series replaced by the most recent non-null (window
+    ``last(ignorenulls)``), the standard sensor/price gap-fill."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # synthesize gaps deterministically: every 5th event loses its value
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(
+            F.last("value", ignorenulls=True).over(w), 6
+        ).alias("value_filled"),
+    )
+
+
 def q_range_frame_window(spark, sf_dir):
     """W-ext: RANGE-frame window — per customer, rolling sum of order
     totals over the 30 days preceding each order (time-based frame, not
@@ -1528,6 +1557,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "row_number() OVER (PARTITION BY o_orderstatus "
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
         "WHERE rk <= 3",
+    ),
+    "w7_locf_fill": (
+        q_locf_fill,
+        "SELECT event_id, user_id, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+        "round(last_value(v IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+        "AS value_filled FROM (SELECT event_id, user_id, ts, "
+        "CASE WHEN event_id % 5 <> 0 THEN value END AS v FROM events)",
     ),
     "w6_range_frame": (
         q_range_frame_window,
