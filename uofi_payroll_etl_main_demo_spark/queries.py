@@ -1094,6 +1094,20 @@ def q_json_variant(spark, sf_dir):
 # ---------------- deterministic sampling / SCD2 history --------------------
 
 
+def q_histogram(spark, sf_dir):
+    """A-ext: fixed-width histogram of order totals (closed-form bucket
+    arithmetic — portable, shuffle = one narrow (bucket, count) agg)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.col("bucket") * 50000)
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-keyed ~10% sample (engine-portable md5
     bucketing — operators/sampling.py; the oracle reproduces the exact
@@ -1299,6 +1313,40 @@ def q_pipeline_curation(spark, sf_dir):
         .select(
             "doc_id", F.round("quality", 6).alias("quality"), "predicted_lang"
         )
+    )
+
+
+def q_pipeline_cpa_shape(spark, sf_dir):
+    """End-to-end CPA-shaped pipeline (SURVEY §3.3 spine): union-by-name
+    of two source variants (one missing a column) → fiscal-year filter →
+    broadcast enrich → dedup cascade (full-row, then keep-first by
+    business key) → code/name split → contract projection."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    # two "certification files": same feed, one variant lacks a column
+    bw = o.filter(F.col("o_orderkey") % 2 == 0)
+    mn = o.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority")
+    unioned = union_by_name(bw, mn)
+    fy = unioned.filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-07-01"), F.lit("1996-06-30")
+        )
+    )
+    fact = safe_left_join(
+        fy, cust, {"o_custkey": "c_custkey"}, payload=["c_mktsegment"]
+    )
+    fact = distinct_rows(fact)
+    fact = dedup_keep_first(
+        fact, ["o_custkey"], [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    )
+    code, name = split_code_name("o_orderpriority")
+    return fact.select(
+        F.col("o_orderkey").alias("Order Key"),
+        F.col("o_custkey").alias("Customer Key"),
+        F.col("c_mktsegment").alias("Segment"),
+        code.alias("Priority Code"),
+        name.alias("Priority Name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("Order Date"),
     )
 
 
@@ -1628,6 +1676,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "(value - avg(value) OVER w) / (stddev_samp(value) OVER w) "
         "END) * 1e6) AS BIGINT) AS z_micro "
         "FROM events WINDOW w AS (PARTITION BY event_type)",
+    ),
+    "a13_histogram": (
+        q_histogram,
+        "SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) "
+        "AS bucket, count(*) AS n, "
+        "least(CAST(floor(o_totalprice / 50000) AS INT), 9) * 50000 AS lo "
+        "FROM orders GROUP BY 1",
     ),
     "samp_hash_sample": (
         q_hash_sample,
@@ -2014,6 +2069,33 @@ WHERE s.quality >= 0.5 AND l.predicted_lang = 'en'
 
 
 REGISTRY["pipeline_curation"] = (q_pipeline_curation, _sql_pipeline_curation())
+
+REGISTRY["pipeline_cpa_shape"] = (
+    q_pipeline_cpa_shape,
+    """
+WITH u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         NULL FROM orders WHERE o_orderkey % 2 = 1
+),
+fy AS (SELECT * FROM u WHERE o_orderdate BETWEEN TIMESTAMP '1995-07-01'
+       AND TIMESTAMP '1996-06-30'),
+j AS (SELECT DISTINCT fy.*, c.c_mktsegment FROM fy
+      LEFT JOIN customer c ON o_custkey = c_custkey),
+d AS (SELECT * FROM j QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1)
+SELECT o_orderkey AS "Order Key", o_custkey AS "Customer Key",
+  c_mktsegment AS "Segment",
+  CASE WHEN o_orderpriority IS NOT NULL
+       THEN trim(split_part(o_orderpriority, '-', 1)) END AS "Priority Code",
+  CASE WHEN o_orderpriority LIKE '%-%'
+       THEN trim(split_part(o_orderpriority, '-', 2)) END AS "Priority Name",
+  strftime(o_orderdate, '%Y-%m-%d') AS "Order Date"
+FROM d
+""",
+)
 
 
 def queries() -> dict[str, QueryFn]:
