@@ -24,7 +24,8 @@ def _csv_bytes(df) -> bytes:
     "name",
     ["pipeline_payroll_shape", "w2_dedup_keep_first", "a1_mode_by_group",
      "stream_sessionize", "pricing_summary", "pipeline_curation",
-     "tj_asof_join", "scd2_history", "samp_hash_sample"],
+     "tj_asof_join", "scd2_history", "samp_hash_sample",
+     "pipeline_cpa_shape", "w7_locf_fill"],
 )
 def test_output_stable_under_repartition(spark, sf_dir, name):
     fn = R.queries()[name]
