@@ -249,3 +249,32 @@ def test_sq_rerank_recall_vs_exact(spark, sf_dir):
         r["vec_id"] for r in sq_rerank_top_k(emb, q, k=10, candidates=10).collect()
     ]
     assert len(set(tight) & set(exact)) >= 7
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 toks -> 2 chunks
+            (2, "only three words"),  # short -> 1 partial chunk
+            (3, ""),  # empty -> no rows
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(docs, size=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [64, 52]
+    # overlap: chunk 1 starts at token 48 (0-based), i.e. "w48"
+    assert c1[1]["chunk_text"].split()[0] == "w48"
+    assert c1[0]["chunk_text"].split()[-1] == "w63"
+    assert by_doc[2][0]["n_tokens"] == 3
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(100)}

@@ -124,6 +124,59 @@ def fingerprints(
     return df.select(F.col(id_col), fingerprint64(text_col).alias("fingerprint"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunks — the standard pre-training/RAG
+    segmentation (window of ``size`` tokens advancing by ``stride``;
+    ``size - stride`` tokens of overlap preserve context at cuts).
+
+    Output: (id, chunk_idx, chunk_text, n_tokens) exploded rows; the
+    final partial window is kept (n_tokens < size), empty docs yield no
+    rows. A narrow per-row map — chunking 100 TB is embarrassingly
+    parallel, and the explode multiplies rows BEFORE any shuffle so
+    downstream ops see ordinary narrow rows.
+    """
+    toks = tokenize_ws(text_col)
+    n = F.size(toks)
+    # number of windows: ceil(max(n - size, 0) / stride) + 1 for any n>0
+    n_chunks = F.when(
+        n > 0,
+        F.floor(
+            (F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+        + 1,
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, size), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(size)).alias("n_tokens"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(n_chunks > 0, chunks)
+        .otherwise(
+            F.array().cast(
+                "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+            )
+        )
+        .alias("__c"),
+    )
+    return base.select(F.col(id_col), F.explode("__c").alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
 def winnowed_fingerprints(
     df: DataFrame,
     text_col: str = "text",

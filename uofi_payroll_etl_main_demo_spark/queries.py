@@ -644,6 +644,16 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnowed_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (size=64, stride=48) — the
+    pre-training/RAG segmentation op."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
 def q_winnow_containment(spark, sf_dir):
     """Passage-overlap pairs: docs sharing ≥ 2 winnowing fingerprints
     (detects CONTAINED/copied passages that whole-doc similarity
@@ -2013,6 +2023,22 @@ SELECT doc_id, unnest(fps) AS fp FROM win
 
 
 REGISTRY["ext_winnow_fingerprints"] = (q_winnow_fingerprints, _sql_winnow())
+
+REGISTRY["ext_chunk_documents"] = (
+    q_chunk_documents,
+    f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+  CAST(least(n - i * 48, 64) AS INT) AS n_tokens
+FROM (SELECT doc_id, n, toks, unnest(range(0, nc)) AS i FROM c)
+""",
+)
 
 REGISTRY["ext_winnow_containment"] = (
     q_winnow_containment,
