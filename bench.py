@@ -63,6 +63,7 @@ HEADLINE = [
     "ext_lsh_topk",
     "pipeline_payroll_shape",
     "ext_winnow_fingerprints",
+    "ext_chunk_documents",
     "pipeline_curation",
 ]
 
