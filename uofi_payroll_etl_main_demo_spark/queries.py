@@ -944,6 +944,40 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_ntile_deciles(spark, sf_dir):
+    """W-ext: ntile decile assignment + per-decile aggregates (the
+    stratification primitive behind quality-bucket curation).
+
+    Scale caveat, stated deliberately: an UNPARTITIONED window funnels
+    the whole table through one task — correct here and fine to sf-size
+    data, but at 100 TB stratification is done with cut points from
+    ``approx_percentile`` (a8/a9 pattern) applied as a narrow map, or
+    ntile within partition groups."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def q_union_distinct(spark, sf_dir):
+    """U-ext: UNION (distinct) vs UNION ALL — overlapping halves union
+    to the distinct row set."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 3 != 0)
+    b = o.filter(F.col("o_orderkey") % 2 != 0)  # overlaps a
+    return a.union(b).distinct()
+
+
 def q_locf_fill(spark, sf_dir):
     """W-ext: last-observation-carried-forward imputation — nulls in a
     per-key time series replaced by the most recent non-null (window
@@ -1615,6 +1649,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "row_number() OVER (PARTITION BY o_orderstatus "
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
         "WHERE rk <= 3",
+    ),
+    "w8_ntile_deciles": (
+        q_ntile_deciles,
+        "SELECT decile, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM (SELECT o_totalprice, ntile(10) OVER ("
+        "ORDER BY o_totalprice, o_orderkey) AS decile FROM orders) "
+        "GROUP BY decile",
+    ),
+    "u4_union_distinct": (
+        q_union_distinct,
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0 "
+        "UNION "
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 <> 0",
     ),
     "w7_locf_fill": (
         q_locf_fill,
