@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.operators import (
     FanOutError,
+    FanOutWarning,
     anti_join,
     dedup_keep_first,
     distinct_rows,
@@ -64,6 +65,34 @@ def test_fanout_check_raises(spark, fact):
         safe_left_join(
             fact, dim, ["k"], payload=["title"], dedup_dim=False, check_fanout=True
         )
+
+
+def test_fanout_check_warn_mode_proceeds(spark, fact):
+    # reference safe_merge_left WARNS on fan-out and returns the
+    # multiplied frame (etl_payroll_pipeline_demo.py:233-240)
+    dim = spark.createDataFrame(
+        [("a", "t1"), ("a", "t2")], "k string, title string"
+    )
+    with pytest.warns(FanOutWarning, match="4 -> 6"):
+        out = safe_left_join(
+            fact, dim, ["k"], payload=["title"],
+            dedup_dim=False, check_fanout=True, on_fanout="warn",
+        )
+    assert out.count() == 6
+
+
+def test_prepare_dim_payload_survivor_is_one_real_row(spark, fact):
+    # the surviving payload must be a complete input row, never a
+    # per-column mix of values from different dimension rows
+    dim = spark.createDataFrame(
+        [("a", "B-method", "A-type"), ("a", "A-method", "Z-type")],
+        "k string, method string, typ string",
+    )
+    out = safe_left_join(fact, dim, ["k"], payload=["method", "typ"])
+    r = out.filter(F.col("id") == 1).collect()[0]
+    # struct-min keeps the row ("A-method", "Z-type"); the old
+    # per-column min would have fabricated ("A-method", "A-type")
+    assert (r["method"], r["typ"]) == ("A-method", "Z-type")
 
 
 def test_semi_and_anti_join_partition(spark, fact):

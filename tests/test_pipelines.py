@@ -172,3 +172,22 @@ def test_cpa_schema_contract_enforced(spark, cpa_inputs, lookups):
             bw.drop("ROLE"), fresh_mn.drop("ROLE"), ts_org, ts_dept,
             overtime, te_m, fiscal_year_end=2024,
         )
+
+
+def test_cpa_schema_contract_rejects_reordered_columns(spark, cpa_inputs, lookups):
+    # reference 522-554 validates column name AND position: a reordered
+    # input must fail with misplaced-column diagnostics
+    bw, mn = cpa_inputs
+    ts_org, ts_dept, overtime, te_m = lookups
+    from uofi_payroll_etl_main_demo_spark.validate import ContractViolation
+    from pyspark.sql import functions as F
+
+    swapped = list(CPA_EXPECTED_COLUMNS)
+    swapped[0], swapped[1] = swapped[1], swapped[0]  # UIN <-> PAY_YEAR
+    bw_swapped = bw.select(*swapped)
+    fresh_mn = mn.filter(F.col("TRAN_CREATE_DT") >= "2023-07-01").select(*swapped)
+    with pytest.raises(ContractViolation, match="misplaced"):
+        cpa_pipeline(
+            bw_swapped, fresh_mn, ts_org, ts_dept, overtime, te_m,
+            fiscal_year_end=2024,
+        )

@@ -11,6 +11,7 @@ from uofi_payroll_etl_main_demo_spark.operators.dedup import (  # noqa: F401
 )
 from uofi_payroll_etl_main_demo_spark.operators.joins import (  # noqa: F401
     FanOutError,
+    FanOutWarning,
     anti_join,
     enrich_left,
     safe_left_join,

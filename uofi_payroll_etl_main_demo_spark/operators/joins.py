@@ -21,6 +21,7 @@ sf-small validation runs, not the 100 TB hot path where the pre-join
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -29,6 +30,11 @@ from pyspark.sql import functions as F
 
 class FanOutError(RuntimeError):
     """Left join multiplied rows (duplicate keys on the right side)."""
+
+
+class FanOutWarning(UserWarning):
+    """Warn-and-continue twin of :class:`FanOutError` (reference
+    safe_merge_left warns and proceeds, lines 233-240)."""
 
 
 def _prepare_dim(
@@ -46,9 +52,20 @@ def _prepare_dim(
         # payload variants for one key still cannot multiply the fact
         # side; which payload survives is made deterministic by
         # min-ordering on the payload columns via a groupBy.
-        if payload:
-            aggs = [F.min(c).alias(c) for c in out.columns if c not in keys]
-            out = out.groupBy(*keys).agg(*aggs)
+        payload_cols = [c for c in out.columns if c not in keys]
+        if payload_cols:
+            # One struct-min per key, then unpack: the surviving payload
+            # is a COMPLETE row (the lexicographically smallest one), not
+            # a per-column mix of values from different dimension rows.
+            row = F.min(F.struct(*payload_cols)).alias("__dim_row")
+            out = (
+                out.groupBy(*keys)
+                .agg(row)
+                .select(
+                    *keys,
+                    *[F.col(f"__dim_row.{c}").alias(c) for c in payload_cols],
+                )
+            )
         else:
             out = out.dropDuplicates(list(keys))
     return out
@@ -63,6 +80,7 @@ def safe_left_join(
     broadcast_dim: bool = True,
     dedup_dim: bool = True,
     check_fanout: bool = False,
+    on_fanout: str = "raise",
     how: str = "left",
 ) -> DataFrame:
     """Left equi-join with the reference's safety posture.
@@ -99,13 +117,21 @@ def safe_left_join(
         joined = fact.join(dim_prepared, fact_keys, how)
 
     if check_fanout:
+        if on_fanout not in ("raise", "warn"):
+            raise ValueError(f"on_fanout must be 'raise' or 'warn', got {on_fanout!r}")
         before = fact.count()
         after = joined.count()
         if after != before:
-            raise FanOutError(
+            msg = (
                 f"left join changed row count {before} -> {after}; "
                 "right side has duplicate keys"
             )
+            if on_fanout == "raise":
+                raise FanOutError(msg)
+            # Reference safe_merge_left (etl_payroll_pipeline_demo.py:233-240)
+            # WARNS on row multiplication and proceeds with the fanned-out
+            # result; this mode matches that behavior for messy inputs.
+            warnings.warn(msg, FanOutWarning, stacklevel=2)
     return joined
 
 

@@ -115,9 +115,9 @@ def cpa_pipeline(
         )
     df = df.filter(F.col("TRAN_CREATE_DT").between(F.lit(fy_start), F.lit(fy_end)))
 
-    # -- schema contract (reference 522-554) --
+    # -- schema contract (reference 522-554: name AND position) --
     if strict:
-        check_schema_contract(df, CPA_EXPECTED_COLUMNS, strict_order=False)
+        check_schema_contract(df, CPA_EXPECTED_COLUMNS, strict_order=True)
 
     # -- derive + validate (reference 557-591) --
     df = df.withColumn("JOB_TS_COAS", ensure_string("JOB_TS_COAS")).withColumn(
