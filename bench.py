@@ -44,7 +44,7 @@ HEADLINE = [
     "w2_dedup_keep_first",
     "d2_dedup_business_key",
     "u1_union_by_name",
-    "json_extract",
+    "json_struct_and_path",
     "a6_rollup",
     "w3_running_total",
     "tj_asof_join",

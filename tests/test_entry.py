@@ -55,7 +55,6 @@ def test_contract_shape():
     # documented hash-family/approximate ops
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "a9_approx_distinct",
         "ext_minhash_pairs",
         "ext_simhash_pairs",
         "ext_fingerprints",

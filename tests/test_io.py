@@ -184,15 +184,45 @@ def test_date_stamped_name():
     assert date_stamped_name("rpt", "csv", datetime(2026, 8, 13)) == "rpt_08132026.csv"
 
 
-def test_excel_roundtrip_if_openpyxl(spark, tmp_path):
-    pytest.importorskip("openpyxl")
+def test_excel_roundtrip(spark, tmp_path):
+    # runs with or without openpyxl: the bridge falls back to the
+    # pure-stdlib SpreadsheetML reader/writer (io/xlsx_lite.py)
     from uofi_payroll_etl_main_demo_spark.io import read_excel, write_excel
 
-    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b & <c>", None)],
+        "id bigint, name string, score double",
+    )
     path = str(tmp_path / "wb.xlsx")
     write_excel(df, path)
     back = read_excel(spark, path)
-    assert [(r["id"], r["name"]) for r in back.collect()] == [(1, "a")]
+    rows = {int(r["id"]): r for r in back.collect()}
+    assert rows[1]["name"] == "a" and float(rows[1]["score"]) == 1.5
+    assert rows[2]["name"] == "b & <c>"
+    assert rows[2]["score"] is None or rows[2]["score"] != rows[2]["score"]
+
+
+def test_xlsx_lite_roundtrip_and_types(tmp_path):
+    from uofi_payroll_etl_main_demo_spark.io.xlsx_lite import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    rows = [
+        ["id", "name", "ok", "score"],
+        [1, "héllo <&> \"quoted\"", True, 2.25],
+        [2, None, False, -0.5],
+    ]
+    path = str(tmp_path / "lite.xlsx")
+    write_xlsx(rows, path)
+    back = read_xlsx(path)
+    assert back[0] == ["id", "name", "ok", "score"]
+    assert back[1] == [1.0, 'héllo <&> "quoted"', True, 2.25]
+    assert back[2] == [2.0, None, False, -0.5]
+    # sheet selection by name + missing sheet error
+    assert read_xlsx(path, "Sheet1") == back
+    with pytest.raises(ValueError):
+        read_xlsx(path, "NoSuchSheet")
 
 
 def test_multimodal_feature_extraction(spark):

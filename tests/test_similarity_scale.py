@@ -37,6 +37,29 @@ def test_ivf_search_recall(spark, emb):
     assert len(got_2 & exact_ids) >= 2
 
 
+def test_bucketed_pairs_subset_of_exact(spark, emb):
+    """all_pairs_above is exact WITHIN buckets: every emitted pair must
+    appear in the quadratic exact baseline with the identical cosine,
+    and recall must be non-trivial at this threshold/plane count."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        all_pairs_above,
+        exact_cosine_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in exact_cosine_pairs(emb, threshold=0.35).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in all_pairs_above(emb, dim=64, threshold=0.35, n_planes=4).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for k, c in bucketed.items():
+        assert c == pytest.approx(exact[k], abs=1e-12)
+    assert len(bucketed) >= 1  # non-trivial recall on this corpus
+
+
 def test_ivf_assignment_partitions_corpus(spark, emb):
     index = build_ivf_index(emb, n_centroids=8)
     counts = index.assigned.groupBy("centroid").count().collect()

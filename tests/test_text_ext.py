@@ -131,6 +131,68 @@ def test_minhash_bucket_cap_drops_mega_buckets(docs):
     assert none_left.count() == 0
 
 
+@pytest.fixture()
+def skewed_corpus(spark):
+    """Adversarial boilerplate skew: ~30% of the corpus is ONE repeated
+    string (the classic license-header/template hot spot). Without the
+    caps, the boilerplate cluster alone yields C(30,2)=435 quadratic
+    candidates; with them, candidate work stays linear in corpus size.
+    Two engineered near-dup docs among the uniques must survive."""
+    boiler = "this document is provided as is without warranty of any kind"
+    uniq = [
+        f"unique text number {i} about topic {i * 7 % 13} with words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        for i in range(68)
+    ]
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100 + i, t) for i, t in enumerate(uniq)]
+    rows += [(900, near_a), (901, near_b)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_cap_keeps_candidates_linear_under_skew(skewed_corpus):
+    uncapped = minhash_near_dup_pairs(
+        skewed_corpus, num_hashes=32, bands=16, k=3, threshold=0.3
+    )
+    # boilerplate cluster alone: C(30,2) = 435 quadratic pairs
+    assert uncapped.count() >= 435
+    capped = minhash_near_dup_pairs(
+        skewed_corpus, num_hashes=32, bands=16, k=3, threshold=0.3,
+        max_bucket_size=10,
+    ).collect()
+    # mega-buckets dropped -> bounded output; the engineered near-dup
+    # pair (bucket size 2) survives
+    assert len(capped) < 435
+    assert all(r["id_a"] >= 100 for r in capped)  # no boilerplate pairs
+    assert (900, 901) in {(r["id_a"], r["id_b"]) for r in capped}
+
+
+def test_ngram_shingle_cap_keeps_candidates_linear_under_skew(skewed_corpus):
+    capped = ngram_jaccard_pairs(
+        skewed_corpus, k=3, threshold=0.3, max_shingle_freq=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (900, 901) in pairs  # small-bucket near-dup retained
+    assert all(a >= 100 for a, _ in pairs)  # hot shingles never pair
+    assert len(pairs) < 435
+
+
+def test_simhash_bucket_cap_under_skew(skewed_corpus):
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    uncapped = simhash_near_dup_pairs(skewed_corpus, max_hamming=3)
+    assert uncapped.count() >= 435  # identical sigs -> full clique
+    capped = simhash_near_dup_pairs(
+        skewed_corpus, max_hamming=3, max_bucket_size=10
+    ).collect()
+    assert all(r["id_a"] >= 100 for r in capped)
+    assert len(capped) < 435
+
+
 def test_simhash_near_dup(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1] and sh[4] is None

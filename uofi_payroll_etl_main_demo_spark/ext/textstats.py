@@ -141,7 +141,11 @@ def chunk_documents(
     parallel, and the explode multiplies rows BEFORE any shuffle so
     downstream ops see ordinary narrow rows.
     """
-    toks = tokenize_ws(text_col)
+    # Materialized token array (projection boundary): HOF lambdas
+    # re-evaluate inline subexpressions per element — an inline tokenize
+    # would re-split the document once per window slice.
+    tokd = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     # number of windows: ceil(max(n - size, 0) / stride) + 1 for any n>0
     n_chunks = F.when(
@@ -162,7 +166,7 @@ def chunk_documents(
             F.least(n - i * stride, F.lit(size)).alias("n_tokens"),
         ),
     )
-    base = df.select(
+    base = tokd.select(
         F.col(id_col),
         F.when(n_chunks > 0, chunks)
         .otherwise(
@@ -204,7 +208,12 @@ def winnowed_fingerprints(
     is bit-identical in any engine, so the DuckDB oracle reproduces
     exact fingerprint values (xxhash64 would be Spark-only).
     """
-    toks = tokenize_ws(text_col)
+    # Materialize the token array through a projection boundary FIRST:
+    # HOF lambdas re-evaluate inline subexpressions per element, so an
+    # inline tokenize re-runs the regex split once per shingle slice
+    # (measured 6× slower at bench scale).
+    tokd = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_sh = F.size(toks) - (k - 1)
     shingles = F.when(
         n_sh >= 1,
@@ -213,7 +222,7 @@ def winnowed_fingerprints(
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    base = tokd.select(
         F.col(id_col),
         F.transform(
             shingles, lambda s: F.substring(F.md5(s), 1, 15)

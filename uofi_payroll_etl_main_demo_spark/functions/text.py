@@ -162,25 +162,46 @@ def predicted_language(c: ColumnOrName, default: str = "und") -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
 
 
-def word_shingles(c: ColumnOrName, k: int = 4) -> Column:
-    """Distinct k-word shingles of a document → array<string>.
+def shingles_from_tokens(
+    toks: Column, k: int, distinct: bool = True
+) -> Column:
+    """k-word shingles over an already-materialized token-array column.
 
-    Built with ``sequence`` + ``transform`` + ``slice`` (all JVM-side
-    higher-order functions): positions 1..n-k+1, each joined with a
-    single space. Documents shorter than k words → empty array.
+    PERF CONTRACT: pass a column REFERENCE whose token array was
+    materialized through a projection boundary (``df.select(...,
+    tokenize_ws(c).alias("__toks"))`` then ``F.col("__toks")``) — Spark
+    does not hoist common subexpressions out of higher-order-function
+    lambdas, so an inline tokenize expression re-runs the regex split
+    once per ``slice`` invocation (measured 6× slower at bench scale).
+
+    Built with ``sequence`` + ``transform`` + ``slice`` (all JVM-side):
+    positions 1..n-k+1, each joined with a single space. Documents
+    shorter than k words → empty array.
     """
-    toks = tokenize_ws(c)
     n_sh = F.size(toks) - (k - 1)  # number of shingles
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
+    if distinct:
+        shingles = F.array_distinct(shingles)
     # Guard BEFORE building the sequence result: Spark's sequence(1, 0)
     # steps DOWNWARD ([1, 0]) and slice(toks, 0, k) is a runtime error,
     # so documents shorter than k words must short-circuit to [].
-    return F.when(n_sh >= 1, F.array_distinct(shingles)).otherwise(
+    return F.when(n_sh >= 1, shingles).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(c: ColumnOrName, k: int = 4) -> Column:
+    """Distinct k-word shingles of a document → array<string>.
+
+    Convenience wrapper for SMALL inputs/tests: it inlines the tokenize
+    expression, which higher-order lambdas re-evaluate per slice. Hot
+    paths must materialize tokens first and use
+    :func:`shingles_from_tokens` (see its perf contract).
+    """
+    return shingles_from_tokens(tokenize_ws(c), k)
 
 
 def fingerprint64(c: ColumnOrName) -> Column:

@@ -20,29 +20,49 @@ TPCH_TABLES = (
 ).split()
 
 
-def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables with parquet TIMESTAMP(NANOS) columns (TESTDATA.md: events.ts).
+# The nano handling below is gated on this map / an explicit argument —
+# a bigint column that merely happens to be named "ts" in some other
+# table is never rewritten.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_parquet_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    nanos_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """One driver test table (TESTDATA.md layout).
 
     Parquet TIMESTAMP(NANOS) columns (the events.ts column) are illegal
-    for Spark's reader by default; read them as raw nanos via the
-    ``nanosAsLong`` legacy conf and truncate to micros — exactly what a
-    micros-native engine (DuckDB, Spark itself) does with nano input.
+    for Spark's reader by default; for the known-nanos tables
+    (``NANOS_TS_COLS``, overridable via ``nanos_cols``) read them as raw
+    nanos via the ``nanosAsLong`` legacy conf and truncate to micros —
+    exactly what a micros-native engine (DuckDB, Spark itself) does with
+    nano input. The conf is only touched for those tables.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Engine contract: timestamps are UTC-naive wall clocks (the
-        # parquet NANOS column is isAdjustedToUTC=false). A non-UTC
-        # session would render timestamp_micros shifted; pin it here so
-        # queries behave identically under any caller's session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # pragma: no cover - conf absent on future versions
-        pass
+    nanos = NANOS_TS_COLS.get(name, ()) if nanos_cols is None else nanos_cols
+    if nanos:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Engine contract: timestamps are UTC-naive wall clocks (the
+            # parquet NANOS column is isAdjustedToUTC=false). A non-UTC
+            # session would render timestamp_micros shifted; pin the
+            # engine's documented UTC contract (session.get_spark sets
+            # the same) so queries behave identically under any caller's
+            # session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:  # pragma: no cover - conf absent on future versions
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name in nanos and field.dataType.simpleString() == "bigint":
             # integer division keeps full int64 precision (a double
             # round-trip would corrupt nano timestamps > 2^53).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
     return df
 
 
@@ -91,8 +111,11 @@ def read_excel(
 ) -> DataFrame:
     """Excel source via the driver-side pandas bridge (reference S3).
 
-    Gated behind an import-try: openpyxl may be absent in minimal
-    environments; parquet/CSV remain the scale ingest paths.
+    Prefers ``pd.read_excel`` (openpyxl); when openpyxl is absent it
+    falls back to the pure-stdlib SpreadsheetML reader
+    (``io/xlsx_lite.py``), so workbooks load in minimal environments
+    too. Parquet/CSV remain the scale ingest paths; first row is the
+    header, matching the reference's default.
     """
     try:
         import pandas as pd
@@ -100,10 +123,14 @@ def read_excel(
         raise NotImplementedError("pandas required for the Excel bridge") from exc
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "openpyxl not installed; convert the workbook to CSV/parquet"
-        ) from exc
+    except ImportError:
+        from uofi_payroll_etl_main_demo_spark.io.xlsx_lite import read_xlsx
+
+        rows = read_xlsx(path, sheet_name)
+        if not rows:
+            raise ValueError(f"{path}: empty worksheet")
+        header = [str(h) for h in rows[0]]
+        pdf = pd.DataFrame(rows[1:], columns=header)
     # Excel columns routinely arrive as mixed object dtype; stringify
     # non-numeric object columns so Arrow conversion cannot fail.
     for c in pdf.columns:

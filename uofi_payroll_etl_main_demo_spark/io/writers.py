@@ -113,8 +113,14 @@ def compact_parquet(
     whose per-file open/footer cost eventually dominates scans).
 
     Reads the current bytes on disk, repartitions to
-    ``ceil(bytes / target)`` and atomically replaces via
-    write-to-temp + rename. Returns the new file count.
+    ``ceil(bytes / target)``, writes to a temp directory, then swaps it
+    in with two renames: old → ``__old``, temp → live, delete ``__old``.
+    A crash between the renames leaves the data recoverable under one
+    of the two names — never deleted-but-not-replaced. (Directory
+    renames are not a transaction: a concurrent reader can still catch
+    the instant between them; a table format with a metadata pointer —
+    Iceberg/Delta — is the true-atomicity path.) Returns the new file
+    count.
     """
     import glob
     import math
@@ -129,18 +135,28 @@ def compact_parquet(
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
 def write_excel(df: DataFrame, path: str) -> None:
     """Excel sink via driver-side pandas (reference S7 at 460-461,
-    780-781). Collects to the driver — human-sized outputs only."""
+    780-781). Collects to the driver — human-sized outputs only.
+    Falls back to the pure-stdlib SpreadsheetML writer
+    (``io/xlsx_lite.py``) when openpyxl is absent."""
+    pdf = df.toPandas()
     try:
-        df.toPandas().to_excel(path, index=False, engine="openpyxl")
-    except ImportError as exc:
-        raise NotImplementedError(
-            "openpyxl not installed; use write_csv/write_parquet"
-        ) from exc
+        pdf.to_excel(path, index=False, engine="openpyxl")
+    except ImportError:
+        import pandas as pd
+
+        from uofi_payroll_etl_main_demo_spark.io.xlsx_lite import write_xlsx
+
+        rows = [list(pdf.columns)]
+        for rec in pdf.itertuples(index=False):
+            rows.append([None if pd.isna(v) else v for v in rec])
+        write_xlsx(rows, path)
