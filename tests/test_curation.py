@@ -1,0 +1,246 @@
+"""Curation extensions: decontamination, repetition rules, PII
+redaction, TF-IDF/BM25, KNN join, PQ ANN, star connected components."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+    connected_components,
+    connected_components_star,
+)
+from uofi_payroll_etl_main_demo_spark.ext.curation import (
+    bm25_search,
+    contamination_report,
+    redact_pii,
+    repetition_stats,
+    tfidf_top_terms,
+)
+from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+    brute_force_top_k,
+    knn_join,
+    pq_top_k,
+)
+
+
+# ---------------------------- decontamination ----------------------------
+
+
+def test_contamination_flags_overlapping_doc(spark):
+    # eval doc shares a 5-token run with train doc 1; train doc 2 clean
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unrelated tail words"),
+            (2, "totally different content with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_report(tr, ev, k=5, threshold=0.2).collect()
+    }
+    assert out[1]["n_hit"] >= 1 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+
+
+def test_contamination_short_docs_excluded(spark):
+    # docs with fewer than k tokens yield no shingles → no output row
+    ev = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    assert contamination_report(tr, ev, k=5).count() == 0
+
+
+# ---------------------------- repetition rules ---------------------------
+
+
+def test_repetition_stats_exact_values(spark):
+    # "x x x y": 4 tokens, 2 distinct → dup=2/4; top token x=3/4;
+    # 2-grams: [x x, x x, x y] → n=3, distinct=2, dup=1/3, top=2/3
+    df = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["dup_token_ppm"] == 500000
+    assert r["top_token_ppm"] == 750000
+    assert r["dup_2gram_ppm"] == 333333
+    assert r["top_2gram_ppm"] == 666666
+    assert r["repetitive"]  # top_2gram 0.66 > 0.18
+
+
+def test_repetition_stats_single_token_doc(spark):
+    # one token: no 2-grams → 2-gram ppms null, not errors
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 1
+    assert r["dup_2gram_ppm"] is None and r["top_2gram_ppm"] is None
+
+
+# ------------------------------ PII redaction ----------------------------
+
+
+def test_redact_pii_patterns(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail jo.doe+x@uni.edu or call 217-555-1234"),
+            (2, "ssn 123-45-6789 badge 99887766"),
+            (3, "clean"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in redact_pii(rows, ["t"], "id").collect()}
+    assert out[1]["t_redacted"] == "mail [EMAIL] or call [PHONE]"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["t_redacted"] == "ssn [SSN] badge [NUM]"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_digit_run"] == 1
+    assert out[3]["t_redacted"] == "clean"
+
+
+def test_redact_pii_ssn_not_double_counted(spark):
+    # the SSN must be tagged [SSN], not later re-matched as digit runs
+    rows = spark.createDataFrame([(1, "078-05-1120")], "id long, t string")
+    r = redact_pii(rows, ["t"], "id").collect()[0]
+    assert r["t_redacted"] == "[SSN]"
+    assert r["n_ssn"] == 1 and r["n_digit_run"] == 0 and r["n_phone"] == 0
+
+
+# ------------------------------ TF-IDF / BM25 ----------------------------
+
+
+def test_tfidf_ranks_rare_term_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare common"),
+            (2, "common common common common"),
+            (3, "common other other common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_n=2)
+    top1 = {
+        r["doc_id"]: r["term"] for r in out.filter("rank = 1").collect()
+    }
+    # 'rare' (df=1) outranks 'common' (df=3, idf=0) in doc 1
+    assert top1[1] == "rare"
+    assert top1[3] == "other"
+
+
+def test_bm25_orders_by_relevance(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark joins window spark"),
+            (2, "spark only once here now"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, ["spark"], top_n=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1  # two hits beat one
+    assert 3 not in ids  # no hit → no row
+
+
+# ------------------------------- KNN join --------------------------------
+
+
+def test_knn_join_zero_planes_is_exact(spark):
+    # n_planes=0 → single bucket → the "approximate" join degenerates
+    # to exact all-pairs KNN; verify against per-vector brute force
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(emb, dim=8, k=2, n_planes=0).collect()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for i, v in rows:
+        scored = sorted(
+            (
+                (round(cos(v, w), 6), -j)
+                for j, w in rows
+                if j != i
+            ),
+            reverse=True,
+        )
+        expect = [-s[1] for s in scored[:2]]
+        assert [got[(i, 1)], got[(i, 2)]] == expect
+
+
+def test_knn_join_rank_contract(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_join(emb, dim=64, k=3, n_planes=4)
+    per = out.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    )
+    bad = per.filter((F.col("n") > 3) | (F.col("mx") > 3)).count()
+    assert bad == 0
+
+
+# --------------------------------- PQ ANN --------------------------------
+
+
+def test_pq_topk_matches_exact_with_margin(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.orderBy("vec_id").first()["embedding"]
+    exact = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in brute_force_top_k(emb, qv, k=5).collect()
+    ]
+    approx = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in pq_top_k(emb, qv, k=5, candidates=150).collect()
+    ]
+    assert approx == exact
+
+
+def test_pq_requires_divisible_dim(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_top_k(emb, [0.0] * 64, m=7)
+
+
+# ------------------------- star connected components ---------------------
+
+
+def test_star_cc_matches_label_propagation(spark):
+    rng = random.Random(7)
+    edges = [
+        (rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(i, i + 1) for i in range(300, 420)]  # long chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    b = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_adversarial_hub(spark):
+    # a hub node connected to everything plus a disjoint pair — the
+    # high-degree shape star-contraction is built for
+    edges = [(0, i) for i in range(1, 120)] + [(500, 501)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert all(out[i] == 0 for i in range(120))
+    assert out[500] == 500 and out[501] == 500

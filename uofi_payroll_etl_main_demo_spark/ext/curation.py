@@ -1,0 +1,314 @@
+"""Training-data curation operators: decontamination, repetition
+rules, PII redaction, TF-IDF / BM25 relevance.
+
+These are the quality/safety passes of a large-scale LLM-data
+pipeline, all expressed as built-in DataFrame ops (JVM-side, codegen;
+zero Python UDFs) so each scales with partitions:
+
+- decontamination: n-gram overlap between the training corpus and an
+  eval/benchmark set — the held-out set must not leak into training
+  data. Shingle fingerprints are hashed (md5 prefix, engine-portable)
+  so the join shuffles two small columns, never document text, and the
+  eval side (benchmarks are tiny relative to a 100 TB corpus) is
+  broadcast.
+- repetition stats: Gopher-style per-document repetition rules
+  (duplicate-token fraction, top-token coverage, duplicate/top 2-gram
+  fractions). Explode → two-level aggregation: partial (map-side)
+  combine makes the shuffle carry (doc, gram, count) partials.
+- PII redaction: regex masking (phone digits, long digit runs) — a
+  narrow per-row map.
+- TF-IDF / BM25: classic sparse relevance; term stats via exploded
+  (doc, term) partial aggregation, document frequencies via a second
+  tiny agg broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.text import (
+    shingles_from_tokens,
+    tokenize_ws,
+)
+
+
+def _shingle_fps(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, fp) distinct k-shingle fingerprints; md5 15-hex prefix —
+    engine-portable (bit-identical in DuckDB) unlike xxhash64."""
+    base = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    return base.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__s"),
+    ).select(id_col, F.substring(F.md5("__s"), 1, 15).alias("fp"))
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-training-document benchmark contamination via k-gram overlap.
+
+    The standard decontamination pass (public WMDP/GPT-3 appendix
+    methodology): a training document is contaminated when a large
+    enough fraction of its k-word shingles also appear in the eval
+    set. Output per train doc: ``n_shingles``, ``n_hit`` (distinct
+    shingles shared with ANY eval doc), ``hit_ppm`` (fraction ×1e6,
+    floored — exact integer, portable across engines), ``contaminated``.
+
+    Scale shape: the eval fingerprint set (benchmarks are ~MBs against
+    a 100 TB corpus) is distinct-ed and broadcast; the train side
+    streams through a broadcast semi-probe — no corpus shuffle. The
+    per-doc totals reuse the same exploded frame, aggregated with
+    map-side partial counts.
+    """
+    tr = _shingle_fps(train, text_col, id_col, k).persist()
+    ev = F.broadcast(
+        _shingle_fps(eval_df, text_col, id_col, k).select("fp").distinct()
+    )
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(ev, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.floor(ratio * 1e6).cast("bigint").alias("hit_ppm"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+    return out
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_2gram_max: float = 0.18,
+    dup_token_max: float = 0.60,
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics (Rae et al. 2021,
+    public quality heuristics): duplicate-token fraction, top-token
+    coverage, duplicate-2-gram fraction, top-2-gram coverage, and a
+    combined ``repetitive`` flag.
+
+    Two explode → (doc, gram) → per-doc aggregations (1-grams and
+    2-grams), joined on doc id. Both shuffles carry partial counts
+    (map-side combine), never text bodies; fractions are emitted as
+    ppm integers (floor ×1e6) so they are exact across engines.
+    """
+    toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+
+    def gram_stats(gram_col: Column, prefix: str) -> DataFrame:
+        per_gram = (
+            toks.select(F.col(id_col), F.explode(gram_col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        n = F.sum("c")
+        return per_gram.groupBy(id_col).agg(
+            n.alias(f"n_{prefix}"),
+            F.count(F.lit(1)).alias(f"d_{prefix}"),
+            F.max("c").alias(f"m_{prefix}"),
+        )
+
+    g1 = gram_stats(F.col("__toks"), "tok")
+    g2 = gram_stats(
+        shingles_from_tokens(F.col("__toks"), 2, distinct=False), "2g"
+    )
+
+    def ppm(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.floor(num.cast("double") / den * 1e6).cast("bigint")
+        )
+
+    dup_tok = ppm(F.col("n_tok") - F.col("d_tok"), F.col("n_tok"))
+    top_tok = ppm(F.col("m_tok"), F.col("n_tok"))
+    dup_2g = ppm(F.col("n_2g") - F.col("d_2g"), F.col("n_2g"))
+    top_2g = ppm(F.col("m_2g"), F.col("n_2g"))
+    return (
+        g1.join(g2, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tok").alias("n_tokens"),
+            dup_tok.alias("dup_token_ppm"),
+            top_tok.alias("top_token_ppm"),
+            dup_2g.alias("dup_2gram_ppm"),
+            top_2g.alias("top_2gram_ppm"),
+            (
+                (F.coalesce(top_2g, F.lit(0)) > int(top_2gram_max * 1e6))
+                | (F.coalesce(dup_tok, F.lit(0)) > int(dup_token_max * 1e6))
+            ).alias("repetitive"),
+        )
+    )
+
+
+# Public-knowledge PII regexes (simplified canonical shapes). Order
+# matters: more specific patterns run first so e.g. an SSN is tagged
+# [SSN], not caught later as a digit run.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
+    ("digit_run", r"[0-9]{5,}", "[NUM]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Regex PII masking over the named text columns.
+
+    Applies the pattern chain (email → SSN → phone → long digit run by
+    default) to each column, emitting ``<col>_redacted`` plus a
+    per-pattern match count ``n_<pattern>`` summed across columns.
+
+    A narrow per-row projection — regexp ops are JVM/codegen, fused
+    with the scan; no shuffle at any scale.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out_cols: list[Column] = [F.col(id_col)]
+    counts: dict[str, Column] = {}
+    for c in cols:
+        redacted = F.col(c)
+        for name, pat, tag in pats:
+            n_matches = F.size(
+                F.regexp_extract_all(redacted, F.lit(pat), 0)
+            )
+            counts[name] = (
+                counts[name] + n_matches if name in counts else n_matches
+            )
+            redacted = F.regexp_replace(redacted, pat, tag)
+        out_cols.append(redacted.alias(f"{c}_redacted"))
+    out_cols.extend(
+        counts[name].cast("bigint").alias(f"n_{name}") for name, _, _ in pats
+    )
+    return df.select(*out_cols)
+
+
+def _term_frequencies(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, term, tf) — exploded token counts per document."""
+    toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    return (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by TF-IDF.
+
+    tf from the exploded (doc, term) agg; document frequency from a
+    second agg over the SAME frame (one row per (doc, term) already,
+    so df = count per term); idf = ln(N / df). The df table is tiny
+    (vocabulary-sized) → broadcast back onto the tf frame; ranking is
+    a per-doc window (deterministic tie-break by term).
+
+    Output: (id, term, tf, rank) — rank 1..top_n by tfidf desc. The
+    tfidf double itself is NOT emitted (ln() may differ by 1 ulp
+    across engines); the integer-valued tf and rank are portable.
+    """
+    tf = _term_frequencies(df, text_col, id_col).persist()
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col(id_col), "term", "tf", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed
+    term list, return the top-``top_n``.
+
+    The query-term filter lands BEFORE the (doc, term) aggregation, so
+    only matching tokens ever shuffle; ``avgdl`` and per-term document
+    frequencies are scalar/tiny aggregates broadcast into the scoring
+    projection. Output: (id, score_e6, n_query_terms_hit) ordered by
+    score desc with id tie-break — score emitted as floor(score×1e6)
+    for cross-engine comparability.
+    """
+    terms = sorted(set(query_terms))
+    toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    dl = toks.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("dl")
+    ).persist()
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("dl").alias("a")).first()["a"] or 1.0
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    contrib = idf * (tf_d * (k1 + 1.0)) / denom
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .select(F.col(id_col), contrib.alias("s"))
+    )
+    # Quantize per-term contributions to integer micro-points BEFORE
+    # summing: integer addition is order-independent, so the score (and
+    # the ranking) is deterministic under any partitioning and
+    # bit-identical across engines — a float sum's result depends on
+    # accumulation order.
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sum(F.floor(F.col("s") * 1e6)).cast("bigint").alias("score_e6"),
+            F.count(F.lit(1)).alias("n_query_terms_hit"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc(id_col))
+        .limit(top_n)
+    )

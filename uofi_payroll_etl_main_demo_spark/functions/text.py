@@ -205,8 +205,15 @@ def word_shingles(c: ColumnOrName, k: int = 4) -> Column:
 
 
 def fingerprint64(c: ColumnOrName) -> Column:
-    """64-bit document fingerprint: xxhash64 of the normalized text
-    (lowercased, whitespace-collapsed). A cheap stand-in for a rolling
-    hash: equal normalized content ⇒ equal fingerprint."""
+    """Content fingerprint of the normalized text (lowercased,
+    whitespace-collapsed), as a 60-bit integer: the first 15 hex chars
+    of md5, base-converted. md5 (not the cheaper xxhash64) because it
+    is bit-identical in every engine — the same
+    conv(substr(md5 …)) == ('0x' || substr(md5 …))::bigint identity
+    ``hash_sample`` and the winnowing fingerprints rely on — so the
+    DuckDB oracle reproduces exact fingerprint VALUES, not just
+    collision structure. Equal normalized content ⇒ equal fingerprint."""
     normalized = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
-    return F.xxhash64(normalized)
+    return (
+        F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
+    )

@@ -2248,6 +2248,339 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# Curation extensions (round 2): decontamination, Gopher repetition
+# rules, PII redaction, TF-IDF / BM25, KNN self-join, star CC, PQ ANN
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Decontamination: 5-gram fingerprint overlap of the training
+    corpus against the eval slice (doc_id % 20 == 0 stands in for the
+    held-out benchmark set). The eval fingerprint set is broadcast —
+    at 100 TB the benchmarks are MBs, the corpus is not."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(tr, ev, k=5, threshold=0.05)
+
+
+def _sql_decontaminate(k: int = 5, threshold: float = 0.05) -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')), 1, 15)
+         ))) AS fp
+  FROM t WHERE len(toks) >= {k}
+),
+ev AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_hit FROM tr
+        WHERE fp IN (SELECT fp FROM ev) GROUP BY doc_id)
+SELECT tot.doc_id, n_shingles,
+       coalesce(n_hit, 0) AS n_hit,
+       CAST(floor(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles * 1e6)
+            AS BIGINT) AS hit_ppm,
+       CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles >= {threshold}
+         AS contaminated
+FROM tot LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/quality rules per document (duplicate
+    and top token / 2-gram fractions, ppm integers)."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_repetition() -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+g1 AS (SELECT doc_id, g, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+s1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+              count(*) AS d_tok, max(c) AS m_tok FROM g1 GROUP BY doc_id),
+t2 AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i + 1], ' '))
+         ELSE [] END AS gs FROM t),
+g2 AS (SELECT doc_id, g, count(*) AS c
+       FROM (SELECT doc_id, unnest(gs) AS g FROM t2) GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2g,
+              count(*) AS d_2g, max(c) AS m_2g FROM g2 GROUP BY doc_id),
+j AS (SELECT s1.doc_id, n_tok, d_tok, m_tok, n_2g, d_2g, m_2g
+      FROM s1 LEFT JOIN s2 USING (doc_id)),
+p AS (SELECT doc_id, n_tok,
+  CASE WHEN n_tok > 0 THEN CAST(floor(
+    CAST(n_tok - d_tok AS DOUBLE) / n_tok * 1e6) AS BIGINT) END AS dup_token_ppm,
+  CASE WHEN n_tok > 0 THEN CAST(floor(
+    CAST(m_tok AS DOUBLE) / n_tok * 1e6) AS BIGINT) END AS top_token_ppm,
+  CASE WHEN n_2g > 0 THEN CAST(floor(
+    CAST(n_2g - d_2g AS DOUBLE) / n_2g * 1e6) AS BIGINT) END AS dup_2gram_ppm,
+  CASE WHEN n_2g > 0 THEN CAST(floor(
+    CAST(m_2g AS DOUBLE) / n_2g * 1e6) AS BIGINT) END AS top_2gram_ppm
+  FROM j)
+SELECT doc_id, n_tok AS n_tokens, dup_token_ppm, top_token_ppm,
+       dup_2gram_ppm, top_2gram_ppm,
+       (coalesce(top_2gram_ppm, 0) > 180000)
+         OR (coalesce(dup_token_ppm, 0) > 600000) AS repetitive
+FROM p
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: regex mask chain (email → SSN → phone → digit
+    run) over customer names; per-pattern counts."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import redact_pii
+
+    return redact_pii(
+        _t(spark, sf_dir, "customer"), ["c_name"], "c_custkey"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.curation import PII_PATTERNS
+
+    red = "c_name"
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (
+        f"SELECT c_custkey, {red} AS c_name_redacted, "
+        + ", ".join(counts)
+        + " FROM customer"
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: top-3 characteristic terms per document (rank by tfidf,
+    deterministic term tie-break; integer tf/rank emitted)."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=3)
+    return out.select(
+        "doc_id", "term", "tf", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _sql_tfidf(top_n: int = 3) -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf,
+         tf * ln((SELECT count(*) FROM documents) * 1.0 / dfreq) AS tfidf
+  FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, rank FROM (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {top_n}
+"""
+
+
+_BM25_TERMS = ["join", "spark", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over documents for a fixed term list;
+    deterministic integer micro-point scores."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _sql_bm25(k1: float = 1.2, b: float = 0.75, top_n: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+           * (CAST(tf AS DOUBLE) * ({k1} + 1.0))
+           / (CAST(tf AS DOUBLE)
+              + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+SELECT doc_id, CAST(sum(floor(s * 1e6)) AS BIGINT) AS score_e6,
+       count(*) AS n_query_terms_hit
+FROM per GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id LIMIT {top_n}
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    """KNN self-join: approximate 3 nearest neighbors for EVERY vector
+    via LSH-bucketed pair generation + per-vector window top-k. The
+    deterministic hyperplane buckets make even the approximate result
+    exactly SQL-reproducible."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import knn_join
+
+    out = knn_join(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=4
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _sql_knn_join(
+    k: int = 3, dim: int = 64, n_planes: int = 4, seed: int = 42
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for bit, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id, x.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, x.v), 6) AS cosine
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p)
+WHERE rank <= {k}
+"""
+
+
+def q_dedup_clusters_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    (Kiveris SoCC'14) over the n-gram near-dup pair graph — the
+    adversarial-graph-resilient CC variant; same (id, component)
+    contract (and same recursive-CTE oracle) as ext_dedup_clusters."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components_star,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    return connected_components_star(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (rows-only oracle: the Lloyd
+    codebook is data-adaptive; exact-rerank parity with the brute-force
+    baseline is pinned in tests)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import pq_top_k
+
+    out = pq_top_k(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10, candidates=100
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _sql_lsh_topk(
+    k: int = 10, dim: int = 64, n_planes: int = 8, seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> str:
+    """DuckDB twin of ``lsh_bucket_top_k``: the hyperplanes AND the
+    query's multi-probe bucket list are deterministic driver-side
+    constants, so the approximate candidate set is reproduced exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for bit, plane in enumerate(planes):
+        if sum(float(x) * float(y) for x, y in zip(QUERY_VEC, plane)) >= 0:
+            qbits |= 1 << bit
+    probe = {qbits}
+    if multiprobe_hamming >= 1:
+        for bit in range(n_planes):
+            probe.add(qbits ^ (1 << bit))
+    terms = []
+    for bit, plane in enumerate(planes):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    probes = ", ".join(str(p) for p in sorted(probe))
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings)
+SELECT vec_id, round(list_cosine_similarity(v,
+         CAST({_QV_SQL} AS DOUBLE[])), 6) AS score
+FROM b WHERE bucket IN ({probes})
+ORDER BY score DESC, vec_id LIMIT {k}
+"""
+
+
+REGISTRY["ext_decontaminate"] = (q_decontaminate, _sql_decontaminate())
+REGISTRY["ext_repetition_stats"] = (q_repetition_stats, _sql_repetition())
+REGISTRY["ext_pii_redact"] = (q_pii_redact, _sql_pii_redact())
+REGISTRY["ext_tfidf_top_terms"] = (q_tfidf_top_terms, _sql_tfidf())
+REGISTRY["ext_bm25_search"] = (q_bm25_search, _sql_bm25())
+REGISTRY["ext_knn_join"] = (q_knn_join, _sql_knn_join())
+REGISTRY["ext_dedup_clusters_star"] = (
+    q_dedup_clusters_star,
+    REGISTRY["ext_dedup_clusters"][1],  # same contract, same oracle
+)
+REGISTRY["ext_pq_topk"] = (q_pq_topk, None)  # rows-only (data-adaptive)
+
+# Oracle upgrades for formerly rows-only similarity queries:
+# - fingerprints: now md5-based (engine-portable values)
+# - lsh_topk: deterministic buckets + probe list reproduced in SQL
+# - gemm / sq_rerank: pinned equal to the exact baseline (tests), so
+#   the exact top-k SQL is their oracle; verified empirically at both
+#   sf0.01 and sf0.1 (BLAS/quantized stage ordering differences vanish
+#   under round-6 / the candidate margin)
+REGISTRY["ext_fingerprints"] = (
+    q_fingerprints,
+    "SELECT doc_id, CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint FROM documents",
+)
+REGISTRY["ext_lsh_topk"] = (q_lsh_topk, _sql_lsh_topk())
+REGISTRY["ext_topk_cosine_gemm"] = (q_topk_cosine_gemm, _sql_topk_cosine())
+REGISTRY["ext_sq_rerank_topk"] = (q_sq_rerank_topk, _sql_topk_cosine())
+
+
+# --------------------------------------------------------------------------
 # Driver-correctness window ordering
 #
 # The driver differential-checks the FIRST 50 registry entries per round
@@ -2286,6 +2619,13 @@ _WINDOW_50 = [
     "ext_multimodal_features",
     "ext_fuzzy_name_pairs",
     "ext_zscore",
+    "ext_decontaminate",
+    "ext_repetition_stats",
+    "ext_pii_redact",
+    "ext_tfidf_top_terms",
+    "ext_bm25_search",
+    "ext_knn_join",
+    "ext_dedup_clusters_star",
     "tj_asof_join",
     "tj_range_join",
     "stream_window_counts",
@@ -2301,15 +2641,8 @@ _WINDOW_50 = [
     "a12_unpivot",
     "a13_histogram",
     "arr_explode_norms",
-    "arr_collect_sorted",
-    "gen_date_series",
     "v_profile_table",
     "sql_frontend_pricing",
-    "j1_broadcast_left_join",
-    "a1_mode_by_group",
-    "w2_dedup_keep_first",
-    "f_cleanse_normalize",
-    "p3_p4_p5_filters",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
