@@ -65,6 +65,12 @@ HEADLINE = [
     "ext_winnow_fingerprints",
     "ext_chunk_documents",
     "pipeline_curation",
+    "ext_decontaminate",
+    "ext_repetition_stats",
+    "ext_tfidf_top_terms",
+    "ext_bm25_search",
+    "ext_knn_join",
+    "ext_dedup_clusters_star",
 ]
 
 

@@ -181,6 +181,35 @@ def test_knn_join_zero_planes_is_exact(spark):
         assert [got[(i, 1)], got[(i, 2)]] == expect
 
 
+def test_knn_join_gemm_parity(spark):
+    # the GEMM registry form must equal the Column reference form
+    # exactly (same buckets, same round-6 cosines, same tie-breaks)
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, knn_join(emb, dim=64, k=3, n_planes=4).collect()))
+    b = sorted(
+        map(tuple, knn_join_gemm(emb, dim=64, k=3, n_planes=4).collect())
+    )
+    assert a == b
+
+
+def test_knn_join_gemm_bucket_cap(spark):
+    # max_bucket_size drops mega-buckets entirely (bounded-recall cap)
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = knn_join_gemm(
+        emb, dim=64, k=3, n_planes=0, max_bucket_size=10
+    )
+    # n_planes=0 → one bucket of 500 > cap → everything dropped
+    assert capped.count() == 0
+
+
 def test_knn_join_rank_contract(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = knn_join(emb, dim=64, k=3, n_planes=4)

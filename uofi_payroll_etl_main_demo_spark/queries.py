@@ -2441,12 +2441,16 @@ ORDER BY score_e6 DESC, doc_id LIMIT {top_n}
 
 def q_knn_join(spark, sf_dir):
     """KNN self-join: approximate 3 nearest neighbors for EVERY vector
-    via LSH-bucketed pair generation + per-vector window top-k. The
-    deterministic hyperplane buckets make even the approximate result
-    exactly SQL-reproducible."""
-    from uofi_payroll_etl_main_demo_spark.ext.similarity import knn_join
+    via LSH-bucketed pair generation; in-bucket scoring is one numpy
+    GEMM per bucket (measured ~6× the per-pair higher-order-function
+    form, which stays as the small-scale reference — parity pinned in
+    tests/test_curation.py). The deterministic hyperplane buckets make
+    even the approximate result exactly SQL-reproducible."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_gemm,
+    )
 
-    out = knn_join(
+    out = knn_join_gemm(
         _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=4
     )
     return out.select(
