@@ -56,3 +56,77 @@ def test_dedup_survivors_keeps_min_and_untouched(spark):
     )
     # cluster {2,3,4} → keep 2; cluster {6,7} → keep 6; 1 and 5 untouched
     assert kept == [1, 2, 5, 6]
+
+
+# ------------------- cluster-aware split / pagerank -----------------------
+
+
+def test_cluster_aware_split_keeps_clusters_whole(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.splits import (
+        cluster_aware_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 101)], "doc_id bigint, text string"
+    )
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 50, 2)] + [(90, 95)])
+    out = cluster_aware_split(docs, pairs, eval_pct=30).collect()
+    assert len(out) == 100  # every doc assigned exactly once
+    by_rep: dict[int, set[str]] = {}
+    for r in out:
+        by_rep.setdefault(r["cluster_rep"], set()).add(r["split"])
+    # no cluster straddles the boundary
+    assert all(len(s) == 1 for s in by_rep.values())
+    # pair members share a rep (spot-check) and singletons are own rep
+    rep = {r["doc_id"]: r["cluster_rep"] for r in out}
+    assert rep[90] == rep[95] and rep[1] == rep[2]
+    assert rep[60] == 60
+    # both sides non-empty at eval_pct=30 on 100 docs
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "eval"}
+
+
+def test_cluster_aware_split_deterministic(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.splits import (
+        cluster_aware_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 40)], "doc_id bigint, text string"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    a = sorted(map(tuple, cluster_aware_split(docs, pairs).collect()))
+    b = sorted(map(tuple, cluster_aware_split(docs, pairs).collect()))
+    assert a == b
+
+
+def test_pagerank_star_center_dominates(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import SCALE, pagerank
+
+    # undirected star: center 1 <-> leaves 2..9 (symmetrized edges)
+    fwd = [(1, i) for i in range(2, 10)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src bigint, dst bigint"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iterations=6).collect()}
+    leaves = [pr[i] for i in range(2, 10)]
+    assert pr[1] > max(leaves) * 3  # hub concentrates mass
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    # teleport floor and rough mass conservation (integer truncation
+    # only ever loses mass)
+    assert all(v >= 15 * SCALE // 100 for v in pr.values())
+    assert sum(pr.values()) <= 9 * SCALE
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import pagerank
+
+    fwd = [(i, i % 7 + 1) for i in range(1, 8)] + [(3, 5), (5, 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src bigint, dst bigint"
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    b = sorted(
+        map(tuple, pagerank(edges.repartition(7), iterations=5).collect())
+    )
+    assert a == b  # partitioning-independent (integer sums are exact)

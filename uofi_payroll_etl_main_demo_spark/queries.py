@@ -2584,6 +2584,114 @@ REGISTRY["ext_topk_cosine_gemm"] = (q_topk_cosine_gemm, _sql_topk_cosine())
 REGISTRY["ext_sq_rerank_topk"] = (q_sq_rerank_topk, _sql_topk_cosine())
 
 
+def q_leakage_split(spark, sf_dir):
+    """Cluster-aware train/eval split: near-dup clusters (iterative CC
+    over the ngram pair graph) land whole on one side of the boundary;
+    split decision is the engine-portable md5 bucket of the cluster
+    representative, so the DuckDB oracle reproduces the exact
+    assignment row-for-row."""
+    from uofi_payroll_etl_main_demo_spark.ext.splits import (
+        cluster_aware_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return cluster_aware_split(docs, pairs, eval_pct=10)
+
+
+def _sql_leakage_split(eval_pct: int = 10) -> str:
+    """Recursive-CTE components (as in _sql_dedup_clusters) + the md5
+    bucket trick from samp_hash_sample, keyed on the cluster rep."""
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_ngram_jaccard()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+comp AS (SELECT src, min(node) AS rep FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(c.rep, d.doc_id) AS cluster_rep,
+       CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.rep, d.doc_id)
+              AS VARCHAR)), 1, 8))::BIGINT % 100 < {eval_pct}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer micro-point PageRank (6 fixed sweeps, damping 0.85) over
+    the symmetrized supplier–part supply graph from lineitem; top-100
+    nodes by rank. Integer contributions make the iteration exactly
+    reproducible in the unrolled-CTE oracle — see ext/pagerank.py."""
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=6)
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(100)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_id"),
+            F.col("pr").alias("rank_e9"),
+        )
+    )
+
+
+def _sql_pagerank(iterations: int = 6, damping_pct: int = 85) -> str:
+    """Unrolled power iteration: one CTE per sweep, all-integer
+    arithmetic (BIGINT micro-points, // division) — bit-identical to
+    the Spark loop at any fixed iteration count."""
+    teleport = (100 - damping_pct) * 1_000_000_000 // 100
+    ctes = [
+        "base AS (SELECT DISTINCT l_suppkey * 2 AS s, "
+        "l_partkey * 2 + 1 AS d FROM lineitem)",
+        "edges AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base)",
+        "deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY s)",
+        "r0 AS (SELECT s AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT dg.s AS node,
+         CAST({teleport} + ({damping_pct} * COALESCE(inc.t, 0)) // 100
+              AS BIGINT) AS pr
+  FROM deg dg LEFT JOIN (
+    SELECT e.d AS nd, CAST(sum(r.pr // d2.outdeg) AS BIGINT) AS t
+    FROM edges e JOIN r{i - 1} r ON e.s = r.node
+    JOIN deg d2 ON d2.s = e.s
+    GROUP BY e.d) inc ON dg.s = inc.nd)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       node // 2 AS entity_id, pr AS rank_e9
+FROM r{iterations} ORDER BY pr DESC, node LIMIT 100
+"""
+    )
+
+
+REGISTRY["ext_leakage_split"] = (q_leakage_split, _sql_leakage_split())
+REGISTRY["ext_pagerank"] = (q_pagerank, _sql_pagerank())
+
+
 # --------------------------------------------------------------------------
 # Driver-correctness window ordering
 #
