@@ -55,8 +55,6 @@ def test_contract_shape():
     # documented hash-family/approximate ops
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "ext_minhash_pairs",  # xxhash64 signatures (Spark-only hash)
-        "ext_simhash_pairs",  # xxhash64 signatures
         "ext_ivf_topk",  # data-adaptive k-means index
         "ext_multimodal_features",  # synthetic media table
         "ext_pq_topk",  # data-adaptive Lloyd codebooks

@@ -340,3 +340,69 @@ def test_chunk_documents_windows_and_overlap(spark):
     for r in c1:
         covered.update(r["chunk_text"].split())
     assert covered == {f"w{i}" for i in range(100)}
+
+
+# ------------------- portable (md5 double-hashing) family ----------------
+
+
+def test_portable_minhash_matches_python_reference(spark):
+    """Pin the portable family's exact values against an independent
+    hashlib computation: sig[i] = min over shingles of b1 + i*b2 where
+    b1/b2 are the first/second 13 hex chars of md5(shingle)."""
+    import hashlib
+
+    text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    sig = minhash_signatures(
+        docs, k=3, num_hashes=8, hash_family="portable"
+    ).collect()[0]["sig"]
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expected = []
+    for i in range(8):
+        vals = []
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            vals.append(int(h[:13], 16) + i * int(h[13:26], 16))
+        expected.append(min(vals))
+    assert list(sig) == expected
+
+
+def test_portable_simhash_matches_python_reference(spark):
+    """Pin the portable 64-bit simhash bit-for-bit against hashlib:
+    bits 0-51 from md5 hex chars 1-13, bits 52-63 from chars 14-16."""
+    import hashlib
+
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = simhash(docs, hash_family="portable").collect()[0]["simhash"]
+    balances = [0] * 64
+    for t in text.split():
+        h = hashlib.md5(t.encode()).hexdigest()
+        h1, h2 = int(h[:13], 16), int(h[13:16], 16)
+        for b in range(64):
+            bit = (h1 >> b) & 1 if b < 52 else (h2 >> (b - 52)) & 1
+            balances[b] += 1 if bit else -1
+    expected = 0
+    for b in range(64):
+        if balances[b] > 0:
+            expected |= 1 << b
+    if expected >= 1 << 63:  # signed 64-bit wrap, as Spark's long
+        expected -= 1 << 64
+    assert got == expected
+
+
+def test_portable_minhash_pairs_find_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs,
+            num_hashes=32,
+            bands=16,
+            k=3,
+            threshold=0.3,
+            hash_family="portable",
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs always band together
+    assert (0, 2) in pairs  # near-dup candidate found and verified

@@ -57,10 +57,21 @@ def exact_dedup(
 
 
 def _shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingle_hash) exploded pairs; shingles distinct per doc and
     hashed to 64-bit so shuffle rows are two longs.
+
+    ``hash_family="portable"`` derives TWO 52-bit longs (``sh``,
+    ``sh2``) from one md5 per shingle — the double-hashing base for an
+    engine-portable minhash family (``conv(substr(md5(s),1,13),16,10)``
+    equals DuckDB's ``('0x'||substr(md5(s),1,13))::BIGINT``), so the
+    whole LSH pipeline is exactly reproducible in the SQL oracle. The
+    default ``xxhash64`` family is the cheap JVM-only path.
 
     Tokens are materialized through a projection boundary BEFORE the
     shingle transform — HOF lambdas re-evaluate inline subexpressions
@@ -68,15 +79,22 @@ def _shingle_hashes(
     per shingle slice (measured 6× slower; see
     ``shingles_from_tokens``'s perf contract)."""
     base = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
-    return (
-        base.select(
-            F.col(id_col),
-            F.explode(
-                shingles_from_tokens(F.col("__toks"), k)
-            ).alias("__s"),
-        )
-        .select(id_col, F.xxhash64("__s").alias("sh"))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__s"),
     )
+    if hash_family == "portable":
+        md5ed = exploded.select(id_col, F.md5("__s").alias("__m"))
+        return md5ed.select(
+            id_col,
+            F.conv(F.substring("__m", 1, 13), 16, 10)
+            .cast("long")
+            .alias("sh"),
+            F.conv(F.substring("__m", 14, 13), 16, 10)
+            .cast("long")
+            .alias("sh2"),
+        )
+    return exploded.select(id_col, F.xxhash64("__s").alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -153,21 +171,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def _min_sig_agg(df: DataFrame, id_col: str, num_hashes: int, *extra_aggs):
+def _min_sig_agg(
+    df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    *extra_aggs,
+    hash_family: str = "xxhash64",
+):
     """(id, m0..m{n-1} [, extra]) via explode + partial-min aggregates.
 
-    The i-th family member is a cheap long-rehash ``xxhash64(sh, i)`` of
-    the 64-bit shingle hash; ``min()`` partial-aggregates map-side, so
-    the shuffle carries ONE narrow (id, n longs) row per doc per input
-    partition — never the exploded shingles. This explode+agg shape
-    measured ~2× faster than the higher-order-function form (32 nested
-    ``array_min(transform(...))`` defeats whole-stage codegen).
+    Family member i: ``xxhash64(sh, i)`` (cheap JVM rehash) or, for the
+    ``portable`` family, the double-hashing form ``sh + i·sh2`` over the
+    two md5-derived 52-bit longs — plain bigint arithmetic both engines
+    evaluate identically (max value ~2^57, no ANSI overflow). ``min()``
+    partial-aggregates map-side, so the shuffle carries ONE narrow
+    (id, n longs) row per doc per input partition — never the exploded
+    shingles. This explode+agg shape measured ~2× faster than the
+    higher-order-function form (32 nested ``array_min(transform(...))``
+    defeats whole-stage codegen).
     """
     sh = df
-    mins = [
-        F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "portable":
+        mins = [
+            F.min(F.col("sh") + F.lit(i) * F.col("sh2")).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*mins, *extra_aggs)
 
 
@@ -177,17 +210,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document → (id, array<bigint> sig).
 
     Two-level hash family: every shingle STRING is hashed exactly once
-    (``xxhash64(shingle)``), then sig[i] = min over shingles of
-    ``xxhash64(base, i)``. Computed as explode → n partial-min
-    aggregates (see ``_min_sig_agg``). Documents with no shingles get a
-    null signature (restored by a left join back onto the id set).
+    (``xxhash64(shingle)`` or, portable, one md5 → two 52-bit longs),
+    then sig[i] = min over shingles of the i-th family member (see
+    ``_min_sig_agg``). Computed as explode → n partial-min aggregates.
+    Documents with no shingles get a null signature (restored by a left
+    join back onto the id set).
     """
     wide = _min_sig_agg(
-        _shingle_hashes(df, text_col, id_col, k), id_col, num_hashes
+        _shingle_hashes(df, text_col, id_col, k, hash_family),
+        id_col,
+        num_hashes,
+        hash_family=hash_family,
     )
     sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     return df.select(id_col).join(
@@ -205,8 +243,17 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
+
+    ``hash_family="portable"`` swaps the signature family for the
+    md5-derived double-hashing form, making candidate recall (hence the
+    verified pair set) exactly reproducible in ANSI SQL — the registry
+    query uses it so the DuckDB oracle checks the full LSH pipeline,
+    not just row counts. Bucket keys stay ``xxhash64``: only band-slice
+    EQUALITY matters for bucketing, and hash(x)=hash(y) ⇔ x=y holds
+    within the engine regardless of family.
 
     ``max_bucket_size`` drops degenerate mega-buckets (a bucket of m
     documents yields m·(m−1)/2 candidates; boilerplate-heavy corpora
@@ -231,10 +278,11 @@ def minhash_near_dup_pairs(
     # (id + 32 longs + shingle-hash list), so this caches O(corpus
     # signature) bytes, not documents.
     per_doc = _min_sig_agg(
-        _shingle_hashes(df, text_col, id_col, k),
+        _shingle_hashes(df, text_col, id_col, k, hash_family),
         id_col,
         num_hashes,
         *([F.collect_list("sh").alias("__set")] if verify else []),
+        hash_family=hash_family,
     ).persist()
     # Static band count → Python loop of literal slices; each band key
     # is the hash of its signature-slice columns.
@@ -335,12 +383,22 @@ def minhash_near_dup_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document → (id, simhash bigint).
 
     Each whitespace token is hashed to 64 bits; bit b of the signature
     is 1 iff more token-hashes have bit b set than unset.
+
+    ``hash_family="portable"`` builds the 64 token-hash bits from one
+    md5 — bits 0–51 from ``conv(substr(md5,1,13),16,10)``, bits 52–63
+    from ``conv(substr(md5,14,3),16,10)`` — both exactly reproducible
+    in DuckDB (``('0x'||substr(md5(t),…))::BIGINT``), so signatures,
+    chunk buckets, and Hamming distances match the SQL oracle
+    bit-for-bit.
 
     Shape: explode tokens → one hash per row → groupBy(doc) with 64
     conditional-sum aggregates (bit balances) → reassemble the 64-bit
@@ -352,15 +410,36 @@ def simhash(
     chains cost more per row than the 64 straight conditional sums,
     which stay inside whole-stage codegen.)
     """
-    tok = df.select(
-        F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
-    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    if hash_family == "portable":
+        tok = (
+            df.select(
+                F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+            )
+            .select(id_col, F.md5("__t").alias("__m"))
+            .select(
+                id_col,
+                F.conv(F.substring("__m", 1, 13), 16, 10)
+                .cast("long")
+                .alias("__h"),
+                F.conv(F.substring("__m", 14, 3), 16, 10)
+                .cast("long")
+                .alias("__h2"),
+            )
+        )
+        bit_src = lambda b: (  # noqa: E731 - tiny local dispatch
+            F.col("__h").bitwiseAND(F.lit(_mask(b)))
+            if b < 52
+            else F.col("__h2").bitwiseAND(F.lit(1 << (b - 52)))
+        )
+    else:
+        tok = df.select(
+            F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+        ).select(id_col, F.xxhash64("__t").alias("__h"))
+        bit_src = lambda b: F.col("__h").bitwiseAND(  # noqa: E731
+            F.lit(_mask(b))
+        )
     balances = [
-        F.sum(
-            F.when(
-                F.col("__h").bitwiseAND(F.lit(_mask(b))) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"__b{b}")
+        F.sum(F.when(bit_src(b) != 0, 1).otherwise(-1)).alias(f"__b{b}")
         for b in range(64)
     ]
     agg = tok.groupBy(id_col).agg(*balances)
@@ -387,8 +466,13 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    ``hash_family="portable"`` (see :func:`simhash`) makes the whole
+    pipeline — signatures, pigeonhole chunks, Hamming filter — exactly
+    reproducible in the DuckDB oracle.
 
     Pigeonhole banding: split 64 bits into ``max_hamming+1`` chunks;
     any pair within distance ≤ max_hamming agrees exactly on at least
@@ -404,7 +488,9 @@ def simhash_near_dup_pairs(
     """
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sh = simhash(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    sh = simhash(df, text_col, id_col, hash_family).filter(
+        F.col("simhash").isNotNull()
+    )
     # Static chunk count → build the (chunk, chunk_key) array with a
     # Python loop of literal shifts (shift amounts must be literals).
     chunk_structs = [

@@ -740,18 +740,28 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """Dedup: MinHash+LSH candidate pairs, Jaccard-verified (rows-only oracle:
-    xxhash64 has no DuckDB twin; verified variant is hash-independent but
-    candidate recall is not)."""
+    """Dedup: MinHash+LSH candidate pairs, Jaccard-verified. Uses the
+    engine-portable md5 double-hashing family, so the oracle reproduces
+    the EXACT banding → candidate → verified-pair pipeline in SQL —
+    candidate recall included, not just the verification step."""
     pairs = minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=16, k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=16,
+        k=3,
+        threshold=0.2,
+        hash_family="portable",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup: SimHash near-dup pairs, Hamming ≤ 3 (rows-only oracle)."""
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """Dedup: SimHash near-dup pairs, Hamming ≤ 3. Portable md5-derived
+    bit family → signatures, pigeonhole chunks, and Hamming distances
+    are bit-identical in the DuckDB oracle."""
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="portable"
+    )
 
 
 def q_fingerprints(spark, sf_dir):
@@ -1948,8 +1958,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT min(doc_id) FROM documents GROUP BY md5(text))",
     ),
     "ext_ngram_jaccard": (q_ngram_jaccard, None),  # SQL built below
-    "ext_minhash_pairs": (q_minhash_pairs, None),  # rows-only (xxhash64)
-    "ext_simhash_pairs": (q_simhash_pairs, None),  # rows-only (xxhash64)
+    "ext_minhash_pairs": (q_minhash_pairs, None),  # SQL built below
+    "ext_simhash_pairs": (q_simhash_pairs, None),  # SQL built below
     "ext_fingerprints": (q_fingerprints, None),  # rows-only (xxhash64)
     "ext_topk_cosine": (q_topk_cosine, None),  # SQL built below
     "ext_embedding_pairs_bucketed": (q_embedding_pairs_bucketed, None),  # SQL built below
@@ -2125,6 +2135,123 @@ SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
 
 
 REGISTRY["ext_dedup_clusters"] = (q_dedup_clusters, _sql_dedup_clusters())
+
+
+def _sql_minhash_pairs(
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> str:
+    """Exact SQL twin of the portable-family MinHash+LSH pipeline
+    (ext/dedup.py): identical md5 double-hashing signatures
+    (``b1 + i·b2`` over the two 52-bit md5 halves), identical banding
+    (bucket = equality of the band's signature slice), identical
+    Jaccard verification (intersection on the 52-bit shingle hash, as
+    the Spark ``__set`` does) — so candidate recall itself is checked,
+    not just the verified survivors."""
+    rpb = num_hashes // bands
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' ')))) AS s
+  FROM t WHERE len(toks) >= {k}
+),
+hx AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT AS b1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS b2
+  FROM sh
+),
+perms AS (
+  SELECT doc_id, r.i, min(b1 + r.i * b2) AS m
+  FROM hx CROSS JOIN range(0, {num_hashes}) r(i)
+  GROUP BY doc_id, r.i
+),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+  FROM perms GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN hx a ON a.doc_id = c.id_a
+  JOIN hx b ON b.doc_id = c.id_b AND a.b1 = b.b1
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """Exact SQL twin of the portable-family SimHash pipeline: the 64
+    token-hash bits come from one md5 (bits 0–51 from hex chars 1–13,
+    bits 52–63 from chars 14–16), the 64 bit-balance sums, the signed
+    64-bit signature reassembly, the pigeonhole chunk buckets, and the
+    final popcount Hamming filter are all reproduced bit-for-bit.
+    Arithmetic ``>>`` then ``& mask`` equals Spark's
+    ``shiftrightunsigned`` + mask: the mask keeps only true signature
+    bits, so sign-fill never leaks through."""
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    bal_cols = []
+    for b in range(64):
+        src = f"(h1 >> {b}) & 1" if b < 52 else f"(h2 >> {b - 52}) & 1"
+        bal_cols.append(
+            f"sum(CASE WHEN {src} = 1 THEN 1 ELSE -1 END) AS g{b}"
+        )
+    sig_terms = [
+        f"CASE WHEN g{b} > 0 THEN {-(1 << 63) if b == 63 else (1 << b)} "
+        "ELSE 0 END"
+        for b in range(64)
+    ]
+    mask = (1 << width) - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+hx AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tk), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(tk), 14, 3))::BIGINT AS h2
+  FROM tok
+),
+bal AS (SELECT doc_id, {", ".join(bal_cols)} FROM hx GROUP BY doc_id),
+sig AS (SELECT doc_id, ({" + ".join(sig_terms)})::BIGINT AS s FROM bal),
+chunks AS (
+  SELECT doc_id, s, c.c AS chunk, (s >> (c.c * {width})) & {mask} AS ck
+  FROM sig CROSS JOIN range(0, {nchunks}) c(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.s AS sa, b.s AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_minhash_pairs"] = (q_minhash_pairs, _sql_minhash_pairs())
+REGISTRY["ext_simhash_pairs"] = (q_simhash_pairs, _sql_simhash_pairs())
 
 
 def _sql_winnow(k: int = 5, w: int = 4) -> str:
@@ -2690,6 +2817,86 @@ FROM r{iterations} ORDER BY pr DESC, node LIMIT 100
 
 REGISTRY["ext_leakage_split"] = (q_leakage_split, _sql_leakage_split())
 REGISTRY["ext_pagerank"] = (q_pagerank, _sql_pagerank())
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy first-fit sequence packing of documents into 512-token
+    context windows, per source stream — the training-batch assembly
+    op. ``applyInPandas`` runs the inherently-sequential greedy scan
+    per group; groups distribute. The recursive-CTE oracle walks the
+    identical (source, doc_id) order, so bin assignments match
+    row-for-row."""
+    from uofi_payroll_etl_main_demo_spark.ext.packing import pack_greedy
+    from uofi_payroll_etl_main_demo_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_greedy(
+        d, capacity=512, group_col="source", order_col="doc_id",
+        size_col="n_tokens",
+    )
+
+
+def _sql_pack_sequences(capacity: int = 512) -> str:
+    """Recursive CTE twin of the greedy first-fit scan: one recursion
+    step per row in (source, doc_id) order, carrying (bin, fill)."""
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(source, rn, doc_id, n_tokens, seq_id, off, used) AS (
+  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.used > 0 AND p.used + o.n_tokens > {capacity}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.used > 0 AND p.used + o.n_tokens > {capacity}
+              THEN 0 ELSE p.used END,
+         CASE WHEN p.used > 0 AND p.used + o.n_tokens > {capacity}
+              THEN o.n_tokens ELSE p.used + o.n_tokens END
+  FROM pack p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, seq_id, off AS "offset" FROM pack
+"""
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle: md5-bucket shard + reproducible
+    in-shard position for every document — the training-loader layout
+    op. Engine-portable hashing, so the oracle reproduces shard AND
+    position exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.packing import (
+        shard_assignment,
+    )
+
+    return shard_assignment(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", n_shards=16
+    )
+
+
+def _sql_shard_assign(n_shards: int = 16) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % {n_shards} AS INTEGER) AS shard,
+       row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id)
+         - 1 AS shard_pos
+FROM h
+"""
+
+
+REGISTRY["ext_pack_sequences"] = (q_pack_sequences, _sql_pack_sequences())
+REGISTRY["ext_shard_assign"] = (q_shard_assign, _sql_shard_assign())
 
 
 # --------------------------------------------------------------------------
