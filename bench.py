@@ -71,6 +71,10 @@ HEADLINE = [
     "ext_bm25_search",
     "ext_knn_join",
     "ext_dedup_clusters_star",
+    "ext_leakage_split",
+    "ext_pagerank",
+    "ext_pack_sequences",
+    "ext_shard_assign",
 ]
 
 

@@ -382,6 +382,131 @@ def minhash_near_dup_pairs(
     )
 
 
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Incremental MinHash+LSH dedup: which NEW documents near-duplicate
+    the EXISTING corpus — the CDC shape of corpus deduplication.
+
+    The incremental property is enforced at pair-expansion time: both
+    sides flow through ONE shingle pass and one banding (tagged with a
+    ``__new`` flag), and the in-bucket expansion emits only
+    (new, old) pairs — never old×old (the corpus was already deduped)
+    and never new×new (dedup the batch separately if wanted). At 100 TB
+    this is the difference between re-pairing the whole corpus every
+    day and touching only buckets a new document lands in.
+
+    Ids must be disjoint across the two inputs. Returns
+    (new_id, old_id, jaccard) with exact-Jaccard verification at
+    ``threshold``.
+    """
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+    ).unionByName(
+        batch.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
+        )
+    )
+    rows_per_band = num_hashes // bands
+    flags = tagged.select(id_col, "__new")
+    per_doc = _min_sig_agg(
+        _shingle_hashes(tagged, text_col, id_col, k, hash_family),
+        id_col,
+        num_hashes,
+        F.collect_list("sh").alias("__set"),
+        hash_family=hash_family,
+    ).join(flags, id_col).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = per_doc.select(
+        F.col(id_col),
+        F.col("__new"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        id_col, "__new", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__new").alias("nw"))
+            ).alias("docs")
+        )
+        .filter(F.size("docs") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
+    docs = F.col("docs")
+    # cross-status pairs only: (new, old), emitted as (new_id, old_id)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                docs,
+                lambda x, i: F.transform(
+                    F.slice(docs, i + F.lit(2), F.size(docs)),
+                    lambda y: F.struct(
+                        F.when(x["nw"], x["id"]).otherwise(y["id"]).alias(
+                            "new_id"
+                        ),
+                        F.when(x["nw"], y["id"]).otherwise(x["id"]).alias(
+                            "old_id"
+                        ),
+                        (x["nw"] != y["nw"]).alias("cross"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["cross"],
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.new_id").alias("new_id"), F.col("p.old_id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    sets_ = per_doc.select(F.col(id_col), F.col("__set"))
+    with_a = cand.join(
+        sets_.select(
+            F.col(id_col).alias("new_id"), F.col("__set").alias("set_a")
+        ),
+        "new_id",
+    )
+    with_b = with_a.join(
+        sets_.select(
+            F.col(id_col).alias("old_id"), F.col("__set").alias("set_b")
+        ),
+        "old_id",
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        with_b.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

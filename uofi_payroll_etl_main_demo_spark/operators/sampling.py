@@ -56,3 +56,38 @@ def stratified_hash_sample(
         thresh.isNotNull()
         & (hash_bucket(F.col(key), buckets) < thresh)
     )
+
+
+def mixture_take(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact-count mixture sampling: per stratum, keep the FIRST
+    ``budgets[stratum]`` rows in portable-hash order — the data-mixing
+    op that assembles a training set to a target source composition
+    ("100k docs of web, 50k of code, 10k of forums").
+
+    Hash order (md5 of the key, ties by key) makes the selection a
+    deterministic pseudo-random subset: stable across runs,
+    partitionings, and engines, and a stratum whose budget exceeds its
+    population is simply kept whole. Strata not listed are dropped.
+    One shuffle on the stratum key for the in-stratum rank; the
+    rank-vs-budget filter is a literal CASE, not a join.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(key).asc())
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(strata)]
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(budget.isNotNull() & (F.col("__rn") <= budget))
+        .drop("__rn")
+    )

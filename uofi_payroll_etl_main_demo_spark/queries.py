@@ -2899,6 +2899,128 @@ REGISTRY["ext_pack_sequences"] = (q_pack_sequences, _sql_pack_sequences())
 REGISTRY["ext_shard_assign"] = (q_shard_assign, _sql_shard_assign())
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (CDC-shaped) near-dup detection: which docs of the
+    'new batch' (doc_id % 5 == 4) near-duplicate the existing corpus
+    (the rest). One shingle pass + one banding over both sides; the
+    in-bucket expansion emits ONLY new×old pairs — the shape that keeps
+    daily dedup cost proportional to the batch, not the corpus."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    pairs = incremental_near_dup_pairs(
+        corpus,
+        batch,
+        num_hashes=32,
+        bands=16,
+        k=3,
+        threshold=0.2,
+        hash_family="portable",
+    )
+    return pairs.select(
+        "new_id", "old_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_incremental_dedup(
+    k: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.2
+) -> str:
+    """Portable-family MinHash twin restricted to new×old pairs (new =
+    doc_id % 5 = 4). Mirrors _sql_minhash_pairs except the candidate
+    join crosses the batch/corpus boundary."""
+    rpb = num_hashes // bands
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' ')))) AS s
+  FROM t WHERE len(toks) >= {k}
+),
+hx AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT AS b1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS b2
+  FROM sh
+),
+perms AS (
+  SELECT doc_id, r.i, min(b1 + r.i * b2) AS m
+  FROM hx CROSS JOIN range(0, {num_hashes}) r(i)
+  GROUP BY doc_id, r.i
+),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+  FROM perms GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bnd n JOIN bnd o ON n.band = o.band AND n.bk = o.bk
+  WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 != 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, count(*) AS i
+  FROM cand c
+  JOIN hx a ON a.doc_id = c.new_id
+  JOIN hx b ON b.doc_id = c.old_id AND a.b1 = b.b1
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = old_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
+_MIXTURE_BUDGETS = {"src0": 100, "src1": 50, "src2": 10, "src3": 5}
+
+
+def q_mixture_take(spark, sf_dir):
+    """Data mixing: assemble a training subset to a target source
+    composition — per-source exact budgets, portable-hash order (a
+    budget above the stratum's population keeps it whole; unlisted
+    sources are dropped)."""
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        mixture_take,
+    )
+
+    return mixture_take(
+        _t(spark, sf_dir, "documents"), _MIXTURE_BUDGETS
+    ).select("doc_id", "source")
+
+
+def _sql_mixture_take() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in _MIXTURE_BUDGETS.items()
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r
+WHERE rn <= CASE source {case} ELSE 0 END
+"""
+
+
+REGISTRY["ext_incremental_dedup"] = (
+    q_incremental_dedup,
+    _sql_incremental_dedup(),
+)
+REGISTRY["ext_mixture_take"] = (q_mixture_take, _sql_mixture_take())
+
+
 # --------------------------------------------------------------------------
 # Driver-correctness window ordering
 #
