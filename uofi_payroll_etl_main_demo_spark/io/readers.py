@@ -20,10 +20,15 @@ TPCH_TABLES = (
 ).split()
 
 
-# Tables with parquet TIMESTAMP(NANOS) columns (TESTDATA.md: events.ts).
-# The nano handling below is gated on this map / an explicit argument —
-# a bigint column that merely happens to be named "ts" in some other
-# table is never rewritten.
+# Tables whose timestamp columns need normalization to the engine's
+# TIMESTAMP (UTC wall-clock) contract. Two generations of TESTDATA
+# exist: parquet TIMESTAMP(NANOS) (reads as bigint under the legacy
+# conf) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+# TIMESTAMP_NTZ under Spark's NTZ inference). Both are rewritten to
+# TimestampType so downstream operators (windows, unix_micros,
+# watermarks) see one type. Gated on this map / an explicit argument —
+# a column that merely happens to be named "ts" in some other table is
+# never rewritten.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -57,12 +62,21 @@ def read_parquet_table(
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name in nanos and field.dataType.simpleString() == "bigint":
+        if field.name not in nanos:
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             # integer division keeps full int64 precision (a double
             # round-trip would corrupt nano timestamps > 2^53).
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
+        elif kind == "timestamp_ntz":
+            # micros-generation TESTDATA: the parquet column is a naive
+            # wall clock; under the pinned UTC session this cast is a
+            # pure type change (identical micros), aligning with the
+            # nanos path above and with DuckDB's read of the same file.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
