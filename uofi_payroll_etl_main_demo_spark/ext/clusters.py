@@ -29,19 +29,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.session import iterative_conf
+
 
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Undirected connected components of the pair graph.
 
     Returns (id, component) for every id appearing in ``pairs``, where
     ``component`` is the minimum id reachable from it. Raises if the
-    propagation hasn't converged within ``max_iter`` sweeps.
+    propagation hasn't converged within ``max_iter`` sweeps. Executes
+    under ``session.iterative_conf`` (AQE off, state-sized shuffle
+    width — see there for why); every sweep materializes eagerly, so
+    the scope covers all the work.
     """
+    with iterative_conf(pairs.sparkSession, state_partitions):
+        return _cc_label_prop(pairs, src, dst, max_iter)
+
+
+def _cc_label_prop(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -100,6 +113,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -122,8 +136,14 @@ def connected_components_star(
     scalars per round, no data collect; ``localCheckpoint`` truncates
     the iterative lineage exactly as in ``connected_components``.
 
-    Returns (id, component): component = min reachable id.
+    Returns (id, component): component = min reachable id. Executes
+    under ``session.iterative_conf`` like :func:`connected_components`.
     """
+    with iterative_conf(pairs.sparkSession, state_partitions):
+        return _cc_star(pairs, src, dst, max_iter)
+
+
+def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -174,11 +194,14 @@ def connected_components_star(
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
             roots = edges.select(F.col("v").alias("id")).distinct()
-            return edges.select(
-                F.col("u").alias("id"), F.col("v").alias("comp")
-            ).unionByName(
-                roots.select("id", F.col("id").alias("comp"))
-            ).distinct()
+            return (
+                edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+                .unionByName(roots.select("id", F.col("id").alias("comp")))
+                .distinct()
+                # materialize inside the iterative_conf scope (the
+                # caller's restored confs would otherwise replan this)
+                .localCheckpoint(eager=True)
+            )
         prev_sig = sig
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} rounds"

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.session import iterative_conf
+
 SCALE = 1_000_000_000  # 1.0 in micro-points
 
 
@@ -46,6 +48,7 @@ def pagerank(
     iterations: int = 6,
     damping_pct: int = 85,
     checkpoint_every: int = 8,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -55,53 +58,67 @@ def pagerank(
     ``iterations`` count (not a convergence test) keeps the unrolled
     SQL oracle finite and the result engine-exact.
 
-    ``checkpoint_every`` bounds lineage depth: sweeps between
-    checkpoints stay LAZY, so a short run (the common case) compiles
-    into ONE Spark job instead of paying the per-job scheduling floor
-    once per sweep — measured 7.0 s → 2.0 s for 6 sweeps at bench
-    scale. Long runs still truncate lineage periodically (same
-    rationale as ``ext/clusters.py``).
+    ``checkpoint_every`` bounds lineage depth for long runs; short runs
+    (the common case) stay lazy between the eager endpoints. The whole
+    iteration executes under ``iterative_conf`` — AQE off, state-sized
+    shuffle width — and the result is materialized inside that scope
+    (measured 7.0 s → ~2.3 s for 6 sweeps at bench scale; see
+    ``session.iterative_conf`` for why).
     """
-    # ONE distinct over the edge list, cached — deg, nodes, and the
-    # per-sweep frame all read this cache instead of re-running the
-    # distinct shuffle (it is consumed 3+ times; uncached, the setup
-    # cost was 3× the six sweeps combined at bench scale)
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .distinct()
-        .persist()
-    )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    # node set materialized eagerly; this also populates the e cache
-    nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=True)
-    # static (src, dst, outdeg) frame: outdeg is O(nodes) rows, so it
-    # BROADCASTS onto the cached edge list — no edge shuffle, ever
-    ed = e.join(F.broadcast(deg), "s").persist()
-    ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("pr"))
-    teleport = (100 - damping_pct) * SCALE // 100
-    for it in range(1, iterations + 1):
-        # ranks / contributions are O(nodes) rows — broadcast them into
-        # the big cached edge frame so the loop body's only exchange is
-        # the map-side-combined contribution aggregation; the edge list
-        # itself is NEVER reshuffled after the initial persist
-        contrib = ed.join(
-            F.broadcast(ranks), ed["s"] == ranks["node"]
-        ).select(F.col("d"), F.expr("pr div outdeg").alias("c"))
-        inc = contrib.groupBy(F.col("d").alias("n2")).agg(
-            F.sum("c").alias("inc")
+    spark = edges.sparkSession
+    with iterative_conf(spark, state_partitions):
+        # ONE distinct over the edge list, cached — deg, nodes, and the
+        # per-sweep frame all read this cache instead of re-running the
+        # distinct shuffle (it is consumed 3+ times; uncached, the
+        # setup cost was 3× the six sweeps combined at bench scale)
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .distinct()
+            .persist()
         )
-        ranks = nodes.join(
-            F.broadcast(inc), nodes["node"] == inc["n2"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(f"({damping_pct} * coalesce(inc, 0L)) div 100")
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+        # node set materialized eagerly; this also populates the e cache
+        nodes = deg.select(F.col("s").alias("node")).localCheckpoint(
+            eager=True
+        )
+        # static (src, dst, outdeg) frame: outdeg is O(nodes) rows, so
+        # it BROADCASTS onto the cached edge list — no edge shuffle
+        ed = e.join(F.broadcast(deg), "s").persist()
+        teleport = (100 - damping_pct) * SCALE // 100
+        # pr_i(s) = teleport + (damping * inc_i(s)) div 100, with
+        # inc_i(s)=0 for nodes nothing links to. Rather than
+        # materializing that as a per-sweep (node, pr) frame — a second
+        # broadcast join per sweep against `nodes` — fold the formula
+        # INTO the next sweep's contribution join: every sweep is then
+        # exactly one broadcast left-join onto the cached edge frame +
+        # one map-side-combined aggregation, and sweep 1 (uniform
+        # pr = SCALE) needs no join at all. Values are bit-identical.
+        pr_expr = (
+            f"(cast({teleport} as bigint)"
+            f" + ({damping_pct} * coalesce(inc, 0L)) div 100)"
+        )
+        contrib = ed.select(
+            F.col("d"),
+            F.expr(f"cast({SCALE} as bigint) div outdeg").alias("c"),
+        )
+        inc = None
+        for it in range(1, iterations + 1):
+            inc = contrib.groupBy(F.col("d").alias("n2")).agg(
+                F.sum("c").alias("inc")
             )
-            .cast("bigint")
-            .alias("pr"),
+            if it % checkpoint_every == 0 and it < iterations:
+                inc = inc.localCheckpoint(eager=True)
+            if it < iterations:
+                contrib = ed.join(
+                    F.broadcast(inc), ed["s"] == inc["n2"], "left"
+                ).select(
+                    F.col("d"), F.expr(f"{pr_expr} div outdeg").alias("c")
+                )
+        ranks = (
+            nodes.join(F.broadcast(inc), nodes["node"] == inc["n2"], "left")
+            .select("node", F.expr(pr_expr).cast("bigint").alias("pr"))
+            .localCheckpoint(eager=True)
         )
-        if it % checkpoint_every == 0 and it < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    ed.unpersist()
+        ed.unpersist()
+        e.unpersist()
     return ranks

@@ -11,6 +11,8 @@ KB-scale (SURVEY.md §2.3).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -60,3 +62,53 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, conf: dict[str, str]) -> Iterator[None]:
+    """Set session confs for a block, restoring the previous values on
+    exit. Anything the block leaves LAZY executes under the caller's
+    restored confs — operators using this must materialize (eager
+    localCheckpoint / action) inside the block."""
+    old: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@contextmanager
+def iterative_conf(
+    spark: SparkSession, state_partitions: int | None = None
+) -> Iterator[None]:
+    """Execution posture for iterative operators (PageRank, connected
+    components): AQE OFF and a state-sized shuffle width.
+
+    AQE executes a multi-shuffle chain stage-by-stage with a driver
+    replanning pause between stages; an iterative graph sweep is a
+    chain of small fixed-shape shuffles, so that pause — not the data —
+    dominates (measured 7.0 s → 2.3 s for 6 PageRank sweeps at sf0.1,
+    local[32]). The per-sweep state frame is O(nodes) rows, far smaller
+    than the session default shuffle width sized for the big tables;
+    ``state_partitions`` defaults to defaultParallelism/4 (min 8) and
+    should be passed explicitly for billion-node graphs.
+    """
+    n = state_partitions or max(8, spark.sparkContext.defaultParallelism // 4)
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(n),
+        },
+    ):
+        yield
