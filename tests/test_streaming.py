@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.io.readers import read_parquet_table
 from uofi_payroll_etl_main_demo_spark.streaming import (
+    correlate_streams,
     dedup_events,
     enrich_stream,
     event_type_rollup,
@@ -165,6 +166,31 @@ def test_dedup_stream(spark, events_dir, events_batch):
     got = run_stream(spark, dedup_events(stream), "dedup_ev", "append")
     assert got.count() == dedup_events(events_batch).count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir, events_batch):
+    # single-trigger ingest: no cross-micro-batch arrivals, so the
+    # streaming interval join emits every batch pair (state eviction
+    # only withholds pairs when the watermark advances past them
+    # mid-stream)
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    sv, sc = split(read_events_stream(spark, events_dir))
+    got = run_stream(
+        spark, correlate_streams(sv, sc), "interval_join", "append"
+    )
+    bv, bc = split(events_batch)
+    want = correlate_streams(bv, bc)
+    cols = ["user_id", "l_event_id", "r_event_id", "lag_us"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert want.count() > 0  # not vacuous
+    assert want.filter(
+        (F.col("lag_us") < 0) | (F.col("lag_us") > 600_000_000)
+    ).count() == 0
 
 
 def test_sessionize_batch_gap_semantics(spark):

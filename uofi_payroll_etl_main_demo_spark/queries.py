@@ -1328,6 +1328,33 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Batch twin of ``dropDuplicatesWithinWatermark``: exactly-once
+    per (user_id, event_type), keep-first by event time — deterministic
+    under any partitioning, unlike plain dropDuplicates."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import dedup_events
+
+    out = dedup_events(
+        _t(spark, sf_dir, "events"), keys=["user_id", "event_type"]
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """Batch twin of the stream-stream interval join: click-after-view
+    attribution per user within 10 minutes."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import (
+        correlate_streams,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return correlate_streams(views, clicks, within="10 minutes").select(
+        "user_id", "l_event_id", "r_event_id", "lag_us"
+    )
+
+
 # ------------------------- pipeline composition -----------------------------
 
 def q_pipeline_payroll_shape(spark, sf_dir):
@@ -1941,6 +1968,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM s GROUP BY user_id, sess",
+    ),
+    "stream_dedup": (
+        q_stream_dedup,
+        "SELECT event_id, user_id, event_type, ts, value FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1",
+    ),
+    "stream_interval_join": (
+        q_stream_interval_join,
+        "SELECT v.user_id, v.event_id AS l_event_id, "
+        "c.event_id AS r_event_id, "
+        "epoch_us(c.ts) - epoch_us(v.ts) AS lag_us "
+        "FROM events v JOIN events c ON v.user_id = c.user_id "
+        "AND v.event_type = 'view' AND c.event_type = 'click' "
+        "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'",
     ),
     "ext_doc_stats": (q_doc_stats, None),  # SQL built below
     "ext_language_id": (q_language_id, None),  # SQL built below

@@ -9,6 +9,7 @@ core guarantee.
 """
 
 from uofi_payroll_etl_main_demo_spark.streaming.events import (  # noqa: F401
+    correlate_streams,
     dedup_events,
     enrich_stream,
     event_type_rollup,

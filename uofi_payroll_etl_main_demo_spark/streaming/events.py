@@ -95,7 +95,69 @@ def dedup_events(
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             keys
         )
-    return events.dropDuplicates(keys)
+    # Batch twin: the streaming path keeps the FIRST ARRIVAL per key;
+    # under in-order delivery that is the earliest event time, so the
+    # deterministic batch equivalent is keep-first by (ts, event_id) —
+    # NOT dropDuplicates, whose survivor is partitioning-dependent.
+    from uofi_payroll_etl_main_demo_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    return dedup_keep_first(events, keys, ["ts", "event_id"])
+
+
+def correlate_streams(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each ``lhs`` event paired with the
+    ``rhs`` events of the same key whose timestamp lands in
+    ``[lhs.ts, lhs.ts + within]`` (e.g. click-after-view attribution).
+
+    Streaming: BOTH sides are watermarked and the join condition bounds
+    rhs.ts relative to lhs.ts — exactly the constraint Spark needs to
+    evict join state (an unbounded stream-stream join would buffer both
+    streams forever). Batch: the identical plan — an equi-join on the
+    key with the time bounds as join filters (hash join, no cartesian;
+    the key carries the partitioning) — so the batch run is the oracle
+    for the streaming run.
+
+    Output: (key, l_event_id, r_event_id, l_ts, r_ts, lag_us) with
+    ``lag_us`` the exact integer microsecond gap.
+    """
+    l = lhs.select(
+        F.col(key).alias("__k"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = rhs.select(
+        F.col(key).alias("__k2"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if lhs.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if rhs.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l["__k"] == r["__k2"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("__k").alias(key),
+            "l_event_id",
+            "r_event_id",
+            "l_ts",
+            "r_ts",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+        )
+    )
 
 
 def enrich_stream(
