@@ -406,3 +406,44 @@ def test_portable_minhash_pairs_find_near_dups(docs):
     }
     assert pairs[(0, 1)] == 1.0  # identical docs always band together
     assert (0, 2) in pairs  # near-dup candidate found and verified
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        unigram_surprisal,
+    )
+
+    rows = [(i, "the the the the") for i in range(9)] + [
+        (100, "zyzzyva qwertyuiop")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict() for r in unigram_surprisal(df).collect()
+    }
+    # corpus: 'the' x36, rare tokens x1 each, total 38
+    # sb('the') = floor(log2(38//36)) = 0; sb(rare) = floor(log2(38)) = 5
+    assert out[0]["surprisal_milli_bits"] == 0
+    assert out[100]["surprisal_milli_bits"] == 5000
+    assert out[100]["n_tokens"] == 2
+    # empty docs are absent, not zero-scored
+    empty = spark.createDataFrame([(1, " "), (2, "a b")], ["doc_id", "text"])
+    assert [r["doc_id"] for r in unigram_surprisal(empty).collect()] == [2]
+
+
+def test_semantic_dedup_drops_near_identical_vectors(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import all_pairs_above
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.999] + [0.001] * (dim - 1)
+    far = [0.0] * (dim - 1) + [1.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    pairs = all_pairs_above(emb, dim=dim, threshold=0.95, n_planes=2)
+    kept = dedup_survivors(emb, pairs, id_col="vec_id")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3]

@@ -243,3 +243,52 @@ def winnowed_fingerprints(
         .otherwise(F.array().cast("array<string>"))
     )
     return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram-LM quality score per document, in exact integer
+    milli-bits per token.
+
+    The classic LM-based quality filter (CCNet / Gopher lineage) ranks
+    documents by average per-token surprisal under a language model;
+    here the model is the corpus's own unigram distribution, and the
+    per-token surprisal is floor(log2(total/count)) computed WITHOUT
+    floating point: ``length(bin(total div cnt)) - 1`` is the bit
+    length of the integer frequency ratio — exact in any engine, where
+    an ``ln()``-based score could flip a floor boundary between libm
+    implementations and break cross-engine equality (same philosophy
+    as the integer BM25 scores and micro-point PageRank).
+
+    Shape: explode → per-term count (map-side-combined agg) → per-term
+    surprisal on the VOCAB frame (computed once per distinct term, not
+    per occurrence) → join back on term → per-doc agg. The corpus
+    total lands via a broadcast 1-row frame, never a driver scalar.
+    The term join is hash-partitioned on the term — the scale path for
+    a 1e8-term vocabulary; Catalyst auto-broadcasts the vocab side
+    when it is small.
+
+    Output: (id, n_tokens, surprisal_milli_bits), docs with ≥1 token.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize_ws(text_col)).alias("tok")
+    )
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    per_term = tf.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.expr("bin(total div cnt)")) - 1)
+        .cast("long")
+        .alias("sb"),
+    )
+    return (
+        tok.join(per_term, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("(sum(sb) * 1000) div count(1)").alias(
+                "surprisal_milli_bits"
+            ),
+        )
+    )

@@ -3063,6 +3063,119 @@ REGISTRY["ext_incremental_dedup"] = (
 REGISTRY["ext_mixture_take"] = (q_mixture_take, _sql_mixture_take())
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): drop all but
+    one representative of every embedding-cosine near-dup cluster.
+    Composition of scale-safe parts: LSH-bucketed cosine pairs
+    (``all_pairs_above`` — equi-join on hyperplane buckets, never
+    all-pairs) → connected components → keep the min-id member per
+    cluster; the billions of unique vectors only pay a left-anti join
+    against the (tiny) loser set."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import all_pairs_above
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = all_pairs_above(emb, dim=64, threshold=0.35, n_planes=4)
+    kept = dedup_survivors(emb, pairs, id_col="vec_id")
+    return kept.select("vec_id", "label")
+
+
+def _sql_semantic_dedup(threshold: float = 0.35) -> str:
+    """Bucketed pairs (deterministic hyperplanes, reproduced in SQL) →
+    transitive closure → survivors = ids that are their component min."""
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_embedding_pairs_bucketed(threshold=threshold)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+losers AS (
+  SELECT src AS vec_id FROM reach GROUP BY src
+  HAVING min(node) != src
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+REGISTRY["ext_semantic_dedup"] = (q_semantic_dedup, _sql_semantic_dedup())
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Quality scoring: corpus-unigram-LM average surprisal per doc in
+    exact integer milli-bits (floor-log2 via integer bit length — no
+    floating log, so the oracle matches bit-for-bit)."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _sql_unigram_surprisal() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+  WHERE trim(text) != ''
+),
+tf AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM tf),
+s AS (SELECT tok, length(bin(total // cnt)) - 1 AS sb FROM tf, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST((sum(sb) * 1000) // count(*) AS BIGINT)
+         AS surprisal_milli_bits
+FROM t JOIN s USING (tok)
+GROUP BY doc_id
+"""
+
+
+REGISTRY["ext_unigram_surprisal"] = (
+    q_unigram_surprisal,
+    _sql_unigram_surprisal(),
+)
+
+
+def q_quantiles(spark, sf_dir):
+    """A14: exact interpolated quantiles per group (Spark `percentile`,
+    computed once via the array form). The probe points are DYADIC
+    fractions (k/2^m) over integer-valued quantities, so the linear
+    interpolation is exact in binary floating point and the result is
+    bit-identical to DuckDB's quantile_cont — float quantiles are
+    cross-engine-comparable only under that discipline. The scalable
+    sibling for 100 TB is `approx_percentile` (t-digest, rows-only
+    check); this exact form is the small-group/oracle path."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.875D))"
+        ).alias("__q")
+    )
+    return qs.select(
+        "l_returnflag",
+        F.element_at("__q", 1).alias("q25"),
+        F.element_at("__q", 2).alias("q50"),
+        F.element_at("__q", 3).alias("q75"),
+        F.element_at("__q", 4).alias("q875"),
+    )
+
+
+REGISTRY["a14_quantiles"] = (
+    q_quantiles,
+    "SELECT l_returnflag, "
+    "quantile_cont(l_quantity, 0.25) AS q25, "
+    "quantile_cont(l_quantity, 0.5) AS q50, "
+    "quantile_cont(l_quantity, 0.75) AS q75, "
+    "quantile_cont(l_quantity, 0.875) AS q875 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-correctness window ordering
 #
