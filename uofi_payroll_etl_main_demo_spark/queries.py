@@ -3210,10 +3210,16 @@ _WINDOW_50 = [
     "ext_embedding_pairs_bucketed",
     "ext_lsh_topk",
     "ext_topk_cosine_gemm",
-    "ext_ivf_topk",
     "ext_sq_rerank_topk",
     "ext_multimodal_features",
-    "ext_fuzzy_name_pairs",
+    "ext_semantic_dedup",
+    "ext_unigram_surprisal",
+    "ext_incremental_dedup",
+    "ext_pagerank",
+    "ext_leakage_split",
+    "ext_pack_sequences",
+    "ext_shard_assign",
+    "ext_mixture_take",
     "ext_zscore",
     "ext_decontaminate",
     "ext_repetition_stats",
@@ -3225,20 +3231,14 @@ _WINDOW_50 = [
     "tj_asof_join",
     "tj_range_join",
     "stream_window_counts",
-    "stream_rollup",
-    "stream_static_join",
     "stream_sessionize",
+    "stream_dedup",
+    "stream_interval_join",
     "samp_hash_sample",
     "samp_stratified",
     "scd2_history",
     "a9_approx_distinct",
-    "a10_cube",
-    "a11_stat_aggs",
-    "a12_unpivot",
-    "a13_histogram",
-    "arr_explode_norms",
-    "v_profile_table",
-    "sql_frontend_pricing",
+    "a14_quantiles",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
