@@ -273,12 +273,17 @@ def unigram_surprisal(
     """
     tok = df.select(
         F.col(id_col), F.explode(tokenize_ws(text_col)).alias("tok")
-    )
+    ).persist()
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tf.agg(F.sum("cnt").alias("total"))
-    per_term = tf.crossJoin(F.broadcast(total)).select(
+    # the corpus token total is a single driver scalar (the BM25-avgdl
+    # pattern: a 1-row aggregate collect, embedded as a literal — not a
+    # cross join, which the engine-wide plan lint forbids). The tok
+    # frame is persisted so the scalar pass and the scoring pass share
+    # one explode.
+    total = int(tf.agg(F.sum("cnt")).first()[0] or 0)
+    per_term = tf.select(
         "tok",
-        (F.length(F.expr("bin(total div cnt)")) - 1)
+        (F.length(F.expr(f"bin({total} div cnt)")) - 1)
         .cast("long")
         .alias("sb"),
     )
