@@ -65,3 +65,30 @@ def test_ivf_assignment_partitions_corpus(spark, emb):
     counts = index.assigned.groupBy("centroid").count().collect()
     assert sum(r["count"] for r in counts) == emb.count()
     assert len(counts) == 8  # every list non-empty at this size
+
+
+def test_gemm_pairs_match_column_form(spark, emb):
+    """all_pairs_above_gemm emits the identical pair SET as the Column
+    form (cosines equal to float noise) — the guarantee that lets the
+    semantic-dedup query take the GEMM path."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        all_pairs_above,
+        all_pairs_above_gemm,
+    )
+
+    col = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in all_pairs_above(
+            emb, dim=64, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in all_pairs_above_gemm(
+            emb, dim=64, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    assert set(gemm) == set(col)
+    for k, c in gemm.items():
+        assert c == pytest.approx(col[k], abs=1e-12)
+    assert len(gemm) >= 1

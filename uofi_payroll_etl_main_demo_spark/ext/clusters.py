@@ -65,44 +65,55 @@ def _cc_label_prop(
         "id", F.col("id").alias("comp")
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["s"] == labels["id"])
-            .groupBy(F.col("d").alias("id2"))
-            .agg(F.min("comp").alias("nb_comp"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["id2"], "left"
-        ).select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
-                "comp"
-            ),
+    _sig = lambda df: df.agg(  # noqa: E731 - tiny local helper
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).first()[0]
+    prev_sig = _sig(labels)
+
+    def sweep(labels: DataFrame) -> DataFrame:
+        # neighbor propagation as UNION + min-agg (one shuffle join +
+        # one agg — the left-join formulation costs a third join):
+        # every id keeps its own label via the labels side of the union
+        stepped = (
+            labels.unionByName(
+                edges.join(labels, edges["s"] == labels["id"]).select(
+                    F.col("d").alias("id"), F.col("comp")
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
         )
         # pointer jumping: comp := comp[comp] (resolve through the
         # label's own current label) — doubles chain resolution per sweep
         parent = stepped.select(
             F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
         )
-        new_labels = (
-            stepped.join(parent, stepped["comp"] == parent["p_id"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("p_comp", F.col("comp"))
-                ).alias("comp"),
-            )
+        return stepped.join(
+            parent, stepped["comp"] == parent["p_id"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("p_comp", F.col("comp"))
+            ).alias("comp"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+
+    # One sweep per materialization: the pointer-jump step self-joins
+    # the unmaterialized sweep output, so chaining sweeps lazily
+    # re-evaluates each inner sweep once per outer reference —
+    # exponential in chain depth (measured SLOWER at depth 2 despite
+    # halving the job count). Checkpoint eagerly every sweep.
+    for _ in range(max_iter):
+        new_labels = sweep(labels).localCheckpoint(eager=True)
+        # convergence: labels are monotone non-increasing per id, so the
+        # exact label sum is unchanged IFF no label moved — one tiny agg
+        # over the just-checkpointed frame, replacing a join-based
+        # changed-count. Decimal sum: overflow-proof at any node count
+        # under ANSI mode.
+        sig = _sig(new_labels)
+        converged = sig == prev_sig
+        prev_sig = sig
         labels = new_labels
-        if changed == 0:
+        if converged:
             edges.unpersist()
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} sweeps")

@@ -642,3 +642,78 @@ def sq_rerank_top_k(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def all_pairs_above_gemm(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`all_pairs_above` with in-bucket scoring as one numpy GEMM
+    per bucket (the ``knn_join_gemm`` pattern): unit-normalize the
+    bucket's member matrix once, score every pair as ``U @ U.T``, emit
+    the upper triangle above ``threshold``. Same bucket structure and
+    output contract; each vector lives in exactly one bucket, so pairs
+    are unique without a distinct.
+
+    Use this form when downstream consumes the pair SET (dedup
+    clustering — a float64 summation-order difference of ~1e-15 cannot
+    flip a threshold decision on real data); keep the Column form where
+    the oracle compares cosine VALUES exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        b = b.withColumn("__bn", cnt).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms != 0, norms, 1.0)
+        unit = mat / safe[:, None]
+        sims = unit @ unit.T
+        ok = (norms[:, None] != 0) & (norms[None, :] != 0)
+        iu, ju = np.triu_indices(n, 1)
+        keep = ok[iu, ju] & (sims[iu, ju] >= threshold)
+        a, bb = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, bb).astype("int64"),
+                "id_b": np.maximum(a, bb).astype("int64"),
+                "cosine": sims[iu, ju][keep].astype("float64"),
+            }
+        )
+
+    return (
+        b.select(F.col(id_col), F.col(vec_col), "bucket")
+        .groupBy("bucket")
+        .applyInPandas(score_bucket, schema)
+    )

@@ -3072,10 +3072,15 @@ def q_semantic_dedup(spark, sf_dir):
     cluster; the billions of unique vectors only pay a left-anti join
     against the (tiny) loser set."""
     from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
-    from uofi_payroll_etl_main_demo_spark.ext.similarity import all_pairs_above
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        all_pairs_above_gemm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = all_pairs_above(emb, dim=64, threshold=0.35, n_planes=4)
+    # GEMM in-bucket scoring: downstream consumes only the pair SET, so
+    # the summation-order float noise (~1e-15) of BLAS vs the Column
+    # expression cannot change the result (test-pinned equal)
+    pairs = all_pairs_above_gemm(emb, dim=64, threshold=0.35, n_planes=4)
     kept = dedup_survivors(emb, pairs, id_col="vec_id")
     return kept.select("vec_id", "label")
 
