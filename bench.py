@@ -75,6 +75,13 @@ HEADLINE = [
     "ext_pagerank",
     "ext_pack_sequences",
     "ext_shard_assign",
+    "ext_semantic_dedup",
+    "ext_unigram_surprisal",
+    "ext_incremental_dedup",
+    "ext_mixture_take",
+    "stream_dedup",
+    "stream_interval_join",
+    "a14_quantiles",
 ]
 
 
