@@ -273,3 +273,21 @@ def test_star_cc_adversarial_hub(spark):
     }
     assert all(out[i] == 0 for i in range(120))
     assert out[500] == 500 and out[501] == 500
+
+
+def test_quality_classifier_orders_prose_over_noise(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "the cat is on the mat and that is a fact of life"),
+        (2, "0x1f 0x2e 0x3d 55 ;;; !!! ### 0912 31 7"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in quality_classifier(df).collect()}
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["logit_ppm"] > out[2]["logit_ppm"]
+    # empty doc: all-zero features, dropped
+    assert out[3]["logit_ppm"] == 0 and not out[3]["keep"]

@@ -28,7 +28,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.functions.text import (
+    punct_count,
     shingles_from_tokens,
+    stopword_count,
     tokenize_ws,
 )
 
@@ -311,4 +313,74 @@ def bm25_search(
         )
         .orderBy(F.desc("score_e6"), F.asc(id_col))
         .limit(top_n)
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 550_000,
+) -> DataFrame:
+    """Linear quality classifier in exact integer arithmetic — the
+    fastText-filter shape (fixed weights over cheap surface features)
+    without the model file: ``keep = logit_ppm >= threshold``.
+
+    Features are INTEGER PPM ratios (integer-division millionths), the
+    logit is their integer-weighted sum, and the keep decision is an
+    integer comparison — bit-identical in any engine, where a float
+    sigmoid would reintroduce cross-libm drift for zero ranking benefit
+    (sigmoid is monotone, so thresholding the logit IS the classifier).
+
+    Signals (per doc): stopword density (+, fluent prose), alphabetic
+    token share (+), digit-led token share (−, tables/logs), punct
+    density (−, markup/code). One narrow projection over the corpus —
+    no shuffle, no UDF.
+
+    Output: (id, sw_ppm, alpha_ppm, digit_ppm, punct_ppm, logit_ppm,
+    keep); empty docs score all-zero ratios and are dropped.
+    """
+    toks = tokenize_ws(text_col)
+    feats = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("__n"),
+        F.length(text_col).cast("bigint").alias("__nc"),
+        stopword_count(text_col).alias("__sw"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike(r"^[A-Za-z]+$"))
+        ).cast("bigint").alias("__alpha"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike(r"^[0-9]"))
+        ).cast("bigint").alias("__digit"),
+        punct_count(text_col).alias("__punct"),
+    )
+    ppm = feats.select(
+        id_col,
+        F.expr(
+            "CASE WHEN __n > 0 THEN (__sw * 1000000L) div __n ELSE 0L END"
+        ).alias("sw_ppm"),
+        F.expr(
+            "CASE WHEN __n > 0 THEN (__alpha * 1000000L) div __n ELSE 0L END"
+        ).alias("alpha_ppm"),
+        F.expr(
+            "CASE WHEN __n > 0 THEN (__digit * 1000000L) div __n ELSE 0L END"
+        ).alias("digit_ppm"),
+        F.expr(
+            "CASE WHEN __nc > 0 THEN (__punct * 1000000L) div __nc ELSE 0L END"
+        ).alias("punct_ppm"),
+    )
+    logit = (
+        F.col("sw_ppm") * 2
+        + F.col("alpha_ppm")
+        - F.col("digit_ppm") * 2
+        - F.col("punct_ppm") * 4
+    )
+    return ppm.select(
+        id_col,
+        "sw_ppm",
+        "alpha_ppm",
+        "digit_ppm",
+        "punct_ppm",
+        logit.alias("logit_ppm"),
+        (logit >= F.lit(threshold_milli)).alias("keep"),
     )

@@ -3170,6 +3170,103 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Curation: fixed-point linear quality classifier (fastText-filter
+    shape) — integer ppm features, integer logit, exact keep/drop."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def _sql_quality_classifier(threshold: int = 550_000) -> str:
+    sw = ", ".join(f"'{w}'" for w in
+                   ["the", "a", "of", "and", "to", "in", "is", "that"])
+    return f"""
+WITH f AS (
+  SELECT doc_id, {_TOKS} AS toks, length(text) AS nc,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t != '')) AS n,
+         len(list_filter(toks, t -> lower(t) IN ({sw}))) AS sw,
+         len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+')))
+           AS alpha,
+         len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS digit,
+         nc, punct
+  FROM f
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN (sw * 1000000) // n ELSE 0 END AS sw_ppm,
+         CASE WHEN n > 0 THEN (alpha * 1000000) // n ELSE 0 END AS alpha_ppm,
+         CASE WHEN n > 0 THEN (digit * 1000000) // n ELSE 0 END AS digit_ppm,
+         CASE WHEN nc > 0 THEN (punct * 1000000) // nc ELSE 0 END AS punct_ppm
+  FROM c
+)
+SELECT doc_id, sw_ppm, alpha_ppm, digit_ppm, punct_ppm,
+       sw_ppm * 2 + alpha_ppm - digit_ppm * 2 - punct_ppm * 4 AS logit_ppm,
+       (sw_ppm * 2 + alpha_ppm - digit_ppm * 2 - punct_ppm * 4)
+         >= {threshold} AS keep
+FROM p
+"""
+
+
+REGISTRY["ext_quality_classifier"] = (
+    q_quality_classifier,
+    _sql_quality_classifier(),
+)
+
+
+def q_dataset_card(spark, sf_dir):
+    """Curation: per-source dataset-card panel — doc/token/char
+    volumes, language breadth, exact-dup count, corpus share in exact
+    integer ppm. The corpus total is a 1-row driver scalar (BM25-avgdl
+    pattern); everything else is one grouped aggregation."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("__h"),
+        F.size(tokenize_ws("text")).cast("bigint").alias("__nt"),
+        F.length("text").cast("bigint").alias("__nc"),
+    )
+    total = base.count()
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct("__h")).alias("n_exact_dups"),
+        F.expr(f"(count(1) * 1000000L) div {total}").alias("share_ppm"),
+    )
+
+
+_SQL_DATASET_CARD = f"""
+WITH b AS (
+  SELECT source, lang, md5(text) AS h,
+         len(list_filter({_TOKS}, t -> t != '')) AS nt,
+         length(text) AS nc
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(*) - count(DISTINCT h) AS n_exact_dups,
+       (count(*) * 1000000) // (SELECT count(*) FROM b) AS share_ppm
+FROM b GROUP BY source
+"""
+
+
+REGISTRY["ext_dataset_card"] = (q_dataset_card, _SQL_DATASET_CARD)
+
+
 REGISTRY["a14_quantiles"] = (
     q_quantiles,
     "SELECT l_returnflag, "
