@@ -447,3 +447,65 @@ def test_semantic_dedup_drops_near_identical_vectors(spark):
     pairs = all_pairs_above(emb, dim=dim, threshold=0.95, n_planes=2)
     kept = dedup_survivors(emb, pairs, id_col="vec_id")
     assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3]
+
+
+def _bpe_reference(texts, n_merges, min_pair_freq=2):
+    """Pure-Python Sennrich BPE: the trusted reference the Spark job is
+    pinned against (same tie-break: freq desc, then lexicographic)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        top = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = top
+        if freq < min_pair_freq:
+            break
+        merges.append((rank, a, b, a + b, freq))
+        new_vocab = Counter()
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new newer",
+        "the slow slower slowest slow",
+        "wide wider widest wide wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in bpe_merges(df, n_merges=6).orderBy("rank").collect()
+    ]
+    want = _bpe_reference(texts, 6)
+    assert got == want
+    assert len(got) >= 3  # non-trivial merge chain (incl. merged symbols)
+    # learned merges must include a rank-2+ merge built ON a previous
+    # merge output (the recursive property that makes BPE BPE)
+    prior = {m[3] for m in got}
+    assert any(m[1] in prior or m[2] in prior for m in got[1:])

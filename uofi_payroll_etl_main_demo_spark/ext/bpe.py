@@ -1,0 +1,128 @@
+"""BPE vocabulary induction (Sennrich et al., ACL 2016) — tokenizer
+training as a Spark job.
+
+The standard word-level formulation: collapse the corpus to a
+(word, freq) vocabulary once, then per merge round (1) count adjacent
+symbol pairs weighted by word frequency, (2) pick the global top pair
+(freq desc, then lexicographic — fully deterministic), (3) greedily
+merge that pair left-to-right inside every word. The learned merge
+table IS the tokenizer.
+
+Scale shape: the corpus is touched ONCE (the word-frequency
+aggregation — a shuffle whose payload is distinct words, not
+documents). Every merge round then runs over the vocabulary frame,
+which is orders of magnitude smaller than the corpus (Heaps' law), so
+N rounds cost N small aggregations, not N corpus scans:
+
+- pair counting is a narrow HOF projection (``zip symbols[:-1] with
+  symbols[1:]``) + explode + map-side-combined sum;
+- the winning pair is a 1-row driver scalar (the BM25-avgdl pattern);
+- the merge applies as a higher-order ``aggregate`` fold per word —
+  greedy left-to-right, matching the reference algorithm exactly;
+- the vocab frame is eagerly checkpointed per round (iterative
+  lineage truncation) under ``session.iterative_conf``.
+
+Not SQL-expressible: the greedy non-overlapping merge inside an array
+has no DuckDB equivalent (``replace`` scans differently on runs, and
+list folds cannot build list accumulators), so the registry entry is
+rows-only; exactness is pinned in pytest against a pure-Python
+reference implementation of the same algorithm
+(tests/test_text_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+from uofi_payroll_etl_main_demo_spark.session import iterative_conf
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    lowercase: bool = True,
+    min_pair_freq: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a document corpus.
+
+    Returns one row per learned merge: (rank, left, right, merged,
+    pair_freq), rank 1 = first merge. Stops early when no pair reaches
+    ``min_pair_freq``.
+    """
+    spark = df.sparkSession
+    word = F.explode(tokenize_ws(text_col)).alias("w")
+    src = df.select(word)
+    if lowercase:
+        src = src.select(F.lower("w").alias("w"))
+    with iterative_conf(spark):
+        vocab = (
+            src.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.split("w", "").alias("sym"), "freq")
+            .localCheckpoint(eager=True)
+        )
+        merges: list[Row] = []
+        for rank in range(1, n_merges + 1):
+            s = F.col("sym")
+            pairs = vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(s, 1, F.size(s) - 1),
+                        F.slice(s, 2, F.size(s) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            top = (
+                pairs.groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("pair_freq"))
+                .orderBy(
+                    F.desc("pair_freq"), F.asc("left"), F.asc("right")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_freq"] < min_pair_freq:
+                break
+            a, b = top[0]["left"], top[0]["right"]
+            merges.append(
+                Row(
+                    rank=rank,
+                    left=a,
+                    right=b,
+                    merged=a + b,
+                    pair_freq=top[0]["pair_freq"],
+                )
+            )
+            # greedy left-to-right merge: fold each word's symbol array,
+            # replacing [.., a] + b with [.., ab]; a freshly-merged 'ab'
+            # never re-merges within the round (its value is ab, not a)
+            la, lb = F.lit(a), F.lit(b)
+            folded = F.aggregate(
+                s,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            vocab = vocab.select(folded.alias("sym"), "freq").localCheckpoint(
+                eager=True
+            )
+    return df.sparkSession.createDataFrame(
+        merges,
+        schema="rank int, left string, right string, merged string, "
+        "pair_freq bigint",
+    )

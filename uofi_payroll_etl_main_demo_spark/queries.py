@@ -3267,6 +3267,20 @@ FROM b GROUP BY source
 REGISTRY["ext_dataset_card"] = (q_dataset_card, _SQL_DATASET_CARD)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: learn BPE merges from the documents corpus
+    (Sennrich word-level formulation — one corpus pass, then N rounds
+    over the vocab frame). Rows-only: the greedy in-array merge has no
+    SQL equivalent; exactness is pinned against a pure-Python reference
+    in tests/test_text_ext.py::test_bpe_merges_match_python_reference."""
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+REGISTRY["ext_bpe_merges"] = (q_bpe_merges, None)  # rows-only (see docstring)
+
+
 REGISTRY["a14_quantiles"] = (
     q_quantiles,
     "SELECT l_returnflag, "
