@@ -509,3 +509,56 @@ def test_bpe_merges_match_python_reference(spark):
     # merge output (the recursive property that makes BPE BPE)
     prior = {m[3] for m in got}
     assert any(m[1] in prior or m[2] in prior for m in got[1:])
+
+
+def test_bpe_encode_matches_reference_and_roundtrips(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_encode, bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new newer",
+        "the slow slower slowest slow",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(df, n_merges=6).orderBy("rank").collect()
+    ]
+    out = {
+        r["doc_id"]: r for r in bpe_encode(df, merges).collect()
+    }
+
+    def ref_encode_word(w):
+        ranks = {p: i for i, p in enumerate(merges)}
+        sym = list(w)
+        while len(sym) > 1:
+            cands = [
+                (ranks[(sym[i], sym[i + 1])], i)
+                for i in range(len(sym) - 1)
+                if (sym[i], sym[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            r, _ = min(cands)
+            a, b = merges[r]
+            o, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    o.append(a + b); i += 2
+                else:
+                    o.append(sym[i]); i += 1
+            sym = o
+        return sym
+
+    for i, t in enumerate(texts):
+        want = [s for w in t.lower().split() for s in ref_encode_word(w)]
+        assert list(out[i]["tokens"]) == want
+        assert out[i]["n_tokens"] == len(want)
+        # lossless: concatenating tokens reproduces the words
+        assert "".join(want) == t.lower().replace(" ", "")
+    # merges actually compress: fewer tokens than characters
+    assert all(
+        out[i]["n_tokens"] < len(t.replace(" ", "")) for i, t in enumerate(texts)
+    )

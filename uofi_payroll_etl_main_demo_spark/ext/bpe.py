@@ -126,3 +126,78 @@ def bpe_merges(
         schema="rank int, left string, right string, merged string, "
         "pair_freq bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table → (id, tokens
+    array<string>, n_tokens).
+
+    The encode loop (apply every merge in rank order inside every word)
+    is genuinely imperative — a rank-N chain of greedy array folds —
+    so this is one of the engine's few sanctioned Python boundaries:
+    an Arrow-batched ``mapInPandas`` carrying the merge list in the
+    closure (KB-scale — the broadcast-a-small-dim pattern). Encoding is
+    embarrassingly parallel: no shuffle, scales with input partitions.
+    Exactness is pinned against the same pure-Python reference as
+    :func:`bpe_merges`.
+    """
+    import pandas as pd
+    from typing import Iterator
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        sym = list(w)
+        # classic pair-rank loop: repeatedly merge the lowest-rank pair
+        # present (equivalent to applying merges in rank order)
+        while len(sym) > 1:
+            best, best_rank = None, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (sym[i], sym[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        cache[w] = sym
+        return sym
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                t = (t or "").lower() if lowercase else (t or "")
+                enc: list[str] = []
+                for w in t.split():
+                    enc.extend(encode_word(w, cache))
+                toks.append(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(x) for x in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, tokens array<string>, n_tokens long"
+    )

@@ -717,3 +717,64 @@ def all_pairs_above_gemm(
         .groupBy("bucket")
         .applyInPandas(score_bucket, schema)
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every vector, its top-``k`` most-similar neighbors with a
+    DIFFERENT label — the pairs a trainer most wants in the batch.
+
+    Same LSH-bucketed shape as :func:`knn_join` (equi-join on bucket,
+    never all-pairs) with the label-mismatch predicate applied BEFORE
+    the per-vector top-k window, so ranks count only true negatives.
+    Deterministic buckets → the full output is SQL-reproducible.
+
+    Output: (id, neighbor_id, label, neighbor_label, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    left = b.select(
+        F.col(id_col),
+        F.col(label_col),
+        dbl.alias("__v"),
+        l2_norm(vec_col).alias("__na"),
+        "bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        dbl.alias("__w"),
+        l2_norm(vec_col).alias("__nb"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__w"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__na") * F.col("__nb")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col(label_col) != F.col("neighbor_label"))
+        .withColumn("cosine", F.round(F.when(denom != 0, dot / denom), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, label_col, "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )

@@ -3281,6 +3281,134 @@ def q_bpe_merges(spark, sf_dir):
 REGISTRY["ext_bpe_merges"] = (q_bpe_merges, None)  # rows-only (see docstring)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer apply: learn 8 merges, then encode the corpus with the
+    merge table (Arrow-batched mapInPandas — the encode loop is
+    imperative by nature). Returns per-doc token counts; rows-only,
+    exactness pinned vs the Python reference in tests."""
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_encode, bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, n_merges=8).orderBy("rank").collect()
+    ]
+    return bpe_encode(d, merges).select("doc_id", "n_tokens")
+
+
+REGISTRY["ext_bpe_encode"] = (q_bpe_encode, None)  # rows-only (see docstring)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive training data: per vector, the top-3 most-similar
+    DIFFERENT-label neighbors (LSH-bucketed, label filter before the
+    top-k window)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        hard_negative_mining,
+    )
+
+    return hard_negative_mining(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=4
+    )
+
+
+def _sql_hard_negatives(
+    k: int = 3, dim: int = 64, n_planes: int = 4, seed: int = 42
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for bit, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id, a.label AS label,
+             x.vec_id AS neighbor_id, x.label AS neighbor_label,
+             round(list_cosine_similarity(a.v, x.v), 6) AS cosine
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.label <> x.label)
+SELECT vec_id, label, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p)
+WHERE rank <= {k}
+"""
+
+
+REGISTRY["ext_hard_negatives"] = (q_hard_negatives, _sql_hard_negatives())
+
+
+def q_dedup_best_of_cluster(spark, sf_dir):
+    """Quality-aware dedup survivor selection: connected components
+    over the n-gram near-dup graph, keeping each cluster's HIGHEST
+    quality-classifier logit (min doc_id tie-break) instead of the
+    arbitrary min-id — what a curation pipeline actually ships."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    q = quality_classifier(d).select("doc_id", "logit_ppm")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("logit_ppm"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("logit_ppm").alias("survivor_logit_ppm"),
+        )
+    )
+
+
+def _sql_dedup_best_of_cluster() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_ngram_jaccard()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+q AS (SELECT doc_id, logit_ppm FROM ({_sql_quality_classifier()}))
+SELECT component, survivor_id, survivor_logit_ppm FROM (
+  SELECT c.component, c.doc_id AS survivor_id, q.logit_ppm AS
+           survivor_logit_ppm,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.logit_ppm DESC, c.doc_id) AS rn
+  FROM comp c JOIN q USING (doc_id))
+WHERE rn = 1
+"""
+
+
+REGISTRY["ext_dedup_best_of_cluster"] = (
+    q_dedup_best_of_cluster,
+    _sql_dedup_best_of_cluster(),
+)
+
+
 REGISTRY["a14_quantiles"] = (
     q_quantiles,
     "SELECT l_returnflag, "
