@@ -58,6 +58,8 @@ def test_contract_shape():
         "ext_ivf_topk",  # data-adaptive k-means index
         "ext_multimodal_features",  # synthetic media table
         "ext_pq_topk",  # data-adaptive Lloyd codebooks
+        "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
+        "ext_bpe_encode",  # ditto; both pinned vs Python reference
     }
 
 
