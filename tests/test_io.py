@@ -251,3 +251,70 @@ def test_frame_sample_plan(spark):
     assert plan.columns == ["media_id", "frame_ms"]
     videos = plan.select("media_id").distinct().count()
     assert videos > 0
+
+
+def test_audio_decode_real_wav_features(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_features,
+        synthetic_av_media,
+    )
+    import pyspark.sql.functions as F
+
+    media = synthetic_av_media(spark, n=8).filter(
+        F.col("meta.mime") == "audio/wav"
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(rows) == 4
+    for i, r in rows.items():
+        freq = 440.0 * (1 + (i // 2) % 8)
+        assert r["sample_rate"] == 8000
+        assert r["duration_ms"] == pytest.approx(250.0, abs=1.0)
+        # pure sine: RMS = amp/sqrt(2), centroid at the tone frequency
+        assert r["rms"] == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+        assert r["spectral_centroid_hz"] == pytest.approx(freq, rel=0.05)
+        # zero crossings of a sine: 2*freq per second
+        assert r["zero_cross_rate"] * 8000 == pytest.approx(
+            2 * freq, rel=0.05
+        )
+
+
+def test_image_decode_real_ppm_features(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_features,
+        synthetic_av_media,
+    )
+    import pyspark.sql.functions as F
+
+    media = synthetic_av_media(spark, n=8).filter(
+        F.col("meta.modality") == "image"
+    )
+    rows = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(rows) == 4
+    for i, r in rows.items():
+        assert (r["width"], r["height"]) == (16, 12)
+        # top half red 200 -> mean_r = 100 exactly; green all zero
+        assert r["mean_r"] == pytest.approx(100.0)
+        assert r["mean_g"] == 0.0
+        blue = 100 + (i % 5) * 20
+        assert r["mean_b"] == pytest.approx(blue / 2)
+        assert len(r["thumb4"]) == 16
+        # top-left thumb block is pure red stripe: gray = 200/3
+        assert r["thumb4"][0] == pytest.approx(200 / 3, rel=1e-4)
+
+
+def test_wav_ppm_roundtrip_exact():
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_ppm,
+        decode_wav,
+        ppm_bytes,
+        wav_bytes,
+    )
+
+    x = np.linspace(-1, 1, 1001)
+    got, sr = decode_wav(wav_bytes(x, 22050))
+    assert sr == 22050 and got.size == x.size
+    assert np.abs(got - x).max() < 1 / 32767 * 1.01  # 16-bit quantization
+    px = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    assert (decode_ppm(ppm_bytes(px)) == px).all()

@@ -145,3 +145,232 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders for container-friendly formats.
+#
+# PCM WAV and binary PPM need NOTHING beyond the stdlib + numpy: WAV is
+# a RIFF header over raw little-endian PCM frames; P6 PPM is an ASCII
+# header over raw RGB bytes. Implementing them upgrades the engine's
+# multimodal story from "stub only" to "real decode where no codec
+# library is required, stub where one is" — the mapInPandas batch
+# contract is identical either way, so a PIL/ffmpeg-backed decoder
+# slots into the same seam.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb4", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def wav_bytes(samples, sample_rate: int = 16000) -> bytes:
+    """Encode a float array in [-1, 1] as 16-bit mono PCM WAV (stdlib)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples), -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def ppm_bytes(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary P6 PPM."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_wav(payload: bytes):
+    """(samples float64 in [-1,1], sample_rate) from 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+        ch = w.getnchannels()
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if ch > 1:  # downmix interleaved channels
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def decode_ppm(payload: bytes):
+    """(H, W, 3) uint8 array from binary P6 PPM."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary P6 PPM is supported")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM is supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i).reshape(
+        h, w, 3
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + features over ``mapInPandas``: RMS, zero-
+    crossing rate, and FFT spectral centroid per PCM-WAV payload.
+    Embarrassingly parallel — payloads stay executor-side in Arrow
+    batches; non-WAV rows are skipped (filter upstream by mime)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x, sr = decode_wav(bytes(payload))
+                n = x.size
+                rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                if n:
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                    tot = mag.sum()
+                    cent = float((freqs * mag).sum() / tot) if tot else 0.0
+                else:
+                    cent = 0.0
+                out.append(
+                    (mid, n, sr, 1000.0 * n / sr if sr else 0.0, rms, zcr, cent)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sample_rate", "duration_ms",
+                    "rms", "zero_cross_rate", "spectral_centroid_hz",
+                ],
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image decode + features over ``mapInPandas``: per-channel
+    means and a 4×4 block-averaged grayscale thumbnail (the resize
+    primitive) per P6-PPM payload."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                px = decode_ppm(bytes(payload)).astype(np.float64)
+                h, w, _ = px.shape
+                gray = px.mean(axis=2)
+                # block-average to 4x4: split rows/cols into 4 nearly
+                # equal bands (handles non-multiples of 4)
+                rb = np.array_split(np.arange(h), 4)
+                cb = np.array_split(np.arange(w), 4)
+                thumb = [
+                    float(gray[np.ix_(r, c)].mean())
+                    for r in rb
+                    for c in cb
+                ]
+                out.append(
+                    (
+                        mid, w, h,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        np.asarray(thumb, dtype="float32").tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "thumb4",
+                ],
+            )
+
+    return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def synthetic_av_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL media table: even ids are 440·(1+i/8) Hz sine
+    WAVs, odd ids are horizontally-striped PPM images — decodable by
+    :func:`audio_features` / :func:`image_features` with known ground
+    truth (tests assert the centroid tracks the sine frequency and the
+    stripe means are exact)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            sr = 8000
+            freq = 440.0 * (1 + (i // 2) % 8)
+            t = np.arange(sr // 4) / sr  # 250 ms
+            payload = wav_bytes(0.5 * np.sin(2 * np.pi * freq * t), sr)
+            meta = ("audio", "audio/wav", None, None, 250, sr)
+        else:
+            w, h = 16, 12
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[: h // 2, :, 0] = 200  # top half red
+            px[h // 2 :, :, 2] = 100 + (i % 5) * 20  # bottom half blue
+            payload = ppm_bytes(px)
+            meta = ("image", "image/x-portable-pixmap", w, h, None, None)
+        rows.append((i, payload, dict(zip(
+            ["modality", "mime", "width", "height", "duration_ms",
+             "sample_rate"], meta))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -841,12 +841,43 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: mapInPandas feature extraction over binary
-    payloads (stubbed decode; rows-only oracle — synthetic media table)."""
-    media = synthetic_media(spark, n=64)
-    return extract_features(media).select(
-        "media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean")
+    """Multimodal: mapInPandas feature extraction over binary payloads —
+    REAL decode for codec-free formats (16-bit PCM WAV via stdlib wave,
+    binary P6 PPM), byte-stat stub for compressed codecs (ext/
+    multimodal.py). One row per media item, modality-specific features
+    coalesced into a common shape. Rows-only oracle (synthetic media
+    table); decode exactness pinned in test_io.py (sine centroid ==
+    tone frequency, stripe means exact, 16-bit/PPM roundtrips)."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_features,
+        image_features,
+        synthetic_av_media,
     )
+
+    stub = extract_features(synthetic_media(spark, n=64)).select(
+        "media_id",
+        F.lit("stub").alias("kind"),
+        F.round("byte_mean", 6).alias("f1"),
+        F.round("byte_std", 6).alias("f2"),
+    )
+    av = synthetic_av_media(spark, n=32)
+    audio = audio_features(
+        av.filter(F.col("meta.mime") == "audio/wav")
+    ).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.round("rms", 6).alias("f1"),
+        F.round("spectral_centroid_hz", 3).alias("f2"),
+    )
+    image = image_features(
+        av.filter(F.col("meta.modality") == "image")
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.round("mean_r", 6).alias("f1"),
+        F.round("mean_b", 6).alias("f2"),
+    )
+    return stub.unionByName(audio).unionByName(image)
 
 
 # ------------------- temporal joins (engine extension) ---------------------
