@@ -239,3 +239,28 @@ def test_sessionize_streaming_stateful(spark, tmp_path):
     assert got.columns == [
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     ]
+
+
+def test_quality_filter_on_stream_matches_batch(spark, tmp_path):
+    """Corpus curation on a stream: quality_classifier is a narrow
+    projection, so the SAME operator runs unchanged on a readStream
+    source — stream output must equal the batch run exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(path)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = run_stream(
+        spark, quality_classifier(stream), "stream_quality", "append"
+    )
+    want = quality_classifier(batch)
+    cols = ["doc_id", "logit_ppm", "keep"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert want.count() > 0

@@ -3440,6 +3440,56 @@ REGISTRY["ext_dedup_best_of_cluster"] = (
 )
 
 
+def q_full_outer_recon(spark, sf_dir):
+    """J11: full-outer reconciliation — per-key totals from two systems
+    (customer order spend vs event value) joined FULL OUTER with
+    presence flags and an exact decimal delta; the classic ETL
+    cross-system audit shape. Both sides pre-aggregate before the join,
+    so the shuffle carries one row per key per side."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("order_total"))
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k2"))
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("event_total"))
+    )
+    j = orders.join(events, orders["k"] == events["k2"], "full_outer")
+    return j.select(
+        F.coalesce("k", "k2").alias("key"),
+        F.col("k").isNotNull().alias("in_orders"),
+        F.col("k2").isNotNull().alias("in_events"),
+        F.col("order_total").cast("double").alias("order_total"),
+        F.col("event_total").cast("double").alias("event_total"),
+        (
+            F.coalesce(F.col("order_total"), F.lit(0).cast(_DEC))
+            - F.coalesce(F.col("event_total"), F.lit(0).cast(_DEC))
+        )
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+REGISTRY["j11_full_outer_recon"] = (
+    q_full_outer_recon,
+    "WITH o AS (SELECT o_custkey AS k, "
+    "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS order_total "
+    "FROM orders GROUP BY 1), "
+    "e AS (SELECT user_id AS k2, "
+    "sum(CAST(value AS DECIMAL(18,2))) AS event_total "
+    "FROM events GROUP BY 1) "
+    "SELECT coalesce(k, k2) AS key, k IS NOT NULL AS in_orders, "
+    "k2 IS NOT NULL AS in_events, "
+    "CAST(order_total AS DOUBLE) AS order_total, "
+    "CAST(event_total AS DOUBLE) AS event_total, "
+    "CAST(coalesce(order_total, 0) - coalesce(event_total, 0) AS DOUBLE) "
+    "AS delta "
+    "FROM o FULL OUTER JOIN e ON k = k2",
+)
+
+
 REGISTRY["a14_quantiles"] = (
     q_quantiles,
     "SELECT l_returnflag, "
