@@ -102,6 +102,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+        # release this query's persisted frames before the next query:
+        # operators persist intermediates their lazy result consumes
+        # (shingle frames, edge caches), which cannot unpersist inside
+        # the operator; letting them accumulate across 48 queries
+        # measures executor-memory pressure, not the plans
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
