@@ -3528,9 +3528,9 @@ _WINDOW_50 = [
     "ext_chunk_documents",
     "ext_doc_stats",
     "ext_language_id",
-    "ext_token_stats",
-    "ext_top_ngrams",
-    "ext_fingerprints",
+    "ext_quality_classifier",
+    "ext_dataset_card",
+    "ext_dedup_best_of_cluster",
     "ext_topk_cosine",
     "ext_embedding_pairs_bucketed",
     "ext_lsh_topk",
@@ -3551,7 +3551,7 @@ _WINDOW_50 = [
     "ext_pii_redact",
     "ext_tfidf_top_terms",
     "ext_bm25_search",
-    "ext_knn_join",
+    "ext_hard_negatives",
     "ext_dedup_clusters_star",
     "tj_asof_join",
     "tj_range_join",
