@@ -36,6 +36,15 @@ def get_spark(
         master = f"local[{DEFAULT_CPUS}]"
     builder = builder.master(master)
     conf = {
+        # Local mode runs driver == executors in ONE JVM; Spark's 1g
+        # default is sized for a thin cluster driver, not for local[32]
+        # doing the executors' work — HOF bucket expansions at bench
+        # scale exhaust it (GCLocker retry crashes). Overridable via
+        # SPARK_GRAFT_DRIVER_MEM; on a real cluster spark-submit's
+        # --driver-memory/--executor-memory take precedence anyway.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        ),
         # Runtime adaptivity: partition coalescing, skew-join splitting,
         # broadcast demotion/promotion. Essential at 100 TB where static
         # planning guesses wrong.
