@@ -3472,6 +3472,118 @@ def q_full_outer_recon(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """Funnel analysis: per user, earliest view → first click AFTER
+    that view → first purchase AFTER that click, with exact integer
+    microsecond stage lags. Each stage is a conditional min over a
+    broadcast join against the (tiny, one-row-per-user) previous-stage
+    frame — no window over the full event log, no self-join of the
+    fact table."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev, etype, prev_col, out_col):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id", prev_col)
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = stage(views, "click", "view_ts", "click_ts")
+    purchases = stage(
+        clicks.select("user_id", "click_ts"), "purchase", "click_ts",
+        "purchase_ts",
+    )
+    out = (
+        views.join(clicks.select("user_id", "click_ts"), "user_id", "left")
+        .join(purchases.select("user_id", "purchase_ts"), "user_id", "left")
+    )
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    return out.select(
+        "user_id",
+        "view_ts",
+        (us(F.col("click_ts")) - us(F.col("view_ts"))).alias(
+            "view_to_click_us"
+        ),
+        (us(F.col("purchase_ts")) - us(F.col("click_ts"))).alias(
+            "click_to_purchase_us"
+        ),
+        F.col("click_ts").isNotNull().alias("clicked"),
+        F.col("purchase_ts").isNotNull().alias("purchased"),
+    )
+
+
+REGISTRY["ext_event_funnel"] = (
+    q_event_funnel,
+    "WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts FROM events e "
+    "JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id, v.view_ts), "
+    "p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e "
+    "JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT v.user_id, v.view_ts, "
+    "epoch_us(c.click_ts) - epoch_us(v.view_ts) AS view_to_click_us, "
+    "epoch_us(p.purchase_ts) - epoch_us(c.click_ts) "
+    "AS click_to_purchase_us, "
+    "c.user_id IS NOT NULL AS clicked, "
+    "p.user_id IS NOT NULL AS purchased "
+    "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+    "LEFT JOIN p ON v.user_id = p.user_id",
+)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohorts: users grouped by first-activity week, counted
+    by how many are active N weeks later — exact integer week buckets
+    (epoch-day div 7) so the cohort matrix matches the oracle
+    bit-for-bit. Two aggregations: first-activity per user (shuffle on
+    user), then (cohort_week, offset) counts (shuffle on the tiny
+    matrix key)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.expr(  # noqa: E731 - epoch week bucket
+        f"datediff(CAST({c} AS DATE), DATE '1970-01-05') div 7"
+    )
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min(wk("ts")).alias("cohort_week"))
+    )
+    active = ev.select(
+        "user_id", wk("ts").alias("active_week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+REGISTRY["a15_retention_cohorts"] = (
+    q_retention_cohorts,
+    "WITH wk AS (SELECT user_id, "
+    "datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS w "
+    "FROM events), "
+    "f AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, w AS active_week FROM wk) "
+    "SELECT f.cohort_week, a.active_week - f.cohort_week AS weeks_since, "
+    "count(DISTINCT a.user_id) AS n_users "
+    "FROM a JOIN f ON a.user_id = f.user_id "
+    "GROUP BY 1, 2",
+)
+
+
 REGISTRY["j11_full_outer_recon"] = (
     q_full_outer_recon,
     "WITH o AS (SELECT o_custkey AS k, "
