@@ -130,3 +130,20 @@ def test_pagerank_deterministic_across_runs(spark):
         map(tuple, pagerank(edges.repartition(7), iterations=5).collect())
     )
     assert a == b  # partitioning-independent (integer sums are exact)
+
+
+def test_cc_and_survivors_empty_pair_graph(spark):
+    """Empty near-dup graph: CC returns an empty labeling and
+    dedup_survivors keeps the corpus untouched (the common case at
+    strict thresholds — must not error or drop rows)."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)],
+                                 ["doc_id", "text"])
+    kept = dedup_survivors(docs, pairs, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3, 4]

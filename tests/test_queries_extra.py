@@ -28,3 +28,38 @@ def test_rows_only_queries_execute(spark, sf_dir):
     for name in set(qs) - set(osql):
         df = qs[name](spark, sf_dir)
         assert df.count() >= 0, name  # executes without error
+
+
+def test_event_funnel_stage_ordering(spark):
+    """Funnel stages are strictly ordered: click after the first view,
+    purchase after that click — a purchase BEFORE the click must not
+    count, and users without views are absent."""
+    from uofi_payroll_etl_main_demo_spark.queries import q_event_funnel
+    import pyspark.sql.functions as F
+
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, None),
+        (2, "2024-01-01 00:10:00", 1, "click", 1.0, None),
+        (3, "2024-01-01 00:20:00", 1, "purchase", 1.0, None),
+        # user 2: purchase BEFORE click -> purchased must be False
+        (4, "2024-01-01 00:00:00", 2, "view", 1.0, None),
+        (5, "2024-01-01 00:05:00", 2, "purchase", 1.0, None),
+        (6, "2024-01-01 00:10:00", 2, "click", 1.0, None),
+        # user 3: no view at all -> absent
+        (7, "2024-01-01 00:00:00", 3, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in q_event_funnel(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clicked"] and out[1]["purchased"]
+    assert out[1]["view_to_click_us"] == 600_000_000
+    assert out[1]["click_to_purchase_us"] == 600_000_000
+    assert out[2]["clicked"] and not out[2]["purchased"]
