@@ -147,3 +147,28 @@ def test_cc_and_survivors_empty_pair_graph(spark):
                                  ["doc_id", "text"])
     kept = dedup_survivors(docs, pairs, id_col="doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_iterative_conf_restores_session_state(spark):
+    """iterative_conf must leave the session exactly as found — a leak
+    would silently run every later query with AQE off and a tiny
+    shuffle width."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+    from uofi_payroll_etl_main_demo_spark.session import iterative_conf
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    connected_components(pairs).collect()
+    with iterative_conf(spark, 4):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert before == after
