@@ -264,3 +264,51 @@ def test_quality_filter_on_stream_matches_batch(spark, tmp_path):
     cols = ["doc_id", "logit_ppm", "keep"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert want.count() > 0
+
+
+def test_ingest_dedup_stream_builds_near_dup_free_corpus(spark, tmp_path):
+    """Streaming corpus ingestion: documents arrive over three
+    micro-batches; the accumulated corpus must contain no near-dup pair
+    at the configured threshold (within-batch OR cross-batch), keep at
+    least one representative of every near-dup cluster, and never drop
+    a unique document."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_dedup_stream,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    q = ingest_dedup_stream(
+        stream, corpus_path, str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert corpus.select("__batch_id").distinct().count() == 3
+    # 1) near-dup-free at the threshold
+    leftover = minhash_near_dup_pairs(
+        corpus, k=3, threshold=0.2, hash_family="portable"
+    )
+    assert leftover.count() == 0
+    # 2) nothing unique was lost: batch-mode global dedup keeps a
+    #    known-size survivor set; streaming (greedy arrival order) must
+    #    keep at least that many and at most the full corpus
+    pairs = minhash_near_dup_pairs(
+        docs, k=3, threshold=0.2, hash_family="portable"
+    ).select("id_a", "id_b")
+    global_kept = dedup_survivors(docs, pairs, id_col="doc_id").count()
+    n = corpus.count()
+    assert global_kept <= n <= docs.count()
+    assert pairs.count() > 0  # the corpus genuinely had near-dups

@@ -8,6 +8,9 @@ source (for streaming semantics) — the Structured Streaming model's
 core guarantee.
 """
 
+from uofi_payroll_etl_main_demo_spark.streaming.corpus import (  # noqa: F401
+    ingest_dedup_stream,
+)
 from uofi_payroll_etl_main_demo_spark.streaming.events import (  # noqa: F401
     correlate_streams,
     dedup_events,

@@ -1,0 +1,104 @@
+"""Streaming corpus ingestion with incremental near-dup rejection.
+
+The production shape of "daily corpus ingestion": documents arrive as a
+stream; each micro-batch is deduplicated WITHIN itself, then checked
+against the accumulated survivor corpus with
+:func:`~uofi_payroll_etl_main_demo_spark.ext.dedup.incremental_near_dup_pairs`
+(one shingle pass over corpus+batch, banding, and an in-bucket
+expansion that emits only new×old pairs — per-batch cost proportional
+to the batch, never corpus²). Only survivors land in the corpus.
+
+Exactly-once: survivors are written under a ``__batch_id`` partition
+with dynamic partition overwrite (the same idempotency pattern as
+``write_stream_foreach_batch``), and a replayed batch dedups only
+against partitions with ``__batch_id`` < its own — partition pruning
+makes that filter a metadata operation — so re-processing a batch
+after a crash reproduces identical output instead of matching against
+its own half-written remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ingest_dedup_stream(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.2,
+    hash_family: str = "portable",
+):
+    """Start an availableNow foreachBatch query appending near-dup-free
+    survivors of ``stream_docs`` to the parquet corpus at
+    ``corpus_path``. Returns the StreamingQuery (caller awaits)."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    kw = dict(
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+        hash_family=hash_family,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            # within-batch dedup first (arrival order inside one batch
+            # is not meaningful, so min-id survivor is the contract)
+            pairs = minhash_near_dup_pairs(
+                batch_df, text_col=text_col, id_col=id_col, **kw
+            ).select("id_a", "id_b")
+            survivors = dedup_survivors(
+                batch_df, pairs, id_col=id_col, src="id_a", dst="id_b"
+            )
+            try:
+                corpus = (
+                    spark.read.parquet(corpus_path)
+                    # replay safety: never dedup against this batch's own
+                    # (possibly half-written) earlier attempt or any later
+                    # batch — partition pruning resolves this filter
+                    # without reading data
+                    .filter(F.col("__batch_id") < F.lit(batch_id))
+                    .select(id_col, text_col)
+                )
+                has_corpus = len(corpus.take(1)) > 0
+            except Exception:  # first batch: corpus dir doesn't exist yet
+                has_corpus = False
+            if has_corpus:
+                hits = incremental_near_dup_pairs(
+                    corpus,
+                    survivors,
+                    text_col=text_col,
+                    id_col=id_col,
+                    **kw,
+                ).select(F.col("new_id").alias(id_col)).distinct()
+                survivors = survivors.join(hits, id_col, "left_anti")
+            (
+                survivors.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(corpus_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
