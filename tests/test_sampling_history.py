@@ -90,3 +90,25 @@ def test_scd2_tiebreak_is_deterministic(spark):
     out = scd2_intervals(df, "k", "ts", ["seq"], tiebreak=["seq"]).collect()
     by_seq = {r["seq"]: r for r in out}
     assert by_seq[1]["is_current"] is False and by_seq[2]["is_current"] is True
+
+
+def test_merge_upsert_semantics(spark):
+    from uofi_payroll_etl_main_demo_spark.operators.history import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    got = {r["k"]: (r["v"], r["x"]) for r in
+           merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("B", 99.0),   # matched -> replaced
+        3: ("c", 30.0),   # untouched
+        4: ("d", 40.0),   # unmatched -> inserted
+    }

@@ -43,3 +43,24 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Snapshot MERGE: the parquet-snapshot equivalent of Delta/Iceberg
+    ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` —
+    update rows replace matching base rows by key, the rest insert.
+
+    Shape: left-anti join base against the (deduped) update keys, then
+    union the updates — one shuffle on the key, no full-outer join and
+    no per-column coalesce pyramid. At 100 TB the anti join probes a
+    broadcast/bucketed key set; the untouched majority of the base
+    streams through unjoined. ``updates`` must be key-unique (enforce
+    upstream with ``dedup_keep_first``) — duplicate update keys would
+    insert duplicates, exactly like Delta's multiple-matches error.
+    """
+    upd_keys = updates.select(*keys).distinct()
+    return base.join(upd_keys, keys, "left_anti").unionByName(updates)

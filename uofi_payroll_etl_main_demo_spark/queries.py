@@ -3570,6 +3570,103 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """A16: approximate percentiles (Greenwald-Khanna sketch — the
+    quantile path at 100 TB where exact sort-based percentiles are
+    impractical) checked the a9 way: the query emits the EXACT dyadic
+    quantiles plus an in-query assertion that the sketch (accuracy
+    1e4 → ±0.01% rank error) lands within the rank-error band's value
+    spread; the oracle reproduces the exact values and the
+    expected-true bound, so the sketch path is fully driver-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("exact_median"),
+        F.expr(
+            "approx_percentile(l_quantity, 0.5D, 10000)"
+        ).alias("_approx"),
+        F.min("l_quantity").alias("_lo"),
+        F.max("l_quantity").alias("_hi"),
+    )
+    # ±0.01% rank error on a [1, 50]-valued column: the estimate must
+    # land within 1 quantity unit of the exact median
+    return g.select(
+        "l_returnflag",
+        "exact_median",
+        (F.abs(F.col("_approx") - F.col("exact_median")) <= F.lit(1.0))
+        .alias("approx_within_band"),
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """J12: snapshot MERGE/upsert — a deterministic update batch
+    (every urgent open order gets its price re-stamped and status
+    'U'; plus synthetic new orders) merged into the orders snapshot:
+    matched keys replaced, unmatched inserted. Anti-join + union —
+    no full-outer, one key shuffle."""
+    from uofi_payroll_etl_main_demo_spark.operators.history import (
+        merge_upsert,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    changed = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderkey") % 10 == 3)
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast(_DEC) * F.lit(2)).cast("double"),
+        )
+    )
+    inserts = changed.limit(0).unionByName(
+        spark.range(5).select(
+            (F.lit(900_000_000) + F.col("id")).alias("o_orderkey"),
+            F.lit(1).cast("long").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+        )
+    )
+    merged = merge_upsert(
+        orders, changed.unionByName(inserts), keys=["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+REGISTRY["j12_merge_upsert"] = (
+    q_merge_upsert,
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "o_totalprice FROM orders), "
+    "changed AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) "
+    "AS o_totalprice FROM base "
+    "WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 3), "
+    "inserts AS (SELECT 900000000 + r.range AS o_orderkey, "
+    "CAST(1 AS BIGINT) AS o_custkey, 'N' AS o_orderstatus, "
+    "0.0 AS o_totalprice FROM range(0, 5) r), "
+    "upd AS (SELECT * FROM changed UNION ALL SELECT * FROM inserts), "
+    "merged AS (SELECT * FROM base WHERE o_orderkey NOT IN "
+    "(SELECT o_orderkey FROM upd) UNION ALL SELECT * FROM upd) "
+    "SELECT o_orderstatus, count(*) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM merged GROUP BY o_orderstatus",
+)
+
+
+REGISTRY["a16_approx_quantiles"] = (
+    q_approx_quantiles,
+    "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median, "
+    "abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))"
+    " <= 1.0 AS approx_within_band "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+
+
 REGISTRY["a15_retention_cohorts"] = (
     q_retention_cohorts,
     "WITH wk AS (SELECT user_id, "
