@@ -3597,6 +3597,63 @@ def q_approx_quantiles(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Graph: exact triangle census of the n-gram near-dup graph (the
+    clustering-coefficient numerator — how clique-like duplicate
+    clusters are). Edges oriented a<b once, so each triangle a<b<c is
+    counted exactly once by two equi-joins — the standard distributed
+    shape; per-node counts come from exploding each triangle's three
+    corners. The pair graph is orders of magnitude smaller than the
+    corpus, and both joins hash-partition on a node key."""
+    d = _t(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(d, k=3, threshold=0.2).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    # wedges a<b<c from edges (a,b) and (b,c), closed by edge (a,c)
+    tri = (
+        e.alias("e1")
+        .join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias(
+                "e2"
+            ),
+            "b",
+        )
+        .join(
+            e.select(F.col("a").alias("a2"), F.col("b").alias("c2")).alias(
+                "e3"
+            ),
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _sql_triangle_count() -> str:
+    return f"""
+WITH pairs AS ({_sql_ngram_jaccard()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+"""
+
+
+REGISTRY["ext_triangle_count"] = (q_triangle_count, _sql_triangle_count())
+
+
 def q_merge_upsert(spark, sf_dir):
     """J12: snapshot MERGE/upsert — a deterministic update batch
     (every urgent open order gets its price re-stamped and status
