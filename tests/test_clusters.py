@@ -34,16 +34,36 @@ def test_separate_components_stay_separate(spark):
 
 def test_long_chain_converges_logarithmically(spark):
     """Pointer jumping must resolve a 250-node path well inside the
-    default sweep budget (plain propagation would need 250 sweeps)."""
+    default sweep budget (plain propagation would need 250 sweeps).
+    driver_threshold=0 forces the distributed path under test."""
     pairs = _pairs(spark, [(i, i + 1) for i in range(1, 250)])
-    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
     assert set(comp.values()) == {1} and len(comp) == 250
 
 
 def test_max_iter_guard(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, driver_threshold=0)
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The size-adaptive driver union-find shortcut must be
+    bit-identical to the distributed label propagation on the same
+    graph (including isolated edges and chains)."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 5)]
+    pairs = _pairs(spark, [(a, b) for a, b in edges if a != b])
+    via_driver = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    via_dist = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == via_dist and len(via_driver) == 9
 
 
 def test_dedup_survivors_keeps_min_and_untouched(spark):

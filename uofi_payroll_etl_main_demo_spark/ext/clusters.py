@@ -38,18 +38,66 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     state_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Undirected connected components of the pair graph.
 
     Returns (id, component) for every id appearing in ``pairs``, where
     ``component`` is the minimum id reachable from it. Raises if the
-    propagation hasn't converged within ``max_iter`` sweeps. Executes
-    under ``session.iterative_conf`` (AQE off, state-sized shuffle
-    width — see there for why); every sweep materializes eagerly, so
-    the scope covers all the work.
+    propagation hasn't converged within ``max_iter`` sweeps.
+
+    SIZE-ADAPTIVE, the same philosophy as AQE's broadcast demotion: a
+    near-dup pair graph is usually orders of magnitude smaller than its
+    corpus, and below ``driver_threshold`` edges the distributed
+    iteration pays nothing but per-sweep scheduling floor — so small
+    graphs are solved with driver-side union-find over the bare (src,
+    dst) id pairs (KB–MB of longs, never document payloads) and the
+    labeling returned as one broadcast-sized frame. Bit-identical
+    output (min reachable id). Larger graphs take the distributed
+    min-label-propagation + pointer-jumping path under
+    ``session.iterative_conf`` (AQE off, state-sized shuffle width);
+    pass ``driver_threshold=0`` to force it.
     """
-    with iterative_conf(pairs.sparkSession, state_partitions):
-        return _cc_label_prop(pairs, src, dst, max_iter)
+    if not driver_threshold:
+        with iterative_conf(pairs.sparkSession, state_partitions):
+            return _cc_label_prop(pairs, src, dst, max_iter)
+    # materialize the (often expensive) pair plan ONCE; the size probe
+    # and whichever path wins both read this cache
+    pairs = pairs.select(src, dst).persist()
+    try:
+        if pairs.count() <= driver_threshold:
+            return _cc_driver_union_find(pairs, src, dst)
+        with iterative_conf(pairs.sparkSession, state_partitions):
+            return _cc_label_prop(pairs, src, dst, max_iter)
+    finally:
+        pairs.unpersist()
+
+
+def _cc_driver_union_find(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find over collected id pairs (small-graph fast path)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = pairs.select(src, dst).collect()
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final label is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    return pairs.sparkSession.createDataFrame(
+        out, schema=f"id {'long'}, comp {'long'}"
+    )
 
 
 def _cc_label_prop(
