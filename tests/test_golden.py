@@ -25,7 +25,9 @@ def _csv_bytes(df) -> bytes:
     ["pipeline_payroll_shape", "w2_dedup_keep_first", "a1_mode_by_group",
      "stream_sessionize", "pricing_summary", "pipeline_curation",
      "tj_asof_join", "scd2_history", "samp_hash_sample",
-     "pipeline_cpa_shape", "w7_locf_fill"],
+     "pipeline_cpa_shape", "w7_locf_fill",
+     "ext_semantic_dedup", "stream_dedup", "ext_unigram_surprisal",
+     "a17_salted_agg", "ext_dedup_best_of_cluster"],
 )
 def test_output_stable_under_repartition(spark, sf_dir, name):
     fn = R.queries()[name]

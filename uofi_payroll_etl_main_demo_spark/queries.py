@@ -3654,6 +3654,40 @@ SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
 REGISTRY["ext_triangle_count"] = (q_triangle_count, _sql_triangle_count())
 
 
+def q_salted_agg(spark, sf_dir):
+    """A17: skew-safe two-phase aggregation end-to-end — partial agg on
+    (key, salt) splits a hot reducer key across n_salts tasks, final
+    re-agg on the key. Decimal partials are exact, so the result is
+    bit-identical to the direct aggregation the oracle computes — the
+    salting is invisible in the answer, visible in the plan."""
+    from uofi_payroll_etl_main_demo_spark.operators.skew import two_phase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)).cast("bigint"),
+            "sum_value": F.sum(F.col("value").cast(_DEC)),
+        },
+        salt_from=["event_id"],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+REGISTRY["a17_salted_agg"] = (
+    q_salted_agg,
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY event_type",
+)
+
+
 def q_merge_upsert(spark, sf_dir):
     """J12: snapshot MERGE/upsert — a deterministic update batch
     (every urgent open order gets its price re-stamped and status
