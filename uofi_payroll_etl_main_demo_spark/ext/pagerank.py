@@ -49,6 +49,7 @@ def pagerank(
     damping_pct: int = 85,
     checkpoint_every: int = 8,
     state_partitions: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -70,12 +71,14 @@ def pagerank(
         # ONE distinct over the edge list, cached — deg, nodes, and the
         # per-sweep frame all read this cache instead of re-running the
         # distinct shuffle (it is consumed 3+ times; uncached, the
-        # setup cost was 3× the six sweeps combined at bench scale)
-        e = (
-            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-            .distinct()
-            .persist()
-        )
+        # setup cost was 3× the six sweeps combined at bench scale).
+        # ``assume_distinct`` skips it when the caller guarantees
+        # uniqueness (e.g. a symmetrized union of an already-distinct
+        # oriented edge set) — one full edge shuffle saved.
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        if not assume_distinct:
+            e = e.distinct()
+        e = e.persist()
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
         # node set materialized eagerly; this also populates the e cache
         nodes = deg.select(F.col("s").alias("node")).localCheckpoint(
