@@ -3682,6 +3682,57 @@ def q_salted_agg(spark, sf_dir):
     )
 
 
+def q_anomaly_windows(spark, sf_dir):
+    """Monitoring: flag 10-minute windows whose event count exceeds 2×
+    the per-type median window count — the ops-dashboard anomaly shape.
+    Exact arithmetic throughout: integer counts, a dyadic-probe median
+    (bit-exact cross-engine), and an integer-vs-double comparison both
+    engines evaluate identically. Two aggregations: windowed counts,
+    then a tiny per-type median broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    med = win.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5D)").alias("median_n")
+    )
+    return (
+        win.join(F.broadcast(med), "event_type")
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "median_n",
+            (F.col("n_events") > F.lit(2.0) * F.col("median_n")).alias(
+                "anomalous"
+            ),
+        )
+        .filter(F.col("anomalous"))
+    )
+
+
+REGISTRY["stream_anomaly_windows"] = (
+    q_anomaly_windows,
+    "WITH win AS (SELECT time_bucket(INTERVAL '10 minutes', ts) "
+    "AS window_start, event_type, count(*) AS n_events "
+    "FROM events GROUP BY 1, 2), "
+    "med AS (SELECT event_type, quantile_cont(n_events, 0.5) AS median_n "
+    "FROM win GROUP BY event_type) "
+    "SELECT window_start, event_type, n_events, median_n, "
+    "n_events > 2.0 * median_n AS anomalous "
+    "FROM win JOIN med USING (event_type) "
+    "WHERE n_events > 2.0 * median_n",
+)
+
+
 REGISTRY["a17_salted_agg"] = (
     q_salted_agg,
     "SELECT event_type, count(*) AS n_events, "
