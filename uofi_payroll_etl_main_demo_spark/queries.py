@@ -3719,6 +3719,50 @@ def q_anomaly_windows(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Composition: sessionize → per-user-session durations → corpus
+    distribution panel (exact integer second totals + dyadic-probe
+    quantiles). The funnel/engagement report built on the stateful
+    sessionizer's batch twin."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    d = s.select(
+        "user_id",
+        "n_events",
+        (
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+        ).alias("dur_us"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+        F.expr("percentile(dur_us, 0.5D)").alias("median_dur_us"),
+        F.expr("percentile(n_events, 0.75D)").alias("q75_events"),
+    )
+
+
+REGISTRY["stream_session_stats"] = (
+    q_session_stats,
+    "WITH o AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, CAST(0 AS BIGINT)) "
+    "OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o), "
+    "g AS (SELECT user_id, sess, count(*) AS n_events, "
+    "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us "
+    "FROM s GROUP BY user_id, sess) "
+    "SELECT count(*) AS n_sessions, count(DISTINCT user_id) AS n_users, "
+    "CAST(sum(n_events) AS BIGINT) AS total_events, "
+    "CAST(sum(dur_us) AS BIGINT) AS total_dur_us, "
+    "quantile_cont(dur_us, 0.5) AS median_dur_us, "
+    "quantile_cont(n_events, 0.75) AS q75_events FROM g",
+)
+
+
 REGISTRY["stream_anomaly_windows"] = (
     q_anomaly_windows,
     "WITH win AS (SELECT time_bucket(INTERVAL '10 minutes', ts) "
