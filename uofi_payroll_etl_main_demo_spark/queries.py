@@ -3719,6 +3719,51 @@ def q_anomaly_windows(spark, sf_dir):
     )
 
 
+def q_length_bucketed_batches(spark, sf_dir):
+    """Training-loader shape: dynamic batching by length — docs
+    bucketed into 64-token length bands (so batch padding waste is
+    bounded), then assigned deterministic batch numbers inside each
+    band in portable-hash order (batch_size 8). All integer arithmetic;
+    the within-band window partitions on the band key, so no global
+    sort — each band's ordering is an independent task."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("__h"),
+    ).withColumn("len_band", F.expr("n_tokens div 64"))
+    w = Window.partitionBy("len_band").orderBy("__h", "doc_id")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "len_band",
+        F.expr(
+            f"cast((row_number() over (partition by len_band "
+            f"order by __h, doc_id)) - 1 as bigint) div 8"
+        ).alias("batch_in_band"),
+    )
+
+
+REGISTRY["ext_length_bucketed_batches"] = (
+    q_length_bucketed_batches,
+    "WITH b AS (SELECT doc_id, "
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "t -> t != '')) AS n_tokens, "
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h "
+    "FROM documents) "
+    "SELECT doc_id, n_tokens, n_tokens // 64 AS len_band, "
+    "CAST((row_number() OVER (PARTITION BY n_tokens // 64 "
+    "ORDER BY h, doc_id) - 1) // 8 AS BIGINT) AS batch_in_band "
+    "FROM b",
+)
+
+
 def q_session_stats(spark, sf_dir):
     """Composition: sessionize → per-user-session durations → corpus
     distribution panel (exact integer second totals + dyadic-probe
