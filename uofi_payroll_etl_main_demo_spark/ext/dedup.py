@@ -25,7 +25,7 @@ Scale shapes (the 100 TB rationale):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.functions.text import (
