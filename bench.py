@@ -75,6 +75,7 @@ HEADLINE = [
     "ext_pagerank",
     "ext_pack_sequences",
     "ext_shard_assign",
+    "pipeline_training_data",
     "ext_semantic_dedup",
     "ext_unigram_surprisal",
     "ext_incremental_dedup",

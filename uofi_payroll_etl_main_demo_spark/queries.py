@@ -3719,6 +3719,76 @@ def q_anomaly_windows(spark, sf_dir):
     )
 
 
+def q_pipeline_training_data(spark, sf_dir):
+    """North-star composite: the full training-data build — quality
+    filter (fixed-point classifier) → exact dedup (md5 survivors) →
+    mixture sampling to target source budgets → deterministic shard
+    assignment. Every stage is the scale-shaped operator registered
+    individually; the composition is one lazy plan end-to-end, and the
+    oracle reproduces all four stages in plain (non-recursive) SQL."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import exact_dedup
+    from uofi_payroll_etl_main_demo_spark.ext.packing import shard_assignment
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        mixture_take,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    good = quality_classifier(d).filter("keep").select("doc_id")
+    kept = d.join(good, "doc_id")
+    deduped = exact_dedup(kept)
+    mixed = mixture_take(deduped, _MIXTURE_BUDGETS)
+    shards = shard_assignment(mixed, n_shards=8)
+    return shards.join(
+        mixed.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "shard", "shard_pos")
+
+
+def _sql_pipeline_training_data(n_shards: int = 8) -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in _MIXTURE_BUDGETS.items()
+    )
+    return f"""
+WITH q AS ({_sql_quality_classifier()}),
+kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+ded AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM ded
+),
+mixed AS (
+  SELECT doc_id, source FROM r
+  WHERE rn <= CASE source {case} ELSE 0 END
+),
+h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM mixed
+)
+SELECT doc_id, source, CAST(h % {n_shards} AS INTEGER) AS shard,
+       row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id)
+         - 1 AS shard_pos
+FROM h
+"""
+
+
+REGISTRY["pipeline_training_data"] = (
+    q_pipeline_training_data,
+    _sql_pipeline_training_data(),
+)
+
+
 def q_length_bucketed_batches(spark, sf_dir):
     """Training-loader shape: dynamic batching by length — docs
     bucketed into 64-token length bands (so batch padding waste is
@@ -4002,7 +4072,7 @@ _WINDOW_50 = [
     "stream_dedup",
     "stream_interval_join",
     "samp_hash_sample",
-    "samp_stratified",
+    "pipeline_training_data",
     "scd2_history",
     "a9_approx_distinct",
     "a14_quantiles",
