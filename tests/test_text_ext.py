@@ -562,3 +562,31 @@ def test_bpe_encode_matches_reference_and_roundtrips(spark):
     assert all(
         out[i]["n_tokens"] < len(t.replace(" ", "")) for i, t in enumerate(texts)
     )
+
+
+def test_incremental_simhash_new_old_only(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_simhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely unrelated")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " extra"), (101, base),
+         (102, base + " tiny change here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["new_id"], r["old_id"]): r["hamming"]
+        for r in incremental_simhash_pairs(
+            corpus, batch, max_hamming=3, hash_family="portable"
+        ).collect()
+    }
+    # identical doc must match at distance 0; every pair is new x old
+    assert got[(101, 1)] == 0
+    assert all(n >= 100 and o < 100 for n, o in got)
+    # new x new near-dups (100 vs 101) must NOT be emitted
+    assert not any(n >= 100 and o >= 100 for n, o in got)

@@ -666,3 +666,97 @@ def simhash_near_dup_pairs(
         .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_simhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Incremental SimHash dedup: which NEW documents sit within
+    ``max_hamming`` bits of the EXISTING corpus — the SimHash twin of
+    :func:`incremental_near_dup_pairs` (same CDC rationale: both sides
+    flow through one signature pass and one pigeonhole banding, and the
+    in-bucket expansion emits only new×old pairs, so daily cost tracks
+    the batch, never corpus²). Ids must be disjoint across inputs.
+
+    Returns (new_id, old_id, hamming).
+    """
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+    ).unionByName(
+        batch.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
+        )
+    )
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sh = (
+        simhash(tagged, text_col, id_col, hash_family)
+        .filter(F.col("simhash").isNotNull())
+        .join(tagged.select(id_col, "__new"), id_col)
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("ck"),
+        )
+        for c in range(nchunks)
+    ]
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("__new"),
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select(
+        id_col, "simhash", "__new",
+        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
+    )
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("simhash").alias("h"),
+                    F.col("__new").alias("n"),
+                )
+            ).alias("docs")
+        )
+        .filter(F.size("docs") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
+    docs = F.col("docs")
+    news = F.filter(docs, lambda d: d["n"])
+    olds = F.filter(docs, lambda d: ~d["n"])
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                news,
+                lambda x: F.transform(
+                    olds,
+                    lambda y: F.struct(
+                        x["id"].alias("new_id"),
+                        y["id"].alias("old_id"),
+                        F.bit_count(x["h"].bitwiseXOR(y["h"])).alias(
+                            "hamming"
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["hamming"] <= F.lit(max_hamming),
+    )
+    return (
+        buckets.filter((F.size(news) > 0) & (F.size(olds) > 0))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.new_id", "p.old_id", "p.hamming")
+        .dropDuplicates(["new_id", "old_id"])
+    )

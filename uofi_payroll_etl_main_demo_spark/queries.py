@@ -3093,6 +3093,55 @@ REGISTRY["ext_incremental_dedup"] = (
     q_incremental_dedup,
     _sql_incremental_dedup(),
 )
+
+
+def q_incremental_simhash(spark, sf_dir):
+    """Incremental SimHash dedup: new-batch docs (doc_id % 5 == 4)
+    within Hamming ≤ 3 of the existing corpus — the SimHash twin of
+    ext_incremental_dedup (one signature pass + one banding over both
+    sides, in-bucket expansion emits only new×old)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_simhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    return incremental_simhash_pairs(
+        corpus, batch, max_hamming=3, hash_family="portable"
+    )
+
+
+def _sql_incremental_simhash(max_hamming: int = 3) -> str:
+    """The _sql_simhash_pairs pipeline with the candidate join crossing
+    the batch/corpus boundary (new = doc_id % 5 = 4) instead of the
+    a < b self-pairing."""
+    base = _sql_simhash_pairs(max_hamming)
+    old_cand = (
+        "  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "         a.s AS sa, b.s AS sb\n"
+        "  FROM chunks a JOIN chunks b\n"
+        "    ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id"
+    )
+    new_cand = (
+        "  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "         a.s AS sa, b.s AS sb\n"
+        "  FROM chunks a JOIN chunks b\n"
+        "    ON a.chunk = b.chunk AND a.ck = b.ck\n"
+        "   AND a.doc_id % 5 = 4 AND b.doc_id % 5 != 4"
+    )
+    assert old_cand in base
+    sql = base.replace(old_cand, new_cand)
+    return sql.replace(
+        "SELECT id_a, id_b,",
+        "SELECT id_a AS new_id, id_b AS old_id,",
+    )
+
+
+REGISTRY["ext_incremental_simhash"] = (
+    q_incremental_simhash,
+    _sql_incremental_simhash(),
+)
 REGISTRY["ext_mixture_take"] = (q_mixture_take, _sql_mixture_take())
 
 
