@@ -318,3 +318,28 @@ def test_wav_ppm_roundtrip_exact():
     assert np.abs(got - x).max() < 1 / 32767 * 1.01  # 16-bit quantization
     px = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
     assert (decode_ppm(ppm_bytes(px)) == px).all()
+
+
+def test_jsonl_source_analytics_parity(spark, sf_dir, tmp_path):
+    """Cross-format consistency: the JSONL source must feed the
+    analytics stack identically to parquet — doc stats computed over a
+    documents roundtrip through JSONL equal the parquet-sourced result
+    row for row."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import document_stats
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_jsonl,
+        read_parquet_table,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.writers import write_jsonl
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+
+    def stats(df):
+        out = document_stats(df).select("doc_id", "n_tokens", "n_chars")
+        return sorted(tuple(r) for r in out.collect())
+
+    assert stats(back) == stats(docs)
+    assert back.count() == docs.count()
