@@ -56,7 +56,6 @@ def test_contract_shape():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "ext_ivf_topk",  # data-adaptive k-means index
-        "ext_multimodal_features",  # synthetic media table
         "ext_pq_topk",  # data-adaptive Lloyd codebooks
         "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
         "ext_bpe_encode",  # ditto; both pinned vs Python reference

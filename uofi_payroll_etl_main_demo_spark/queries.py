@@ -845,9 +845,14 @@ def q_multimodal_features(spark, sf_dir):
     REAL decode for codec-free formats (16-bit PCM WAV via stdlib wave,
     binary P6 PPM), byte-stat stub for compressed codecs (ext/
     multimodal.py). One row per media item, modality-specific features
-    coalesced into a common shape. Rows-only oracle (synthetic media
-    table); decode exactness pinned in test_io.py (sine centroid ==
-    tone frequency, stripe means exact, 16-bit/PPM roundtrips)."""
+    coalesced into a common shape. Oracle: every emitted feature has a
+    CLOSED FORM the DuckDB oracle recomputes arithmetically from the
+    same generation parameters (byte stats of the (i*31+j*7)%251
+    pattern; RMS / zero-crossing rate of the int16-truncated sine;
+    stripe channel means) — see ``_sql_multimodal_features``. The
+    FFT spectral centroid (not SQL-expressible) stays pytest-pinned in
+    test_io.py (sine centroid == tone frequency, 16-bit/PPM
+    roundtrips)."""
     from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
         audio_features,
         image_features,
@@ -867,7 +872,7 @@ def q_multimodal_features(spark, sf_dir):
         "media_id",
         F.lit("audio").alias("kind"),
         F.round("rms", 6).alias("f1"),
-        F.round("spectral_centroid_hz", 3).alias("f2"),
+        F.round("zero_cross_rate", 6).alias("f2"),
     )
     image = image_features(
         av.filter(F.col("meta.modality") == "image")
@@ -2782,6 +2787,64 @@ REGISTRY["ext_fingerprints"] = (
 REGISTRY["ext_lsh_topk"] = (q_lsh_topk, _sql_lsh_topk())
 REGISTRY["ext_topk_cosine_gemm"] = (q_topk_cosine_gemm, _sql_topk_cosine())
 REGISTRY["ext_sq_rerank_topk"] = (q_sq_rerank_topk, _sql_topk_cosine())
+
+
+def _sql_multimodal_features() -> str:
+    """Closed-form oracle for the synthetic-media feature query.
+
+    Every feature the Spark query emits is recomputed ARITHMETICALLY
+    from the same generation parameters (ext/multimodal.py):
+
+    - stub rows: payload byte j of media i is (i*31 + j*7) % 251, so
+      byte mean/std are grouped aggregates over a generated series;
+    - audio rows: the decoded sample is the int16 TRUNCATION of
+      0.5*sin((2*pi*440*(1+(i//2)%8)) * (j/8000)) scaled by 32767 —
+      DuckDB trunc() matches numpy's float->int16 cast (toward zero)
+      and both engines evaluate sin() on the identical double argument
+      (grouping mirrored exactly), so RMS and zero-crossing rate agree
+      far inside round-6;
+    - image rows: stripe channel means are exact rationals
+      (mean_r = 200*(h/2)/h = 100, mean_b = (100+(i%5)*20)/2).
+    """
+    return """
+WITH stub_bytes AS (
+  SELECT t.i AS i, CAST((t.i*31 + u.j*7) % 251 AS DOUBLE) AS b
+  FROM range(0, 64) t(i) CROSS JOIN range(0, 256) u(j)
+), stub AS (
+  SELECT i AS media_id, 'stub' AS kind,
+         round(avg(b), 6) AS f1, round(stddev_pop(b), 6) AS f2
+  FROM stub_bytes GROUP BY i
+), audio_samples AS (
+  SELECT t.i AS i, u.j AS j,
+         CAST(trunc((0.5*sin(((2*pi())*(440.0*(1+((t.i//2)%8))))
+                             * (u.j/8000.0)))*32767.0) AS INTEGER) AS s
+  FROM range(0, 32, 2) t(i) CROSS JOIN range(0, 2000) u(j)
+), audio_lag AS (
+  SELECT i, s, lag(s) OVER (PARTITION BY i ORDER BY j) AS ls
+  FROM audio_samples
+), audio AS (
+  SELECT i AS media_id, 'audio' AS kind,
+         round(sqrt(avg((s/32767.0)*(s/32767.0))), 6) AS f1,
+         round(avg(CASE WHEN ls IS NULL THEN NULL
+                        WHEN (s < 0) != (ls < 0) THEN 1.0
+                        ELSE 0.0 END), 6) AS f2
+  FROM audio_lag GROUP BY i
+), image AS (
+  SELECT t.i AS media_id, 'image' AS kind,
+         round(100.0, 6) AS f1,
+         round(50.0 + (t.i % 5) * 10.0, 6) AS f2
+  FROM range(1, 32, 2) t(i)
+)
+SELECT * FROM stub
+UNION ALL SELECT * FROM audio
+UNION ALL SELECT * FROM image
+"""
+
+
+REGISTRY["ext_multimodal_features"] = (
+    q_multimodal_features,
+    _sql_multimodal_features(),
+)
 
 
 def q_leakage_split(spark, sf_dir):
