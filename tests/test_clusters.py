@@ -152,6 +152,87 @@ def test_pagerank_deterministic_across_runs(spark):
     assert a == b  # partitioning-independent (integer sums are exact)
 
 
+def test_pagerank_shuffle_path_matches_broadcast_path(spark):
+    """Size-adaptivity parity: broadcast_threshold=0 forces the
+    shuffled-hash sweep path; values must be bit-identical to the
+    broadcast path (integer arithmetic is order-independent)."""
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import pagerank
+
+    fwd = [(i, (i * 3) % 11 + 1) for i in range(1, 12)] + [(2, 7), (7, 2)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src bigint, dst bigint"
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(edges, iterations=5, broadcast_threshold=0).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_shuffle_path_plan_has_no_broadcast(spark):
+    """Above the node threshold the per-sweep join must NOT broadcast
+    the O(nodes) rank frame: pin the shuffled-hash join shape of the
+    sweep building block (_maybe_broadcast(small=False))."""
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import (
+        _maybe_broadcast,
+    )
+    from uofi_payroll_etl_main_demo_spark.session import iterative_conf
+
+    ed = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(50)], "s bigint, d bigint, outdeg bigint"
+    )
+    inc = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "n2 bigint, inc bigint"
+    )
+    with iterative_conf(spark):
+        swept = ed.join(
+            _maybe_broadcast(inc, small=False), ed["s"] == inc["n2"], "left"
+        )
+        plan = swept._sc._jvm.PythonSQLUtils.explainString(
+            swept._jdf.queryExecution(), "formatted"
+        )
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # and the small path does broadcast
+    swept_small = ed.join(
+        _maybe_broadcast(inc, small=True), ed["s"] == inc["n2"], "left"
+    )
+    plan_small = swept_small._sc._jvm.PythonSQLUtils.explainString(
+        swept_small._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan_small
+
+
+def test_pagerank_dangling_mass_redistribution(spark):
+    """Directed star 1→{2..6}: leaves are dangling. With dangling=True
+    their mass is redistributed (ranks exceed the teleport floor and
+    total mass stays ≈ n*SCALE); node set includes dst-only nodes."""
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 7)], "src bigint, dst bigint"
+    )
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=6, dangling=True).collect()
+    }
+    assert set(pr) == {1, 2, 3, 4, 5, 6}  # dst-only nodes ranked
+    teleport_floor = 15 * SCALE // 100
+    # the hub receives only teleport + dangling share, but the SHARE
+    # must lift it above the bare floor (mass actually redistributed)
+    assert pr[1] > teleport_floor
+    # truncation only loses mass; redistribution keeps the total near
+    # n*SCALE instead of draining toward teleport-only
+    total = sum(pr.values())
+    assert 0.9 * 6 * SCALE < total <= 6 * SCALE
+    leaves = [pr[i] for i in range(2, 7)]
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    assert leaves[0] > pr[1]  # leaves get the hub's outbound mass too
+
+
 def test_cc_and_survivors_empty_pair_graph(spark):
     """Empty near-dup graph: CC returns an empty labeling and
     dedup_survivors keeps the corpus untouched (the common case at

@@ -2957,6 +2957,81 @@ REGISTRY["ext_leakage_split"] = (q_leakage_split, _sql_leakage_split())
 REGISTRY["ext_pagerank"] = (q_pagerank, _sql_pagerank())
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """Integer PageRank WITH dangling-mass redistribution (4 sweeps,
+    damping 0.85) over the DIRECTED supplier→part graph — parts have
+    no outbound edges, so every part is a dangling node and its rank
+    mass is redistributed uniformly each sweep (one driver scalar per
+    sweep, ext/pagerank.py). Top-100 nodes by rank."""
+    from uofi_payroll_etl_main_demo_spark.ext.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, iterations=4, assume_distinct=True, dangling=True)
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(100)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_id"),
+            F.col("pr").alias("rank_e9"),
+        )
+    )
+
+
+def _sql_pagerank_dangling(iterations: int = 4, damping_pct: int = 85) -> str:
+    """Unrolled dangling-mass power iteration: per sweep, one scalar
+    CTE (the dangling mass share, integer-divided by the node count)
+    plus the rank CTE — all-integer arithmetic, bit-identical to the
+    Spark loop's driver-scalar redistribution."""
+    teleport = (100 - damping_pct) * 1_000_000_000 // 100
+    ctes = [
+        "base AS (SELECT DISTINCT l_suppkey * 2 AS s, "
+        "l_partkey * 2 + 1 AS d FROM lineitem)",
+        "deg AS (SELECT s, count(*) AS outdeg FROM base GROUP BY s)",
+        "nodes AS (SELECT s AS node FROM base UNION SELECT d FROM base)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""sh{i} AS (
+  SELECT COALESCE(sum(r.pr), 0) // (SELECT n FROM nn) AS share
+  FROM r{i - 1} r WHERE r.node NOT IN (SELECT s FROM deg))"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         CAST({teleport} + ({damping_pct} * (COALESCE(inc.t, 0)
+              + (SELECT share FROM sh{i}))) // 100 AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS nd2, CAST(sum(r.pr // dg.outdeg) AS BIGINT) AS t
+    FROM base e JOIN r{i - 1} r ON e.s = r.node
+    JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d) inc ON nd.node = inc.nd2)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       node // 2 AS entity_id, pr AS rank_e9
+FROM r{iterations} ORDER BY pr DESC, node LIMIT 100
+"""
+    )
+
+
+REGISTRY["ext_pagerank_dangling"] = (
+    q_pagerank_dangling,
+    _sql_pagerank_dangling(),
+)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy first-fit sequence packing of documents into 512-token
     context windows, per source stream — the training-batch assembly
