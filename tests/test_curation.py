@@ -210,6 +210,63 @@ def test_knn_join_gemm_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_auto_planes_tracks_corpus_size():
+    # planes grow with log2(n/target): in-bucket candidate volume stays
+    # ~n·target instead of n²/2^planes at a fixed plane count
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import auto_planes
+
+    assert auto_planes(100, target_bucket_size=512) == 2  # floor
+    assert auto_planes(512, target_bucket_size=512) == 2
+    assert auto_planes(1 << 20, target_bucket_size=512) == 11
+    assert auto_planes(1 << 30, target_bucket_size=512) == 21
+    assert auto_planes(10**12, target_bucket_size=512) == 24  # cap
+    # doubling the corpus adds exactly one plane (bucket count doubles)
+    assert (
+        auto_planes(2 << 20, target_bucket_size=512)
+        == auto_planes(1 << 20, target_bucket_size=512) + 1
+    )
+
+
+def test_knn_join_auto_planes_bounds_skewed_buckets(spark):
+    """Skewed corpus: 300 near-identical vectors (one hot LSH bucket)
+    + 100 spread vectors. With auto planes + the max_bucket_size valve
+    no surviving bucket exceeds the cap — in-bucket candidate volume
+    is bounded by cap² per bucket instead of n²/2^planes."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        _cap_buckets,
+        auto_planes,
+        random_hyperplane_buckets,
+    )
+
+    rng = random.Random(7)
+    hot = [
+        (i, [1.0 + rng.uniform(-1e-4, 1e-4) for _ in range(8)])
+        for i in range(300)
+    ]
+    spread = [
+        (300 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+    emb = spark.createDataFrame(
+        hot + spread, "vec_id long, embedding array<double>"
+    )
+    planes = auto_planes(emb.count(), target_bucket_size=32)
+    b = _cap_buckets(
+        random_hyperplane_buckets(emb, dim=8, n_planes=planes),
+        max_bucket_size=64,
+    )
+    sizes = [
+        r["n"]
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert sizes and max(sizes) <= 64  # hot bucket dropped, rest bounded
+    # and the full operator still runs end-to-end with both valves on
+    out = knn_join(
+        emb, dim=8, k=2, target_bucket_size=32, max_bucket_size=64
+    )
+    assert out.count() > 0
+    assert out.groupBy("vec_id").count().agg(F.max("count")).first()[0] <= 2
+
+
 def test_knn_join_rank_contract(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = knn_join(emb, dim=64, k=3, n_planes=4)

@@ -58,6 +58,44 @@ def brute_force_top_k(
     )
 
 
+def auto_planes(
+    n_rows: int, target_bucket_size: int = 512, max_planes: int = 24
+) -> int:
+    """Plane count sized to the corpus: 2^planes buckets so the MEAN
+    bucket holds ~``target_bucket_size`` vectors.
+
+    A fixed plane count is quadratic in disguise — in-bucket candidate
+    volume is n²/2^planes, so planes must grow with log2(n) for the
+    per-bucket work to stay flat as the corpus scales. Floor of 2
+    keeps tiny corpora from collapsing into one bucket; cap of 24
+    (16M buckets) bounds the literal-expression size of the bucket
+    computation.
+    """
+    if n_rows <= target_bucket_size:
+        return 2
+    return min(max_planes, max(2, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+def _cap_buckets(
+    b: DataFrame, max_bucket_size: int | None, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Skew valve: drop buckets larger than ``max_bucket_size`` (the
+    embedding analogue of the text-side hot-shingle caps). A degenerate
+    bucket holding a large corpus fraction would concentrate O(b²) pair
+    work in one task; capped buckets lose their members' neighbors —
+    the standard bounded-recall trade."""
+    if max_bucket_size is None:
+        return b
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
+    return (
+        b.withColumn("__bn", cnt)
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side,
     broadcast as literals in the plan)."""
@@ -307,10 +345,12 @@ def knn_join(
     embeddings: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_bucket_size: int = 512,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (self-KNN join)
     via LSH-bucketed pair generation.
@@ -322,10 +362,21 @@ def knn_join(
     assignment is deterministic (fixed hyperplanes), so the full output
     is exactly reproducible in SQL for the oracle.
 
+    ``n_planes=None`` (default) SIZES THE BUCKET GRID TO THE CORPUS:
+    one count of the input derives planes = log2(n/target_bucket_size)
+    (see :func:`auto_planes`) so in-bucket candidate volume stays
+    ~n·target instead of n²/2^planes at a fixed plane count. Pass an
+    explicit ``n_planes`` when the oracle must be able to reproduce
+    the grid without knowing the corpus size. ``max_bucket_size``
+    additionally drops degenerate mega-buckets (:func:`_cap_buckets`).
+
     Output: (vec_id, neighbor_id, cosine, rank) with rank 1..k per
     vec_id by cosine desc, neighbor_id asc tie-break.
     """
     from pyspark.sql import Window
+
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), target_bucket_size)
 
     # Per-pair work is the scale cost here, so everything per-ROW is
     # hoisted to the join inputs: the float→double element casts AND
@@ -334,7 +385,10 @@ def knn_join(
     # products plus 128 casts per pair; measured ~4× slower on the
     # pair volume). The arithmetic is unchanged, so the values (and
     # the SQL oracle match) are bit-identical.
-    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
+    b = _cap_buckets(
+        random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed),
+        max_bucket_size,
+    )
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     left = b.select(
         F.col(id_col),
@@ -373,10 +427,11 @@ def knn_join_gemm(
     embeddings: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_bucket_size: int = 512,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """``knn_join`` with in-bucket scoring as one numpy GEMM per bucket
@@ -389,24 +444,21 @@ def knn_join_gemm(
     top-k. Cosines are rounded to 6 decimals BEFORE ranking, exactly
     like the Column form, so ties and therefore ranks are identical.
 
-    ``max_bucket_size`` drops degenerate mega-buckets (the embedding
-    analogue of the text-side hot-shingle caps): a bucket holding a
-    large fraction of the corpus would otherwise concentrate O(b²)
-    work and memory in one task. Capped buckets lose their members'
-    neighbors — the standard bounded-recall trade, disabled by default.
+    ``n_planes=None`` sizes the grid to the corpus (:func:`auto_planes`);
+    ``max_bucket_size`` drops degenerate mega-buckets
+    (:func:`_cap_buckets`) — the GEMM bounds per-PAIR cost but not
+    candidate COUNT, so both valves matter here too.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        cnt = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-        b = b.withColumn("__bn", cnt).filter(
-            F.col("__bn") <= max_bucket_size
-        ).drop("__bn")
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), target_bucket_size)
+    b = _cap_buckets(
+        random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed),
+        max_bucket_size,
+    )
 
     schema = T.StructType(
         [
