@@ -10,13 +10,15 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is fully executed via the no-op sink (computes every row,
 writes nothing) — .count() alone would let Catalyst prune the plan.
 
-Timing is STEADY-STATE: each query runs twice and the second run is
-recorded. The first run pays one-time JVM costs (Catalyst codegen
-compilation, JIT warmup) that a long-lived cluster amortizes across
-thousands of queries — at the 100 TB design point those costs are
-noise, and folding them into a 600k-row measurement would measure the
-JIT, not the engine. Set SPARK_GRAFT_BENCH_COLD=1 to record cold
-first-run timings instead.
+Timing is STEADY-STATE: each query runs once untimed (paying one-time
+JVM costs — Catalyst codegen compilation, JIT warmup — that a
+long-lived cluster amortizes across thousands of queries) and then
+twice timed, recording the MINIMUM. A single post-warmup sample
+proved noisy round-to-round (pipeline_payroll_shape read 1.38 s in
+r01 and 1.85 s in r02 from the same plan; an 8-run profile converges
+to ~1.3 s): the second run can still catch stray JIT/GC, and min-of-2
+is the standard steady-state estimator. Set SPARK_GRAFT_BENCH_COLD=1
+to record cold first-run timings instead.
 """
 
 from __future__ import annotations
@@ -58,6 +60,7 @@ HEADLINE = [
     "ext_exact_dedup",
     "ext_ngram_jaccard",
     "ext_minhash_pairs",
+    "ext_minhash_pairs_prod",
     "ext_simhash_pairs",
     "ext_topk_cosine",
     "ext_lsh_topk",
@@ -98,11 +101,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        runs = 1 if cold else 2
+        runs = 1 if cold else 3  # 1 warmup (ignored) + 2 timed, keep min
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples.append(time.perf_counter() - t0)
+        timed = samples if cold else samples[1:]
+        timings[name] = round(min(timed), 3)
         # release this query's persisted frames before the next query:
         # operators persist intermediates their lazy result consumes
         # (shingle frames, edge caches), which cannot unpersist inside

@@ -755,6 +755,23 @@ def q_minhash_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_minhash_pairs_prod(spark, sf_dir):
+    """Dedup: the PRODUCTION MinHash path — xxhash64 shingle/signature
+    family (the ext/dedup.py default), JVM-native hashing with no md5
+    string round-trip. Same banding → candidate → Jaccard-verify
+    pipeline as ext_minhash_pairs; rows-only oracle (xxhash64 is not
+    reproducible in portable SQL — the md5 'portable' twin carries the
+    full value oracle for the identical pipeline shape)."""
+    pairs = minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=16,
+        k=3,
+        threshold=0.2,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Dedup: SimHash near-dup pairs, Hamming ≤ 3. Portable md5-derived
     bit family → signatures, pigeonhole chunks, and Hamming distances
@@ -2037,6 +2054,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ext_ngram_jaccard": (q_ngram_jaccard, None),  # SQL built below
     "ext_minhash_pairs": (q_minhash_pairs, None),  # SQL built below
+    "ext_minhash_pairs_prod": (q_minhash_pairs_prod, None),  # rows-only (xxhash64)
     "ext_simhash_pairs": (q_simhash_pairs, None),  # SQL built below
     "ext_fingerprints": (q_fingerprints, None),  # rows-only (xxhash64)
     "ext_topk_cosine": (q_topk_cosine, None),  # SQL built below
@@ -4212,6 +4230,14 @@ REGISTRY["a14_quantiles"] = (
 # by scripts/check_oracle.py and pytest).
 # --------------------------------------------------------------------------
 
+# Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
+# ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
+# stream_session_stats, stream_anomaly_windows, the new
+# ext_pagerank_dangling) swap in for 11 rows that were green in the r02
+# driver window AND are untouched this round (they remain covered by
+# scripts/check_oracle.py + pytest). Rows CHANGED this round
+# (ext_multimodal_features — new closed-form oracle; ext_pagerank —
+# size-adaptive join rewrite) stay in the window for driver re-verification.
 _WINDOW_50 = [
     "pricing_summary",
     "pipeline_curation",
@@ -4220,48 +4246,48 @@ _WINDOW_50 = [
     "ext_exact_dedup",
     "ext_ngram_jaccard",
     "ext_minhash_pairs",
+    "ext_minhash_pairs_prod",
     "ext_simhash_pairs",
     "ext_dedup_clusters",
     "ext_winnow_fingerprints",
-    "ext_winnow_containment",
     "ext_chunk_documents",
-    "ext_doc_stats",
-    "ext_language_id",
-    "ext_quality_classifier",
-    "ext_dataset_card",
     "ext_dedup_best_of_cluster",
-    "ext_topk_cosine",
     "ext_embedding_pairs_bucketed",
-    "ext_lsh_topk",
     "ext_topk_cosine_gemm",
-    "ext_sq_rerank_topk",
     "ext_multimodal_features",
     "ext_semantic_dedup",
     "ext_unigram_surprisal",
     "ext_incremental_dedup",
     "ext_pagerank",
+    "ext_pagerank_dangling",
     "ext_leakage_split",
     "ext_pack_sequences",
     "ext_shard_assign",
     "ext_mixture_take",
     "ext_zscore",
-    "ext_decontaminate",
-    "ext_repetition_stats",
-    "ext_pii_redact",
     "ext_tfidf_top_terms",
     "ext_bm25_search",
     "ext_hard_negatives",
     "ext_dedup_clusters_star",
+    "ext_knn_join",
+    "ext_triangle_count",
+    "ext_event_funnel",
+    "j11_full_outer_recon",
+    "j12_merge_upsert",
+    "a15_retention_cohorts",
+    "a16_approx_quantiles",
+    "a17_salted_agg",
     "tj_asof_join",
     "tj_range_join",
     "stream_window_counts",
     "stream_sessionize",
     "stream_dedup",
     "stream_interval_join",
+    "stream_session_stats",
+    "stream_anomaly_windows",
     "samp_hash_sample",
     "pipeline_training_data",
     "scd2_history",
-    "a9_approx_distinct",
     "a14_quantiles",
 ]
 
