@@ -348,3 +348,67 @@ def test_quality_classifier_orders_prose_over_noise(spark):
     assert out[1]["logit_ppm"] > out[2]["logit_ppm"]
     # empty doc: all-zero features, dropped
     assert out[3]["logit_ppm"] == 0 and not out[3]["keep"]
+
+
+# ------------------------- Gopher rules / multiprobe -----------------------
+
+
+def test_gopher_rules_panel(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.curation import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and then runs back "
+        "to have another go with more words of ordinary prose to satisfy "
+        "the minimum word count rule for this panel test which needs at "
+        "least fifty whitespace words in total so here are some more "
+        "plain words that keep the mean word length inside bounds okay"
+    )
+    bullets = "- one\n- two\n- three"
+    symbols = "### #### ##### ...... ### #### ... ## # ###"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, bullets), (4, symbols)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False  # word count
+    assert got[3]["bullet_line_frac"] == 1.0 and got[3]["passes"] is False
+    assert got[4]["symbol_word_ratio"] > 0.1 and got[4]["passes"] is False
+    assert got[1]["stopword_hits"] >= 2
+
+
+def test_knn_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing can only ADD candidates: for every vector the
+    rank-1 cosine under multiprobe >= rank-1 cosine single-probe, and
+    hamming=0 reduces exactly to the single-probe join."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join,
+        knn_join_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {
+        (r["vec_id"], r["rank"]): r
+        for r in knn_join(emb, dim=64, k=1, n_planes=4).collect()
+    }
+    multi = {
+        (r["vec_id"], r["rank"]): r
+        for r in knn_join_multiprobe(
+            emb, dim=64, k=1, n_planes=4, multiprobe_hamming=1
+        ).collect()
+    }
+    assert set(single) <= set(multi)  # multiprobe covers every vector
+    for key, s in single.items():
+        assert multi[key]["cosine"] >= s["cosine"]
+    zero = sorted(
+        map(
+            tuple,
+            knn_join_multiprobe(
+                emb, dim=64, k=3, n_planes=4, multiprobe_hamming=0
+            ).collect(),
+        )
+    )
+    base = sorted(
+        map(tuple, knn_join(emb, dim=64, k=3, n_planes=4).collect())
+    )
+    assert zero == base

@@ -112,3 +112,62 @@ def test_merge_upsert_semantics(spark):
         3: ("c", 30.0),   # untouched
         4: ("d", 40.0),   # unmatched -> inserted
     }
+
+
+def test_corpus_shuffle_deterministic_and_complete(spark, sf_dir):
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        corpus_shuffle,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    a = corpus_shuffle(docs, epoch=1, shards=8)
+    b = corpus_shuffle(docs.repartition(13), epoch=1, shards=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # complete permutation: every row present exactly once, positions
+    # contiguous 1..shard_size within each shard
+    n = docs.count()
+    assert a.count() == n
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("c"), F.max("pos").alias("mx"),
+        F.min("pos").alias("mn"),
+    )
+    assert all(r["mx"] == r["c"] and r["mn"] == 1 for r in per.collect())
+    # a different epoch permutes differently
+    c = corpus_shuffle(docs, epoch=2, shards=8)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_temperature_weights_limits(spark, sf_dir):
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w1 = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            docs, alpha=1.0, budget=1000
+        ).collect()
+    }
+    n = docs.count()
+    for src, r in w1.items():
+        assert abs(r["weight"] - r["n_docs"] / n) < 1e-5  # proportional
+    w0 = {
+        r["source"]: r["weight"]
+        for r in temperature_mixture_weights(docs, alpha=0.0).collect()
+    }
+    vals = set(w0.values())
+    assert len(vals) == 1  # uniform at alpha=0
+    wt = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            docs, alpha=0.7, budget=1000
+        ).collect()
+    }
+    assert abs(sum(r["weight"] for r in wt.values()) - 1.0) < 1e-4
+    assert all(r["take_budget"] <= 1000 for r in wt.values())
+    # alpha < 1 up-weights small domains relative to proportional
+    small = min(wt, key=lambda s: wt[s]["n_docs"])
+    assert wt[small]["weight"] >= w1[small]["weight"] - 1e-9

@@ -590,3 +590,41 @@ def test_incremental_simhash_new_old_only(spark):
     assert all(n >= 100 and o < 100 for n, o in got)
     # new x new near-dups (100 vs 101) must NOT be emitted
     assert not any(n >= 100 and o >= 100 for n, o in got)
+
+
+def test_dup_ngram_stats_known_overlap(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        dup_ngram_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # shingles {a b c, b c d}
+            (2, "a b c e"),   # shingles {a b c, b c e}
+            (3, "x y z w"),   # disjoint
+            (4, "too short"), # < k tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_fraction"])
+        for r in dup_ngram_stats(docs, k=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+    assert 4 not in got
+
+
+def test_dup_ngram_stats_clique_costs_postings_not_pairs(spark):
+    # the metric must not expand pairs: a 30-copy clique yields 30 rows
+    # with dup_fraction 1.0, not C(30,2) joined anything
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        dup_ngram_stats,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(30)], ["doc_id", "text"]
+    )
+    out = dup_ngram_stats(docs, k=3).collect()
+    assert len(out) == 30
+    assert all(r["dup_fraction"] == 1.0 for r in out)

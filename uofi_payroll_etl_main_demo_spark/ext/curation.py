@@ -384,3 +384,102 @@ def quality_classifier(
         logit.alias("logit_ppm"),
         (logit >= F.lit(threshold_milli)).alias("keep"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    Appendix A filter set) as one narrow projection — each rule is a
+    column, plus the conjunction ``passes``.
+
+    All rules are closed-form over whitespace tokens and newline-split
+    lines (no Python, no shuffle; scales as a map over partitions):
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - '#'/'...' symbol-to-word ratio <= max_symbol_word_ratio
+    - bullet-started line fraction <= max_bullet_line_frac
+    - ellipsis-ended line fraction <= max_ellipsis_line_frac
+    - fraction of words containing an alphabetic char >= min_alpha_word_frac
+    - at least min_stopword_hits DISTINCT hits from the canonical
+      8-word stop list {the, be, to, of, and, that, have, with}
+
+    Fractions are round-6 so the SQL oracle compares exactly.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokenize_ws(text_col).alias("__toks"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n_words > 0, total_len / n_words)
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col("__text"), F.lit(r"#"), 0))
+        + F.size(F.regexp_extract_all(F.col("__text"), F.lit(r"\.\.\."), 0))
+    ).cast("bigint")
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda x: x.rlike(r"[a-zA-Z]"))) / n_words,
+    )
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lowered, w),
+        )
+    ).cast("bigint")
+    out = base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))

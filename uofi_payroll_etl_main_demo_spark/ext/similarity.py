@@ -830,3 +830,81 @@ def hard_negative_mining(
             "cosine", "rank",
         )
     )
+
+
+def knn_join_multiprobe(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int | None = None,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    target_bucket_size: int = 512,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`knn_join` with multi-probe: every vector ALSO probes the
+    buckets within ``multiprobe_hamming`` bit flips of its own — the
+    standard recall-recovery trick for boundary vectors (a vector just
+    across a hyperplane lands one bit away), without extra hash tables.
+
+    Only the PROBE side explodes (1 + n_planes rows per vector at
+    hamming 1); the base side stays single-bucket, so each (a, b) pair
+    is generated at most once (exactly one probe bucket of ``a`` can
+    equal ``b``'s bucket) and candidate volume grows (1+n_planes)×,
+    not quadratically. Deterministic hyperplanes keep the full output
+    SQL-reproducible: the oracle's join predicate is simply
+    ``bit_count(xor(bucket_a, bucket_b)) <= hamming``.
+    """
+    from pyspark.sql import Window
+
+    if multiprobe_hamming not in (0, 1):
+        raise ValueError("multiprobe_hamming must be 0 or 1")
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), target_bucket_size)
+    b = _cap_buckets(
+        random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed),
+        max_bucket_size,
+    )
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    probes = F.array(
+        F.col("bucket"),
+        *(
+            [
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ]
+            if multiprobe_hamming >= 1
+            else []
+        ),
+    )
+    left = b.select(
+        F.col(id_col),
+        dbl.alias("__v"),
+        l2_norm(vec_col).alias("__na"),
+        F.explode(probes).alias("bucket"),
+    )
+    right = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        dbl.alias("__w"),
+        l2_norm(vec_col).alias("__nb"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__w"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__na") * F.col("__nb")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col(id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(F.when(denom != 0, dot / denom), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -297,3 +297,56 @@ def unigram_surprisal(
             ),
         )
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus duplication: the fraction of a
+    document's DISTINCT k-word shingles that also appear in at least
+    one OTHER document (the duplicated-content prefilter of public web
+    pipelines — C4/RefinedWeb report "duplicate n-gram fraction"
+    before any pair-wise dedup).
+
+    The metric needs shingle document-frequencies, NOT the pair graph:
+    shingle-explode (distinct per doc) → groupBy shingle for doc
+    frequency → join back → per-doc aggregate. Cost is O(postings)
+    with two hash shuffles of (long, long) rows — no pair expansion
+    anywhere, so a K_N duplicate clique costs N·shingles, not N².
+    A shingle's doc-frequency counts distinct documents because the
+    exploded shingles are distinct per document by construction.
+
+    Output: (id, n_shingles, n_dup_shingles, dup_fraction round-6);
+    documents shorter than k tokens have no shingles and no row (same
+    convention as the pair generators).
+
+    Hashes are xxhash64 (shuffle rows are two longs, never text); the
+    SQL oracle groups on the shingle STRING — equality of counts holds
+    absent a 64-bit collision, which on corpus-realistic shingle
+    volumes is ~1e-8 and deterministic if it ever occurs.
+    """
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import _shingle_hashes
+
+    sh = _shingle_hashes(df, text_col, id_col, k)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(freq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -91,3 +91,85 @@ def mixture_take(
         .filter(budget.isNotNull() & (F.col("__rn") <= budget))
         .drop("__rn")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    epoch: int = 0,
+    shards: int = 8,
+) -> DataFrame:
+    """Deterministic epoch shuffle: assign every row a shard and a
+    position within that shard from a seeded portable hash — the
+    "global shuffle" a training loader needs WITHOUT a global sort.
+
+    Each epoch permutes differently (the epoch seeds the hash), yet
+    the permutation is exactly reproducible across runs, partitionings,
+    and engines. One shuffle on shard id for the in-shard rank window;
+    shards are independent, so at 100 TB each shard's window sorts
+    1/shards of the corpus — there is no single global ordering
+    bottleneck, which is exactly how sharded training data is consumed
+    (loaders read shards in parallel, each shard pre-shuffled).
+
+    Output: original columns + (shard, pos) with pos = 1..shard_size
+    in hash order, ties broken by key.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(epoch), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    shard = (h % shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    strata: str = "source",
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum: w_i ∝ n_i^alpha
+    (alpha < 1 up-weights small domains — the multilingual/multi-domain
+    rebalancing rule of public LLM recipes; alpha=1 is proportional,
+    alpha=0 uniform).
+
+    One tiny aggregate over the corpus (per-stratum counts), then
+    closed-form arithmetic — the weight table is dimension-sized and
+    feeds ``mixture_take`` budgets. With ``budget`` set, also emits
+    floor(w_i * budget) as take_budget.
+
+    Output: (stratum, n_docs, weight round-6[, take_budget]).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    # dimension-sized frame: the all-rows window is a handful of strata
+    tot = Window.partitionBy()
+    w = powed / F.sum(powed).over(tot)
+    out = counts.select(
+        F.col(strata),
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "take_budget", F.floor(w * F.lit(int(budget))).cast("bigint")
+        )
+    return out

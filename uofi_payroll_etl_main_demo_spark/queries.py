@@ -4230,6 +4230,225 @@ REGISTRY["a14_quantiles"] = (
 # by scripts/check_oracle.py and pytest).
 # --------------------------------------------------------------------------
 
+# ------------- round-3 curation/sampling/similarity extensions -------------
+
+
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-document cross-corpus duplicated-ngram fraction (C4/
+    RefinedWeb-style duplicated-content prefilter) — shingle doc-
+    frequencies, no pair graph (ext/textstats.py dup_ngram_stats)."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        dup_ngram_stats,
+    )
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _sql_dup_ngram_stats(k: int = 3) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' ')))) AS s
+  FROM t WHERE len(toks) >= {k}
+),
+fq AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
+       round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_fraction
+FROM sh JOIN fq USING (s) GROUP BY doc_id
+"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rule panel (Rae et al. 2021
+    public filter set): every rule a closed-form column + conjunction
+    flag, one narrow shuffle-free projection (ext/curation.py)."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def _sql_gopher_rules(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean: float = 3.0,
+    max_mean: float = 10.0,
+    max_symbol: float = 0.1,
+    max_bullet: float = 0.9,
+    max_ellipsis: float = 0.3,
+    min_alpha: float = 0.8,
+    min_stop: int = 2,
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        GOPHER_STOPWORDS,
+    )
+
+    stoplist = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, str_split(text, chr(10)) AS lines, text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CASE WHEN len(toks) > 0 THEN
+      CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+           'sum') AS DOUBLE) / len(toks) END, 6) AS mean_word_len,
+    round(CASE WHEN len(toks) > 0 THEN
+      CAST(len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      / len(toks) END, 6) AS symbol_word_ratio,
+    round(CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+           AS DOUBLE) / len(lines) END, 6) AS bullet_line_frac,
+    round(CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+           AS DOUBLE) / len(lines) END, 6) AS ellipsis_line_frac,
+    round(CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS DOUBLE) / len(toks) END, 6) AS alpha_word_frac,
+    CAST(len(list_filter({stoplist},
+           w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+         AS BIGINT) AS stopword_hits
+  FROM t
+)
+SELECT *, coalesce(
+    n_words BETWEEN {min_words} AND {max_words}
+    AND mean_word_len BETWEEN {min_mean} AND {max_mean}
+    AND symbol_word_ratio <= {max_symbol}
+    AND bullet_line_frac <= {max_bullet}
+    AND ellipsis_line_frac <= {max_ellipsis}
+    AND alpha_word_frac >= {min_alpha}
+    AND stopword_hits >= {min_stop}, FALSE) AS passes
+FROM m
+"""
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: portable-hash shard + in-shard
+    position — the sharded training-loader permutation with no global
+    sort (operators/sampling.py corpus_shuffle)."""
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        corpus_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus_shuffle(docs, key="doc_id", epoch=1, shards=8)
+
+
+def _sql_corpus_shuffle(epoch: int = 1, shards: int = 8) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('{epoch}:' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS hh
+  FROM documents)
+SELECT doc_id, source, CAST(hh % {shards} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % {shards}
+            ORDER BY hh, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled (alpha=0.7) per-source mixture weights +
+    integer take budgets — the domain-rebalancing rule of public LLM
+    data recipes (operators/sampling.py temperature_mixture_weights)."""
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"), strata="source", alpha=0.7,
+        budget=1000,
+    )
+
+
+def _sql_mixture_temperature(alpha: float = 0.7, budget: int = 1000) -> str:
+    return f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+SELECT source, n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), {alpha})
+             / sum(pow(CAST(n_docs AS DOUBLE), {alpha})) OVER (), 6)
+         AS weight,
+       CAST(floor(pow(CAST(n_docs AS DOUBLE), {alpha})
+             / sum(pow(CAST(n_docs AS DOUBLE), {alpha})) OVER ()
+             * {budget}) AS BIGINT) AS take_budget
+FROM c
+"""
+
+
+def q_knn_join_multiprobe(spark, sf_dir):
+    """Self-KNN with multi-probe (hamming-1 bucket neighbors): recall
+    recovery for boundary vectors; probe side explodes (1+planes)×,
+    base side stays single-bucket — never all-pairs
+    (ext/similarity.py knn_join_multiprobe)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_multiprobe,
+    )
+
+    out = knn_join_multiprobe(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=4,
+        multiprobe_hamming=1,
+    )
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _sql_knn_join_multiprobe(
+    k: int = 3, dim: int = 64, n_planes: int = 4, seed: int = 42,
+    hamming: int = 1,
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for bit, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id, x.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, x.v), 6) AS cosine
+      FROM b a JOIN b x
+        ON bit_count(xor(a.bucket, x.bucket)) <= {hamming}
+       AND a.vec_id <> x.vec_id)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p)
+WHERE rank <= {k}
+"""
+
+
+REGISTRY["ext_dup_ngram_stats"] = (q_dup_ngram_stats, _sql_dup_ngram_stats())
+REGISTRY["ext_gopher_rules"] = (q_gopher_rules, _sql_gopher_rules())
+REGISTRY["ext_corpus_shuffle"] = (q_corpus_shuffle, _sql_corpus_shuffle())
+REGISTRY["ext_mixture_temperature"] = (
+    q_mixture_temperature,
+    _sql_mixture_temperature(),
+)
+REGISTRY["ext_knn_join_multiprobe"] = (
+    q_knn_join_multiprobe,
+    _sql_knn_join_multiprobe(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
@@ -4243,16 +4462,16 @@ _WINDOW_50 = [
     "pipeline_curation",
     "pipeline_payroll_shape",
     "pipeline_cpa_shape",
-    "ext_exact_dedup",
     "ext_ngram_jaccard",
     "ext_minhash_pairs",
     "ext_minhash_pairs_prod",
     "ext_simhash_pairs",
     "ext_dedup_clusters",
-    "ext_winnow_fingerprints",
-    "ext_chunk_documents",
-    "ext_dedup_best_of_cluster",
-    "ext_embedding_pairs_bucketed",
+    "ext_dup_ngram_stats",
+    "ext_gopher_rules",
+    "ext_corpus_shuffle",
+    "ext_mixture_temperature",
+    "ext_knn_join_multiprobe",
     "ext_topk_cosine_gemm",
     "ext_multimodal_features",
     "ext_semantic_dedup",
