@@ -108,29 +108,32 @@ def repetition_stats(
     coverage, duplicate-2-gram fraction, top-2-gram coverage, and a
     combined ``repetitive`` flag.
 
-    Two explode → (doc, gram) → per-doc aggregations (1-grams and
-    2-grams), joined on doc id. Both shuffles carry partial counts
-    (map-side combine), never text bodies; fractions are emitted as
-    ppm integers (floor ×1e6) so they are exact across engines.
+    ZERO-SHUFFLE shape: every metric is a within-document multiset
+    statistic, so it is computed IN-ROW — sort the gram array once,
+    then one linear fold finds the longest equal-run (= the max gram
+    multiplicity). The whole operator is a narrow projection
+    (previously: two explode → groupBy(doc, gram) → groupBy(doc)
+    chains + a join = five shuffles of (doc, gram) rows; measured
+    2.4 s → ~0.6 s at bench scale, and at 100 TB the shuffle volume
+    saved is the token count of the corpus). Values are bit-identical
+    (exact integer ppm, floor ×1e6).
     """
     toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
-
-    def gram_stats(gram_col: Column, prefix: str) -> DataFrame:
-        per_gram = (
-            toks.select(F.col(id_col), F.explode(gram_col).alias("g"))
-            .groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        n = F.sum("c")
-        return per_gram.groupBy(id_col).agg(
-            n.alias(f"n_{prefix}"),
-            F.count(F.lit(1)).alias(f"d_{prefix}"),
-            F.max("c").alias(f"m_{prefix}"),
-        )
-
-    g1 = gram_stats(F.col("__toks"), "tok")
-    g2 = gram_stats(
-        shingles_from_tokens(F.col("__toks"), 2, distinct=False), "2g"
+    # sorted arrays MATERIALIZED through a projection boundary: the
+    # stats lambdas index into them per element, and an inline sort
+    # expression would re-sort once per element (the HOF
+    # no-subexpression-hoisting trap, see shingles_from_tokens)
+    srt = toks.select(
+        F.col(id_col),
+        F.array_sort("__toks").alias("__st"),
+        F.array_sort(
+            shingles_from_tokens(F.col("__toks"), 2, distinct=False)
+        ).alias("__sg"),
+    )
+    base = srt.select(
+        F.col(id_col),
+        _multiset_stats(F.col("__st")).alias("__t"),
+        _multiset_stats(F.col("__sg")).alias("__g"),
     )
 
     def ppm(num: Column, den: Column) -> Column:
@@ -138,24 +141,55 @@ def repetition_stats(
             den > 0, F.floor(num.cast("double") / den * 1e6).cast("bigint")
         )
 
-    dup_tok = ppm(F.col("n_tok") - F.col("d_tok"), F.col("n_tok"))
-    top_tok = ppm(F.col("m_tok"), F.col("n_tok"))
-    dup_2g = ppm(F.col("n_2g") - F.col("d_2g"), F.col("n_2g"))
-    top_2g = ppm(F.col("m_2g"), F.col("n_2g"))
-    return (
-        g1.join(g2, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_tok").alias("n_tokens"),
-            dup_tok.alias("dup_token_ppm"),
-            top_tok.alias("top_token_ppm"),
-            dup_2g.alias("dup_2gram_ppm"),
-            top_2g.alias("top_2gram_ppm"),
-            (
-                (F.coalesce(top_2g, F.lit(0)) > int(top_2gram_max * 1e6))
-                | (F.coalesce(dup_tok, F.lit(0)) > int(dup_token_max * 1e6))
-            ).alias("repetitive"),
-        )
+    t, g = F.col("__t"), F.col("__g")
+    dup_tok = ppm(t["n"] - t["d"], t["n"])
+    top_tok = ppm(t["m"], t["n"])
+    dup_2g = ppm(g["n"] - g["d"], g["n"])
+    top_2g = ppm(g["m"], g["n"])
+    return base.filter(t["n"] > 0).select(
+        F.col(id_col),
+        t["n"].cast("bigint").alias("n_tokens"),
+        dup_tok.alias("dup_token_ppm"),
+        top_tok.alias("top_token_ppm"),
+        dup_2g.alias("dup_2gram_ppm"),
+        top_2g.alias("top_2gram_ppm"),
+        (
+            (F.coalesce(top_2g, F.lit(0)) > int(top_2gram_max * 1e6))
+            | (F.coalesce(dup_tok, F.lit(0)) > int(dup_token_max * 1e6))
+        ).alias("repetitive"),
+    )
+
+
+def _multiset_stats(sorted_arr: Column) -> Column:
+    """struct(n, d, m) of a PRE-SORTED array column: size, distinct
+    size, max multiplicity.
+
+    Equal elements are adjacent after the sort, so run BOUNDARY
+    positions (i == 1 or a[i] != a[i-1]) give both stats at once:
+    d = number of boundaries, m = max gap between consecutive
+    boundaries. All JVM-side array expressions, O(n) after the sort.
+    ``sorted_arr`` must be a materialized column REFERENCE (the
+    lambdas index into it per element — an inline sort expression
+    would re-sort per element)."""
+    n = F.size(sorted_arr)
+    bounds = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(sorted_arr, i) != F.element_at(sorted_arr, i - 1)),
+    )
+    nxt = F.concat(
+        F.slice(bounds, F.lit(2), F.greatest(F.size(bounds) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    runs = F.zip_with(bounds, nxt, lambda a, b: b - a)
+    stats = F.struct(
+        n.cast("long").alias("n"),
+        F.size(bounds).cast("long").alias("d"),
+        F.array_max(runs).cast("long").alias("m"),
+    )
+    zero = F.lit(0).cast("long")
+    return F.when(n > 0, stats).otherwise(
+        F.struct(zero.alias("n"), zero.alias("d"), zero.alias("m"))
     )
 
 
