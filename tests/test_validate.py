@@ -53,3 +53,19 @@ def test_check_format(df):
     count, sample = check_format(df, "code", r"^\d-\d{6}$")
     assert count == 1
     assert sample[0]["code"] == "bad"
+
+
+def test_remote_store_conf_shape():
+    from uofi_payroll_etl_main_demo_spark.session import remote_store_conf
+
+    c = remote_store_conf()
+    assert all(k.startswith("spark.") for k in c)
+    assert "spark.hadoop.fs.s3a.committer.name" in c
+    # no credential material anywhere in the template
+    assert not any(
+        tok in v.lower() for v in c.values() for tok in ("key=", "secret")
+    )
+    c2 = remote_store_conf(endpoint="http://localhost:9000",
+                           path_style_access=True)
+    assert c2["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert c2["spark.hadoop.fs.s3a.path.style.access"] == "true"

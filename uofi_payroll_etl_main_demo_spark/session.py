@@ -121,3 +121,49 @@ def iterative_conf(
         },
     ):
         yield
+
+
+def remote_store_conf(
+    bucket_scheme: str = "s3a",
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+) -> dict[str, str]:
+    """SparkSession conf template for a remote object store — the
+    engine-side equivalent of the reference's remote-store connector
+    (reference etl_payroll_pipeline_demo.py:9-34 authenticates a Box
+    client; on Spark, remote storage is a *filesystem scheme*, so the
+    "connector" is Hadoop FS configuration and every reader/writer in
+    ``io/`` works unchanged on ``s3a://bucket/...`` paths — SURVEY §2.1
+    S1/S8 scope this to connector config, not engine surface).
+
+    Returns a dict to merge into ``get_spark(extra_conf=...)``. Only
+    public Hadoop S3A knobs; credentials come from the standard
+    provider chain (env vars, instance profile) — never hardcode them:
+
+        spark = get_spark(extra_conf=remote_store_conf())
+        df = spark.read.parquet("s3a://my-bucket/payroll/inbound/")
+        df2.write.csv("s3a://my-bucket/payroll/outbound/out.csv")
+    """
+    conf = {
+        # credential chain: env -> profile -> instance metadata
+        f"spark.hadoop.fs.{bucket_scheme}.aws.credentials.provider": (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        ),
+        # high-throughput committers: no rename-based commit on object
+        # stores (rename is a copy there)
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # connection pool sized for wide scans
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    }
+    if endpoint:  # non-AWS endpoints (MinIO, Ceph, GCS interop)
+        conf[f"spark.hadoop.fs.{bucket_scheme}.endpoint"] = endpoint
+    if path_style_access:
+        conf[f"spark.hadoop.fs.{bucket_scheme}.path.style.access"] = "true"
+    return conf
