@@ -70,6 +70,10 @@ HEADLINE = [
     "pipeline_curation",
     "ext_decontaminate",
     "ext_repetition_stats",
+    "ext_dup_ngram_stats",
+    "ext_gopher_rules",
+    "ext_boilerplate_stats",
+    "ext_heavy_hitters_cms",
     "ext_tfidf_top_terms",
     "ext_bm25_search",
     "ext_knn_join",

@@ -628,3 +628,61 @@ def test_dup_ngram_stats_clique_costs_postings_not_pairs(spark):
     out = dup_ngram_stats(docs, k=3).collect()
     assert len(out) == 30
     assert all(r["dup_fraction"] == 1.0 for r in out)
+
+
+def test_boilerplate_stats_hot_vs_cold(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        boilerplate_stats,
+    )
+
+    footer = "copyright acme corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha content here " + footer),
+            (2, "different beta words now " + footer),
+            (3, "third gamma body text " + footer),
+            (4, "totally unrelated document nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(docs, k=3, min_docs=3).collect()
+    }
+    # footer 3-grams hit all three docs; unique bodies do not
+    assert got[1]["n_boilerplate"] >= 4
+    assert 0 < got[1]["boilerplate_fraction"] < 1
+    assert got[4]["n_boilerplate"] == 0
+    assert got[4]["boilerplate_fraction"] == 0.0
+
+
+def test_cms_estimate_dominates_exact(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        heavy_hitters_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = heavy_hitters_report(docs, top_n=10, width=256, depth=3).collect()
+    assert len(rows) == 10
+    # one-sided error: the sketch can only over-count
+    assert all(r["cms_count"] >= r["exact_count"] for r in rows)
+    # narrow width forces visible collisions somewhere OR exact match;
+    # either way a 4x wider sketch must not be less accurate
+    wide = {
+        r["term"]: r["cms_count"]
+        for r in heavy_hitters_report(
+            docs, top_n=10, width=1024, depth=3
+        ).collect()
+    }
+    for r in rows:
+        assert wide[r["term"]] <= r["cms_count"]
+
+
+def test_dedup_recall_report_bounds(spark):
+    from uofi_payroll_etl_main_demo_spark import queries as R
+
+    r = R.q_dedup_recall_report(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_common"] <= min(r["n_exact"], r["n_approx"])
+    # verified minhash pairs all satisfy the threshold -> precision 1.0
+    assert r["precision"] == 1.0
+    assert 0.0 <= r["recall"] <= 1.0

@@ -1,0 +1,121 @@
+"""Sketch operators: count-min over token streams.
+
+A 100 TB corpus cannot groupBy every token when only approximate heavy
+counts are needed; the count-min sketch (Cormode & Muthukrishnan 2005,
+public literature) bounds memory at depth×width counters while
+guaranteeing estimate >= true count (one-sided error <= εN with
+probability 1-δ, ε=e/width, δ=e^-depth).
+
+Spark shape: the sketch build is ONE explode + ONE groupBy over
+(row, col) — the shuffle carries depth rows per token occurrence but
+the aggregate output is a fixed depth×width table regardless of corpus
+size (that is the point of the sketch: the reducer state is bounded).
+Hashes are md5-derived (engine-portable) so the sketch — and therefore
+every estimate — is bit-identical in the DuckDB oracle.
+
+Reference scope: no analogue in the reference (eager pandas ETL);
+LLM-corpus extension surface (vocabulary/heavy-hitter profiling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+
+
+def _cms_col(tok: Column, row: int, width: int) -> Column:
+    """Portable counter index for hash row ``row``: md5('row:token')
+    prefix → bigint → mod width (bit-identical in any engine)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(row), tok)), 1, 15), 16, 10
+    ).cast("bigint")
+    return (h % width).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the (row, col, cnt) sketch table over whitespace tokens.
+
+    Output is depth×width rows max — broadcast-sized by construction at
+    any corpus size. Missing (row, col) combinations mean counter 0.
+    """
+    toks = df.select(tokenize_ws(text_col).alias("__toks")).select(
+        F.explode("__toks").alias("tok")
+    )
+    rows = [
+        toks.select(
+            F.lit(r).alias("row"), _cms_col(F.col("tok"), r, width).alias("col")
+        )
+        for r in range(depth)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return allrows.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimate each term's count: min over the depth counters it hashes
+    to. The sketch side is broadcast (it is <= depth×width rows); the
+    terms side stays distributed — estimating a billion terms is a
+    broadcast-join + min-agg, no corpus rescan.
+
+    Output: (term, cms_count). Guarantee: cms_count >= true count.
+    """
+    probes = None
+    for r in range(depth):
+        p = terms.select(
+            F.col(term_col),
+            F.lit(r).alias("row"),
+            _cms_col(F.col(term_col), r, width).alias("col"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
+def heavy_hitters_report(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Exact top-N tokens with their count-min estimates side by side —
+    the sketch-accuracy report (estimate >= exact always; the gap is
+    the collision error the width bounds).
+
+    Output: (term, exact_count, cms_count), top_n rows by exact count
+    (ties broken by term for determinism).
+    """
+    toks = df.select(tokenize_ws(text_col).alias("__toks")).select(
+        F.explode("__toks").alias("term")
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(top_n)
+    )
+    sketch = count_min_sketch(df, text_col, width, depth)
+    est = cms_estimate(sketch, exact.select("term"), "term", width, depth)
+    return exact.join(est, "term").select(
+        "term", "exact_count", "cms_count"
+    )

@@ -350,3 +350,60 @@ def dup_ngram_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    k-gram OCCURRENCES (non-distinct — repetition inside a doc counts)
+    whose shingle appears in >= ``min_docs`` DISTINCT documents — the
+    header/footer/nav detector of web-corpus pipelines (hot passages
+    are corpus-wide repeated runs, unlike ``dup_ngram_stats`` which
+    flags any cross-doc sharing).
+
+    Same O(postings) shape as ``dup_ngram_stats``: occurrence explode →
+    distinct (doc, shingle) → shingle doc-frequency → semi-join back.
+    No pair expansion; shuffles carry (long, long) hashes, never text.
+
+    Output: (id, n_shingles, n_boilerplate, boilerplate_fraction).
+    """
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    base = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            shingles_from_tokens(F.col("__toks"), k, distinct=False)
+        ).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("sh"))
+    hot = (
+        occ.distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("sh")
+    )
+    tot = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    boil = (
+        occ.join(hot, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__b"))
+    )
+    return (
+        tot.join(boil, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("__b", F.lit(0)).alias("n_boilerplate"),
+            F.round(
+                F.coalesce("__b", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("boilerplate_fraction"),
+        )
+    )

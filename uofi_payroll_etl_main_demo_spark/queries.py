@@ -4436,6 +4436,147 @@ WHERE rank <= {k}
 """
 
 
+def q_boilerplate_stats(spark, sf_dir):
+    """Per-document boilerplate fraction: share of k-gram OCCURRENCES
+    whose shingle appears in >= 3 distinct documents (hot-passage /
+    header-footer detector; ext/textstats.py boilerplate_stats —
+    O(postings), no pair graph)."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        boilerplate_stats,
+    )
+
+    return boilerplate_stats(
+        _t(spark, sf_dir, "documents"), k=3, min_docs=3
+    )
+
+
+def _sql_boilerplate(k: int = 3, min_docs: int = 3) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' '))) AS s
+  FROM t WHERE len(toks) >= {k}
+),
+hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+                       FROM occ GROUP BY s) WHERE c >= {min_docs}),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM occ GROUP BY doc_id),
+nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS b
+       FROM occ JOIN hot USING (s) GROUP BY doc_id)
+SELECT tot.doc_id, n_shingles,
+       COALESCE(b, 0) AS n_boilerplate,
+       round(COALESCE(b, 0) / CAST(n_shingles AS DOUBLE), 6)
+         AS boilerplate_fraction
+FROM tot LEFT JOIN nb USING (doc_id)
+"""
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch accuracy report: exact top-20 tokens beside
+    their CMS estimates (md5-derived portable hash rows, so the sketch
+    is bit-identical cross-engine; estimate >= exact by construction —
+    ext/sketches.py)."""
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        heavy_hitters_report,
+    )
+
+    return heavy_hitters_report(
+        _t(spark, sf_dir, "documents"), top_n=20, width=1024, depth=4
+    )
+
+
+def _sql_heavy_hitters_cms(
+    top_n: int = 20, width: int = 1024, depth: int = 4
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS} END) AS term
+  FROM documents),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+          FROM tok GROUP BY term
+          ORDER BY exact_count DESC, term LIMIT {top_n}),
+counters AS (
+  SELECT r.i AS row,
+         CAST(('0x' || substr(md5(r.i || ':' || term), 1, 15)) AS BIGINT)
+           % {width} AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN range(0, {depth}) r(i) GROUP BY 1, 2),
+probes AS (
+  SELECT term, r.i AS row,
+         CAST(('0x' || substr(md5(r.i || ':' || term), 1, 15)) AS BIGINT)
+           % {width} AS col
+  FROM exact CROSS JOIN range(0, {depth}) r(i))
+SELECT e.term, e.exact_count,
+       CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+FROM exact e JOIN probes p USING (term)
+LEFT JOIN counters c ON c.row = p.row AND c.col = p.col
+GROUP BY e.term, e.exact_count
+"""
+
+
+def q_dedup_recall_report(spark, sf_dir):
+    """Dedup approximation audit: MinHash+LSH verified pairs vs the
+    exact n-gram Jaccard pair set at the same threshold — one row of
+    (n_exact, n_approx, n_common, recall, precision). Quantifies the
+    banding recall trade the production path makes; both pair sets are
+    the already-oracle-checked pipelines, composed."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
+        "id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("a")
+    )
+    approx = minhash_near_dup_pairs(
+        docs, num_hashes=32, bands=16, k=3, threshold=0.2,
+        hash_family="portable",
+    ).select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("a"))
+    per = (
+        exact.unionByName(approx)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("e").alias("e"), F.max("a").alias("a"))
+    )
+    n_common = F.sum(
+        F.when((F.col("e") == 1) & (F.col("a") == 1), 1).otherwise(0)
+    )
+    return per.agg(
+        F.sum("e").cast("bigint").alias("n_exact"),
+        F.sum("a").cast("bigint").alias("n_approx"),
+        n_common.cast("bigint").alias("n_common"),
+        F.round(n_common / F.sum("e"), 6).alias("recall"),
+        F.round(n_common / F.sum("a"), 6).alias("precision"),
+    )
+
+
+def _sql_dedup_recall_report() -> str:
+    return f"""
+WITH exact AS (SELECT id_a, id_b FROM ({_sql_ngram_jaccard()}) q1),
+approx AS (SELECT id_a, id_b FROM ({_sql_minhash_pairs()}) q2),
+u AS (
+  SELECT id_a, id_b, max(e) AS e, max(a) AS a FROM (
+    SELECT id_a, id_b, 1 AS e, 0 AS a FROM exact
+    UNION ALL SELECT id_a, id_b, 0, 1 FROM approx)
+  GROUP BY id_a, id_b)
+SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+       CAST(sum(a) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN e = 1 AND a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       round(sum(CASE WHEN e = 1 AND a = 1 THEN 1 ELSE 0 END)
+             / CAST(sum(e) AS DOUBLE), 6) AS recall,
+       round(sum(CASE WHEN e = 1 AND a = 1 THEN 1 ELSE 0 END)
+             / CAST(sum(a) AS DOUBLE), 6) AS precision
+FROM u
+"""
+
+
+REGISTRY["ext_boilerplate_stats"] = (q_boilerplate_stats, _sql_boilerplate())
+REGISTRY["ext_heavy_hitters_cms"] = (
+    q_heavy_hitters_cms,
+    _sql_heavy_hitters_cms(),
+)
+REGISTRY["ext_dedup_recall_report"] = (
+    q_dedup_recall_report,
+    _sql_dedup_recall_report(),
+)
 REGISTRY["ext_dup_ngram_stats"] = (q_dup_ngram_stats, _sql_dup_ngram_stats())
 REGISTRY["ext_gopher_rules"] = (q_gopher_rules, _sql_gopher_rules())
 REGISTRY["ext_corpus_shuffle"] = (q_corpus_shuffle, _sql_corpus_shuffle())
