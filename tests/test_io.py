@@ -343,3 +343,40 @@ def test_jsonl_source_analytics_parity(spark, sf_dir, tmp_path):
 
     assert stats(back) == stats(docs)
     assert back.count() == docs.count()
+
+
+def test_orc_source_analytics_parity(spark, sf_dir, tmp_path):
+    """Cross-format consistency: ORC roundtrip feeds the analytics
+    stack identically to parquet, and the ORC scan prunes columns +
+    pushes filters like the parquet one."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import document_stats
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_orc,
+        read_parquet_table,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.writers import write_orc
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+
+    def stats(df):
+        out = document_stats(df).select("doc_id", "n_tokens", "n_chars")
+        return sorted(tuple(r) for r in out.collect())
+
+    assert stats(back) == stats(docs)
+    assert back.count() == docs.count()
+    # scan posture: filter + projection reach the ORC scan
+    plan = (
+        back.filter(F.col("doc_id") < 10)
+        .select("doc_id")
+        ._sc._jvm.PythonSQLUtils.explainString(
+            back.filter(F.col("doc_id") < 10)
+            .select("doc_id")
+            ._jdf.queryExecution(),
+            "formatted",
+        )
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
+    assert "struct<doc_id:bigint>" in plan.replace("ReadSchema: ", "")

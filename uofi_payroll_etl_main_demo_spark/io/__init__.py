@@ -12,6 +12,7 @@ from uofi_payroll_etl_main_demo_spark.io.readers import (  # noqa: F401
     read_csv,
     read_excel,
     read_jsonl,
+    read_orc,
     read_parquet_table,
     read_tables,
 )
@@ -23,5 +24,6 @@ from uofi_payroll_etl_main_demo_spark.io.writers import (  # noqa: F401
     write_partitioned_sorted,
     write_jsonl,
     write_excel,
+    write_orc,
     write_parquet,
 )

@@ -120,6 +120,17 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, *, schema=None) -> DataFrame:
+    """ORC source — the columnar alternative where the lake standard is
+    ORC (Hive-heritage warehouses). First-party Spark reader: predicate
+    pushdown, column pruning, and vectorized decode all apply exactly
+    as for parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_excel(
     spark: SparkSession, path: str, sheet_name: int | str = 0
 ) -> DataFrame:

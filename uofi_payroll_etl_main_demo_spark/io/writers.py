@@ -101,6 +101,11 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (first-party columnar writer, one file per task)."""
+    df.write.mode(mode).orc(path)
+
+
 def compact_parquet(
     spark,
     path: str,
