@@ -56,6 +56,7 @@ def test_contract_shape():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "ext_ivf_topk",  # data-adaptive k-means index
+        "ext_ivf_pq_topk",  # data-adaptive (k-means + Lloyd codebooks)
         "ext_minhash_pairs_prod",  # xxhash64 production path
         "ext_pq_topk",  # data-adaptive Lloyd codebooks
         "ext_bpe_merges",  # greedy in-array merge not SQL-expressible

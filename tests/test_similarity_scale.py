@@ -92,3 +92,40 @@ def test_gemm_pairs_match_column_form(spark, emb):
     for k, c in gemm.items():
         assert c == pytest.approx(col[k], abs=1e-12)
     assert len(gemm) >= 1
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    """nprobe == n_centroids makes IVF pruning a no-op, so IVF-PQ must
+    equal plain PQ exactly (same codebook training, same rerank)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import ivf_pq_search
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import pq_top_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = QV
+    a = sorted(
+        (r["vec_id"], round(r["score"], 6))
+        for r in ivf_pq_search(emb, q, k=10, nprobe=8, n_centroids=8).collect()
+    )
+    b = sorted(
+        (r["vec_id"], round(r["score"], 6))
+        for r in pq_top_k(emb, q, k=10, candidates=100).collect()
+    )
+    assert a == b
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import ivf_pq_search
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["vec_id"] for r in brute_force_top_k(emb, QV, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_pq_search(
+            emb, QV, k=10, nprobe=6, n_centroids=8
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5  # recall@10 >= 0.5 on this corpus

@@ -857,6 +857,20 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """Similarity: IVF-PQ composed ANN — coarse-list pruning, then PQ
+    ADC scan, then exact rerank (rows-only oracle: both quantizers are
+    data-adaptive; equality with plain PQ at nprobe=n_centroids and
+    recall vs brute force are pinned in tests)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import ivf_pq_search
+
+    out = ivf_pq_search(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10, nprobe=3,
+        n_centroids=8,
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal: mapInPandas feature extraction over binary payloads —
     REAL decode for codec-free formats (16-bit PCM WAV via stdlib wave,
@@ -2062,6 +2076,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
     "ext_topk_cosine_gemm": (q_topk_cosine_gemm, None),  # rows-only (BLAS)
     "ext_ivf_topk": (q_ivf_topk, None),  # rows-only (approximate)
+    "ext_ivf_pq_topk": (q_ivf_pq_topk, None),  # rows-only (approximate)
     "ext_sq_rerank_topk": (q_sq_rerank_topk, None),  # rows-only (approx)
     "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
     "pipeline_payroll_shape": (
