@@ -312,3 +312,33 @@ def test_ingest_dedup_stream_builds_near_dup_free_corpus(spark, tmp_path):
     n = corpus.count()
     assert global_kept <= n <= docs.count()
     assert pairs.count() > 0  # the corpus genuinely had near-dups
+
+
+def test_count_min_sketch_on_stream_matches_batch(spark, tmp_path):
+    """Streaming sketch: count_min_sketch is explode + union + one
+    bounded groupBy (depth×width counters max), so the SAME operator
+    runs unchanged as a streaming aggregation in complete mode — the
+    memory-bounded way to profile token heavy hitters on an unbounded
+    corpus feed. Stream counters must equal the batch sketch exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        count_min_sketch,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_cms_stream")
+    docs.repartition(3).write.parquet(path)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = run_stream(
+        spark,
+        count_min_sketch(stream, width=256, depth=3),
+        "stream_cms",
+        "complete",
+    )
+    want = count_min_sketch(batch, width=256, depth=3)
+    cols = ["row", "col", "cnt"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert want.count() > 0
