@@ -412,3 +412,41 @@ def test_knn_multiprobe_recall_dominates_single_probe(spark):
         map(tuple, knn_join(emb, dim=64, k=3, n_planes=4).collect())
     )
     assert zero == base
+
+
+def test_multiset_stats_property(spark):
+    """Property: _multiset_stats(sorted array) equals collections.Counter
+    ground truth for arbitrary token multisets (the boundary-position
+    formulation must not miss runs at array edges)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.curation import _multiset_stats
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e f", ""]),
+            min_size=0,
+            max_size=24,
+        )
+    )
+    def check(tokens):
+        df = spark.createDataFrame([(tokens,)], "arr array<string>")
+        row = (
+            df.select(F.array_sort("arr").alias("s"))
+            .select(_multiset_stats(F.col("s")).alias("st"))
+            .collect()[0]["st"]
+        )
+        c = Counter(tokens)
+        assert row["n"] == len(tokens)
+        assert row["d"] == len(c)
+        assert row["m"] == (max(c.values()) if c else 0)
+
+    check()

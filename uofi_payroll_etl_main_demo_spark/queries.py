@@ -4583,6 +4583,42 @@ FROM u
 """
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Dedup analytics: near-dup cluster-size histogram — how much of
+    the corpus sits in duplicate groups of each size (the dataset-card
+    view of the dedup graph). Composes the oracle-checked pair + CC
+    stack; the histogram output is dimension-sized."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    per = (
+        connected_components(pairs)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+
+
+def _sql_dedup_cluster_sizes() -> str:
+    return f"""
+WITH comp AS (SELECT * FROM ({_sql_dedup_clusters()}) q),
+per AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM per GROUP BY cluster_size
+"""
+
+
+REGISTRY["ext_dedup_cluster_sizes"] = (
+    q_dedup_cluster_sizes,
+    _sql_dedup_cluster_sizes(),
+)
 REGISTRY["ext_boilerplate_stats"] = (q_boilerplate_stats, _sql_boilerplate())
 REGISTRY["ext_heavy_hitters_cms"] = (
     q_heavy_hitters_cms,
