@@ -83,6 +83,7 @@ HEADLINE = [
     "ext_pack_sequences",
     "ext_shard_assign",
     "pipeline_training_data",
+    "pipeline_curation_v2",
     "ext_semantic_dedup",
     "ext_unigram_surprisal",
     "ext_incremental_dedup",

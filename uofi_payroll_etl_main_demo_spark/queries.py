@@ -2155,9 +2155,11 @@ def _sql_language_id() -> str:
     )
 
 
-def _sql_ngram_jaccard(k: int = 3, threshold: float = 0.2) -> str:
+def _sql_ngram_jaccard(
+    k: int = 3, threshold: float = 0.2, table: str = "documents"
+) -> str:
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {table}),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, len(toks) - {k} + 2),
@@ -4619,6 +4621,96 @@ REGISTRY["ext_dedup_cluster_sizes"] = (
     q_dedup_cluster_sizes,
     _sql_dedup_cluster_sizes(),
 )
+
+
+def q_pipeline_curation_v2(spark, sf_dir):
+    """Round-3 flagship composite: the full curation recipe of a public
+    LLM-data pipeline as ONE lazy plan — Gopher rule panel → cross-doc
+    duplication prefilter (dup_fraction ≤ 0.5) → exact near-dup cluster
+    removal on the SURVIVORS (the prefilters shrink the pair-graph
+    input first — order matters at 100 TB) → per-source temperature
+    mixture weights + take budgets over the final corpus. Every stage
+    is an already-oracle-checked operator; the composition is checked
+    end-to-end against the composed SQL."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.curation import gopher_rules
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        dup_ngram_stats,
+    )
+    from uofi_payroll_etl_main_demo_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_stopword_hits=0: the driver's synthetic corpus is word-soup
+    # with zero canonical English stopwords — the rule would blank the
+    # corpus; every other Gopher rule runs at its public default.
+    # dup_fraction cap at 0.85 ≈ the corpus p90.
+    keep_q = (
+        gopher_rules(docs, min_stopword_hits=0)
+        .filter("passes")
+        .select("doc_id")
+    )
+    keep_d = (
+        dup_ngram_stats(docs, k=3)
+        .filter(F.col("dup_fraction") <= 0.85)
+        .select("doc_id")
+    )
+    base = docs.join(keep_q, "doc_id", "left_semi").join(
+        keep_d, "doc_id", "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(base, k=3, threshold=0.2)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = base.join(losers, "doc_id", "left_anti")
+    return temperature_mixture_weights(
+        survivors, strata="source", alpha=0.7, budget=1000
+    )
+
+
+def _sql_pipeline_curation_v2(alpha: float = 0.7, budget: int = 1000) -> str:
+    return f"""
+WITH RECURSIVE
+g AS (SELECT doc_id FROM ({_sql_gopher_rules(min_stop=0)}) q1 WHERE passes),
+dupf AS (SELECT doc_id FROM ({_sql_dup_ngram_stats()}) q2
+         WHERE dup_fraction <= 0.85),
+base AS (SELECT d.* FROM documents d
+         JOIN g USING (doc_id) JOIN dupf USING (doc_id)),
+pairs AS (SELECT id_a, id_b
+          FROM ({_sql_ngram_jaccard(table="base")}) q3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+           HAVING min(node) <> src),
+surv AS (SELECT * FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM surv GROUP BY source)
+SELECT source, n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), {alpha})
+             / sum(pow(CAST(n_docs AS DOUBLE), {alpha})) OVER (), 6)
+         AS weight,
+       CAST(floor(pow(CAST(n_docs AS DOUBLE), {alpha})
+             / sum(pow(CAST(n_docs AS DOUBLE), {alpha})) OVER ()
+             * {budget}) AS BIGINT) AS take_budget
+FROM c
+"""
+
+
+REGISTRY["pipeline_curation_v2"] = (
+    q_pipeline_curation_v2,
+    _sql_pipeline_curation_v2(),
+)
 REGISTRY["ext_boilerplate_stats"] = (q_boilerplate_stats, _sql_boilerplate())
 REGISTRY["ext_heavy_hitters_cms"] = (
     q_heavy_hitters_cms,
@@ -4696,7 +4788,7 @@ _WINDOW_50 = [
     "stream_interval_join",
     "stream_session_stats",
     "stream_anomaly_windows",
-    "samp_hash_sample",
+    "pipeline_curation_v2",
     "pipeline_training_data",
     "scd2_history",
     "a14_quantiles",
