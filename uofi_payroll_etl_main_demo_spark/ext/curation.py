@@ -164,32 +164,48 @@ def _multiset_stats(sorted_arr: Column) -> Column:
     """struct(n, d, m) of a PRE-SORTED array column: size, distinct
     size, max multiplicity.
 
-    Equal elements are adjacent after the sort, so run BOUNDARY
-    positions (i == 1 or a[i] != a[i-1]) give both stats at once:
-    d = number of boundaries, m = max gap between consecutive
-    boundaries. All JVM-side array expressions, O(n) after the sort.
-    ``sorted_arr`` must be a materialized column REFERENCE (the
-    lambdas index into it per element — an inline sort expression
-    would re-sort per element)."""
+    Equal elements are adjacent after the sort, so the adjacent-NEQ
+    boundary flags (one ``zip_with`` over the array against itself
+    shifted by one) give both stats: d = 1 + Σflags, m = longest flag-0
+    run + 1 (one integer fold). All JVM-side array expressions, O(n)
+    after the sort.
+
+    SHAPE CONSTRAINT: no lambda here may reference ``sorted_arr`` from
+    its closure (e.g. ``element_at(sorted_arr, i)``) — Catalyst's
+    CollapseProject inlines the caller's ``array_sort`` into any such
+    reference and re-evaluates it PER ELEMENT (measured 90× slower
+    when the stats feed a filter). ``zip_with``/``aggregate`` lambdas
+    touch only their own arguments, so the sort is evaluated a
+    constant number of times per row no matter how the projection
+    collapses."""
     n = F.size(sorted_arr)
-    bounds = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(sorted_arr, i) != F.element_at(sorted_arr, i - 1)),
+    len1 = F.greatest(n - 1, F.lit(0))
+    flags = F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(sorted_arr, F.lit(2), len1),
+            F.slice(sorted_arr, F.lit(1), len1),
+            lambda x, y: (x != y).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    d = F.lit(1) + F.aggregate(flags, F.lit(0), lambda a, x: a + x)
+    m = F.aggregate(
+        flags,
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, F.lit(1)).otherwise(acc["run"] + 1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == 1, F.lit(1)).otherwise(acc["run"] + 1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    nxt = F.concat(
-        F.slice(bounds, F.lit(2), F.greatest(F.size(bounds) - 1, F.lit(0))),
-        F.array(n + 1),
-    )
-    runs = F.zip_with(bounds, nxt, lambda a, b: b - a)
-    stats = F.struct(
+    zero = F.lit(0)
+    return F.struct(
         n.cast("long").alias("n"),
-        F.size(bounds).cast("long").alias("d"),
-        F.array_max(runs).cast("long").alias("m"),
-    )
-    zero = F.lit(0).cast("long")
-    return F.when(n > 0, stats).otherwise(
-        F.struct(zero.alias("n"), zero.alias("d"), zero.alias("m"))
+        F.when(n > 0, d).otherwise(zero).cast("long").alias("d"),
+        F.when(n > 0, m).otherwise(zero).cast("long").alias("m"),
     )
 
 

@@ -4625,19 +4625,19 @@ REGISTRY["ext_dedup_cluster_sizes"] = (
 
 def q_pipeline_curation_v2(spark, sf_dir):
     """Round-3 flagship composite: the full curation recipe of a public
-    LLM-data pipeline as ONE lazy plan — Gopher rule panel → cross-doc
-    duplication prefilter (dup_fraction ≤ 0.5) → exact near-dup cluster
-    removal on the SURVIVORS (the prefilters shrink the pair-graph
-    input first — order matters at 100 TB) → per-source temperature
-    mixture weights + take budgets over the final corpus. Every stage
-    is an already-oracle-checked operator; the composition is checked
-    end-to-end against the composed SQL."""
+    LLM-data pipeline as ONE lazy plan — Gopher rule panel →
+    within-document repetition prefilter → exact near-dup cluster
+    removal on the SURVIVORS (the cheap narrow prefilters shrink the
+    pair-graph input first — order matters at 100 TB) → per-source
+    temperature mixture weights + take budgets over the final corpus.
+    Every stage is an already-oracle-checked operator; the composition
+    is checked end-to-end against the composed SQL."""
     from uofi_payroll_etl_main_demo_spark.ext.clusters import (
         connected_components,
     )
-    from uofi_payroll_etl_main_demo_spark.ext.curation import gopher_rules
-    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
-        dup_ngram_stats,
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        gopher_rules,
+        repetition_stats,
     )
     from uofi_payroll_etl_main_demo_spark.operators.sampling import (
         temperature_mixture_weights,
@@ -4646,20 +4646,34 @@ def q_pipeline_curation_v2(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # min_stopword_hits=0: the driver's synthetic corpus is word-soup
     # with zero canonical English stopwords — the rule would blank the
-    # corpus; every other Gopher rule runs at its public default.
-    # dup_fraction cap at 0.85 ≈ the corpus p90.
+    # corpus; every other Gopher rule runs at its public default. The
+    # repetition prefilter is WITHIN-document (corpus-size invariant —
+    # cross-doc ngram stats saturate on this tiny-vocabulary corpus).
+    # The rule panels are PERSISTED before their filters: filtering
+    # directly on a derived column makes CollapseProject re-expand the
+    # whole per-document expression tree once per referenced field
+    # (measured 15× on the repetition panel — 30 s vs 2 s at sf0.1);
+    # the cache is a collapse-proof stage boundary, and at 100 TB
+    # materializing the rule panel before filtering is the standard
+    # checkpoint anyway. base is additionally persisted because three
+    # downstream plans consume it (pair generation, the survivor
+    # anti-join, the final mixture agg).
     keep_q = (
         gopher_rules(docs, min_stopword_hits=0)
+        .persist()
         .filter("passes")
         .select("doc_id")
     )
     keep_d = (
-        dup_ngram_stats(docs, k=3)
-        .filter(F.col("dup_fraction") <= 0.85)
+        repetition_stats(docs)
+        .persist()
+        .filter(~F.col("repetitive"))
         .select("doc_id")
     )
-    base = docs.join(keep_q, "doc_id", "left_semi").join(
-        keep_d, "doc_id", "left_semi"
+    base = (
+        docs.join(keep_q, "doc_id", "left_semi")
+        .join(keep_d, "doc_id", "left_semi")
+        .persist()
     )
     pairs = ngram_jaccard_pairs(base, k=3, threshold=0.2)
     losers = (
@@ -4677,8 +4691,8 @@ def _sql_pipeline_curation_v2(alpha: float = 0.7, budget: int = 1000) -> str:
     return f"""
 WITH RECURSIVE
 g AS (SELECT doc_id FROM ({_sql_gopher_rules(min_stop=0)}) q1 WHERE passes),
-dupf AS (SELECT doc_id FROM ({_sql_dup_ngram_stats()}) q2
-         WHERE dup_fraction <= 0.85),
+dupf AS (SELECT doc_id FROM ({_sql_repetition()}) q2
+         WHERE NOT repetitive),
 base AS (SELECT d.* FROM documents d
          JOIN g USING (doc_id) JOIN dupf USING (doc_id)),
 pairs AS (SELECT id_a, id_b
