@@ -4670,8 +4670,11 @@ def q_pipeline_curation_v2(spark, sf_dir):
         .filter(~F.col("repetitive"))
         .select("doc_id")
     )
+    # projected to the three consumed columns BEFORE the persist —
+    # caching the full row would also cache (and scan) the unused ones
     base = (
-        docs.join(keep_q, "doc_id", "left_semi")
+        docs.select("doc_id", "text", "source")
+        .join(keep_q, "doc_id", "left_semi")
         .join(keep_d, "doc_id", "left_semi")
         .persist()
     )
