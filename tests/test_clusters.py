@@ -273,3 +273,27 @@ def test_iterative_conf_restores_session_state(spark):
         spark.conf.get("spark.sql.shuffle.partitions"),
     )
     assert before == after
+
+
+def test_split3_disjoint_exhaustive_and_cluster_safe(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.splits import (
+        cluster_aware_split3,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(50)], ["id_a", "id_b"]
+    )
+    out = cluster_aware_split3(docs, pairs, val_pct=10, test_pct=10)
+    rows = out.collect()
+    assert len(rows) == 200  # exhaustive, one row per doc
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(r["split"] for r in rows) <= {"train", "val", "test"}
+    for i in range(50):  # cluster members agree
+        assert by_id[i]["split"] == by_id[i + 100]["split"]
+        assert by_id[i]["cluster_rep"] == by_id[i + 100]["cluster_rep"] == i
+    splits = {s: sum(1 for r in rows if r["split"] == s)
+              for s in ("train", "val", "test")}
+    assert splits["train"] > splits["val"] > 0 and splits["test"] > 0

@@ -67,3 +67,38 @@ def cluster_aware_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cluster_aware_split3(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Three-way leakage-safe split (train/val/test), clusters intact.
+
+    Same shape as :func:`cluster_aware_split`, with the md5 bucket of
+    the cluster representative partitioned into three ranges:
+    [0, val_pct) → 'val', [val_pct, val_pct+test_pct) → 'test',
+    the rest → 'train'. One hash decides all three memberships, so the
+    splits are disjoint and exhaustive by construction — no doc (or
+    cluster) can land in two sets, which two independent binary splits
+    cannot promise.
+    """
+    comp = connected_components(pairs)
+    labels = comp.select(
+        F.col("id").alias("__sid"), F.col("comp").alias("__rep")
+    )
+    joined = docs.join(labels, docs[id_col] == labels["__sid"], "left")
+    rep = F.coalesce(F.col("__rep"), F.col(id_col))
+    b = hash_bucket(rep, buckets)
+    return joined.select(
+        F.col(id_col),
+        rep.alias("cluster_rep"),
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

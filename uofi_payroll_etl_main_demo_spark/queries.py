@@ -2922,6 +2922,48 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
 """
 
 
+def q_leakage_split3(spark, sf_dir):
+    """Three-way leakage-safe split (train/val/test): one md5 bucket of
+    the cluster representative partitioned into three ranges — splits
+    disjoint and exhaustive by construction, clusters never cut
+    (ext/splits.py cluster_aware_split3)."""
+    from uofi_payroll_etl_main_demo_spark.ext.splits import (
+        cluster_aware_split3,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return cluster_aware_split3(docs, pairs, val_pct=5, test_pct=5)
+
+
+def _sql_leakage_split3(val_pct: int = 5, test_pct: int = 5) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_ngram_jaccard()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+comp AS (SELECT src, min(node) AS rep FROM reach GROUP BY src),
+b AS (
+  SELECT d.doc_id,
+         COALESCE(c.rep, d.doc_id) AS cluster_rep,
+         ('0x' || substr(md5(CAST(COALESCE(c.rep, d.doc_id)
+            AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.src)
+SELECT doc_id, cluster_rep,
+       CASE WHEN bk < {val_pct} THEN 'val'
+            WHEN bk < {val_pct + test_pct} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Integer micro-point PageRank (6 fixed sweeps, damping 0.85) over
     the symmetrized supplier–part supply graph from lineitem; top-100
@@ -2989,6 +3031,7 @@ FROM r{iterations} ORDER BY pr DESC, node LIMIT 100
 
 
 REGISTRY["ext_leakage_split"] = (q_leakage_split, _sql_leakage_split())
+REGISTRY["ext_leakage_split3"] = (q_leakage_split3, _sql_leakage_split3())
 REGISTRY["ext_pagerank"] = (q_pagerank, _sql_pagerank())
 
 
@@ -4490,6 +4533,49 @@ FROM tot LEFT JOIN nb USING (doc_id)
 """
 
 
+def q_boilerplate_passages(spark, sf_dir):
+    """Top hot passages themselves: the 20 most-shared k-gram shingles
+    (by distinct-document count, ties by text) with their doc counts —
+    what a pipeline operator actually inspects before writing a
+    boilerplate strip rule. Shuffles carry (hash, id) pairs until the
+    final tiny top-k joins the strings back."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        shingles_from_tokens,
+        tokenize_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.col("doc_id"), tokenize_ws("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("__toks"), 3)).alias(
+            "passage"
+        ),
+    )
+    return (
+        occ.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("passage"))
+        .limit(20)
+    )
+
+
+def _sql_boilerplate_passages(k: int = 3, top_n: int = 20) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {k} + 2),
+           i -> array_to_string(toks[i:i + {k - 1}], ' ')))) AS passage
+  FROM t WHERE len(toks) >= {k}
+)
+SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+FROM occ GROUP BY passage
+ORDER BY n_docs DESC, passage LIMIT {top_n}
+"""
+
+
 def q_heavy_hitters_cms(spark, sf_dir):
     """Count-min-sketch accuracy report: exact top-20 tokens beside
     their CMS estimates (md5-derived portable hash rows, so the sketch
@@ -4729,6 +4815,10 @@ REGISTRY["pipeline_curation_v2"] = (
     _sql_pipeline_curation_v2(),
 )
 REGISTRY["ext_boilerplate_stats"] = (q_boilerplate_stats, _sql_boilerplate())
+REGISTRY["ext_boilerplate_passages"] = (
+    q_boilerplate_passages,
+    _sql_boilerplate_passages(),
+)
 REGISTRY["ext_heavy_hitters_cms"] = (
     q_heavy_hitters_cms,
     _sql_heavy_hitters_cms(),
