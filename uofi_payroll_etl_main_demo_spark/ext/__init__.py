@@ -18,19 +18,46 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup import (  # noqa: F401
     simhash,
     simhash_near_dup_pairs,
 )
+from uofi_payroll_etl_main_demo_spark.ext.curation import (  # noqa: F401
+    gopher_rules,
+    quality_classifier,
+    repetition_stats,
+)
 from uofi_payroll_etl_main_demo_spark.ext.ivf import (  # noqa: F401
     IVFIndex,
     build_ivf_index,
+    ivf_pq_search,
+)
+from uofi_payroll_etl_main_demo_spark.ext.pagerank import (  # noqa: F401
+    pagerank,
+)
+from uofi_payroll_etl_main_demo_spark.ext.sketches import (  # noqa: F401
+    cms_estimate,
+    count_min_sketch,
+    heavy_hitters_report,
 )
 from uofi_payroll_etl_main_demo_spark.ext.similarity import (  # noqa: F401
+    auto_planes,
     brute_force_top_k,
     brute_force_top_k_gemm,
     exact_cosine_pairs,
+    knn_join,
+    knn_join_gemm,
+    knn_join_multiprobe,
     lsh_bucket_top_k,
+    pq_top_k,
     random_hyperplane_buckets,
     sq_rerank_top_k,
 )
+from uofi_payroll_etl_main_demo_spark.ext.splits import (  # noqa: F401
+    cluster_aware_split,
+    cluster_aware_split3,
+)
 from uofi_payroll_etl_main_demo_spark.ext.textstats import (  # noqa: F401
+    boilerplate_stats,
+    chunk_documents,
     document_stats,
+    dup_ngram_stats,
     language_id,
+    winnowed_fingerprints,
 )

@@ -3035,6 +3035,83 @@ REGISTRY["ext_leakage_split3"] = (q_leakage_split3, _sql_leakage_split3())
 REGISTRY["ext_pagerank"] = (q_pagerank, _sql_pagerank())
 
 
+def q_session_paths(spark, sf_dir):
+    """Product analytics: top-10 session JOURNEY PATHS — gap-based
+    sessionization (the batch twin of the streaming sessionizer's
+    semantics: 30-minute inactivity closes a session), each session
+    reduced to its first three event types in time order, paths
+    counted. Two window passes + one agg; paths are strings like
+    'view>click>error'."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1, 0).over(w)
+        > gap_us
+    ).cast("int")
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "__sess").orderBy("ts", "event_id")
+    )
+    first3 = (
+        ev.withColumn("__sess", sess)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= 3)
+    )
+    paths = first3.groupBy("user_id", "__sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+def _sql_session_paths(top_n: int = 10) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS ns
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+rnk AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM rnk WHERE rn <= 3 GROUP BY user_id, sid)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {top_n}
+"""
+
+
+REGISTRY["ext_session_paths"] = (q_session_paths, _sql_session_paths())
+
+
 def q_pagerank_dangling(spark, sf_dir):
     """Integer PageRank WITH dangling-mass redistribution (4 sweeps,
     damping 0.85) over the DIRECTED supplier→part graph — parts have
