@@ -3112,6 +3112,35 @@ ORDER BY n_sessions DESC, path LIMIT {top_n}
 REGISTRY["ext_session_paths"] = (q_session_paths, _sql_session_paths())
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the class-centroid table that
+    seeds centroid classifiers / semantic-dedup buckets): posexplode →
+    partial-aggregated per-(label, dim) means. Long format (label,
+    pos, mean) — scalar round-6 doubles compare robustly across
+    engines where stringified float arrays would not."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("mean_val"))
+        .select("label", (F.col("pos") + 1).alias("pos"), "mean_val")
+    )
+
+
+def _sql_label_centroids(dim: int = 64) -> str:
+    return f"""
+SELECT label, r.i AS pos,
+       round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings CROSS JOIN range(1, {dim + 1}) r(i)
+GROUP BY label, r.i
+"""
+
+
+REGISTRY["ext_label_centroids"] = (q_label_centroids, _sql_label_centroids())
+
+
 def q_pagerank_dangling(spark, sf_dir):
     """Integer PageRank WITH dangling-mass redistribution (4 sweeps,
     damping 0.85) over the DIRECTED supplier→part graph — parts have
