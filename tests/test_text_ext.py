@@ -686,3 +686,27 @@ def test_dedup_recall_report_bounds(spark):
     # verified minhash pairs all satisfy the threshold -> precision 1.0
     assert r["precision"] == 1.0
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_bigram_surprisal_semantics(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        bigram_surprisal,
+    )
+
+    # corpus: "a b" twice, "a c" once, "z" once.
+    # bigram counts: (a,b)=2, (a,c)=1; ctx(a)=3.
+    # sb(a,b)=floor(log2(3//2))=0; sb(a,c)=floor(log2(3//1))=1.
+    # unigram: total=7; cnt(a)=3 -> sb1=floor(log2(7//3))=1;
+    # cnt(z)=1 -> sb1=floor(log2(7))=2.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bigram_milli_bits"])
+        for r in bigram_surprisal(docs).collect()
+    }
+    assert got[1] == (2, (1 + 0) * 1000 // 2)
+    assert got[2] == (2, (1 + 0) * 1000 // 2)
+    assert got[3] == (2, (1 + 1) * 1000 // 2)
+    assert got[4] == (1, 2 * 1000 // 1)

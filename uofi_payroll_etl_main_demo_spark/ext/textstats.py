@@ -407,3 +407,77 @@ def boilerplate_stats(
             ).alias("boilerplate_fraction"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-2 corpus-LM quality score per document, exact integer
+    milli-bits per token (the bigram upgrade of
+    :func:`unigram_surprisal` — CCNet-lineage LM filtering with one
+    token of context).
+
+    Per token i≥2 the surprisal is the conditional MLE
+    floor(log2(ctx(w_{i-1}) / cnt(w_{i-1}, w_i))) where ctx counts
+    bigram occurrences starting with the context word; the document's
+    FIRST token scores under the unigram model. All integer bit-length
+    arithmetic (``length(bin(a div b)) - 1``) — exact in any engine.
+
+    Shape: bigram explode (zip_with of the token array against itself
+    shifted — lambdas touch only their arguments, the collapse-proof
+    HOF discipline) → bigram counts → context counts → per-BIGRAM
+    surprisal on the vocab frame (computed once per distinct bigram)
+    → join back → per-doc agg. Corpus total is one driver scalar.
+    """
+    base = df.select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n = F.size(F.col("__toks"))
+    len1 = F.greatest(n - 1, F.lit(0))
+    big = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), F.lit(1), len1),
+                    F.slice(F.col("__toks"), F.lit(2), len1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist()
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cc = bc.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    sb2 = bc.join(cc, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.expr("bin(ctx div cnt)")) - 1).cast("long").alias("sb"),
+    )
+    big_scored = (
+        big.join(sb2, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("sb").alias("sbs"))
+    )
+    tokall = base.select(F.col(id_col), F.explode("__toks").alias("tok"))
+    tf = tokall.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = int(tf.agg(F.sum("cnt")).first()[0] or 0)
+    first = base.select(
+        F.col(id_col), F.element_at("__toks", 1).alias("tok")
+    )
+    fs = first.join(tf, "tok").select(
+        id_col,
+        (F.length(F.expr(f"bin({total} div cnt)")) - 1)
+        .cast("long")
+        .alias("sb1"),
+    )
+    return fs.join(big_scored, id_col, "left").select(
+        F.col(id_col),
+        F.expr("coalesce(nb, 0L) + 1").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "((coalesce(sbs, 0L) + sb1) * 1000) div (coalesce(nb, 0L) + 1)"
+        )
+        .cast("bigint")
+        .alias("bigram_milli_bits"),
+    )

@@ -3550,6 +3550,52 @@ REGISTRY["ext_unigram_surprisal"] = (
 )
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Text: order-2 corpus-LM surprisal per document (bigram
+    conditional MLE with unigram scoring for the first token), exact
+    integer milli-bits — ext/textstats.py bigram_surprisal."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bigram_surprisal() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE trim(text) != ''
+),
+b2 AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM t WHERE len(toks) >= 2)),
+bc AS (SELECT w1, w2, count(*) AS cnt FROM b2 GROUP BY 1, 2),
+cc AS (SELECT w1, sum(cnt) AS ctx FROM bc GROUP BY w1),
+sb2 AS (SELECT w1, w2, length(bin(ctx // cnt)) - 1 AS sb
+        FROM bc JOIN cc USING (w1)),
+bs AS (SELECT doc_id, count(*) AS nb, sum(sb) AS sbs
+       FROM b2 JOIN sb2 USING (w1, w2) GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tf AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM tf),
+fs AS (SELECT doc_id, length(bin(total // cnt)) - 1 AS sb1
+       FROM (SELECT doc_id, toks[1] AS tok FROM t) f
+       JOIN tf USING (tok), tot)
+SELECT doc_id, CAST(COALESCE(nb, 0) + 1 AS BIGINT) AS n_tokens,
+       CAST(((COALESCE(sbs, 0) + sb1) * 1000) // (COALESCE(nb, 0) + 1)
+            AS BIGINT) AS bigram_milli_bits
+FROM fs LEFT JOIN bs USING (doc_id)
+"""
+
+
+REGISTRY["ext_bigram_surprisal"] = (
+    q_bigram_surprisal,
+    _sql_bigram_surprisal(),
+)
+
+
 def q_quantiles(spark, sf_dir):
     """A14: exact interpolated quantiles per group (Spark `percentile`,
     computed once via the array form). The probe points are DYADIC
