@@ -3671,6 +3671,58 @@ REGISTRY["ext_quality_classifier"] = (
 )
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum batch builder: first 100 documents of the training
+    order = quality bands descending (integer logit_ppm div 1e5 —
+    fixed-width bands need no global statistics), shuffled WITHIN each
+    band by the portable md5 hash (deterministic pseudo-random, engine-
+    portable). orderBy().limit() executes as distributed partial top-k
+    + driver merge — no global sort materialization at corpus scale."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        quality_classifier,
+    )
+
+    logits = quality_classifier(_t(spark, sf_dir, "documents"))
+    band = F.expr("logit_ppm div 100000").cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    top = (
+        logits.select("doc_id", band.alias("band"), h.alias("__h"))
+        .orderBy(F.desc("band"), F.asc("__h"), F.asc("doc_id"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("band"), F.asc("__h"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "doc_id",
+        "band",
+    )
+
+
+def _sql_curriculum_order(top_n: int = 100) -> str:
+    return f"""
+WITH l AS (SELECT doc_id, logit_ppm FROM ({_sql_quality_classifier()}) q),
+b AS (
+  SELECT doc_id, CAST(logit_ppm // 100000 AS BIGINT) AS band,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM l)
+SELECT CAST(row_number() OVER (ORDER BY band DESC, h, doc_id) AS BIGINT)
+         AS position,
+       doc_id, band
+FROM b ORDER BY band DESC, h, doc_id LIMIT {top_n}
+"""
+
+
+REGISTRY["ext_curriculum_order"] = (
+    q_curriculum_order,
+    _sql_curriculum_order(),
+)
+
+
 def q_dataset_card(spark, sf_dir):
     """Curation: per-source dataset-card panel — doc/token/char
     volumes, language breadth, exact-dup count, corpus share in exact
