@@ -86,6 +86,9 @@ HEADLINE = [
     "pipeline_curation_v2",
     "ext_semantic_dedup",
     "ext_unigram_surprisal",
+    "ext_bigram_surprisal",
+    "ext_session_paths",
+    "ext_curriculum_order",
     "ext_incremental_dedup",
     "ext_mixture_take",
     "stream_dedup",

@@ -5091,18 +5091,18 @@ _WINDOW_50 = [
     "a15_retention_cohorts",
     "a16_approx_quantiles",
     "a17_salted_agg",
-    "tj_asof_join",
-    "tj_range_join",
     "stream_window_counts",
     "stream_sessionize",
-    "stream_dedup",
-    "stream_interval_join",
     "stream_session_stats",
     "stream_anomaly_windows",
     "pipeline_curation_v2",
     "pipeline_training_data",
-    "scd2_history",
-    "a14_quantiles",
+    "ext_bigram_surprisal",
+    "ext_curriculum_order",
+    "ext_session_paths",
+    "ext_label_centroids",
+    "ext_dedup_recall_report",
+    "ext_dedup_cluster_sizes",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
