@@ -96,3 +96,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_lsh_partitioned_corpus_prunes_probe_scan(spark, tmp_path):
+    """The billion-vector serving layout: embeddings WRITTEN partitioned
+    by LSH bucket, probed with the multiprobe bucket list. The probe
+    filter must land in PartitionFilters (directory pruning — whole
+    non-probed partitions never read), not as a post-scan filter."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        random_hyperplane_buckets,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.writers import (
+        write_partitioned_sorted,
+    )
+    from uofi_payroll_etl_main_demo_spark.plans import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = random_hyperplane_buckets(emb, dim=64, n_planes=3)
+    path = str(tmp_path / "emb_by_bucket")
+    write_partitioned_sorted(b, path, partition_by=["bucket"], sort_by=["vec_id"])
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("bucket").isin(1, 3, 5)).select("vec_id")
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # the probe result equals the unpartitioned filter (no rows lost)
+    want = sorted(
+        r["vec_id"] for r in b.filter(F.col("bucket").isin(1, 3, 5))
+        .select("vec_id").collect()
+    )
+    got = sorted(r["vec_id"] for r in probed.collect())
+    assert got == want and len(got) > 0
