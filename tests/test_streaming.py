@@ -342,3 +342,34 @@ def test_count_min_sketch_on_stream_matches_batch(spark, tmp_path):
     cols = ["row", "col", "cnt"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert want.count() > 0
+
+
+def test_sliding_counts_stream_matches_batch(spark, events_dir, events_batch):
+    """Sliding windows on a stream: every event in window/slide
+    overlapping windows, watermark-finalized output equal to the batch
+    run (same append-mode tail rules as the tumbling test)."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream(
+        spark,
+        windowed_event_counts(stream, window="10 minutes", slide="5 minutes"),
+        "slide_counts",
+        "append",
+    )
+    want = windowed_event_counts(
+        events_batch, window="10 minutes", slide="5 minutes"
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    got_rows, want_rows = _sorted_rows(got, cols), _sorted_rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    from datetime import timedelta
+
+    cutoff = max_ts - timedelta(minutes=45)
+    missing = set(want_rows) - set(got_rows)
+    assert all(w[0] >= cutoff for w in missing)
+    finalized = [w for w in want_rows if w[0] < cutoff]
+    assert [w for w in got_rows if w[0] < cutoff] == finalized
+    assert len(finalized) > 10
+    # sliding doubles coverage: ~2x the tumbling row count
+    tumbling = windowed_event_counts(events_batch).count()
+    assert want.count() > 1.8 * tumbling

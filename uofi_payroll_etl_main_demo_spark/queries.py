@@ -1359,6 +1359,20 @@ def q_stream_window_counts(spark, sf_dir):
     return windowed_event_counts(_t(spark, sf_dir, "events"))
 
 
+def q_stream_sliding_counts(spark, sf_dir):
+    """Sliding-window counts (10-minute window, 5-minute slide): every
+    event lands in two overlapping windows — the rate-over-trailing-
+    interval view a tumbling window cannot give (batch mode of the
+    streaming aggregation; same operator runs on readStream)."""
+    from uofi_payroll_etl_main_demo_spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    return windowed_event_counts(
+        _t(spark, sf_dir, "events"), window="10 minutes", slide="5 minutes"
+    )
+
+
 def q_stream_rollup(spark, sf_dir):
     """Running per-type totals (batch mode of the complete-mode rollup)."""
     from uofi_payroll_etl_main_demo_spark.streaming.events import event_type_rollup
@@ -2010,6 +2024,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         "AS window_end, event_type, count(*) AS n_events, "
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3",
+    ),
+    "stream_sliding_counts": (
+        q_stream_sliding_counts,
+        # each event belongs to the two 5-min-aligned windows covering
+        # it; time_bucket's 2000-01-01 origin is 5-min-aligned with
+        # Spark's epoch-aligned windows, so starts are identical
+        "WITH w AS (SELECT event_type, value, "
+        "time_bucket(INTERVAL '5 minutes', ts) "
+        "- k.k * INTERVAL '5 minutes' AS window_start, ts "
+        "FROM events CROSS JOIN range(0, 2) k(k)) "
+        "SELECT window_start, window_start + INTERVAL '10 minutes' "
+        "AS window_end, event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM w WHERE ts < window_start + INTERVAL '10 minutes' "
+        "GROUP BY 1, 2, 3",
     ),
     "stream_rollup": (
         q_stream_rollup,

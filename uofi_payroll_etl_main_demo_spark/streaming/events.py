@@ -51,19 +51,27 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per event type.
+    """Tumbling- (or, with ``slide``, sliding-) window counts + value
+    sums per event type.
 
     Streaming: watermark bounds state and admits late data up to
-    ``watermark``. Batch: identical grouped aggregation (watermark is a
+    ``watermark``; a sliding window keeps window/slide concurrent
+    windows per key (state grows by that factor — the watermark still
+    bounds it). Batch: identical grouped aggregation (watermark is a
     no-op), so the batch result is the converged streaming result.
-    Output: window_start, window_end, event_type, n_events, sum_value.
+    Output: window_start, window_end, event_type, n_events, sum_value;
+    with a slide every event lands in window/slide rows.
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
