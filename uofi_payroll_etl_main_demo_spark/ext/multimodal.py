@@ -374,3 +374,53 @@ def synthetic_av_media(spark, n: int = 32) -> DataFrame:
             ["modality", "mime", "width", "height", "duration_ms",
              "sample_rate"], meta))))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_energy_profile(media: DataFrame, window_ms: int = 25) -> DataFrame:
+    """REAL audio decode + WINDOWED energy profile over ``mapInPandas``:
+    per fixed-length window (default 25 ms) of each PCM-WAV payload,
+    emit the window's RMS — the silence/clipping detector and VAD
+    front-end of audio-corpus curation. The final partial window is
+    kept with its true sample count.
+
+    Same Arrow-batched executor-side contract as
+    :func:`audio_features`; windows explode rows BEFORE any shuffle,
+    so a long recording parallelizes downstream like ordinary rows.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x, sr = decode_wav(bytes(payload))
+                win = max(1, sr * window_ms // 1000)
+                for j in range(0, x.size, win):
+                    seg = x[j : j + win]
+                    out.append(
+                        (
+                            mid,
+                            j // win,
+                            int(seg.size),
+                            float(np.sqrt(np.mean(seg**2))),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "win_idx", "n_samples", "rms"]
+            )
+
+    return media.mapInPandas(batches, ENERGY_SCHEMA)

@@ -2911,6 +2911,55 @@ REGISTRY["ext_multimodal_features"] = (
 )
 
 
+def q_audio_energy_profile(spark, sf_dir):
+    """Multimodal: REAL PCM-WAV decode → per-25ms-window RMS energy
+    profile (the VAD/silence front-end of audio curation) via
+    mapInPandas over the deterministic sine corpus. Full value oracle:
+    the int16-truncated sine samples have a closed form, so DuckDB
+    recomputes every window's RMS arithmetically."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_profile,
+        synthetic_av_media,
+    )
+
+    av = synthetic_av_media(spark, n=32)
+    out = audio_energy_profile(
+        av.filter(F.col("meta.mime") == "audio/wav"), window_ms=25
+    )
+    return out.select(
+        "media_id",
+        F.col("win_idx").cast("bigint").alias("win_idx"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+def _sql_audio_energy_profile(window_ms: int = 25) -> str:
+    """Same generation arithmetic as ``_sql_multimodal_features``'s
+    audio CTE, grouped by fixed-length sample windows (8000 Hz ·
+    25 ms = 200 samples per window, 10 windows per 2000-sample tone)."""
+    win = 8000 * window_ms // 1000
+    return f"""
+WITH audio_samples AS (
+  SELECT t.i AS media_id, u.j AS j,
+         CAST(trunc((0.5*sin(((2*pi())*(440.0*(1+((t.i//2)%8))))
+                             * (u.j/8000.0)))*32767.0) AS INTEGER) AS s
+  FROM range(0, 32, 2) t(i) CROSS JOIN range(0, 2000) u(j)
+)
+SELECT media_id, CAST(j // {win} AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sqrt(avg((s/32767.0)*(s/32767.0))), 6) AS rms
+FROM audio_samples
+GROUP BY media_id, j // {win}
+"""
+
+
+REGISTRY["ext_audio_energy_profile"] = (
+    q_audio_energy_profile,
+    _sql_audio_energy_profile(),
+)
+
+
 def q_leakage_split(spark, sf_dir):
     """Cluster-aware train/eval split: near-dup clusters (iterative CC
     over the ngram pair graph) land whole on one side of the boundary;
