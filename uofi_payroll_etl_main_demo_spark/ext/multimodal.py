@@ -424,3 +424,51 @@ def audio_energy_profile(media: DataFrame, window_ms: int = 25) -> DataFrame:
             )
 
     return media.mapInPandas(batches, ENERGY_SCHEMA)
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("tile_r", T.IntegerType()),
+        T.StructField("tile_c", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+    ]
+)
+
+
+def image_tile_means(media: DataFrame, grid: int = 4) -> DataFrame:
+    """REAL image decode + grid-tiled grayscale means over
+    ``mapInPandas`` — the patchwise feature/resize primitive (one row
+    per tile, float64 end-to-end so the closed-form oracle compares at
+    round-6). Tiles explode BEFORE any shuffle; non-multiple
+    dimensions split into near-equal bands like ``image_features``."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                px = decode_ppm(bytes(payload)).astype(np.float64)
+                h, w, _ = px.shape
+                gray = px.mean(axis=2)
+                rb = np.array_split(np.arange(h), grid)
+                cb = np.array_split(np.arange(w), grid)
+                for r, rows in enumerate(rb):
+                    for c, cols in enumerate(cb):
+                        out.append(
+                            (
+                                mid,
+                                r,
+                                c,
+                                float(gray[np.ix_(rows, cols)].mean()),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["media_id", "tile_r", "tile_c", "mean_gray"]
+            )
+
+    return media.mapInPandas(batches, TILE_SCHEMA)

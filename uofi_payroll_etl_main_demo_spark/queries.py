@@ -2960,6 +2960,48 @@ REGISTRY["ext_audio_energy_profile"] = (
 )
 
 
+def q_image_tile_means(spark, sf_dir):
+    """Multimodal: REAL P6-PPM decode → 4×4 grid-tile grayscale means
+    (the patchwise resize/feature primitive) via mapInPandas over the
+    striped synthetic images. Full value oracle: stripes are uniform
+    within each tile band, so every mean has a closed form."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_tile_means,
+        synthetic_av_media,
+    )
+
+    av = synthetic_av_media(spark, n=32)
+    out = image_tile_means(
+        av.filter(F.col("meta.modality") == "image"), grid=4
+    )
+    return out.select(
+        "media_id",
+        F.col("tile_r").cast("bigint").alias("tile_r"),
+        F.col("tile_c").cast("bigint").alias("tile_c"),
+        F.round("mean_gray", 6).alias("mean_gray"),
+    )
+
+
+def _sql_image_tile_means() -> str:
+    """Striped 16×12 PPMs: rows 0–5 are (200,0,0), rows 6–11 are
+    (0,0,100+(i%5)*20); 4 row-bands of 3 rows each → tile bands 0–1 are
+    uniformly red-top gray (200/3), bands 2–3 uniformly blue-bottom
+    gray (blue/3)."""
+    return """
+SELECT t.i AS media_id, r.r AS tile_r, c.c AS tile_c,
+       round(CASE WHEN r.r < 2 THEN 200.0/3
+                  ELSE (100 + (t.i % 5) * 20) / 3.0 END, 6) AS mean_gray
+FROM range(1, 32, 2) t(i)
+CROSS JOIN range(0, 4) r(r) CROSS JOIN range(0, 4) c(c)
+"""
+
+
+REGISTRY["ext_image_tile_means"] = (
+    q_image_tile_means,
+    _sql_image_tile_means(),
+)
+
+
 def q_leakage_split(spark, sf_dir):
     """Cluster-aware train/eval split: near-dup clusters (iterative CC
     over the ngram pair graph) land whole on one side of the boundary;
