@@ -5196,9 +5196,9 @@ _WINDOW_50 = [
     "ext_pagerank_dangling",
     "ext_leakage_split",
     "ext_pack_sequences",
-    "ext_shard_assign",
     "ext_mixture_take",
-    "ext_zscore",
+    "ext_audio_energy_profile",
+    "ext_image_tile_means",
     "ext_tfidf_top_terms",
     "ext_bm25_search",
     "ext_hard_negatives",
