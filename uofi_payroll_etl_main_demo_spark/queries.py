@@ -5164,6 +5164,46 @@ REGISTRY["ext_knn_join_multiprobe"] = (
 )
 
 
+def q_quality_agreement(spark, sf_dir):
+    """Curation QA: agreement matrix between the two quality filters —
+    the fixed-point linear classifier's keep flag × the Gopher rule
+    panel's pass flag (stopword rule relaxed for the synthetic corpus).
+    The 2×2 counts are what an operator reviews before trusting one
+    filter to replace the other."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        gopher_rules,
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clf = quality_classifier(docs).select("doc_id", "keep")
+    rules = gopher_rules(docs, min_stopword_hits=0).select(
+        "doc_id", "passes"
+    )
+    return (
+        clf.join(rules, "doc_id")
+        .groupBy("keep", "passes")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_quality_agreement() -> str:
+    return f"""
+WITH clf AS (SELECT doc_id, keep FROM ({_sql_quality_classifier()}) q1),
+rules AS (SELECT doc_id, passes
+          FROM ({_sql_gopher_rules(min_stop=0)}) q2)
+SELECT keep, passes, CAST(count(*) AS BIGINT) AS n_docs
+FROM clf JOIN rules USING (doc_id)
+GROUP BY keep, passes
+"""
+
+
+REGISTRY["ext_quality_agreement"] = (
+    q_quality_agreement,
+    _sql_quality_agreement(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
