@@ -5204,6 +5204,60 @@ REGISTRY["ext_quality_agreement"] = (
 )
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot corpus diff (CDC shape): two deterministic snapshot
+    views of the documents table, full-outer-joined on id at md5
+    granularity — the shuffle carries (id, 32-char hash), never text —
+    and classified added/removed/changed/unchanged. The counts panel
+    is what an ingestion run logs between corpus versions."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("__h_old")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" rev2")).otherwise(
+                    F.lit("")
+                ),
+            )
+        ).alias("__h_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _sql_corpus_diff() -> str:
+    return """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+             WHERE doc_id % 10 != 0),
+new AS (SELECT doc_id,
+               md5(text || CASE WHEN doc_id % 13 = 0
+                                THEN ' rev2' ELSE '' END) AS h
+        FROM documents WHERE doc_id % 7 != 0)
+SELECT CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h != n.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+GROUP BY 1
+"""
+
+
+REGISTRY["ext_corpus_diff"] = (q_corpus_diff, _sql_corpus_diff())
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
