@@ -5258,6 +5258,40 @@ GROUP BY 1
 REGISTRY["ext_corpus_diff"] = (q_corpus_diff, _sql_corpus_diff())
 
 
+def q_pair_threshold_histogram(spark, sf_dir):
+    """Dedup threshold calibration: exact Jaccard pairs at a LOW floor
+    (0.05), bucketed into 0.1-wide similarity bands — the histogram an
+    operator reads to pick the production dedup threshold. One pair
+    pass serves every candidate threshold (identical double arithmetic
+    on both engines makes even the band edges exact)."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.05
+    )
+    # band on the ROUND-6 value: the SQL twin emits round-6 jaccard, so
+    # banding the raw double could flip a pair sitting within 5e-7 of a
+    # band edge on one side only
+    band = F.floor(F.round("jaccard", 6) * 10).cast("bigint")
+    return pairs.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _sql_pair_threshold_histogram() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT jaccard FROM ({_sql_ngram_jaccard(threshold=0.05)}) q)
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+REGISTRY["ext_pair_threshold_histogram"] = (
+    q_pair_threshold_histogram,
+    _sql_pair_threshold_histogram(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
