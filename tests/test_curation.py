@@ -450,3 +450,74 @@ def test_multiset_stats_property(spark):
         assert row["m"] == (max(c.values()) if c else 0)
 
     check()
+
+
+def test_gopher_rules_property_vs_python_reference(spark):
+    """Differential: gopher_rules' Column expressions vs a pure-Python
+    mirror over arbitrary small documents (whitespace tokens, newline
+    lines, the panel's exact regexes). Catches silent drift between the
+    Spark expressions and the documented rule semantics."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.curation import gopher_rules
+
+    words = st.sampled_from(
+        ["the", "fox", "runs", "#", "...", "- item", "a1", "…", "zz", ""]
+    )
+    texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+    def py_panel(text):
+        toks = [t for t in re.split(r"\s+", text.strip())] if text.strip() else []
+        lines = text.split("\n")
+        n = len(toks)
+        out = {
+            "n_words": n,
+            "mean_word_len": round(sum(len(t) for t in toks) / n, 6)
+            if n
+            else None,
+            "symbol_word_ratio": round(
+                (len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.", text)))
+                / n,
+                6,
+            )
+            if n
+            else None,
+            "bullet_line_frac": round(
+                sum(bool(re.search(r"^\s*[-*•]", x)) for x in lines)
+                / len(lines),
+                6,
+            ),
+            "ellipsis_line_frac": round(
+                sum(bool(re.search(r"(\.\.\.|…)\s*$", x)) for x in lines)
+                / len(lines),
+                6,
+            ),
+            "alpha_word_frac": round(
+                sum(bool(re.search(r"[a-zA-Z]", t)) for t in toks) / n, 6
+            )
+            if n
+            else None,
+        }
+        return out
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def check(text):
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        row = gopher_rules(df).collect()[0].asDict()
+        want = py_panel(text)
+        for k, v in want.items():
+            got = row[k]
+            if v is None:
+                assert got is None, (k, text, got)
+            else:
+                assert got == pytest.approx(v, abs=2e-6), (k, text, got, v)
+
+    check()

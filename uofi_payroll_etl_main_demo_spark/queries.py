@@ -5292,6 +5292,45 @@ REGISTRY["ext_pair_threshold_histogram"] = (
 )
 
 
+def q_length_bands_by_source(spark, sf_dir):
+    """Loader planning: per-source token-length band histogram (bands
+    of 32 tokens — the sequence-packing efficiency preview: how much
+    of each domain fits a context window without truncation). Narrow
+    map + one grouped agg; integer banding is engine-exact."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    band = F.expr("n_tok div 32").cast("bigint")
+    return (
+        docs.select("source", token_count("text").alias("n_tok"))
+        .groupBy("source", band.alias("len_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _sql_length_bands_by_source() -> str:
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tok
+  FROM documents)
+SELECT source, CAST(n_tok // 32 AS BIGINT) AS len_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+REGISTRY["ext_length_bands_by_source"] = (
+    q_length_bands_by_source,
+    _sql_length_bands_by_source(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
