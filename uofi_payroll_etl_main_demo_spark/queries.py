@@ -5331,6 +5331,86 @@ REGISTRY["ext_length_bands_by_source"] = (
 )
 
 
+def q_source_quality_panel(spark, sf_dir):
+    """Dataset card v2: per-source corpus health — doc count, mean
+    quality score, mean cross-doc duplication fraction, mean
+    boilerplate fraction — three per-document panels joined and
+    aggregated by source in one lazy plan. Means go through
+    DECIMAL(18,6) sums of the round-6 per-doc values (associative ⇒
+    partition-order independent), so the panel is engine-exact."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        boilerplate_stats,
+        document_stats,
+        dup_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = "decimal(18,6)"
+    q = document_stats(docs).select(
+        "doc_id", F.round("quality", 6).cast(dec).alias("q")
+    )
+    d = dup_ngram_stats(docs, k=3).select(
+        "doc_id", F.col("dup_fraction").cast(dec).alias("d")
+    )
+    b = boilerplate_stats(docs, k=3, min_docs=3).select(
+        "doc_id", F.col("boilerplate_fraction").cast(dec).alias("b")
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(d, "doc_id", "left")
+        .join(b, "doc_id", "left")
+    )
+    n = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("q").cast("double") / n, 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.coalesce("d", F.lit(0).cast("decimal(18,6)"))).cast(
+                "double"
+            )
+            / n,
+            6,
+        ).alias("avg_dup_fraction"),
+        F.round(
+            F.sum(F.coalesce("b", F.lit(0).cast("decimal(18,6)"))).cast(
+                "double"
+            )
+            / n,
+            6,
+        ).alias("avg_boilerplate"),
+    )
+
+
+def _sql_source_quality_panel() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, CAST(quality AS DECIMAL(18,6)) AS q
+           FROM ({_sql_doc_stats()}) s1),
+d AS (SELECT doc_id, CAST(dup_fraction AS DECIMAL(18,6)) AS d
+      FROM ({_sql_dup_ngram_stats()}) s2),
+b AS (SELECT doc_id, CAST(boilerplate_fraction AS DECIMAL(18,6)) AS b
+      FROM ({_sql_boilerplate()}) s3),
+j AS (SELECT dd.source, q.q, d.d, b.b
+      FROM documents dd
+      JOIN q ON dd.doc_id = q.doc_id
+      LEFT JOIN d ON dd.doc_id = d.doc_id
+      LEFT JOIN b ON dd.doc_id = b.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality,
+       round(CAST(sum(COALESCE(d, 0)) AS DOUBLE) / count(*), 6)
+         AS avg_dup_fraction,
+       round(CAST(sum(COALESCE(b, 0)) AS DOUBLE) / count(*), 6)
+         AS avg_boilerplate
+FROM j GROUP BY source
+"""
+
+
+REGISTRY["ext_source_quality_panel"] = (
+    q_source_quality_panel,
+    _sql_source_quality_panel(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
