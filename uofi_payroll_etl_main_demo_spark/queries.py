@@ -5434,21 +5434,21 @@ _WINDOW_50 = [
     "ext_corpus_shuffle",
     "ext_mixture_temperature",
     "ext_knn_join_multiprobe",
-    "ext_topk_cosine_gemm",
+    "stream_sliding_counts",
     "ext_multimodal_features",
-    "ext_semantic_dedup",
+    "ext_source_quality_panel",
     "ext_unigram_surprisal",
     "ext_incremental_dedup",
     "ext_pagerank",
     "ext_pagerank_dangling",
     "ext_leakage_split",
     "ext_pack_sequences",
-    "ext_mixture_take",
+    "ext_corpus_diff",
     "ext_audio_energy_profile",
     "ext_image_tile_means",
-    "ext_tfidf_top_terms",
-    "ext_bm25_search",
-    "ext_hard_negatives",
+    "ext_quality_agreement",
+    "ext_pair_threshold_histogram",
+    "ext_length_bands_by_source",
     "ext_dedup_clusters_star",
     "ext_knn_join",
     "ext_triangle_count",
