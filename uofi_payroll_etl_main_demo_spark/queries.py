@@ -5411,6 +5411,90 @@ REGISTRY["ext_source_quality_panel"] = (
 )
 
 
+def q_weekly_trend(spark, sf_dir):
+    """Time-series trend: weekly event counts per type with the
+    week-over-week integer delta (lag window over the weekly agg —
+    integer deltas are engine-exact; the weekly truncation uses Monday
+    anchoring in both engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return weekly.select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events", 1).over(w)).alias(
+            "wow_delta"
+        ),
+    )
+
+
+def _sql_weekly_trend() -> str:
+    return """
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS ws, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT strftime(ws, '%Y-%m-%d') AS week_start, event_type, n_events,
+       n_events - lag(n_events, 1)
+         OVER (PARTITION BY event_type ORDER BY ws) AS wow_delta
+FROM weekly
+"""
+
+
+REGISTRY["ext_weekly_trend"] = (q_weekly_trend, _sql_weekly_trend())
+
+
+def q_user_gap_stats(spark, sf_dir):
+    """Behavioral cadence: per-user inter-event gap stats (count,
+    median, max of consecutive-event gaps in MICROSECOND integers —
+    the lag differences are exact longs; the median's (x+y)/2
+    interpolation over integers is exact in binary, the a14 quantile
+    discipline). Users with a single event have no gaps and no row."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts"), 1).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def _sql_user_gap_stats() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_us, 0.5) AS median_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+REGISTRY["ext_user_gap_stats"] = (q_user_gap_stats, _sql_user_gap_stats())
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
