@@ -5495,6 +5495,50 @@ GROUP BY user_id
 REGISTRY["ext_user_gap_stats"] = (q_user_gap_stats, _sql_user_gap_stats())
 
 
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Provenance leakage: near-dup pair counts per (source, source)
+    cell — which domains copy from which (ordered pair of source names
+    so the matrix cell is deterministic). Composes the oracle-checked
+    exact pair generator with two broadcast-size dimension joins."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _sql_cross_source_dup_matrix() -> str:
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({_sql_ngram_jaccard()}) q)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.id_a
+JOIN documents db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["ext_cross_source_dup_matrix"] = (
+    q_cross_source_dup_matrix,
+    _sql_cross_source_dup_matrix(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
