@@ -710,3 +710,20 @@ def test_bigram_surprisal_semantics(spark):
     assert got[2] == (2, (1 + 0) * 1000 // 2)
     assert got[3] == (2, (1 + 1) * 1000 // 2)
     assert got[4] == (1, 2 * 1000 // 1)
+
+
+def test_source_quality_panel_repartition_invariant(spark):
+    """Decimal-sum discipline proof: the per-source health panel must
+    be bit-identical under different shuffle widths (double sums would
+    drift at the last ulp and break the oracle hash)."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, R.q_source_quality_panel(spark, sf).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = sorted(map(tuple, R.q_source_quality_panel(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b

@@ -5539,6 +5539,65 @@ REGISTRY["ext_cross_source_dup_matrix"] = (
 )
 
 
+def q_token_share_drift(spark, sf_dir):
+    """Vocabulary drift monitor: the 20 most frequent tokens of the
+    OLD snapshot with their counts in both snapshots and the integer
+    delta — the distribution-shift canary an ingestion run logs
+    between corpus versions (same deterministic snapshot views as
+    ext_corpus_diff)."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    def toks(df):
+        return df.select(F.explode(tokenize_ws("text")).alias("term"))
+
+    old = toks(docs.filter(F.col("doc_id") % 10 != 0))
+    new = toks(docs.filter(F.col("doc_id") % 7 != 0))
+    top_old = (
+        old.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+        .orderBy(F.desc("n_old"), F.asc("term"))
+        .limit(20)
+    )
+    n_new = new.groupBy("term").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        top_old.join(n_new, "term", "left")
+        .select(
+            "term",
+            "n_old",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (F.coalesce("n_new", F.lit(0)) - F.col("n_old"))
+            .cast("bigint")
+            .alias("delta"),
+        )
+    )
+
+
+def _sql_token_share_drift(top_n: int = 20) -> str:
+    return f"""
+WITH old_t AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS} END) AS term
+  FROM documents WHERE doc_id % 10 != 0),
+new_t AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS} END) AS term
+  FROM documents WHERE doc_id % 7 != 0),
+top_old AS (SELECT term, CAST(count(*) AS BIGINT) AS n_old
+            FROM old_t GROUP BY term
+            ORDER BY n_old DESC, term LIMIT {top_n}),
+nn AS (SELECT term, CAST(count(*) AS BIGINT) AS n_new
+       FROM new_t GROUP BY term)
+SELECT t.term, t.n_old, COALESCE(nn.n_new, 0) AS n_new,
+       COALESCE(nn.n_new, 0) - t.n_old AS delta
+FROM top_old t LEFT JOIN nn USING (term)
+"""
+
+
+REGISTRY["ext_token_share_drift"] = (
+    q_token_share_drift,
+    _sql_token_share_drift(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
