@@ -5598,6 +5598,43 @@ REGISTRY["ext_token_share_drift"] = (
 )
 
 
+def q_frame_sample_plan(spark, sf_dir):
+    """Multimodal: video frame-sampling PLAN — one row per planned
+    frame via relational sequence+explode over duration metadata
+    (ext/multimodal.py frame_sample_plan; the decode of each frame
+    plugs into extract_features). Zero-duration videos contribute one
+    frame at t=0. Full value oracle from the deterministic metadata."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    out = frame_sample_plan(synthetic_media(spark, n=64), every_ms=1000)
+    return out.select(
+        "media_id", F.col("frame_ms").cast("bigint").alias("frame_ms")
+    )
+
+
+def _sql_frame_sample_plan() -> str:
+    """synthetic_media: i % 3 == 2 → video with duration_ms =
+    1000·(i % 10); frames every 1000 ms over [0, duration), with the
+    zero-duration edge collapsing to a single frame at 0 (Spark's
+    sequence(0, greatest(d-1, 0), 1000) == range(0, greatest(d-1,0)+1,
+    1000))."""
+    return """
+SELECT i AS media_id,
+       CAST(unnest(range(0, greatest(1000 * (i % 10) - 1, 0) + 1, 1000))
+            AS BIGINT) AS frame_ms
+FROM range(0, 64) t(i) WHERE i % 3 = 2
+"""
+
+
+REGISTRY["ext_frame_sample_plan"] = (
+    q_frame_sample_plan,
+    _sql_frame_sample_plan(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
