@@ -5635,6 +5635,66 @@ REGISTRY["ext_frame_sample_plan"] = (
 )
 
 
+def q_chunk_dedup_stats(spark, sf_dir):
+    """Passage-level dedup: chunk every document (32-token tumbling
+    windows), dedup chunks GLOBALLY on md5 (survivor = first by
+    (doc_id, chunk_idx)), report per-doc survival — the
+    paragraph-granularity dedup public pipelines run after doc-level
+    dedup. The dedup shuffles (hash, id, idx) — never chunk text."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, stride=32
+    )
+    w = Window.partitionBy("__h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("__h")
+    ).withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+    )
+
+
+def _sql_chunk_dedup_stats(size: int = 32, stride: int = 32) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - {size}, 0) + {stride - 1})
+               / {stride}.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         md5(array_to_string(
+           toks[i * {stride} + 1 : i * {stride} + {size}], ' ')) AS h
+       FROM (SELECT doc_id, n, toks, unnest(range(0, nc)) AS i FROM c)),
+r AS (SELECT doc_id, chunk_idx,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+          AS rn
+      FROM ch)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving
+FROM r GROUP BY doc_id
+"""
+
+
+REGISTRY["ext_chunk_dedup_stats"] = (
+    q_chunk_dedup_stats,
+    _sql_chunk_dedup_stats(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
