@@ -5695,6 +5695,82 @@ REGISTRY["ext_chunk_dedup_stats"] = (
 )
 
 
+def q_minhash_estimate_audit(spark, sf_dir):
+    """Sketch-accuracy audit (the MinHash sibling of the CMS report):
+    for every verified near-dup pair, the SIGNATURE-estimated Jaccard
+    (matching minima per 32-hash signature, integer ppm) beside the
+    exact value — what calibrates num_hashes against the error budget.
+    Portable family, so the estimate itself is oracle-exact."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=32, bands=16, k=3, threshold=0.2,
+        hash_family="portable",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    sigs = minhash_signatures(
+        docs, num_hashes=32, k=3, hash_family="portable"
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (matches * 1_000_000 / F.lit(32))
+            .cast("bigint")
+            .alias("est_ppm"),
+        )
+    )
+
+
+def _sql_minhash_estimate_audit(num_hashes: int = 32) -> str:
+    return f"""
+WITH pairs AS (SELECT id_a, id_b, jaccard
+               FROM ({_sql_minhash_pairs()}) q),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 3 + 2),
+           i -> array_to_string(toks[i:i + 2], ' ')))) AS s
+  FROM t WHERE len(toks) >= 3),
+hx AS (SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT AS b1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS b2
+       FROM sh),
+perms AS (SELECT doc_id, r.i, min(b1 + r.i * b2) AS m
+          FROM hx CROSS JOIN range(0, {num_hashes}) r(i)
+          GROUP BY doc_id, r.i),
+est AS (
+  SELECT p.id_a, p.id_b,
+         CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+              * 1000000 // {num_hashes} AS BIGINT) AS est_ppm
+  FROM pairs p
+  JOIN perms a ON a.doc_id = p.id_a
+  JOIN perms b ON b.doc_id = p.id_b AND a.i = b.i
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b, p.jaccard, e.est_ppm
+FROM pairs p JOIN est e ON p.id_a = e.id_a AND p.id_b = e.id_b
+"""
+
+
+REGISTRY["ext_minhash_estimate_audit"] = (
+    q_minhash_estimate_audit,
+    _sql_minhash_estimate_audit(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
