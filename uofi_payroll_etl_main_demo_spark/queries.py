@@ -5771,6 +5771,107 @@ REGISTRY["ext_minhash_estimate_audit"] = (
 )
 
 
+def q_null_safe_join(spark, sf_dir):
+    """J13 (extension): NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT
+    FROM) — messy-feed keys where NULL must match NULL instead of
+    dropping the row (the reference's pandas merges treat NaN keys as
+    equal on neither side; Spark offers both semantics). Fact keys are
+    nulled deterministically; the dim carries an explicit NULL bucket
+    row."""
+    docs = _t(spark, sf_dir, "documents")
+    fact = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("k"),
+    )
+    dim = (
+        docs.select(F.col("source").alias("k"))
+        .distinct()
+        .unionByName(
+            docs.sparkSession.createDataFrame([(None,)], "k string")
+        )
+        .withColumn("bucket_name", F.coalesce("k", F.lit("UNKNOWN")))
+    )
+    return (
+        fact.join(dim, fact["k"].eqNullSafe(dim["k"]))
+        .groupBy("bucket_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_null_safe_join() -> str:
+    return """
+WITH fact AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS k
+  FROM documents),
+dim AS (
+  SELECT k, COALESCE(k, 'UNKNOWN') AS bucket_name FROM (
+    SELECT DISTINCT source AS k FROM documents
+    UNION ALL SELECT NULL))
+SELECT d.bucket_name, CAST(count(*) AS BIGINT) AS n_docs
+FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY d.bucket_name
+"""
+
+
+REGISTRY["j13_null_safe_join"] = (q_null_safe_join, _sql_null_safe_join())
+
+
+def q_session_window_native(spark, sf_dir):
+    """W9 (extension): Spark-NATIVE session windows —
+    ``session_window(ts, gap)`` in a batch groupBy (the built-in
+    sibling of the applyInPandasWithState sessionizer; same 30-minute
+    gap semantics, session end = last event + gap). Oracle rebuilds
+    sessions via the lag/cumsum formulation and must agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def _sql_session_window_native() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS ns
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+REGISTRY["w9_session_window_native"] = (
+    q_session_window_native,
+    _sql_session_window_native(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
