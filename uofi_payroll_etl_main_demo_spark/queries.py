@@ -5872,6 +5872,102 @@ REGISTRY["w9_session_window_native"] = (
 )
 
 
+def q_windowed_distinct_users(spark, sf_dir):
+    """A18 (extension): exact distinct users per hourly window and
+    event type — the unique-actor rate panel (distinct aggregation
+    under a time window; the HLL sibling is a9)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+def _sql_windowed_distinct_users() -> str:
+    return """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+         AS window_start,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+REGISTRY["a18_windowed_distinct_users"] = (
+    q_windowed_distinct_users,
+    _sql_windowed_distinct_users(),
+)
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding QA: the 10 vectors FARTHEST from their own label
+    centroid (lowest cosine) — mislabeled/corrupt-vector mining. The
+    centroid table is label-count-sized and broadcasts onto the
+    posexploded corpus; cosine is assembled from grouped per-dimension
+    sums (64 double terms — far inside round-6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    vec = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    )
+    j = vec.join(F.broadcast(cent), ["label", "pos"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        F.sum(F.col("col") * F.col("c")).alias("dot"),
+        F.sum(F.col("col") * F.col("col")).alias("vv"),
+        F.sum(F.col("c") * F.col("c")).alias("cc"),
+    )
+    cos = F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))
+    return (
+        per_vec.select(
+            "vec_id", "label", F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.asc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_embedding_outliers(top_n: int = 10, dim: int = 64) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, r.i AS pos,
+         CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, {dim + 1}) r(i)),
+cent AS (SELECT label, pos, avg(x) AS c FROM v GROUP BY label, pos),
+p AS (
+  SELECT v.vec_id, v.label,
+         sum(v.x * cent.c) AS dot,
+         sum(v.x * v.x) AS vv,
+         sum(cent.c * cent.c) AS cc
+  FROM v JOIN cent ON v.label = cent.label AND v.pos = cent.pos
+  GROUP BY v.vec_id, v.label)
+SELECT vec_id, label,
+       round(dot / (sqrt(vv) * sqrt(cc)), 6) AS cosine
+FROM p ORDER BY cosine, vec_id LIMIT {top_n}
+"""
+
+
+REGISTRY["ext_embedding_outliers"] = (
+    q_embedding_outliers,
+    _sql_embedding_outliers(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
