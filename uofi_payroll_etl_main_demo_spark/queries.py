@@ -5968,6 +5968,49 @@ REGISTRY["ext_embedding_outliers"] = (
 )
 
 
+def q_embedding_norm_stats(spark, sf_dir):
+    """Embedding QA: per-label L2-norm panel (count, mean of round-6
+    norms through DECIMAL sums — partition-order exact — plus exact
+    min/max) — the scale-drift check run before any cosine math
+    assumes comparable magnitudes."""
+    from uofi_payroll_etl_main_demo_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n6 = F.round(l2_norm(F.col("embedding")), 6)
+    base = emb.select(
+        "label", n6.cast("decimal(18,6)").alias("__n")
+    )
+    cnt = F.count(F.lit(1))
+    return base.groupBy("label").agg(
+        cnt.alias("n_vecs"),
+        F.round(F.sum("__n").cast("double") / cnt, 6).alias("avg_norm"),
+        F.min("__n").cast("double").alias("min_norm"),
+        F.max("__n").cast("double").alias("max_norm"),
+    )
+
+
+def _sql_embedding_norm_stats() -> str:
+    return """
+WITH n AS (
+  SELECT label,
+         CAST(round(sqrt(list_aggregate(list_transform(
+           CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+           AS DECIMAL(18,6)) AS nn
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(nn) AS DOUBLE) / count(*), 6) AS avg_norm,
+       CAST(min(nn) AS DOUBLE) AS min_norm,
+       CAST(max(nn) AS DOUBLE) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+REGISTRY["ext_embedding_norm_stats"] = (
+    q_embedding_norm_stats,
+    _sql_embedding_norm_stats(),
+)
+
+
 # Round-3 rotation: 11 rows never driver-verified before (ext_knn_join,
 # ext_triangle_count, ext_event_funnel, j11/j12, a15/a16/a17,
 # stream_session_stats, stream_anomaly_windows, the new
