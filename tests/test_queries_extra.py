@@ -86,3 +86,69 @@ def test_triangle_count_known_graph(spark):
     )
     rows = sorted(tuple(r) for r in tri.collect())
     assert rows == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_corpus_diff_semantics(spark, sf_dir):
+    """The diff categories must partition both snapshots correctly:
+    added+changed+unchanged = |new|, removed+changed+unchanged = |old|."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_old = docs.filter(F.col("doc_id") % 10 != 0).count()
+    n_new = docs.filter(F.col("doc_id") % 7 != 0).count()
+    got = {
+        r["status"]: r["n_docs"]
+        for r in R.q_corpus_diff(spark, sf_dir).collect()
+    }
+    assert got.get("added", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    ) == n_new
+    assert got.get("removed", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    ) == n_old
+    assert got.get("changed", 0) > 0  # the rev2 tweak fires
+
+
+def test_session_window_native_matches_manual_sessionize(spark, sf_dir):
+    """Spark's built-in session_window must agree with the engine's
+    lag/cumsum sessionizer on session count and total events."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.events import sessionize
+
+    native = R.q_session_window_native(spark, sf_dir)
+    manual = sessionize(
+        read_parquet_table(spark, sf_dir, "events"), gap="30 minutes"
+    )
+    assert native.count() == manual.count()
+    n_native = native.agg(F.sum("n_events")).first()[0]
+    n_manual = manual.agg(F.sum("n_events")).first()[0]
+    assert n_native == n_manual
+
+
+def test_chunk_dedup_identical_docs_survive_once(spark):
+    """Two identical documents: every chunk of the second is a global
+    duplicate — zero survivors on the higher doc_id."""
+    from uofi_payroll_etl_main_demo_spark import queries as R  # noqa: F401
+    from pyspark.sql import Window
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(70))
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    chunks = chunk_documents(docs, size=32, stride=32)
+    w = Window.partitionBy("__h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("__h")
+    ).withColumn("__rn", F.row_number().over(w))
+    surv = {
+        r["doc_id"]: r["n"]
+        for r in ranked.filter("__rn = 1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert surv.get(1, 0) == 3 and 2 not in surv
