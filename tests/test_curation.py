@@ -130,6 +130,25 @@ def test_tfidf_ranks_rare_term_first(spark):
     assert top1[3] == "other"
 
 
+def test_tfidf_n_includes_tokenless_docs(spark):
+    """N for idf comes off the persisted tf frame (explode_outer keeps
+    empty docs as NULL-term rows) — must still count token-less docs
+    like the old df.count() did, with no second corpus scan."""
+    df = spark.createDataFrame(
+        [(1, "rare common"), (2, "common"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_n=2)
+    rows = {(r["doc_id"], r["term"]): r["rank"] for r in out.collect()}
+    # no NULL-term rows leak into the output
+    assert all(t is not None for (_, t) in rows)
+    # N=4: idf(common)=ln(4/2)>0, so 'common' ranks in doc 2
+    # (under N=2 it would be ln(2/2)=0 — tfidf 0 still ranks, but the
+    # pin below on doc 1's ordering requires idf(rare)>idf(common)>0)
+    assert rows[(1, "rare")] == 1 and rows[(1, "common")] == 2
+    assert (2, "common") in rows
+
+
 def test_bm25_orders_by_relevance(spark):
     df = spark.createDataFrame(
         [
@@ -261,7 +280,8 @@ def test_knn_join_auto_planes_bounds_skewed_buckets(spark):
     assert sizes and max(sizes) <= 64  # hot bucket dropped, rest bounded
     # and the full operator still runs end-to-end with both valves on
     out = knn_join(
-        emb, dim=8, k=2, target_bucket_size=32, max_bucket_size=64
+        emb, dim=8, k=2, n_planes="auto", target_bucket_size=32,
+        max_bucket_size=64,
     )
     assert out.count() > 0
     assert out.groupBy("vec_id").count().agg(F.max("count")).first()[0] <= 2

@@ -30,8 +30,10 @@ def lookups(spark):
         "`TS-Org Dept Code` string, `TS-Org Dept Title` string",
     )
     overtime = spark.createDataFrame(
-        [("AB", "BW", "Eligible"), ("CD", "MN", "Exempt")],
-        "`Job Eclass` string, `Pay ID` string, `Overtime FLSA` string",
+        [("AB", "BW", "Eligible", "Academic Long"),
+         ("CD", "MN", "Exempt", "Civil Long")],
+        "`Job Eclass` string, `Pay ID` string, `Overtime FLSA` string, "
+        "`Job Detail E-Class Long Desc` string",
     )
     te_m = spark.createDataFrame(
         [
@@ -71,39 +73,65 @@ def pua_raw(spark):
     return spark.createDataFrame(rows, ", ".join(f"`{c}` string" for c in cols))
 
 
+# The reference's final PUA headers, verbatim: the 26-column PreTAM
+# col_map (etl_payroll_pipeline_demo.py:362-389) after its post-build
+# renames "TS Org"->"TS ORG", "Adjustment Reason"->"Adjustment Reason
+# Description" (ref 417-425).
+PUA_EXPECTED_HEADERS = [
+    "UIN", "Pay ID", "Year", "Pay #", "Seq #", "Job Number",
+    "College Code", "College Name", "College", "TS COA", "TS ORG",
+    "TS-Org Code", "TS-Org Title", "Dept Code", "TS-Org Dept Code",
+    "TS-Org Dept Title", "E-Class Code", "E-Class", "TE M",
+    "Time Entry", "Overtime", "Earn Code", "Earn Code Description",
+    "Adjustment Reason Code", "Adjustment Reason Description",
+    "Calc Date",
+]
+
+
 def test_pua_pipeline(spark, pua_raw, lookups):
     ts_org, ts_dept, overtime, te_m = lookups
     out = pua_pipeline(pua_raw, ts_org, ts_dept, overtime, te_m)
-    rows = {r["UIN"]: r for r in out.collect()}
 
+    # contract: the reference's exact 26 headers, in order
+    assert out.columns == PUA_EXPECTED_HEADERS
+
+    rows = {r["UIN"]: r for r in out.collect()}
     assert len(rows) == 2  # duplicate business key collapsed
     r100, r101 = rows["100"], rows["101"]
 
     # derivations
-    assert r100["Pay Event"] == "2024BW100"
     assert r100["Job Number"] == "1234-0"
     assert r100["TS-Org Code"] == "1-123456"
     assert r101["Job Number"] == "5678-0"  # .0 stripped
-    assert r101["TS-Org Department Code"] == "2-654"
+    assert r101["Dept Code"] == "654"  # .0 stripped
+    assert r100["E-Class Code"] == "AB"
 
-    # enrichment
+    # enrichment (incl. the kept right-side dept key, pandas-style)
     assert r100["TS-Org Title"] == "Org Alpha"
-    assert r100["TS-Org Department Title"] == "Dept One"
+    assert r100["TS-Org Dept Code"] == "1-123"
+    assert r100["TS-Org Dept Title"] == "Dept One"
     assert r100["Overtime"] == "Eligible"
-    assert r100["Time Entry Method"] == "Web Time Entry"  # mode of W
-    assert r101["Time Entry Method"] == "Dept Time Entry"
+    assert r100["Time Entry"] == "Web Time Entry"  # mode of W
+    assert r101["Time Entry"] == "Dept Time Entry"
 
     # default fill (variant headers normalized, tri-state missing)
-    assert r100["ADJ Reason Code"] == "ADJ"
-    assert r101["ADJ Reason Code"] == "INT"
-    assert r101["ADJ Reason DESC"] == "Internal"
+    assert r100["Adjustment Reason Code"] == "ADJ"
+    assert r101["Adjustment Reason Code"] == "INT"
+    assert r101["Adjustment Reason Description"] == "Internal"
 
     # timestamp coercion: bad date -> null, good parses
     assert r100["Calc Date"] is not None and r101["Calc Date"] is None
 
-    # contract: fixed column order incl. null-filled absent source
-    assert out.columns[-1] == "Approval Category"
-    assert r100["Approval Category"] is None
+
+def test_pua_contract_null_fills_absent_source(spark, pua_raw, lookups):
+    # reference 393-398: a col_map source absent from the input becomes
+    # an all-null output column under the contract header
+    ts_org, ts_dept, overtime, te_m = lookups
+    out = pua_pipeline(
+        pua_raw.drop("Earn Code"), ts_org, ts_dept, overtime, te_m
+    )
+    assert out.columns == PUA_EXPECTED_HEADERS
+    assert out.filter(F.col("Earn Code").isNotNull()).count() == 0
 
 
 def _cpa_rows(create_dt: str):
@@ -133,6 +161,17 @@ def cpa_inputs(spark, lookups):
     return mk([row1, row3]), mk([row2, row4])
 
 
+# The reference's final CPA headers, verbatim: the 20-column PreTAM
+# projection (etl_payroll_pipeline_demo.py:728-731).
+CPA_EXPECTED_HEADERS = [
+    "UIN", "Pay ID", "Year", "Pay #", "Seq #", "Job Number",
+    "College Code", "College Name", "College", "TS COA", "TS Org",
+    "TS-Org Code", "TS-Org Title", "TS-Org Dept Code",
+    "TS-Org Dept Title", "E-Class Code", "E-Class", "TE M",
+    "Time Entry", "Overtime",
+]
+
+
 def test_cpa_pipeline(spark, cpa_inputs, lookups):
     bw, mn = cpa_inputs
     ts_org, ts_dept, overtime, te_m = lookups
@@ -141,20 +180,26 @@ def test_cpa_pipeline(spark, cpa_inputs, lookups):
                      fiscal_year_end=2024)
     out = cpa_pipeline(bw, mn, ts_org, ts_dept, overtime, te_m,
                        fiscal_year_end=2024, strict=False)
+
+    # contract: the reference's exact 20 PreTAM headers, in order
+    assert out.columns == CPA_EXPECTED_HEADERS
+
     rows = out.collect()
     # row2 filtered by ACTION, row3 deduped, row4 out of fiscal window
     assert len(rows) == 1
     r = rows[0]
-    assert r["UIN Job"] == "100-1"
+    assert r["UIN"] == "100" and r["Job Number"] == "1"
+    assert r["Pay #"] == "10"  # "10.0" normalized
     assert r["TS-Org Code"] == "1-123456"
     assert r["TS-Org Title"] == "Org Alpha"
-    assert r["Dept TS-Org"] == "1-123"
+    assert r["TS-Org Dept Code"] == "1-123"  # kept right key
     assert r["TS-Org Dept Title"] == "Dept One"
-    assert r["Overtime FLSA"] == "Eligible"  # two-key join (ECLS, PAY_ID)
-    assert r["Time Entry Method"] == "Web Time Entry"  # UIN Job exact hit
+    assert r["Overtime"] == "Eligible"  # two-key join (ECLS, PAY_ID)
+    assert r["E-Class"] == "Academic Long"  # long-desc -> E-Class
+    assert r["E-Class Code"] == "AB"
+    assert r["TE M"] == "W"  # TE M arrives via the UIN Job merge
+    assert r["Time Entry"] == "Web Time Entry"  # mode of W (ref 647-650)
     assert r["College Code"] == "KY" and r["College Name"] == "Engineering"
-    assert out.columns == [c for c in out.columns]  # stable projection
-    assert "Action" not in out.columns  # projected away post-filter
 
 
 def test_cpa_schema_contract_enforced(spark, cpa_inputs, lookups):

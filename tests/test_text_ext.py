@@ -727,3 +727,19 @@ def test_source_quality_panel_repartition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_minhash_prod_full_recall_on_fixtures(spark):
+    """Pin that xxhash64-family banding achieves FULL recall on the
+    driver fixtures — the property that makes the exact n-gram Jaccard
+    SQL a value-exact oracle for ``ext_minhash_pairs_prod``
+    (queries.py REGISTRY). If a fixture or banding change breaks this,
+    fix the oracle registration together with this test."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        prod = set(
+            map(tuple, R.q_minhash_pairs_prod(spark, sf).collect())
+        )
+        exact = set(map(tuple, R.q_ngram_jaccard(spark, sf).collect()))
+        assert prod == exact, sf

@@ -61,10 +61,16 @@ def test_remote_store_conf_shape():
     c = remote_store_conf()
     assert all(k.startswith("spark.") for k in c)
     assert "spark.hadoop.fs.s3a.committer.name" in c
-    # no credential material anywhere in the template
+    # no credential material anywhere in the template, and no provider
+    # class pinned (Hadoop's default chain works on SDK v1 AND v2)
     assert not any(
         tok in v.lower() for v in c.values() for tok in ("key=", "secret")
     )
+    assert not any("credentials.provider" in k for k in c)
+    # every fs.* knob follows the requested scheme
+    gcs = remote_store_conf(bucket_scheme="gs")
+    fs_keys = [k for k in gcs if ".fs." in k]
+    assert fs_keys and all(".fs.gs." in k for k in fs_keys)
     c2 = remote_store_conf(endpoint="http://localhost:9000",
                            path_style_access=True)
     assert c2["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"

@@ -258,10 +258,16 @@ def redact_pii(
 def _term_frequencies(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, term, tf) — exploded token counts per document."""
+    """(id, term, tf) — exploded token counts per document.
+
+    ``explode_outer`` keeps token-less documents as one (id, NULL term)
+    row, so a persisted copy of this frame carries the FULL corpus id
+    set — downstream scalar counts (N for idf) come off it instead of
+    re-scanning the raw corpus. Consumers filter NULL terms out of the
+    vocabulary paths."""
     toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
     return (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(F.col(id_col), F.explode_outer("__toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -285,8 +291,13 @@ def tfidf_top_terms(
     tfidf double itself is NOT emitted (ln() may differ by 1 ulp
     across engines); the integer-valued tf and rank are portable.
     """
+    # ONE corpus scan: the persisted tf frame (explode_outer keeps
+    # token-less docs as NULL-term rows) carries the full id set, so N
+    # is a distinct-count over the persisted frame — no second scan of
+    # the raw corpus (pinned in tests/test_plans.py).
     tf = _term_frequencies(df, text_col, id_col).persist()
-    n_docs = df.count()
+    n_docs = tf.select(F.countDistinct(id_col)).first()[0]
+    tf = tf.filter(F.col("term").isNotNull())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "tfidf",
@@ -327,8 +338,13 @@ def bm25_search(
     dl = toks.select(
         F.col(id_col), F.size("__toks").cast("double").alias("dl")
     ).persist()
-    n_docs = df.count()
-    avgdl = dl.agg(F.avg("dl").alias("a")).first()["a"] or 1.0
+    # N and avgdl in ONE job off the persisted doc-length frame (one
+    # row per doc, empties included) — no second scan of the raw corpus.
+    stats = dl.agg(
+        F.avg("dl").alias("a"), F.count(F.lit(1)).alias("n")
+    ).first()
+    n_docs = stats["n"]
+    avgdl = stats["a"] or 1.0
     tf = (
         toks.select(F.col(id_col), F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(*terms))

@@ -76,6 +76,22 @@ def auto_planes(
     return min(max_planes, max(2, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
+def _resolve_planes(
+    n_planes: int | str | None,
+    embeddings: DataFrame,
+    target_bucket_size: int,
+) -> int:
+    """Resolve a knn_join* ``n_planes`` argument. ``"auto"`` (or the
+    legacy ``None``) sizes the grid to the corpus via ONE eager
+    ``.count()`` of the input — callers should persist expensive
+    lineage first; an int passes through and keeps the call lazy."""
+    if n_planes in ("auto", None):
+        return auto_planes(embeddings.count(), target_bucket_size)
+    if not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto': {n_planes!r}")
+    return n_planes
+
+
 def _cap_buckets(
     b: DataFrame, max_bucket_size: int | None, bucket_col: str = "bucket"
 ) -> DataFrame:
@@ -345,7 +361,7 @@ def knn_join(
     embeddings: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int | None = None,
+    n_planes: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -362,21 +378,24 @@ def knn_join(
     assignment is deterministic (fixed hyperplanes), so the full output
     is exactly reproducible in SQL for the oracle.
 
-    ``n_planes=None`` (default) SIZES THE BUCKET GRID TO THE CORPUS:
-    one count of the input derives planes = log2(n/target_bucket_size)
-    (see :func:`auto_planes`) so in-bucket candidate volume stays
-    ~n·target instead of n²/2^planes at a fixed plane count. Pass an
-    explicit ``n_planes`` when the oracle must be able to reproduce
-    the grid without knowing the corpus size. ``max_bucket_size``
-    additionally drops degenerate mega-buckets (:func:`_cap_buckets`).
+    ``n_planes="auto"`` (opt-in) SIZES THE BUCKET GRID TO THE CORPUS:
+    planes = log2(n/target_bucket_size) (see :func:`auto_planes`) so
+    in-bucket candidate volume stays ~n·target instead of n²/2^planes
+    at a fixed plane count — at 100 TB always pass "auto" (or a
+    precomputed log2-sized count). CAVEAT: "auto" runs an EAGER
+    ``.count()`` job at call time and the input lineage is then
+    evaluated again by the join — persist the input first if it is
+    expensive. The fixed default (4) keeps the call lazy and the
+    bucket grid reproducible without knowing the corpus size (what the
+    SQL oracles need). ``max_bucket_size`` additionally drops
+    degenerate mega-buckets (:func:`_cap_buckets`).
 
     Output: (vec_id, neighbor_id, cosine, rank) with rank 1..k per
     vec_id by cosine desc, neighbor_id asc tie-break.
     """
     from pyspark.sql import Window
 
-    if n_planes is None:
-        n_planes = auto_planes(embeddings.count(), target_bucket_size)
+    n_planes = _resolve_planes(n_planes, embeddings, target_bucket_size)
 
     # Per-pair work is the scale cost here, so everything per-ROW is
     # hoisted to the join inputs: the float→double element casts AND
@@ -427,7 +446,7 @@ def knn_join_gemm(
     embeddings: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int | None = None,
+    n_planes: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -444,8 +463,9 @@ def knn_join_gemm(
     top-k. Cosines are rounded to 6 decimals BEFORE ranking, exactly
     like the Column form, so ties and therefore ranks are identical.
 
-    ``n_planes=None`` sizes the grid to the corpus (:func:`auto_planes`);
-    ``max_bucket_size`` drops degenerate mega-buckets
+    ``n_planes="auto"`` sizes the grid to the corpus (:func:`auto_planes`;
+    EAGER count — see :func:`knn_join`); ``max_bucket_size`` drops
+    degenerate mega-buckets
     (:func:`_cap_buckets`) — the GEMM bounds per-PAIR cost but not
     candidate COUNT, so both valves matter here too.
     """
@@ -453,8 +473,7 @@ def knn_join_gemm(
     import pandas as pd
     from pyspark.sql import types as T
 
-    if n_planes is None:
-        n_planes = auto_planes(embeddings.count(), target_bucket_size)
+    n_planes = _resolve_planes(n_planes, embeddings, target_bucket_size)
     b = _cap_buckets(
         random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed),
         max_bucket_size,
@@ -836,7 +855,7 @@ def knn_join_multiprobe(
     embeddings: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int | None = None,
+    n_planes: int | str = 4,
     multiprobe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -861,8 +880,7 @@ def knn_join_multiprobe(
 
     if multiprobe_hamming not in (0, 1):
         raise ValueError("multiprobe_hamming must be 0 or 1")
-    if n_planes is None:
-        n_planes = auto_planes(embeddings.count(), target_bucket_size)
+    n_planes = _resolve_planes(n_planes, embeddings, target_bucket_size)
     b = _cap_buckets(
         random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed),
         max_bucket_size,

@@ -6,10 +6,12 @@ public literature) bounds memory at depth×width counters while
 guaranteeing estimate >= true count (one-sided error <= εN with
 probability 1-δ, ε=e/width, δ=e^-depth).
 
-Spark shape: the sketch build is ONE explode + ONE groupBy over
-(row, col) — the shuffle carries depth rows per token occurrence but
-the aggregate output is a fixed depth×width table regardless of corpus
-size (that is the point of the sketch: the reducer state is bounded).
+Spark shape: the sketch build is ONE corpus scan — explode tokens once,
+posexplode each token's depth counter coordinates (pos == hash row),
+ONE groupBy over (row, col). The shuffle carries depth rows per token
+occurrence but the aggregate output is a fixed depth×width table
+regardless of corpus size (that is the point of the sketch: the
+reducer state is bounded).
 Hashes are md5-derived (engine-portable) so the sketch — and therefore
 every estimate — is bit-identical in the DuckDB oracle.
 
@@ -48,17 +50,14 @@ def count_min_sketch(
     toks = df.select(tokenize_ws(text_col).alias("__toks")).select(
         F.explode("__toks").alias("tok")
     )
-    rows = [
-        toks.select(
-            F.lit(r).alias("row"), _cms_col(F.col("tok"), r, width).alias("col")
-        )
-        for r in range(depth)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    return allrows.groupBy("row", "col").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE corpus scan: per token emit the depth counter coordinates as an
+    # array and posexplode it (pos == hash row) — no per-row re-scan or
+    # re-tokenize branch per depth.
+    cols = F.array(*[_cms_col(F.col("tok"), r, width) for r in range(depth)])
+    return (
+        toks.select(F.posexplode(cols).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -76,14 +75,12 @@ def cms_estimate(
 
     Output: (term, cms_count). Guarantee: cms_count >= true count.
     """
-    probes = None
-    for r in range(depth):
-        p = terms.select(
-            F.col(term_col),
-            F.lit(r).alias("row"),
-            _cms_col(F.col(term_col), r, width).alias("col"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    coords = F.array(
+        *[_cms_col(F.col(term_col), r, width) for r in range(depth)]
+    )
+    probes = terms.select(
+        F.col(term_col), F.posexplode(coords).alias("row", "col")
+    )
     return (
         probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(term_col)

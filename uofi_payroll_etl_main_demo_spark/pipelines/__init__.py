@@ -9,7 +9,9 @@ lazy segments, which aggregate tiny values only.
 """
 
 from uofi_payroll_etl_main_demo_spark.pipelines.cpa import (  # noqa: F401
+    CPA_COL_MAP,
     CPA_EXPECTED_COLUMNS,
+    CPA_OUTPUT_COLUMNS,
     cpa_pipeline,
 )
 from uofi_payroll_etl_main_demo_spark.pipelines.pua import (  # noqa: F401

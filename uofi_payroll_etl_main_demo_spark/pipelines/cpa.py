@@ -23,7 +23,7 @@ from uofi_payroll_etl_main_demo_spark.functions.cleanse import (
     dedupe_column_names,
     ensure_string,
     normalize_numeric_string,
-    rename_columns,
+    select_contract,
     split_code_name,
     to_timestamp_coerce,
 )
@@ -49,29 +49,33 @@ CPA_EXPECTED_COLUMNS = [
     "ELAPSED_WORK_TIME", "ROUTE_STOP_TIME", "ELAPSED_TRAN_TIME",
 ]
 
-# Final rename + 20-column output projection (reference 711-738).
-CPA_RENAMES = {
-    "UIN": "UIN",
-    "TRAN_ID": "Transaction ID",
-    "TRAN_CREATE_DT": "Created Date",
-    "TRAN_CLOSED_DT": "Closed Date",
-    "JOB_TITLE": "Job Title",
-    "JOB_ECLS": "Job E-Class",
-    "HRLY_RATE": "Hourly Rate",
-    "LAST_NAME": "Last Name",
-    "FIRST_NAME": "First Name",
-    "EMAIL_ADDR": "Email",
-    "ROLE": "Role",
-    "ACTION": "Action",
-}
-
-CPA_OUTPUT_COLUMNS = [
-    "UIN", "UIN Job", "Transaction ID", "Created Date", "Closed Date",
-    "Job Title", "Job E-Class", "TS-Org Code", "TS-Org Title",
-    "Dept TS-Org", "TS-Org Dept Title", "Time Entry Method",
-    "Overtime FLSA", "College Code", "College Name", "Hourly Rate",
-    "Last Name", "First Name", "Email", "Role",
+# Final output contract: the reference's EXACT 20-column PreTAM
+# projection (reference 711-738) — rename map folded in as
+# (output_name, source_name) pairs; an absent source null-fills.
+CPA_COL_MAP = [
+    ("UIN", "UIN"),
+    ("Pay ID", "PAY_ID"),
+    ("Year", "PAY_YEAR"),
+    ("Pay #", "PAY_NBR"),
+    ("Seq #", "PAY_SEQ"),
+    ("Job Number", "JOB"),
+    ("College Code", "College Code"),
+    ("College Name", "College Name"),
+    ("College", "COLLEGE"),
+    ("TS COA", "JOB_TS_COAS"),
+    ("TS Org", "JOB_TS_ORGN"),
+    ("TS-Org Code", "TS-Org Code"),
+    ("TS-Org Title", "TS-Org Title"),  # ref: Title -> "TS-Org Name" -> Title
+    ("TS-Org Dept Code", "TS-Org Dept Code"),  # kept right key (pandas)
+    ("TS-Org Dept Title", "TS-Org Dept Title"),
+    ("E-Class Code", "JOB_ECLS"),
+    ("E-Class", "E-Class Description"),  # Job Detail E-Class Long Desc
+    ("TE M", "TE M"),
+    ("Time Entry", "Time Entry"),  # TE M -> mode map (ref 647-650)
+    ("Overtime", "Overtime FLSA"),
 ]
+
+CPA_OUTPUT_COLUMNS = [out for out, _src in CPA_COL_MAP]
 
 
 def fiscal_window(fiscal_year_end: int) -> tuple[datetime, datetime]:
@@ -135,19 +139,30 @@ def cpa_pipeline(
     df = safe_left_join(
         df, clean_column_names(ts_org), ["TS-Org Code"], payload=["TS-Org Title"]
     )
+    # Dept join: pandas left_on/right_on keeps the right key column
+    # ("TS-Org Dept Code"), and the reference's 20-column projection
+    # emits it — carry it as a payload copy (same idiom as pua.py).
+    dept_dim = clean_column_names(ts_dept).withColumn(
+        "__dept_key", F.col("TS-Org Dept Code")
+    )
     df = safe_left_join(
         df,
-        clean_column_names(ts_dept),
+        dept_dim,
         {"Dept TS-Org": "TS-Org Dept Code"},
-        payload=["TS-Org Dept Title"],
-    )
+        payload=["TS-Org Dept Title", "__dept_key"],
+    ).withColumnRenamed("__dept_key", "TS-Org Dept Code")
+    # TE merge brings TE M itself in from the TE table (the cert feed
+    # has no TE M column — reference 626-631).
     te_clean = clean_column_names(te_m)
     df = safe_left_join(
         df,
         te_clean,
         ["UIN Job"],
-        payload=["Time Entry Method", "Time Entry Type"],
+        payload=["TE M", "Time Entry Method", "Time Entry Type"],
     )
+    # "Time Entry" canonical creation (reference 634-650): existing
+    # Time Entry wins where non-blank, else the TE M -> mode map; an
+    # unmapped TE M stays null (pandas .map semantics, no fallback).
     te_mode = mode_by_group(
         te_clean.na.drop(subset=["TE M", "Time Entry Method"]),
         "TE M",
@@ -156,34 +171,53 @@ def cpa_pipeline(
     )
     if "TE M" in df.columns:
         df = safe_left_join(df, te_mode, ["TE M"], payload=["__te_mode"], dedup_dim=False)
-        df = df.withColumn(
-            "Time Entry Method", coalesce_fill("Time Entry Method", "__te_mode")
-        ).drop("__te_mode")
+        if "Time Entry" in df.columns:
+            df = df.withColumn(
+                "Time Entry", coalesce_fill("Time Entry", "__te_mode")
+            )
+        else:
+            df = df.withColumn("Time Entry", F.col("__te_mode"))
+        df = df.drop("__te_mode")
+    # Overtime + E-Class description (two-key merge, reference 653-663);
+    # the long-desc column null-fills when the dim feed lacks it.
+    ot_dim = clean_column_names(overtime)
+    ot_payload = ["Overtime FLSA"] + (
+        ["Job Detail E-Class Long Desc"]
+        if "Job Detail E-Class Long Desc" in ot_dim.columns
+        else []
+    )
     df = safe_left_join(
         df,
-        clean_column_names(overtime),
+        ot_dim,
         {"JOB_ECLS": "Job Eclass", "PAY_ID": "Pay ID"},
-        payload=["Overtime FLSA"],
+        payload=ot_payload,
     )
+    if "Job Detail E-Class Long Desc" in df.columns:
+        df = df.withColumnRenamed(
+            "Job Detail E-Class Long Desc", "E-Class Description"
+        )
 
-    # -- filter + dedup cascade (reference 666-695) --
+    # -- filter + dedup cascade, reference order (666-695): ACTION
+    # filter -> full-row distinct -> keep-first by UIN Job -> string
+    # normalize -> full-row distinct -> keep-first by TRAN_ID --
     df = df.filter(F.col("ACTION") == F.lit("3 - Apply"))
     df = df.dropDuplicates()  # full-row distinct (667)
     ob = order_by or [F.asc("TRAN_ID"), F.asc("UIN Job")]
     df = dedup_keep_first(df, ["UIN Job"], ob)  # keep-first (668)
-    df = dedup_keep_first(df, ["TRAN_ID"], ob)  # keep-first (695)
 
     # -- normalize numeric-ish strings (reference 669-682, F15) --
     for c in ("UIN", "JOB", "PAY_NBR", "PAY_SEQ"):
         if c in df.columns:
             df = df.withColumn(c, normalize_numeric_string(c))
 
+    df = df.dropDuplicates()  # full-row distinct again (688)
+    df = dedup_keep_first(df, ["TRAN_ID"], ob)  # keep-first (690-695)
+
     # -- COLLEGE split (reference 698-706, F6) --
     code, name = split_code_name("COLLEGE")
     df = df.withColumn("College Code", code).withColumn("College Name", name)
 
-    # -- rename + project + duplicate-column prune (reference 711-741) --
-    df = rename_columns(df, CPA_RENAMES)
+    # -- contract projection: rename + reorder + null-fill, the exact
+    # 20 PreTAM columns (reference 711-738) --
     df = dedupe_column_names(df)
-    keep = [c for c in CPA_OUTPUT_COLUMNS if c in df.columns]
-    return df.select(*keep)
+    return select_contract(df, CPA_COL_MAP)

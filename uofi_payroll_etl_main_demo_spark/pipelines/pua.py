@@ -40,27 +40,39 @@ VARIANT_RENAMES = {
     "Adj Reason": "ADJ Reason DESC",
 }
 
-# Output contract: (output_name, source_name); None → all-null column
-# (reference's 26-column col_map OrderedDict, lines 362-400; trimmed to
-# the columns the fixture schema carries, same mechanism).
+# Output contract: (output_name, source_name); an absent source → all-
+# null column (reference 393-398). This is the reference's FULL
+# 26-column PreTAM ``col_map`` OrderedDict (etl_payroll_pipeline_demo.py
+# 362-389) with the post-build header renames already applied
+# ("TS Org" → "TS ORG", "Adjustment Reason" → "Adjustment Reason
+# Description"; ref 417-425) — the exact headers the reference writes.
 PUA_COL_MAP = [
     ("UIN", "UIN"),
-    ("Pay Event", "Pay Event"),
+    ("Pay ID", "Pay ID"),
+    ("Year", "Year"),
+    ("Pay #", "Pay #"),
+    ("Seq #", "Seq #"),
     ("Job Number", "Job Number"),
+    ("College Code", "College Code"),
+    ("College Name", "College Name"),
+    ("College", "College"),
+    ("TS COA", "TS COA"),
+    ("TS ORG", "TS ORG"),
     ("TS-Org Code", "TS-Org Code"),
     ("TS-Org Title", "TS-Org Title"),
-    ("TS-Org Department Code", "TS-Org Department Code"),
-    ("TS-Org Department Title", "TS-Org Department Title"),
+    ("Dept Code", "DEPT Code"),
+    ("TS-Org Dept Code", "TS-Org Dept Code"),
+    ("TS-Org Dept Title", "TS-Org Dept Title"),
+    ("E-Class Code", "ECLS"),
     ("E-Class", "ECLS DESC"),
+    ("TE M", "TE M"),
+    ("Time Entry", "Time Entry"),
     ("Overtime", "Overtime"),
-    ("Time Entry Method", "Time Entry Method"),
-    ("College", "College"),
     ("Earn Code", "Earn Code"),
     ("Earn Code Description", "DESCRIPTION"),
-    ("ADJ Reason Code", "ADJ Reason Code"),
-    ("ADJ Reason DESC", "ADJ Reason DESC"),
+    ("Adjustment Reason Code", "ADJ Reason Code"),
+    ("Adjustment Reason Description", "ADJ Reason DESC"),
     ("Calc Date", "Calc Date"),
-    ("Approval Category", None),  # absent source → null column (ref 393-398)
 ]
 
 _CODE_COLS = ["POSN", "SUFF", "DEPT Code"]
@@ -111,17 +123,25 @@ def pua_pipeline(
     df = safe_left_join(
         df, clean_column_names(ts_org), ["TS-Org Code"], payload=["TS-Org Title"]
     )
+    # Dept join: pandas left_on/right_on KEEPS the right key column
+    # ("TS-Org Dept Code" — value where matched, null where not), and
+    # the reference's col_map emits it (column 15); carry it as a
+    # payload copy since safe_left_join drops the dim-side key.
+    dept_dim = clean_column_names(ts_dept).withColumn(
+        "__dept_key", F.col("TS-Org Dept Code")
+    )
     df = safe_left_join(
         df,
-        clean_column_names(ts_dept),
+        dept_dim,
         {"TS-Org Department Code": "TS-Org Dept Code"},
-        payload=["TS-Org Dept Title"],
-    )
+        payload=["TS-Org Dept Title", "__dept_key"],
+    ).withColumnRenamed("__dept_key", "TS-Org Dept Code")
     df = df.withColumn(
-        # dept title falls back to the fact's own Department Name (ref 302)
-        "TS-Org Department Title",
+        # dept title falls back to the fact's own Department Name,
+        # IN PLACE under the reference's column name (ref 301-302)
+        "TS-Org Dept Title",
         coalesce_fill("TS-Org Dept Title", "Department Name"),
-    ).drop("TS-Org Dept Title")
+    )
     df = safe_left_join(
         df,
         clean_column_names(overtime),
@@ -129,15 +149,22 @@ def pua_pipeline(
         payload=["Overtime FLSA"],
     ).withColumnRenamed("Overtime FLSA", "Overtime")
 
-    # -- mode lookup join (reference 311-324, A1/J10) --
+    # -- mode lookup join (reference 313-325, A1/J10): the mapped mode
+    # fills "Time Entry" — the existing Time Entry value wins where
+    # non-blank, else the TE M → mode map; an unmapped TE M stays null
+    # (pandas .map gives NaN — no fallback to the code itself) --
     te_clean = clean_column_names(te_m).na.drop(
         subset=["TE M", "Time Entry Method"]
     )
     te_mode = mode_by_group(te_clean, "TE M", "Time Entry Method", "__te_mode")
     df = safe_left_join(df, te_mode, ["TE M"], payload=["__te_mode"], dedup_dim=False)
-    df = df.withColumn(
-        "Time Entry Method", coalesce_fill("__te_mode", "TE M")
-    ).drop("__te_mode")
+    if "Time Entry" in df.columns:
+        df = df.withColumn(
+            "Time Entry", coalesce_fill("Time Entry", "__te_mode")
+        )
+    else:
+        df = df.withColumn("Time Entry", F.col("__te_mode"))
+    df = df.drop("__te_mode")
 
     # -- dedup on business key (reference 343, W2 determinism port) --
     keys = ["UIN", "Pay Event", "Job Number"]

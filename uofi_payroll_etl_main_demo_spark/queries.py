@@ -759,9 +759,13 @@ def q_minhash_pairs_prod(spark, sf_dir):
     """Dedup: the PRODUCTION MinHash path — xxhash64 shingle/signature
     family (the ext/dedup.py default), JVM-native hashing with no md5
     string round-trip. Same banding → candidate → Jaccard-verify
-    pipeline as ext_minhash_pairs; rows-only oracle (xxhash64 is not
-    reproducible in portable SQL — the md5 'portable' twin carries the
-    full value oracle for the identical pipeline shape)."""
+    pipeline as ext_minhash_pairs. Oracle = the exact n-gram Jaccard
+    pair set: verified output equals it iff banding recall is 1 on the
+    fixture (it is — pinned in tests/test_dedup.py for sf0.001/sf0.01),
+    making this a value-exact recall+precision audit of the xxhash64
+    family, not a rows-only check. The md5 'portable' twin
+    (ext_minhash_pairs) additionally oracle-checks the banding
+    intermediate itself."""
     pairs = minhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"),
         num_hashes=32,
@@ -2097,7 +2101,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ext_ngram_jaccard": (q_ngram_jaccard, None),  # SQL built below
     "ext_minhash_pairs": (q_minhash_pairs, None),  # SQL built below
-    "ext_minhash_pairs_prod": (q_minhash_pairs_prod, None),  # rows-only (xxhash64)
+    "ext_minhash_pairs_prod": (q_minhash_pairs_prod, None),  # SQL built below (recall audit)
     "ext_simhash_pairs": (q_simhash_pairs, None),  # SQL built below
     "ext_fingerprints": (q_fingerprints, None),  # rows-only (xxhash64)
     "ext_topk_cosine": (q_topk_cosine, None),  # SQL built below
@@ -2254,6 +2258,19 @@ REGISTRY["ext_embedding_pairs_bucketed"] = (
 REGISTRY["ext_doc_stats"] = (q_doc_stats, _sql_doc_stats())
 REGISTRY["ext_language_id"] = (q_language_id, _sql_language_id())
 REGISTRY["ext_ngram_jaccard"] = (q_ngram_jaccard, _sql_ngram_jaccard())
+# Production-family MinHash recall audit: xxhash64 banding is not
+# reproducible in portable SQL, but its VERIFIED output is checkable
+# against the exact pair set — candidates are exact-Jaccard-verified at
+# the same threshold (precision = 1 by construction), and at the driver
+# fixtures the deterministic xxhash64 banding achieves full recall
+# (pinned for sf0.001 and sf0.01 in tests/test_dedup.py). The exact
+# n-gram Jaccard SQL is therefore a value-exact oracle for the
+# production path: any missed candidate OR any verification drift
+# breaks the hash match.
+REGISTRY["ext_minhash_pairs_prod"] = (
+    q_minhash_pairs_prod,
+    _sql_ngram_jaccard(),
+)
 REGISTRY["ext_topk_cosine"] = (q_topk_cosine, _sql_topk_cosine())
 
 
@@ -3239,12 +3256,25 @@ def q_label_centroids(spark, sf_dir):
     pos, mean) — scalar round-6 doubles compare robustly across
     engines where stringified float arrays would not."""
     emb = _t(spark, sf_dir, "embeddings")
+    # Means go through DECIMAL(18,6) sums of round-6 components —
+    # decimal addition is exact and associative, so the mean is
+    # partition-order invariant (double summation can flip a round-6
+    # boundary by an ulp across engines/partitionings; same discipline
+    # as ext_embedding_norm_stats / ext_source_quality_panel).
     return (
         emb.select(
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
         )
         .groupBy("label", F.col("pos"))
-        .agg(F.round(F.avg("col"), 6).alias("mean_val"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round("col", 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
         .select("label", (F.col("pos") + 1).alias("pos"), "mean_val")
     )
 
@@ -3252,7 +3282,9 @@ def q_label_centroids(spark, sf_dir):
 def _sql_label_centroids(dim: int = 64) -> str:
     return f"""
 SELECT label, r.i AS pos,
-       round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS mean_val
+       round(CAST(sum(CAST(round(CAST(embedding[r.i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_val
 FROM embeddings CROSS JOIN range(1, {dim + 1}) r(i)
 GROUP BY label, r.i
 """
@@ -5847,14 +5879,14 @@ def q_session_window_native(spark, sf_dir):
 def _sql_session_window_native() -> str:
     return f"""
 WITH s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
               > {30 * 60 * 1_000_000} THEN 1 ELSE 0 END AS ns
   FROM events),
 sess AS (
   SELECT user_id, ts,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS sid
   FROM s)
 SELECT user_id,
@@ -5915,12 +5947,21 @@ def q_embedding_outliers(spark, sf_dir):
     posexploded corpus; cosine is assembled from grouped per-dimension
     sums (64 double terms — far inside round-6)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # Corpus-sized centroid means through DECIMAL sums of round-6
+    # components (partition-order exact — see q_label_centroids); the
+    # remaining double sums are 64 fixed per-vector terms, far inside
+    # round-6.
     cent = (
         emb.select(
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
         )
         .groupBy("label", "pos")
-        .agg(F.avg("col").alias("c"))
+        .agg(
+            (
+                F.sum(F.round("col", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
     )
     vec = emb.select(
         "vec_id", "label",
@@ -5948,7 +5989,10 @@ WITH v AS (
   SELECT vec_id, label, r.i AS pos,
          CAST(embedding[r.i] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN range(1, {dim + 1}) r(i)),
-cent AS (SELECT label, pos, avg(x) AS c FROM v GROUP BY label, pos),
+cent AS (SELECT label, pos,
+                CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*) AS c
+         FROM v GROUP BY label, pos),
 p AS (
   SELECT v.vec_id, v.label,
          sum(v.x * cent.c) AS dot,

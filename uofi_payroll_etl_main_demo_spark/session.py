@@ -145,13 +145,14 @@ def remote_store_conf(
         df2.write.csv("s3a://my-bucket/payroll/outbound/out.csv")
     """
     conf = {
-        # credential chain: env -> profile -> instance metadata
-        f"spark.hadoop.fs.{bucket_scheme}.aws.credentials.provider": (
-            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
-        ),
-        # high-throughput committers: no rename-based commit on object
-        # stores (rename is a copy there)
-        "spark.hadoop.fs.s3a.committer.name": "magic",
+        # Credentials: deliberately NOT configured here — Hadoop's
+        # default provider chain (env vars -> profile -> instance
+        # metadata) applies when the key is unset, and it works on both
+        # AWS SDK v1 and v2 S3A builds (naming a provider class pins an
+        # SDK generation: the v1 chain class is absent on Hadoop 3.4+).
+        # High-throughput committers: no rename-based commit on object
+        # stores (rename is a copy there).
+        f"spark.hadoop.fs.{bucket_scheme}.committer.name": "magic",
         "spark.sql.sources.commitProtocolClass": (
             "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
         ),
@@ -159,8 +160,8 @@ def remote_store_conf(
             "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
         ),
         # connection pool sized for wide scans
-        "spark.hadoop.fs.s3a.connection.maximum": "96",
-        "spark.hadoop.fs.s3a.fast.upload": "true",
+        f"spark.hadoop.fs.{bucket_scheme}.connection.maximum": "96",
+        f"spark.hadoop.fs.{bucket_scheme}.fast.upload": "true",
     }
     if endpoint:  # non-AWS endpoints (MinIO, Ceph, GCS interop)
         conf[f"spark.hadoop.fs.{bucket_scheme}.endpoint"] = endpoint
