@@ -35,6 +35,8 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def build_corpus(spark, factor: int) -> str:
     out = f"/tmp/scale_probe_{factor}x"
     if os.path.exists(f"{out}/_done"):
+        if not os.path.exists(f"{out}/events.parquet"):
+            _build_events(spark, factor, out)  # cache from before events
         return out
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
@@ -70,8 +72,26 @@ def build_corpus(spark, factor: int) -> str:
     )
     docs_n.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     emb_n.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    _build_events(spark, factor, out)
     open(f"{out}/_done", "w").write("ok")
     return out
+
+
+def _build_events(spark, factor: int, out: str) -> None:
+    # relational/streaming spine corpus: user population scales with N
+    # (per-user event counts constant, so sessionization/as-of OUTPUT
+    # grows ~N — linear, the shape a growing event log actually has);
+    # event_type keeps its natural skew for the salted-agg probe
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    ev_n = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+        (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+    )
+    ev_n.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
 def main() -> None:
@@ -130,6 +150,43 @@ def main() -> None:
             minhash_near_dup_pairs(
                 docs, num_hashes=32, bands=16, k=3, threshold=0.2
             )
+        ),
+    )
+
+    # -- relational / streaming spine (round-4 extension): the payroll-
+    # shaped operators must survive the same scale-up as the dedup stack
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    events = read_parquet_table(spark, corpus, "events")
+
+    from uofi_payroll_etl_main_demo_spark.operators.skew import (
+        two_phase_agg,
+    )
+    from uofi_payroll_etl_main_demo_spark.operators.temporal import asof_join
+    from uofi_payroll_etl_main_demo_spark.streaming.events import sessionize
+
+    def _asof():
+        errors = events.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = events.filter(F.col("event_type") == "click")
+        return asof_join(errors, clicks, on="user_id", payload=["value"])
+
+    run("asof_join", _asof)
+    run("sessionize", lambda: sessionize(events, gap="30 minutes"))
+    run(
+        "salted_agg",
+        lambda: two_phase_agg(
+            events,
+            keys=["event_type"],
+            aggs={
+                "n_events": F.count(F.lit(1)).cast("bigint"),
+                "sum_value": F.sum(F.col("value").cast("decimal(18,6)")),
+            },
+            salt_from=["event_id"],
+            n_salts=16,
         ),
     )
 

@@ -743,3 +743,160 @@ def test_minhash_prod_full_recall_on_fixtures(spark):
         )
         exact = set(map(tuple, R.q_ngram_jaccard(spark, sf).collect()))
         assert prod == exact, sf
+
+
+# ------------------- adversarial-input hardening (round 4) ----------------
+
+_WS_CHARS = " \t\n\r\f\x0b"
+
+
+def _ref_tokenize(text):
+    """Pure-Python mirror of tokenize_ws / the oracle _TOKS: split by
+    the explicit portable whitespace class, drop empty elements."""
+    import re
+
+    if text is None:
+        return None
+    return [t for t in re.split("[" + _WS_CHARS + "]+", text) if t != ""]
+
+
+def test_tokenize_ws_matches_reference_on_hostile_text(spark):
+    """Differential vs the Python mirror over hostile strings: control
+    characters (incl. U+000B where Java and RE2 \\s disagree), unicode
+    letters, NBSP (NOT whitespace under the portable class), long runs,
+    empties. Any phantom empty token or class drift fails here."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+
+    atom = st.sampled_from(
+        ["a", "bb", "é", "漢字", " ", " ", "\t", "\n", "\r\n",
+         "\x0b", "\f", "!", "x" * 300, ""]
+    )
+    texts = st.lists(atom, min_size=0, max_size=12).map("".join)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(texts, min_size=1, max_size=8))
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i long, text string"
+        )
+        got = {
+            r["i"]: r["toks"]
+            for r in df.select(
+                "i", tokenize_ws("text").alias("toks")
+            ).collect()
+        }
+        for i, t in enumerate(batch):
+            assert got[i] == _ref_tokenize(t), repr(t)
+
+    check()
+
+
+def test_shingles_match_reference_on_hostile_text(spark):
+    """shingles_from_tokens == the Python k-gram set over reference
+    tokens, including short docs (< k tokens -> []) and docs whose
+    only content is whitespace."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        shingles_from_tokens,
+        tokenize_ws,
+    )
+
+    atom = st.sampled_from(
+        ["w", "oo", "\t", "\n", " ", "\x0b", "", "q" * 50]
+    )
+    texts = st.lists(atom, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def check(text):
+        k = 3
+        df = spark.createDataFrame([(text,)], "text string")
+        got = (
+            df.select(tokenize_ws("text").alias("__toks"))
+            .select(shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+            .collect()[0]["sh"]
+        )
+        toks = _ref_tokenize(text)
+        want = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+        )
+        assert got == want, repr(text)
+
+    check()
+
+
+def test_chunk_documents_hostile_properties(spark):
+    """chunk_documents invariants on pathological docs: empty and
+    whitespace-only docs yield NO rows; chunk_idx is dense from 0;
+    every chunk has 1..size tokens; non-overlapping chunks (stride ==
+    size) reconstruct the exact token stream."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_documents,
+    )
+
+    atom = st.sampled_from(["t1", "t2", "zz", "\n", "\t", " ", "\x0b"])
+    texts = st.lists(atom, min_size=0, max_size=40).map(" ".join)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def check(text):
+        size, stride = 4, 4
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, size=size, stride=stride).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        toks = _ref_tokenize(text)
+        if not toks:
+            assert rows == []
+            return
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert all(1 <= r["n_tokens"] <= size for r in rows)
+        rebuilt = [
+            t for r in rows for t in r["chunk_text"].split(" ") if t != ""
+        ]
+        assert rebuilt == toks, repr(text)
+
+    check()
+
+
+def test_pathological_fixture_slice_runs_everywhere(spark):
+    """The registry's adversarial docs flow through the heavier text
+    operators without error and with sane outputs (doc-level stats on
+    the pathological slice, incl. the 5000-char megatoken)."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        document_stats,
+    )
+
+    df = spark.createDataFrame(
+        R._PATHOLOGICAL_TEXTS, "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in document_stats(df).collect()}
+    assert stats[9_000_004]["n_tokens"] == 0  # empty
+    assert stats[9_000_005]["n_tokens"] == 0  # whitespace-only
+    assert stats[9_000_009]["n_tokens"] == 1  # megatoken
+    assert stats[9_000_010]["n_tokens"] == 2000
+    assert stats[9_000_006]["n_tokens"] == 3  # U+000B separated

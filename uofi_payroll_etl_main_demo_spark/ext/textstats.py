@@ -92,7 +92,7 @@ def language_id(
 
     base = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        tokenize_ws(text_col).alias("__toks"),
     )
     toks = F.col("__toks")
     cols = [F.col(id_col)]

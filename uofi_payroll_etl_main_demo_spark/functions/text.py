@@ -26,10 +26,17 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
 }
 
+# Engine-portable whitespace class (raw characters, NOT \s — Java's \s
+# includes U+000B, RE2/DuckDB's does not). Shared by tokenize_ws and,
+# verbatim, the SQL oracles' _TOKS (queries.py imports this constant).
+_WS_RE = "[ \t\n\r\f\x0b]"
+
 _PUNCT_RE = r"[^\w\s]"
 # BPE-ish word/number/punctuation segmentation (public GPT-2 style shape,
 # simplified): runs of letters, runs of digits, single punctuation marks.
-_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace exclusion via the raw-char class (engine-portable, see
+# _WS_RE) so the SQL twin tokenizes identically on control characters.
+_BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 
 def _col(c: ColumnOrName) -> Column:
@@ -37,11 +44,27 @@ def _col(c: ColumnOrName) -> Column:
 
 
 def tokenize_ws(c: ColumnOrName) -> Column:
-    """Whitespace tokenization → array<string>; empty string → empty array."""
-    t = F.trim(_col(c))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokenization → array<string>; empty/whitespace-only →
+    empty array; NULL → NULL.
+
+    Split by an EXPLICIT whitespace class then drop empty elements:
+
+    - a regex split emits a phantom '' at the ends when the text
+      starts/ends with NON-SPACE whitespace (``trim`` strips only
+      U+0020, so "\\n"-prefixed docs — ubiquitous in real corpora —
+      would otherwise gain empty tokens that corrupt counts, shingles
+      and surprisal). Interior empties cannot occur (consecutive
+      whitespace is one separator), so the filter is exactly the
+      end-trim.
+    - the class is spelled out (raw chars) instead of ``\\s`` because
+      engines disagree on ``\\s``: Java includes U+000B (vertical
+      tab), RE2/DuckDB does not — an oracle mismatch on any doc
+      carrying one.
+
+    The DuckDB twin is queries.py ``_TOKS`` (same raw-char class +
+    ``list_filter``); parity on every pathological shape is pinned in
+    tests/test_text_ext.py."""
+    return F.filter(F.split(_col(c), _WS_RE + "+"), lambda t: t != "")
 
 
 def tokenize_bpe_ish(c: ColumnOrName) -> Column:
@@ -213,7 +236,9 @@ def fingerprint64(c: ColumnOrName) -> Column:
     ``hash_sample`` and the winnowing fingerprints rely on — so the
     DuckDB oracle reproduces exact fingerprint VALUES, not just
     collision structure. Equal normalized content ⇒ equal fingerprint."""
-    normalized = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+    # raw-char whitespace class (not \s): engines disagree on \s over
+    # U+000B, and the fingerprint must be bit-identical cross-engine
+    normalized = F.regexp_replace(F.lower(F.trim(_col(c))), _WS_RE + "+", " ")
     return (
         F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
     )

@@ -43,6 +43,10 @@ from uofi_payroll_etl_main_demo_spark.ext.textstats import (
     language_id,
     winnowed_fingerprints,
 )
+from uofi_payroll_etl_main_demo_spark.functions.text import (
+    _BPE_ISH_RE as _BPE_SQL,
+    _WS_RE as _WS_CLASS,
+)
 from uofi_payroll_etl_main_demo_spark.functions.cleanse import (
     concat_key,
     fiscal_year,
@@ -632,6 +636,92 @@ def q_doc_stats(spark, sf_dir):
         F.round("avg_token_len", 6).alias("avg_token_len"),
         F.round("quality", 6).alias("quality"),
     )
+
+
+# Adversarial text fixtures appended to the documents table by
+# ext_pathological_text_stats: the shapes real corpora throw at a
+# tokenizer that the well-behaved driver fixture never exercises —
+# leading/trailing non-space whitespace (phantom-empty-token trap),
+# whitespace-only, empty, U+000B (the \s Java/RE2 disagreement), CRLF,
+# a multi-KB single token, a 2000-token single line. IDs start at
+# 9_000_001, far above any fixture doc_id.
+_PATHOLOGICAL_TEXTS: list[tuple[int, str]] = [
+    (9_000_001, "\tleading tab"),
+    (9_000_002, "trailing newline\n"),
+    (9_000_003, "\n\n"),
+    (9_000_004, ""),
+    (9_000_005, "   "),
+    (9_000_006, "\x0bvertical\x0btab\x0bsoup\x0b"),
+    (9_000_007, "multi   space\t\tand\nnewlines\r\nmixed"),
+    (9_000_008, "one"),
+    (9_000_009, "x" * 5000),
+    (9_000_010, ("tok " * 2000).strip()),
+]
+
+
+def _pathological_sql_values() -> str:
+    rows = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, t in _PATHOLOGICAL_TEXTS
+    )
+    return f"(VALUES {rows})"
+
+
+def q_pathological_text_stats(spark, sf_dir):
+    """Adversarial-input audit: the token/shingle/fingerprint pipeline
+    over the documents table UNIONED with pathological literal docs
+    (empty, whitespace-only, control characters, megatoken — see
+    _PATHOLOGICAL_TEXTS). The oracle recomputes every stat in SQL over
+    the identical union, so tokenizer semantics on hostile input are
+    VALUE-pinned cross-engine (phantom empty tokens or \\s-class
+    disagreements break the hash match)."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        fingerprint64,
+        shingles_from_tokens,
+        tokenize_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = spark.createDataFrame(
+        _PATHOLOGICAL_TEXTS, "doc_id long, text string"
+    )
+    u = d.unionByName(path)
+    tokd = u.select(
+        "doc_id", "text", tokenize_ws("text").alias("__toks")
+    )
+    toks = F.col("__toks")
+    return tokd.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(shingles_from_tokens(toks, 3)).cast("bigint").alias(
+            "n_shingles"
+        ),
+        fingerprint64("text").alias("fingerprint"),
+    )
+
+
+def _sql_pathological_text_stats() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM {_pathological_sql_values()} v(doc_id, text)
+),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM u)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+         list_transform(range(1, len(toks) - 3 + 2),
+                        i -> array_to_string(toks[i:i + 2], ' '))))
+         ELSE 0 END AS BIGINT) AS n_shingles,
+       CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)),
+         '{_WS_CLASS}+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
+FROM t
+"""
 
 
 def q_token_stats(spark, sf_dir):
@@ -2119,11 +2209,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ext_language_id": (q_language_id, None),  # SQL built below
     "ext_token_stats": (
         q_token_stats,
-        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
-        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens, "
-        r"CAST(len(list_distinct(regexp_extract_all(text, "
-        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) "
-        r"AS n_distinct_bpe_tokens FROM documents",
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'" + _BPE_SQL + "')) AS INTEGER) AS n_bpe_tokens, "
+        "CAST(len(list_distinct(regexp_extract_all(text, "
+        "'" + _BPE_SQL + "'))) AS INTEGER) "
+        "AS n_distinct_bpe_tokens FROM documents",
     ),
     "ext_exact_dedup": (
         q_exact_dedup,
@@ -2163,7 +2253,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 from uofi_payroll_etl_main_demo_spark.functions.text import STOPWORDS  # noqa: E402
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+# Portable twin of functions/text.py tokenize_ws: split by the SAME
+# raw-character whitespace class (\s differs across engines: Java
+# includes U+000B, RE2 does not), drop the phantom '' elements a regex
+# split emits at the ends — see the tokenize_ws docstring.
+_TOKS = (
+    "list_filter(string_split_regex(text, '"
+    + _WS_CLASS
+    + "+'), __t -> __t <> '')"
+)
 
 
 def _sql_doc_stats() -> str:
@@ -2289,6 +2387,10 @@ REGISTRY["ext_embedding_pairs_bucketed"] = (
 REGISTRY["ext_doc_stats"] = (q_doc_stats, _sql_doc_stats())
 REGISTRY["ext_language_id"] = (q_language_id, _sql_language_id())
 REGISTRY["ext_ngram_jaccard"] = (q_ngram_jaccard, _sql_ngram_jaccard())
+REGISTRY["ext_pathological_text_stats"] = (
+    q_pathological_text_stats,
+    _sql_pathological_text_stats(),
+)
 # Production-family MinHash recall audit: xxhash64 banding is not
 # reproducible in portable SQL, but its VERIFIED output is checkable
 # against the exact pair set — candidates are exact-Jaccard-verified at
@@ -2899,7 +3001,8 @@ REGISTRY["ext_pq_topk"] = (q_pq_topk, None)  # rows-only (data-adaptive)
 REGISTRY["ext_fingerprints"] = (
     q_fingerprints,
     "SELECT doc_id, CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)),"
-    r" '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint FROM documents",
+    " '" + _WS_CLASS + "+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint"
+    " FROM documents",
 )
 REGISTRY["ext_lsh_topk"] = (q_lsh_topk, _sql_lsh_topk())
 REGISTRY["ext_topk_cosine_gemm"] = (q_topk_cosine_gemm, _sql_topk_cosine())
@@ -6156,7 +6259,7 @@ _WINDOW_50 = [
     "ext_minhash_pairs",
     "ext_knn_join",
     "ext_knn_join_multiprobe",
-    "ext_topk_cosine",
+    "ext_pathological_text_stats",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
