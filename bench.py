@@ -94,6 +94,10 @@ HEADLINE = [
     "stream_dedup",
     "stream_interval_join",
     "a14_quantiles",
+    # round 4: ANN exactness audits + adversarial-text slice
+    "ext_ivf_topk_full",
+    "ext_pq_topk_full",
+    "ext_pathological_text_stats",
 ]
 
 

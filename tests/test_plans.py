@@ -13,6 +13,7 @@ import pytest
 
 from uofi_payroll_etl_main_demo_spark import queries as R
 from uofi_payroll_etl_main_demo_spark.plans import inspect_plan
+from uofi_payroll_etl_main_demo_spark.plans.inspect import formatted_plan
 
 
 def test_pipeline_broadcasts_all_dims(spark, sf_dir):
@@ -167,3 +168,40 @@ _TABLE_WIDTHS = {
     "supplier": 7, "nation": 4, "region": 3, "events": 6,
     "documents": 5, "embeddings": 3,
 }
+
+
+def test_count_min_sketch_single_corpus_scan(spark, sf_dir):
+    # the sketch build must read the corpus ONCE (posexplode of the
+    # depth counter coordinates, not one scan branch per hash row)
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        count_min_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = inspect_plan(count_min_sketch(docs, depth=4))
+    doc_scans = [s for s in r.scans if "documents" in s["location"]]
+    assert len(doc_scans) == 1
+    # and the scan reads only the text column
+    assert doc_scans[0]["read_schema"].count(":") == 1
+
+
+def test_tfidf_returned_plan_reads_corpus_once(spark, sf_dir):
+    # the returned frame joins tf with dfreq — BOTH must come from the
+    # one persisted tf frame (InMemoryRelation), i.e. exactly one
+    # underlying parquet scan of documents in the whole plan; N for the
+    # idf is likewise taken off the persisted frame (semantic pin in
+    # test_curation.py), so no plan anywhere re-scans the corpus
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        tfidf_top_terms,
+    )
+
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(docs, top_n=2)
+    text = formatted_plan(out)
+    # the cached plan is RENDERED under each InMemoryTableScan, so the
+    # string repeats — count DISTINCT scan node ids, not mentions
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", text))
+    assert len(scan_ids) <= 1, text[:2000]
+    assert "InMemoryTableScan" in text or "TableCacheQueryStage" in text
