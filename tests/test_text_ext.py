@@ -734,10 +734,26 @@ def test_minhash_prod_full_recall_on_fixtures(spark):
     driver fixtures — the property that makes the exact n-gram Jaccard
     SQL a value-exact oracle for ``ext_minhash_pairs_prod``
     (queries.py REGISTRY). If a fixture or banding change breaks this,
-    fix the oracle registration together with this test."""
+    fix the oracle registration together with this test.
+
+    Covers EVERY scale factor the correctness driver can run at
+    (sf0.001 / sf0.01 / sf0.1 are the generated fixture set) so a
+    driver-sf change can't silently flip a benign recall drop into a
+    red hash-mismatch row."""
+    import os
+
     from uofi_payroll_etl_main_demo_spark import queries as R
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    fixture_sfs = [
+        d
+        for d in (
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        )
+        if os.path.isdir(d)
+    ]
+    for sf in fixture_sfs:
         prod = set(
             map(tuple, R.q_minhash_pairs_prod(spark, sf).collect())
         )

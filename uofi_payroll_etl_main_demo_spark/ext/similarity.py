@@ -85,9 +85,11 @@ def _resolve_planes(
     legacy ``None``) sizes the grid to the corpus via ONE eager
     ``.count()`` of the input — callers should persist expensive
     lineage first; an int passes through and keeps the call lazy."""
-    if n_planes in ("auto", None):
+    if n_planes is None or (isinstance(n_planes, str) and n_planes == "auto"):
         return auto_planes(embeddings.count(), target_bucket_size)
-    if not isinstance(n_planes, int):
+    # bool is an int subclass — reject it explicitly so n_planes=True
+    # doesn't silently become a 1-plane grid.
+    if isinstance(n_planes, bool) or not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto': {n_planes!r}")
     return n_planes
 

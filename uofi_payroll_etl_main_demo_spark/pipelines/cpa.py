@@ -206,9 +206,23 @@ def cpa_pipeline(
     df = dedup_keep_first(df, ["UIN Job"], ob)  # keep-first (668)
 
     # -- normalize numeric-ish strings (reference 669-682, F15) --
-    for c in ("UIN", "JOB", "PAY_NBR", "PAY_SEQ"):
-        if c in df.columns:
-            df = df.withColumn(c, normalize_numeric_string(c))
+    # The reference loops over ALL columns (`for col in df_cpa_fy.columns`)
+    # coercing each to a trimmed string with the int(float(x)) ".0"-strip,
+    # then re-parses the two date columns back to datetime (684-691) — so
+    # timestamps round-trip and every string column is normalized before
+    # the second full-row distinct. We mirror that: every non-timestamp
+    # column gets the whole-value normalization (one narrow select, no
+    # extra stage); timestamp columns stay typed (their string round-trip
+    # in the reference is the identity for valid dates).
+    ts_types = ("timestamp", "date")
+    df = df.select(
+        *[
+            F.col(f.name).alias(f.name)
+            if f.dataType.typeName() in ts_types
+            else normalize_numeric_string(F.col(f.name)).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
     df = df.dropDuplicates()  # full-row distinct again (688)
     df = dedup_keep_first(df, ["TRAN_ID"], ob)  # keep-first (690-695)

@@ -4582,15 +4582,18 @@ def q_length_bucketed_batches(spark, sf_dir):
 
 REGISTRY["ext_length_bucketed_batches"] = (
     q_length_bucketed_batches,
-    "WITH b AS (SELECT doc_id, "
-    "len(list_filter(string_split_regex(trim(text), '\\s+'), "
-    "t -> t != '')) AS n_tokens, "
-    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h "
-    "FROM documents) "
-    "SELECT doc_id, n_tokens, n_tokens // 64 AS len_band, "
-    "CAST((row_number() OVER (PARTITION BY n_tokens // 64 "
-    "ORDER BY h, doc_id) - 1) // 8 AS BIGINT) AS batch_in_band "
-    "FROM b",
+    # Token count comes from the shared _TOKS twin (engine-portable
+    # raw-char whitespace class), not a hand-rolled trim+\s+ split —
+    # keeps this oracle in lockstep with tokenize_ws on U+000B /
+    # non-space edge whitespace.
+    f"WITH b AS (SELECT doc_id, "
+    f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
+    f"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h "
+    f"FROM documents) "
+    f"SELECT doc_id, n_tokens, n_tokens // 64 AS len_band, "
+    f"CAST((row_number() OVER (PARTITION BY n_tokens // 64 "
+    f"ORDER BY h, doc_id) - 1) // 8 AS BIGINT) AS batch_in_band "
+    f"FROM b",
 )
 
 
