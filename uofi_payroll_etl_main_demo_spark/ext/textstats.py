@@ -73,6 +73,66 @@ def document_stats(
     )
 
 
+def curation_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality score + predicted language in ONE narrow select.
+
+    The curation pre-filters of :func:`document_stats` and
+    :func:`language_id` fused over a single tokenization projection —
+    composing the two as separate frames joined on ``id_col`` costs
+    two extra shuffles for what is a per-row map; at corpus scale the
+    fused form is one scan, zero joins.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokenize_ws(text_col).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.length("__text").cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("__text"), F.lit(r"[^\w\s]"), 0)
+    ).cast("bigint")
+    length_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(
+        n_tok > 0, n_distinct.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_density = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * length_component
+        + F.lit(0.4) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_density * 5, F.lit(1.0)))
+    )
+
+    def hit_pred(sw):
+        # closure factory — see language_id for why not a default arg
+        return lambda t: F.lower(t).isin(*sw)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, hit_pred(STOPWORDS[lang])))
+                .cast("bigint")
+                .alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)
+    predicted = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return base.select(
+        F.col(id_col),
+        quality.alias("quality"),
+        predicted.alias("predicted_lang"),
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1636,25 +1636,30 @@ def q_pipeline_curation(spark, sf_dir):
     from uofi_payroll_etl_main_demo_spark.ext.clusters import (
         connected_components,
     )
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import curation_scores
 
     docs = _t(spark, sf_dir, "documents")
-    stats = document_stats(docs).select("doc_id", "quality")
-    lang = language_id(docs).select("doc_id", "predicted_lang")
+    # quality + language are per-row maps: fused into ONE narrow scan
+    # (curation_scores) instead of two derived frames shuffle-joined
+    # back on doc_id — and the cheap filters run BEFORE the anti-join
+    # so the join probes only the kept slice. The panel is PERSISTED
+    # before its filter (same measured pattern as pipeline_curation_v2:
+    # filtering directly on a derived column makes CollapseProject
+    # re-expand the whole per-document expression tree into the
+    # predicate, evaluating tokenization twice per row).
+    scored = (
+        curation_scores(docs)
+        .persist()
+        .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") == "en"))
+    )
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
     losers = (
         connected_components(pairs)
         .filter(F.col("id") != F.col("comp"))
         .select(F.col("id").alias("doc_id"))
     )
-    return (
-        docs.select("doc_id")
-        .join(stats, "doc_id")
-        .join(lang, "doc_id")
-        .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") == "en"))
-        .join(losers, "doc_id", "left_anti")
-        .select(
-            "doc_id", F.round("quality", 6).alias("quality"), "predicted_lang"
-        )
+    return scored.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.round("quality", 6).alias("quality"), "predicted_lang"
     )
 
 
