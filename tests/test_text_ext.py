@@ -916,3 +916,77 @@ def test_pathological_fixture_slice_runs_everywhere(spark):
     assert stats[9_000_009]["n_tokens"] == 1  # megatoken
     assert stats[9_000_010]["n_tokens"] == 2000
     assert stats[9_000_006]["n_tokens"] == 3  # U+000B separated
+
+
+# ------------------- round-5 additions: rewrite + vocab panel -------------
+
+
+def test_chunk_dedup_rewrite_semantics(spark):
+    """An exact duplicate document loses every chunk to its earlier
+    twin; a unique document reconstructs to its whitespace-normalized
+    text; empty docs stay empty rows with zero chunks."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))  # 80 tokens -> 3 chunks @32
+    rows = [
+        (1, base),
+        (2, base),            # exact dup of doc 1 -> fully removed
+        (3, "unique words only here"),
+        (4, ""),              # empty -> 0 chunks, '' text
+        (5, "  \n\t "),       # whitespace-only -> 0 chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup_rewrite(df, size=32).collect()
+    }
+    assert len(out) == 5
+    norm = " ".join(base.split())
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_clean"] == norm
+    assert out[2]["n_chunks"] == 3 and out[2]["n_kept"] == 0
+    assert out[2]["text_clean"] == ""
+    assert out[3]["n_kept"] == 1
+    assert out[3]["text_clean"] == "unique words only here"
+    for d in (4, 5):
+        assert out[d]["n_chunks"] == 0 and out[d]["text_clean"] == ""
+
+
+def test_chunk_dedup_rewrite_keep_first_order(spark):
+    """Survivorship is by (doc_id, chunk_idx): the lowest doc_id keeps
+    a shared chunk regardless of input row order."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    shared = "tok " * 32
+    rows = [(9, shared), (2, shared), (5, shared)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    out = {r["doc_id"]: r["n_kept"] for r in chunk_dedup_rewrite(df, size=32).collect()}
+    assert out == {2: 1, 5: 0, 9: 0}
+
+
+def test_vocab_panel_invariants(spark, sf_dir):
+    """hapax <= vocab <= total; top-term share consistent; panel is
+    shuffle-width invariant."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import vocab_panel
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    rows = vocab_panel(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hapax_count"] <= r["vocab_size"] <= r["total_tokens"]
+        assert 0 < r["top_term_share"] <= 1
+        assert abs(r["type_token_ratio"] - round(r["vocab_size"] / r["total_tokens"], 6)) < 1e-9
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = vocab_panel(docs).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -241,6 +241,114 @@ def chunk_documents(
     )
 
 
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+) -> DataFrame:
+    """Corpus REWRITE by global passage dedup: tumbling ``size``-token
+    chunks, exact-dedup chunks corpus-wide (survivor = first occurrence
+    by ``(doc_id, chunk_idx)``), reassemble each document from its
+    surviving chunks — the C4/RefinedWeb-style "remove any span seen
+    before" transform, producing cleaned text rather than statistics
+    (the stats twin is ``q_chunk_dedup_stats``).
+
+    Output: (id, n_chunks, n_kept, text_clean); text_clean is the
+    surviving tokens joined by single spaces (token-granular rewrites
+    are whitespace-normalizing by construction). Docs whose every chunk
+    was seen before rewrite to ''; empty docs stay '' with 0 chunks.
+
+    Shape: narrow chunk explode → ONE hash-partitioned window for the
+    global keep-first (the shuffle carries chunk text because the
+    output needs it — a rewrite, unlike stats, cannot shuffle hashes
+    only) → one groupBy(id) reassembly. Both shuffles are linear in
+    corpus size; no pair expansion anywhere.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(
+        df, text_col=text_col, id_col=id_col, size=size, stride=size
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "chunk_idx")
+    ranked = chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk_text",
+        F.md5("chunk_text").alias("__h"),
+    ).withColumn("__rn", F.row_number().over(w))
+    rebuilt = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(
+                                F.col("chunk_idx"), F.col("chunk_text")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def vocab_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata: str = "source",
+) -> DataFrame:
+    """Per-stratum vocabulary panel: total token occurrences, vocab
+    size (types), hapax count (types occurring once), type-token
+    ratio, and the dominant term with its corpus share — the
+    Zipf-shape / vocabulary-health summary a corpus card reports per
+    source.
+
+    Shape: token explode → partial-agg (stratum, token) counts → one
+    stratum agg. Both shuffles carry (stratum, token, count) — linear
+    in distinct types, never in corpus size, so the panel is one of
+    the cheapest whole-corpus scans at 100 TB. Deterministic top-term
+    tie-break: highest count, then lexicographically largest token.
+    """
+    tok = df.select(
+        F.col(strata), F.explode(tokenize_ws(text_col)).alias("__t")
+    )
+    counts = tok.groupBy(strata, "__t").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    top = F.max(F.struct(F.col("__n"), F.col("__t")))
+    total = F.sum("__n")
+    return counts.groupBy(strata).agg(
+        total.cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_count"),
+        F.round(F.count(F.lit(1)) / total, 6).alias("type_token_ratio"),
+        top["__t"].alias("top_term"),
+        F.round(top["__n"] / total, 6).alias("top_term_share"),
+    )
+
+
 def winnowed_fingerprints(
     df: DataFrame,
     text_col: str = "text",

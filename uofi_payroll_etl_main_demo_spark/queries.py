@@ -5874,6 +5874,92 @@ REGISTRY["ext_chunk_dedup_stats"] = (
 )
 
 
+def q_chunk_dedup_rewrite(spark, sf_dir):
+    """Corpus rewrite by global passage dedup (ext/textstats.py
+    chunk_dedup_rewrite): tumbling 32-token chunks, corpus-wide exact
+    keep-first, documents reassembled from surviving chunks — the
+    span-removal transform (C4 / RefinedWeb line-dedup analog at token
+    granularity) that PRODUCES the cleaned corpus the stats twin
+    (`ext_chunk_dedup_stats`) only reports on."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    return chunk_dedup_rewrite(
+        _t(spark, sf_dir, "documents"), size=32
+    )
+
+
+def _sql_chunk_dedup_rewrite(size: int = 32) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - {size}, 0) + {size - 1})
+               / {size}.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(
+           toks[i * {size} + 1 : i * {size} + {size}], ' ') AS chunk_text
+       FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+r AS (SELECT doc_id, chunk_idx, chunk_text,
+        row_number() OVER (PARTITION BY md5(chunk_text)
+                           ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch),
+g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                            ORDER BY chunk_idx), '') AS text_clean
+      FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(g.n_chunks, 0) AS n_chunks,
+       coalesce(g.n_kept, 0) AS n_kept,
+       coalesce(g.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN g USING (doc_id)
+"""
+
+
+REGISTRY["ext_chunk_dedup_rewrite"] = (
+    q_chunk_dedup_rewrite,
+    _sql_chunk_dedup_rewrite(),
+)
+
+
+def q_vocab_panel(spark, sf_dir):
+    """Per-source vocabulary-health panel (ext/textstats.py
+    vocab_panel): token occurrences, type count, hapax count,
+    type-token ratio, dominant term + share — the Zipf-shape summary
+    of a dataset card, one linear scan."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import vocab_panel
+
+    return vocab_panel(_t(spark, sf_dir, "documents"))
+
+
+def _sql_vocab_panel() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS t FROM documents
+),
+c AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t),
+top AS (SELECT source, max(struct_pack(n := n, t := t)) AS best,
+          sum(n) AS total, count(*) AS types,
+          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+        FROM c GROUP BY source)
+SELECT source,
+  CAST(total AS BIGINT) AS total_tokens,
+  CAST(types AS BIGINT) AS vocab_size,
+  CAST(hapax AS BIGINT) AS hapax_count,
+  round(CAST(types AS DOUBLE) / total, 6) AS type_token_ratio,
+  best.t AS top_term,
+  round(CAST(best.n AS DOUBLE) / total, 6) AS top_term_share
+FROM top
+"""
+
+
+REGISTRY["ext_vocab_panel"] = (q_vocab_panel, _sql_vocab_panel())
+
+
 def q_minhash_estimate_audit(spark, sf_dir):
     """Sketch-accuracy audit (the MinHash sibling of the CMS report):
     for every verified near-dup pair, the SIGNATURE-estimated Jaccard
