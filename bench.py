@@ -98,6 +98,10 @@ HEADLINE = [
     "ext_ivf_topk_full",
     "ext_pq_topk_full",
     "ext_pathological_text_stats",
+    # round 5: corpus rewrite + vocabulary panel + rewrite composite
+    "ext_chunk_dedup_rewrite",
+    "ext_vocab_panel",
+    "pipeline_rewrite_curation",
 ]
 
 

@@ -153,6 +153,17 @@ def main() -> None:
         ),
     )
 
+    # corpus rewrite (round 5): output rows stay = n_docs; work is one
+    # window + one groupBy over the chunk explode — linear by shape
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    run(
+        "chunk_dedup_rewrite",
+        lambda: chunk_dedup_rewrite(docs, size=32),
+    )
+
     # -- relational / streaming spine (round-4 extension): the payroll-
     # shaped operators must survive the same scale-up as the dedup stack
     from uofi_payroll_etl_main_demo_spark.io.readers import (

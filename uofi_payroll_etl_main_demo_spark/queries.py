@@ -5960,6 +5960,71 @@ FROM top
 REGISTRY["ext_vocab_panel"] = (q_vocab_panel, _sql_vocab_panel())
 
 
+def q_pipeline_rewrite_curation(spark, sf_dir):
+    """Rewrite-then-curate composite: global passage-dedup REWRITE →
+    re-score quality on the CLEANED text → drop now-empty/low-quality
+    docs → per-source panel of the post-rewrite corpus. Demonstrates
+    that the rewrite output (`text_clean`) feeds every downstream
+    text operator unchanged — the dedup→rescore→mix loop of a real
+    corpus refresh, one lazy plan."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+        curation_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rw = chunk_dedup_rewrite(docs, size=32)
+    rescored = curation_scores(
+        rw.filter(F.col("n_kept") > 0), text_col="text_clean"
+    )
+    kept = rescored.filter(F.col("quality") >= 0.5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    # mean through DECIMAL(18,6) sums of round-6 per-doc values
+    # (associative => partition-order independent, engine-exact)
+    n = F.count(F.lit(1))
+    return kept.select(
+        "source", F.round("quality", 6).cast("decimal(18,6)").alias("__q")
+    ).groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(F.sum("__q").cast("double") / n, 6).alias("avg_quality"),
+    )
+
+
+def _sql_pipeline_rewrite_curation() -> str:
+    # Rename text_clean -> text so the shared _TOKS / quality formula
+    # applies verbatim to the rewritten corpus.
+    return f"""
+WITH rw AS ({_sql_chunk_dedup_rewrite()}),
+txt AS (SELECT doc_id, text_clean AS text FROM rw WHERE n_kept > 0),
+t AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN []
+        ELSE {_TOKS} END AS toks FROM txt),
+q AS (SELECT doc_id,
+    0.4 * least(len(toks) / 100.0, 1.0)
+    + 0.4 * (CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END)
+    + 0.2 * (1.0 - least(
+        (CASE WHEN length(text) > 0
+         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+              / length(text) ELSE 0.0 END) * 5, 1.0)) AS quality
+  FROM t),
+qd AS (SELECT doc_id, quality,
+         CAST(round(quality, 6) AS DECIMAL(18,6)) AS qdec FROM q)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(qd.qdec) AS DOUBLE) / count(*), 6) AS avg_quality
+FROM qd JOIN documents d USING (doc_id)
+WHERE qd.quality >= 0.5
+GROUP BY d.source
+"""
+
+
+REGISTRY["pipeline_rewrite_curation"] = (
+    q_pipeline_rewrite_curation,
+    _sql_pipeline_rewrite_curation(),
+)
+
+
 def q_minhash_estimate_audit(spark, sf_dir):
     """Sketch-accuracy audit (the MinHash sibling of the CMS report):
     for every verified near-dup pair, the SIGNATURE-estimated Jaccard
