@@ -57,10 +57,12 @@ def test_contract_shape():
     assert rows_only == {
         "ext_ivf_topk",  # data-adaptive k-means index
         "ext_ivf_pq_topk",  # data-adaptive (k-means + Lloyd codebooks)
-        "ext_minhash_pairs_prod",  # xxhash64 production path
         "ext_pq_topk",  # data-adaptive Lloyd codebooks
         "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
         "ext_bpe_encode",  # ditto; both pinned vs Python reference
+        # ext_minhash_pairs_prod is NOT here since round 4: the exact
+        # n-gram Jaccard SQL is its value oracle (full-recall pin in
+        # test_text_ext.py covers every fixture sf the driver can run)
     }
 
 

@@ -990,3 +990,31 @@ def test_vocab_panel_invariants(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_image_dhash_twin_invariance(spark):
+    """Bytewise-different, luminance-identical twins hash identically;
+    every (2g, 2g+1) twin pair appears at hamming 0 in the banded
+    pair output (perceptual-dedup contract of image_dhash +
+    hamming_pairs_64)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=16)
+    # twins carry different bytes
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert payloads[0] != payloads[1]
+    sigs = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    for g in range(8):
+        assert sigs[2 * g] == sigs[2 * g + 1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs_64(
+            image_dhash(media), "media_id", "dhash", max_hamming=3
+        ).collect()
+    }
+    for g in range(8):
+        assert pairs[(2 * g, 2 * g + 1)] == 0

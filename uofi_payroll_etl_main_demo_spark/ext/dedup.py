@@ -610,18 +610,42 @@ def simhash_near_dup_pairs(
     expansion, so far-apart pairs are dropped before the explode ever
     shuffles them. ``max_bucket_size`` caps degenerate mega-buckets
     (boilerplate corpora), trading bounded recall for linear work.
+
+    The banding itself is signature-agnostic and lives in
+    :func:`hamming_pairs_64` (also used for perceptual image hashes).
+    """
+    sh = simhash(df, text_col, id_col, hash_family)
+    return hamming_pairs_64(
+        sh, id_col, "simhash", max_hamming, max_bucket_size
+    )
+
+
+def hamming_pairs_64(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column by pigeonhole
+    banding — the signature-agnostic core of
+    :func:`simhash_near_dup_pairs`, reusable for other 64-bit
+    fingerprints (perceptual image dHash, rolling text fingerprints).
+
+    Split 64 bits into ``max_hamming + 1`` chunks; any pair within
+    distance ≤ max_hamming agrees exactly on ≥ 1 chunk, so candidates
+    come from one (chunk, chunk_key) equi-grouping with in-bucket HOF
+    pair expansion (exact popcount filter inside the expansion — the
+    same no-self-join shape as the text generators). Returns
+    (id_a, id_b, hamming) with id_a < id_b.
     """
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sh = simhash(df, text_col, id_col, hash_family).filter(
-        F.col("simhash").isNotNull()
-    )
-    # Static chunk count → build the (chunk, chunk_key) array with a
-    # Python loop of literal shifts (shift amounts must be literals).
+    sh = sigs.filter(F.col(sig_col).isNotNull())
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * width)
+            F.shiftrightunsigned(F.col(sig_col), c * width)
             .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
             .alias("ck"),
         )
@@ -629,15 +653,17 @@ def simhash_near_dup_pairs(
     ]
     chunks = sh.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("__sig"),
         F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
-
+    ).select(
+        id_col, "__sig",
+        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
+    )
     buckets = (
         chunks.groupBy("chunk", "ck")
         .agg(
             F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
+                F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("h"))
             ).alias("docs")
         )
         .filter(F.size("docs") > 1)
@@ -654,7 +680,9 @@ def simhash_near_dup_pairs(
                     lambda y: F.struct(
                         F.least(x["id"], y["id"]).alias("id_a"),
                         F.greatest(x["id"], y["id"]).alias("id_b"),
-                        F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
+                        F.bit_count(x["h"].bitwiseXOR(y["h"])).alias(
+                            "hamming"
+                        ),
                     ),
                 ),
             )

@@ -472,3 +472,112 @@ def image_tile_means(media: DataFrame, grid: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(batches, TILE_SCHEMA)
+
+
+def synthetic_gradient_images(
+    spark, n: int = 48, width: int = 18, height: int = 16
+) -> "DataFrame":
+    """Deterministic REAL gradient-image table for perceptual-hash
+    dedup: image ``i`` renders pattern ``g = i // 2``; even ids store
+    the pattern on all three channels, odd ids are the BYTEWISE
+    DIFFERENT but PERCEPTUALLY IDENTICAL twin (channels shifted
+    +3/0/-3, so the per-pixel grayscale mean — and therefore any
+    luminance-based perceptual hash — is unchanged).
+
+    Pixel law (closed form, reproduced by the SQL oracle):
+        v(g, r, c) = 3 + (g*37 + c*c*11 + r*7) % 237
+    which keeps v±3 inside [0, 255].
+    """
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        g = i // 2
+        r_idx = np.arange(height).reshape(-1, 1)
+        c_idx = np.arange(width).reshape(1, -1)
+        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
+        px = np.zeros((height, width, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            px[:, :, 0] = v
+            px[:, :, 1] = v
+            px[:, :, 2] = v
+        else:
+            px[:, :, 0] = v + 3
+            px[:, :, 1] = v
+            px[:, :, 2] = v - 3
+        rows.append(
+            (
+                i,
+                ppm_bytes(px),
+                {
+                    "modality": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(
+    media: "DataFrame", grid_rows: int = 8, grid_cols: int = 9
+) -> "DataFrame":
+    """Perceptual 64-bit dHash per image via ``mapInPandas`` — REAL
+    P6-PPM decode, per-pixel grayscale (channel mean), block-mean
+    downscale to ``grid_rows x grid_cols``, then one bit per
+    horizontal neighbor comparison (``m[r, c+1] > m[r, c]``), packed
+    little-endian as ``bit (r*8 + c)`` into a SIGNED int64 (bit 63 is
+    the sign bit, same convention as the SimHash signatures, so
+    :func:`~uofi_payroll_etl_main_demo_spark.ext.dedup.hamming_pairs_64`
+    applies unchanged).
+
+    dHash is the standard cheap near-dup fingerprint of image-corpus
+    curation: invariant to bytewise re-encodes and uniform channel
+    shifts (luminance-preserving), sensitive to structural edits.
+    Block means are exact float64 (integer sums / divisions), so the
+    DuckDB oracle reproduces each bit decision bit-for-bit from the
+    generation law — the whole decode→downscale→hash path is
+    value-checked, not just row-counted.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                px = decode_ppm(bytes(payload)).astype(np.float64)
+                gray = px.mean(axis=2)
+                rb = np.array_split(np.arange(gray.shape[0]), grid_rows)
+                cb = np.array_split(np.arange(gray.shape[1]), grid_cols)
+                m = np.array(
+                    [
+                        [gray[np.ix_(rr, cc)].mean() for cc in cb]
+                        for rr in rb
+                    ]
+                )
+                hv = 0
+                for r in range(grid_rows):
+                    for c in range(grid_cols - 1):
+                        if m[r, c + 1] > m[r, c]:
+                            hv |= 1 << (r * (grid_cols - 1) + c)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)

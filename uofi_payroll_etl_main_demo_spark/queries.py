@@ -5814,6 +5814,66 @@ REGISTRY["ext_frame_sample_plan"] = (
 )
 
 
+def q_image_dhash_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup: REAL P6-PPM decode → 64-bit dHash
+    (block-mean downscale + neighbor-comparison bits, mapInPandas) →
+    pigeonhole-banded Hamming pairs via the signature-agnostic
+    ``hamming_pairs_64``. The corpus is the deterministic gradient
+    table whose odd ids are bytewise-different but luminance-identical
+    twins of their even neighbor — the re-encode dedup case perceptual
+    hashing exists for. Oracle: the pixel law is closed-form, so DuckDB
+    recomputes every block mean, every bit, every Hamming distance."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=48)
+    sigs = image_dhash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "dhash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_image_dhash_pairs(
+    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+) -> str:
+    return f"""
+WITH px AS (
+  SELECT i, r, c, 3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237 AS gray
+  FROM range(0, {n}) t(i), range(0, {height}) rr(r), range(0, {width}) cc(c)
+),
+bm AS (
+  SELECT i, r // 2 AS br, c // 2 AS bc, avg(gray) AS m
+  FROM px GROUP BY i, r // 2, c // 2
+),
+bits AS (
+  SELECT a.i, a.br * 8 + a.bc AS idx,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM bm a JOIN bm b ON a.i = b.i AND a.br = b.br AND b.bc = a.bc + 1
+  WHERE a.bc < 8
+),
+hv AS (
+  SELECT i,
+    CAST(sum(CASE WHEN idx = 63 AND bit = 1 THEN -9223372036854775808
+             WHEN bit = 1 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT)
+      AS dhash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_image_dhash_pairs"] = (
+    q_image_dhash_pairs,
+    _sql_image_dhash_pairs(),
+)
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -6366,59 +6426,70 @@ REGISTRY["ext_embedding_norm_stats"] = (
 # Rows green in r1-r3 and untouched this round remain covered by
 # scripts/check_oracle.py + pytest.
 _WINDOW_50 = [
-    # -- never driver-verified (35) --
-    "p3_p4_p5_filters",
-    "json_struct_and_path",
-    "u2_u3_u4_setops",
-    "a10_cube",
-    "a11_stat_aggs",
-    "a13_histogram",
-    "a18_windowed_distinct_users",
-    "j13_null_safe_join",
-    "w9_session_window_native",
-    "samp_stratified",
-    "v_profile_table",
-    "sql_frontend_pricing",
-    "arr_explode_norms",
-    "arr_collect_sorted",
-    "gen_date_series",
-    "stream_rollup",
-    "stream_static_join",
-    "ext_token_stats",
-    "ext_fingerprints",
-    "ext_top_ngrams",
-    "ext_leakage_split3",
-    "ext_incremental_simhash",
-    "ext_length_bucketed_batches",
-    "ext_boilerplate_stats",
-    "ext_boilerplate_passages",
-    "ext_heavy_hitters_cms",
-    "ext_weekly_trend",
-    "ext_user_gap_stats",
-    "ext_cross_source_dup_matrix",
-    "ext_token_share_drift",
-    "ext_frame_sample_plan",
-    "ext_chunk_dedup_stats",
-    "ext_minhash_estimate_audit",
-    "ext_embedding_outliers",
-    "ext_embedding_norm_stats",
-    # -- changed this round (6) --
-    "ext_minhash_pairs_prod",
-    "ext_ivf_topk_full",
-    "ext_pq_topk_full",
-    "ext_label_centroids",
-    "ext_tfidf_top_terms",
-    "ext_bm25_search",
-    # -- re-verification anchors (9) --
-    "pricing_summary",
+    # Round-5 rotation. After r4 every SQL-twinned registry query has a
+    # driver-green row; the window now carries (a) queries NEW this
+    # round, (b) queries whose code or oracle CHANGED this round, and
+    # (c) the stalest re-verification cohort — every query whose only
+    # driver-green row is from r1, plus the three oldest r2-only rows.
+    # The five remaining never-windowed names (ext_ivf_topk,
+    # ext_ivf_pq_topk, ext_pq_topk, ext_bpe_merges, ext_bpe_encode) are
+    # rows-only BY DESIGN (no SQL twin exists); their exactness twins
+    # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
+    # driver-green, so window slots go to value-checked queries instead.
+    # -- new this round (4) --
+    "ext_chunk_dedup_rewrite",
+    "ext_vocab_panel",
+    "pipeline_rewrite_curation",
+    "ext_image_dhash_pairs",
+    # -- changed this round (4) --
     "pipeline_curation",
-    "pipeline_payroll_shape",
     "pipeline_cpa_shape",
-    "ext_ngram_jaccard",
-    "ext_minhash_pairs",
-    "ext_knn_join",
-    "ext_knn_join_multiprobe",
-    "ext_pathological_text_stats",
+    "ext_length_bucketed_batches",
+    "ext_minhash_pairs_prod",
+    # -- stalest cohort: last driver-green in r1 (40) --
+    "p1_projection",
+    "p2_output_contract",
+    "p6_p7_filter_eq_between",
+    "p8_format_violations",
+    "p9_tristate_missing",
+    "p10_first_pick",
+    "o_topk_orders",
+    "j1_broadcast_left_join",
+    "j6_synthetic_key_join",
+    "j7_multi_key_join",
+    "jx_semi_join",
+    "jx_anti_join",
+    "j10_mode_lookup_join",
+    "a1_mode_by_group",
+    "a2_a4_minmax_counts",
+    "a8_percentiles",
+    "a6_rollup",
+    "a7_pivot",
+    "w3_running_total",
+    "w4_rank_lag",
+    "a5_count_distinct",
+    "w2_dedup_keep_first",
+    "d1_distinct_rows",
+    "d2_dedup_business_key",
+    "u1_union_by_name",
+    "f_cleanse_normalize",
+    "f6_split_code_name",
+    "f10_timestamp_coerce",
+    "f12_fiscal_year",
+    "a12_unpivot",
+    "w5_topk_per_group",
+    "w8_ntile_deciles",
+    "w7_locf_fill",
+    "w6_range_frame",
+    "f_try_cast",
+    "f_date_trunc",
+    "f_regexp_extract",
+    "ext_fuzzy_name_pairs",
+    "json_variant",
+    "json_map_explode",
+    # -- oldest r2-only rows (2) --
+    "a9_approx_distinct",
+    "ext_zscore",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
