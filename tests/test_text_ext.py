@@ -1018,3 +1018,30 @@ def test_image_dhash_twin_invariance(spark):
     }
     for g in range(8):
         assert pairs[(2 * g, 2 * g + 1)] == 0
+
+
+def test_audio_energy_hash_polarity_invariance(spark):
+    """Polarity-inverted twins (different bytes) hash identically and
+    pair at hamming 0; the fingerprint is non-degenerate (patterns
+    differ across groups)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        synthetic_patterned_audio,
+    )
+
+    media = synthetic_patterned_audio(spark, n=12)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert payloads[0] != payloads[1]
+    sigs = {r["media_id"]: r["ehash"] for r in audio_energy_hash(media).collect()}
+    for g in range(6):
+        assert sigs[2 * g] == sigs[2 * g + 1]
+    assert len(set(sigs.values())) > 1
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs_64(
+            audio_energy_hash(media), "media_id", "ehash", max_hamming=3
+        ).collect()
+    }
+    for g in range(6):
+        assert pairs[(2 * g, 2 * g + 1)] == 0

@@ -581,3 +581,110 @@ def image_dhash(
             yield pd.DataFrame(out, columns=["media_id", "dhash"])
 
     return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def wav_bytes_pcm16(pcm, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 sample array as mono PCM WAV EXACTLY (no float
+    scaling roundtrip — ``wav_bytes``'s ``*32767`` + truncation can
+    land one LSB off, which would break integer-exact energy oracles)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthetic_patterned_audio(
+    spark, n: int = 32, windows: int = 64, window_samples: int = 50
+) -> "DataFrame":
+    """Deterministic REAL audio table for perceptual dedup: clip ``i``
+    renders integer-PCM pattern ``g = i // 2``; odd ids are the
+    POLARITY-INVERTED twin (bytewise different, identical per-window
+    energy — the phase-flip/re-encode case an energy fingerprint must
+    collapse).
+
+    Sample law (closed form, reproduced by the SQL oracle):
+        k(g, j) = ((g*31 + j*j*17 + (j // window_samples)*29) % 401) - 200
+    """
+    import numpy as np
+
+    total = windows * window_samples
+    rows = []
+    for i in range(n):
+        g = i // 2
+        j = np.arange(total, dtype=np.int64)
+        k = ((g * 31 + j * j * 17 + (j // window_samples) * 29) % 401) - 200
+        if i % 2 == 1:
+            k = -k
+        rows.append(
+            (
+                i,
+                wav_bytes_pcm16(k, 8000),
+                {
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": total * 1000 // 8000,
+                    "sample_rate": 8000,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+EHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ehash", T.LongType()),
+    ]
+)
+
+
+def audio_energy_hash(
+    media: "DataFrame", window_samples: int = 50
+) -> "DataFrame":
+    """Perceptual 64-bit audio fingerprint via ``mapInPandas`` — REAL
+    PCM-WAV decode, integer sum-of-squares energy per fixed window
+    (int16 samples recovered exactly with ``rint``; INTEGER sums, so
+    every bit decision is engine-exact — no float summation order to
+    disagree on), one bit per rising energy step
+    (``e[w+1] > e[w]`` at bit ``w``; the final partial window is
+    dropped; bit 63 unused/zero). The audio twin of :func:`image_dhash`
+    — polarity flips, gain-preserving re-encodes and channel tricks
+    hash identically; structural edits don't. Pairs via
+    ``hamming_pairs_64`` on the ``ehash`` column.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x, _sr = decode_wav(bytes(payload))
+                k = np.rint(x * 32767.0).astype(np.int64)
+                nwin = k.size // window_samples
+                e = (
+                    (k[: nwin * window_samples] ** 2)
+                    .reshape(nwin, window_samples)
+                    .sum(axis=1)
+                )
+                hv = 0
+                for w in range(min(nwin - 1, 63)):
+                    if e[w + 1] > e[w]:
+                        hv |= 1 << w
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "ehash"])
+
+    return media.mapInPandas(batches, EHASH_SCHEMA)

@@ -5874,6 +5874,61 @@ REGISTRY["ext_image_dhash_pairs"] = (
 )
 
 
+def q_audio_energy_hash_pairs(spark, sf_dir):
+    """Perceptual audio dedup: REAL PCM-WAV decode → 64-bit energy-step
+    fingerprint (integer sum-of-squares per window, one bit per rising
+    step) → pigeonhole-banded Hamming pairs via ``hamming_pairs_64``.
+    Odd ids are polarity-inverted twins of their even neighbor —
+    bytewise different, energy-identical — the phase-flip/re-encode
+    case an audio fingerprint must collapse. Oracle: the integer sample
+    law is closed-form; DuckDB recomputes every window energy, bit and
+    distance exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        synthetic_patterned_audio,
+    )
+
+    media = synthetic_patterned_audio(spark, n=32)
+    sigs = audio_energy_hash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "ehash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_audio_energy_hash_pairs(
+    n: int = 32, windows: int = 64, win: int = 50, max_hamming: int = 3
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT i, w, sum(k * k) AS e FROM (
+    SELECT i, j // {win} AS w,
+      (((i // 2) * 31 + j * j * 17 + (j // {win}) * 29) % 401) - 200 AS k
+    FROM range(0, {n}) t(i), range(0, {windows * win}) s(j)) kk
+  GROUP BY i, w
+),
+bits AS (
+  SELECT a.i, a.w AS idx, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.i = b.i AND b.w = a.w + 1 WHERE a.w < 63
+),
+hv AS (
+  SELECT i, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << idx)
+                     ELSE 0 END) AS BIGINT) AS ehash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.ehash, b.ehash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_audio_energy_hash_pairs"] = (
+    q_audio_energy_hash_pairs,
+    _sql_audio_energy_hash_pairs(),
+)
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -6436,11 +6491,12 @@ _WINDOW_50 = [
     # rows-only BY DESIGN (no SQL twin exists); their exactness twins
     # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
     # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (4) --
+    # -- new this round (5) --
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
     "ext_image_dhash_pairs",
+    "ext_audio_energy_hash_pairs",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6487,9 +6543,8 @@ _WINDOW_50 = [
     "ext_fuzzy_name_pairs",
     "json_variant",
     "json_map_explode",
-    # -- oldest r2-only rows (2) --
+    # -- oldest r2-only row (1) --
     "a9_approx_distinct",
-    "ext_zscore",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
