@@ -1045,3 +1045,30 @@ def test_audio_energy_hash_polarity_invariance(spark):
     }
     for g in range(6):
         assert pairs[(2 * g, 2 * g + 1)] == 0
+
+
+def test_media_hash_on_error_quarantine(spark):
+    """Corrupt payloads: on_error='skip' drops the row (job survives),
+    default 'raise' surfaces the failure, bad mode rejected."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=4)
+    corrupt = spark.createDataFrame(
+        [(99, b"P6\n18 16\n255\ntruncated", None)], media.schema
+    )
+    both = media.unionByName(corrupt)
+    ok = image_dhash(both, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in ok) == [0, 1, 2, 3]
+    with _pytest.raises(Exception):
+        image_dhash(both, on_error="raise").collect()
+    with _pytest.raises(ValueError):
+        image_dhash(both, on_error="quarantine")
+    with _pytest.raises(ValueError):
+        audio_energy_hash(both, on_error="bogus")

@@ -531,7 +531,10 @@ DHASH_SCHEMA = T.StructType(
 
 
 def image_dhash(
-    media: "DataFrame", grid_rows: int = 8, grid_cols: int = 9
+    media: "DataFrame",
+    grid_rows: int = 8,
+    grid_cols: int = 9,
+    on_error: str = "raise",
 ) -> "DataFrame":
     """Perceptual 64-bit dHash per image via ``mapInPandas`` — REAL
     P6-PPM decode, per-pixel grayscale (channel mean), block-mean
@@ -549,7 +552,15 @@ def image_dhash(
     DuckDB oracle reproduces each bit decision bit-for-bit from the
     generation law — the whole decode→downscale→hash path is
     value-checked, not just row-counted.
+
+    ``on_error="skip"`` drops undecodable payloads (truncated/corrupt
+    bytes) instead of failing the task — at corpus scale one corrupt
+    blob must quarantine, not kill the job; pair it with an anti-join
+    against the output to materialize the quarantine set. The default
+    ``"raise"`` keeps failures loud for curated fixtures.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -560,7 +571,12 @@ def image_dhash(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                px = decode_ppm(bytes(payload)).astype(np.float64)
+                try:
+                    px = decode_ppm(bytes(payload)).astype(np.float64)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 gray = px.mean(axis=2)
                 rb = np.array_split(np.arange(gray.shape[0]), grid_rows)
                 cb = np.array_split(np.arange(gray.shape[1]), grid_cols)
@@ -649,7 +665,7 @@ EHASH_SCHEMA = T.StructType(
 
 
 def audio_energy_hash(
-    media: "DataFrame", window_samples: int = 50
+    media: "DataFrame", window_samples: int = 50, on_error: str = "raise"
 ) -> "DataFrame":
     """Perceptual 64-bit audio fingerprint via ``mapInPandas`` — REAL
     PCM-WAV decode, integer sum-of-squares energy per fixed window
@@ -661,7 +677,12 @@ def audio_energy_hash(
     — polarity flips, gain-preserving re-encodes and channel tricks
     hash identically; structural edits don't. Pairs via
     ``hamming_pairs_64`` on the ``ehash`` column.
+
+    ``on_error="skip"`` quarantines undecodable payloads instead of
+    failing the task (see :func:`image_dhash`).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -672,7 +693,12 @@ def audio_energy_hash(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                x, _sr = decode_wav(bytes(payload))
+                try:
+                    x, _sr = decode_wav(bytes(payload))
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 k = np.rint(x * 32767.0).astype(np.int64)
                 nwin = k.size // window_samples
                 e = (
