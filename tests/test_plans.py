@@ -205,3 +205,24 @@ def test_tfidf_returned_plan_reads_corpus_once(spark, sf_dir):
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", text))
     assert len(scan_ids) <= 1, text[:2000]
     assert "InMemoryTableScan" in text or "TableCacheQueryStage" in text
+
+
+def test_vocab_panel_narrow_two_exchange(spark, sf_dir):
+    """Vocabulary panel: narrow scan (text+source only) and exactly the
+    partial→final agg exchanges — the cheapest whole-corpus scan shape."""
+    r = inspect_plan(R.q_vocab_panel(spark, sf_dir))
+    scan = r.scan_for("documents")
+    assert scan is not None
+    assert scan["read_schema"].count(":") == 2  # text, source only
+    assert r.exchanges <= 2
+
+
+def test_chunk_dedup_rewrite_scan_pruned(spark, sf_dir):
+    """Corpus rewrite: reads only (doc_id, text); no cartesian shapes
+    (the global dedup is one hash window + one reassembly agg)."""
+    r = inspect_plan(R.q_chunk_dedup_rewrite(spark, sf_dir))
+    plan = formatted_plan(R.q_chunk_dedup_rewrite(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for scan in r.scans:
+        assert scan["read_schema"].count(":") <= 2
