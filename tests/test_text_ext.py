@@ -1072,3 +1072,24 @@ def test_media_hash_on_error_quarantine(spark):
         image_dhash(both, on_error="quarantine")
     with _pytest.raises(ValueError):
         audio_energy_hash(both, on_error="bogus")
+
+
+def test_video_near_dup_pairs_twins_and_threshold(spark):
+    """Re-encode twin videos match on every frame (fraction 1.0);
+    unrelated videos don't pair; threshold filters partial matches."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_video_frame_images,
+        video_near_dup_pairs,
+    )
+
+    frames = synthetic_video_frame_images(spark, n_videos=8, frames=8)
+    pairs = {
+        (r["vid_a"], r["vid_b"]): r["match_fraction"]
+        for r in video_near_dup_pairs(
+            frames, n_frames=8, min_match_fraction=0.5
+        ).collect()
+    }
+    for g in range(4):
+        assert pairs[(2 * g, 2 * g + 1)] == 1.0
+    # every surviving pair satisfies the threshold
+    assert all(v >= 0.5 for v in pairs.values())

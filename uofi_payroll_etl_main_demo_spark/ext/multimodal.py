@@ -714,3 +714,88 @@ def audio_energy_hash(
             yield pd.DataFrame(out, columns=["media_id", "ehash"])
 
     return media.mapInPandas(batches, EHASH_SCHEMA)
+
+
+def synthetic_video_frame_images(
+    spark, n_videos: int = 12, frames: int = 8,
+    width: int = 18, height: int = 16,
+) -> "DataFrame":
+    """Deterministic sampled-frame table standing in for the video
+    decode stage (real container codecs are stubbed in this
+    environment — see module docstring; the frame images themselves
+    are REAL P6 PPMs): video ``v`` renders pattern ``g = v // 2`` per
+    frame ``f``; odd ids are the channel-shifted, luminance-identical
+    re-encode twin of their even neighbor (every frame hashes equal).
+
+    Pixel law: v(g, f, r, c) = 3 + (g*37 + f*23 + c*c*11 + r*7) % 237.
+    Output: (video_id, frame_idx, payload).
+    """
+    import numpy as np
+
+    rows = []
+    for vid in range(n_videos):
+        g = vid // 2
+        for f in range(frames):
+            r_idx = np.arange(height).reshape(-1, 1)
+            c_idx = np.arange(width).reshape(1, -1)
+            v = 3 + (g * 37 + f * 23 + c_idx * c_idx * 11 + r_idx * 7) % 237
+            px = np.zeros((height, width, 3), dtype=np.uint8)
+            if vid % 2 == 0:
+                px[:, :, :] = v[:, :, None]
+            else:
+                px[:, :, 0] = v + 3
+                px[:, :, 1] = v
+                px[:, :, 2] = v - 3
+            rows.append((vid, f, ppm_bytes(px)))
+    return spark.createDataFrame(
+        rows, "video_id bigint, frame_idx int, payload binary"
+    )
+
+
+def video_near_dup_pairs(
+    frames: "DataFrame",
+    n_frames: int,
+    min_match_fraction: float = 0.5,
+    on_error: str = "raise",
+) -> "DataFrame":
+    """Video near-dup pairs from sampled frames: per-frame perceptual
+    dHash (:func:`image_dhash` — REAL PPM decode), then candidates via
+    an EQUI-join on ``(frame_idx, dhash)`` — two videos pair only
+    where a sampled frame hashes identically at the same position, so
+    there is never an all-pairs comparison; a video-pair's match count
+    aggregates from the join and ``match_fraction = n_match /
+    n_frames`` thresholds the output. The standard sampled-frame
+    fingerprint recipe of video-corpus dedup, shaped as one narrow
+    hash pass + one hash-bucketed join + one pair agg.
+
+    Returns (vid_a, vid_b, n_match, match_fraction), vid_a < vid_b.
+    """
+    packed = frames.select(
+        (F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")).alias(
+            "media_id"
+        ),
+        "payload",
+    )
+    sigs = image_dhash(packed, on_error=on_error).select(
+        (F.col("media_id") / F.lit(1_000_000)).cast("long").alias("vid"),
+        (F.col("media_id") % F.lit(1_000_000)).cast("int").alias("f"),
+        "dhash",
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.f") == F.col("b.f"))
+        & (F.col("a.dhash") == F.col("b.dhash"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
+    )
+    return (
+        matches.groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_match"))
+        .withColumn(
+            "match_fraction",
+            F.round(F.col("n_match") / F.lit(n_frames), 6),
+        )
+        .filter(F.col("match_fraction") >= min_match_fraction)
+    )

@@ -5929,6 +5929,66 @@ REGISTRY["ext_audio_energy_hash_pairs"] = (
 )
 
 
+def q_video_dhash_pairs(spark, sf_dir):
+    """Video near-dup dedup from sampled frames: per-frame perceptual
+    dHash (REAL PPM decode) → equi-join on (frame_idx, dhash) → pair
+    match-fraction threshold (ext/multimodal.py video_near_dup_pairs).
+    Odd video ids are luminance-identical re-encode twins — every
+    frame matches, fraction 1. Oracle: the frame pixel law is
+    closed-form, so DuckDB recomputes every frame hash and the full
+    match matrix."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_video_frame_images,
+        video_near_dup_pairs,
+    )
+
+    frames = synthetic_video_frame_images(spark, n_videos=12, frames=8)
+    return video_near_dup_pairs(frames, n_frames=8, min_match_fraction=0.5)
+
+
+def _sql_video_dhash_pairs(
+    n_videos: int = 12, frames: int = 8, width: int = 18, height: int = 16,
+    min_frac: float = 0.5,
+) -> str:
+    return f"""
+WITH px AS (
+  SELECT v, f, r, c,
+         3 + ((v // 2) * 37 + f * 23 + c * c * 11 + r * 7) % 237 AS gray
+  FROM range(0, {n_videos}) vv(v), range(0, {frames}) ff(f),
+       range(0, {height}) rr(r), range(0, {width}) cc(c)
+),
+bm AS (
+  SELECT v, f, r // 2 AS br, c // 2 AS bc, avg(gray) AS m
+  FROM px GROUP BY v, f, r // 2, c // 2
+),
+bits AS (
+  SELECT a.v, a.f, a.br * 8 + a.bc AS idx,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM bm a JOIN bm b
+    ON a.v = b.v AND a.f = b.f AND a.br = b.br AND b.bc = a.bc + 1
+  WHERE a.bc < 8
+),
+hv AS (
+  SELECT v, f,
+    CAST(sum(CASE WHEN idx = 63 AND bit = 1 THEN -9223372036854775808
+             WHEN bit = 1 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT)
+      AS dhash
+  FROM bits GROUP BY v, f
+)
+SELECT a.v AS vid_a, b.v AS vid_b, CAST(count(*) AS BIGINT) AS n_match,
+       round(count(*) / {frames}.0, 6) AS match_fraction
+FROM hv a JOIN hv b ON a.f = b.f AND a.dhash = b.dhash AND a.v < b.v
+GROUP BY a.v, b.v
+HAVING count(*) / {frames}.0 >= {min_frac}
+"""
+
+
+REGISTRY["ext_video_dhash_pairs"] = (
+    q_video_dhash_pairs,
+    _sql_video_dhash_pairs(),
+)
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -6491,12 +6551,13 @@ _WINDOW_50 = [
     # rows-only BY DESIGN (no SQL twin exists); their exactness twins
     # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
     # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (5) --
+    # -- new this round (6) --
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
     "ext_image_dhash_pairs",
     "ext_audio_energy_hash_pairs",
+    "ext_video_dhash_pairs",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6543,8 +6604,6 @@ _WINDOW_50 = [
     "ext_fuzzy_name_pairs",
     "json_variant",
     "json_map_explode",
-    # -- oldest r2-only row (1) --
-    "a9_approx_distinct",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
