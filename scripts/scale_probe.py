@@ -164,6 +164,30 @@ def main() -> None:
         lambda: chunk_dedup_rewrite(docs, size=32),
     )
 
+    # multimodal dedup at scale (round 5): images render EXECUTOR-SIDE
+    # (mapInPandas over an id range — no driver materialization), then
+    # real PPM decode -> dHash -> pigeonhole Hamming pairs; every even
+    # id has a luminance-identical odd twin, so output pairs grow
+    # linearly with the corpus (n/2 twins + banding collisions)
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        render_gradient_images_distributed,
+    )
+
+    run(
+        "image_dhash_pairs",
+        lambda: hamming_pairs_64(
+            image_dhash(
+                render_gradient_images_distributed(spark, 1250 * factor)
+            ),
+            "media_id",
+            "dhash",
+            max_hamming=3,
+            max_bucket_size=64,
+        ),
+    )
+
     # -- relational / streaming spine (round-4 extension): the payroll-
     # shaped operators must survive the same scale-up as the dedup stack
     from uofi_payroll_etl_main_demo_spark.io.readers import (

