@@ -1109,3 +1109,27 @@ def test_distributed_render_twins_and_distinct_patterns(spark):
     assert len(sigs) == 40
     for g in range(20):
         assert sigs[2 * g] == sigs[2 * g + 1]
+
+
+def test_incremental_hamming_new_old_only(spark):
+    """Incremental media CDC: every batch twin reports its corpus base
+    at hamming 0; output contains ONLY new×old pairs (no old-old,
+    no new-new)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_hamming_pairs_64,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    sigs = image_dhash(synthetic_gradient_images(spark, n=16))
+    corpus = sigs.filter(F.col("media_id") % 2 == 0)
+    batch = sigs.filter(F.col("media_id") % 2 == 1)
+    rows = incremental_hamming_pairs_64(
+        corpus, batch, "media_id", "dhash", max_hamming=3
+    ).collect()
+    got = {(r["new_id"], r["old_id"]): r["hamming"] for r in rows}
+    for g in range(8):
+        assert got[(2 * g + 1, 2 * g)] == 0
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in got)

@@ -696,6 +696,96 @@ def hamming_pairs_64(
     )
 
 
+def incremental_hamming_pairs_64(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC) near-dup check over ANY 64-bit signature:
+    which NEW items sit within ``max_hamming`` bits of the EXISTING
+    corpus — the signature-agnostic twin of
+    :func:`incremental_simhash_pairs`, usable for perceptual media
+    hashes (image dHash, audio energy fingerprints) exactly as for
+    text SimHash. Both sides flow through ONE pigeonhole banding and
+    the in-bucket expansion emits only new×old pairs, so daily cost
+    tracks the batch, never corpus². Ids must be disjoint.
+
+    Returns (new_id, old_id, hamming).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    tagged = corpus_sigs.select(
+        F.col(id_col), F.col(sig_col).alias("__sig"),
+        F.lit(False).alias("__new"),
+    ).unionByName(
+        batch_sigs.select(
+            F.col(id_col), F.col(sig_col).alias("__sig"),
+            F.lit(True).alias("__new"),
+        )
+    ).filter(F.col("__sig").isNotNull())
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("__sig"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("ck"),
+        )
+        for c in range(nchunks)
+    ]
+    chunks = tagged.select(
+        F.col(id_col), "__sig", "__new",
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select(
+        id_col, "__sig", "__new",
+        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
+    )
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("__sig").alias("h"),
+                    F.col("__new").alias("n"),
+                )
+            ).alias("docs")
+        )
+        .filter(F.size("docs") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
+    docs = F.col("docs")
+    news = F.filter(docs, lambda d: d["n"])
+    olds = F.filter(docs, lambda d: ~d["n"])
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                news,
+                lambda x: F.transform(
+                    olds,
+                    lambda y: F.struct(
+                        x["id"].alias("new_id"),
+                        y["id"].alias("old_id"),
+                        F.bit_count(x["h"].bitwiseXOR(y["h"])).alias(
+                            "hamming"
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["hamming"] <= F.lit(max_hamming),
+    )
+    return (
+        buckets.filter((F.size(news) > 0) & (F.size(olds) > 0))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.new_id", "p.old_id", "p.hamming")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+
 def incremental_simhash_pairs(
     corpus: DataFrame,
     batch: DataFrame,

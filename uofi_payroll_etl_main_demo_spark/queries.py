@@ -5836,11 +5836,13 @@ def q_image_dhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _sql_image_dhash_pairs(
-    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+def _sql_image_dhash_hv(
+    n: int = 48, width: int = 18, height: int = 16
 ) -> str:
-    return f"""
-WITH px AS (
+    """Shared CTE block: closed-form dHash (``hv``: i, dhash) for the
+    gradient-image fixture law — used by the batch and incremental
+    image-dedup oracles."""
+    return f"""px AS (
   SELECT i, r, c, 3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237 AS gray
   FROM range(0, {n}) t(i), range(0, {height}) rr(r), range(0, {width}) cc(c)
 ),
@@ -5860,7 +5862,14 @@ hv AS (
              WHEN bit = 1 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT)
       AS dhash
   FROM bits GROUP BY i
-)
+)"""
+
+
+def _sql_image_dhash_pairs(
+    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+) -> str:
+    return f"""
+WITH {_sql_image_dhash_hv(n, width, height)}
 SELECT a.i AS id_a, b.i AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
 FROM hv a JOIN hv b ON a.i < b.i
@@ -5986,6 +5995,50 @@ HAVING count(*) / {frames}.0 >= {min_frac}
 REGISTRY["ext_video_dhash_pairs"] = (
     q_video_dhash_pairs,
     _sql_video_dhash_pairs(),
+)
+
+
+def q_incremental_image_dedup(spark, sf_dir):
+    """Media CDC: which NEW images near-duplicate the EXISTING corpus —
+    dHash both sides, one pigeonhole banding, new×old pairs only
+    (ext/dedup.py incremental_hamming_pairs_64, the signature-agnostic
+    twin of the text CDC operators; daily cost tracks the batch, never
+    corpus²). Corpus = even fixture ids, batch = their odd
+    luminance-identical re-encode twins → every new item must report
+    its base at hamming 0. Closed-form oracle over the shared dHash
+    CTE."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_hamming_pairs_64,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=48)
+    sigs = image_dhash(media)
+    corpus = sigs.filter(F.col("media_id") % 2 == 0)
+    batch = sigs.filter(F.col("media_id") % 2 == 1)
+    return incremental_hamming_pairs_64(
+        corpus, batch, "media_id", "dhash", max_hamming=3
+    ).select(
+        "new_id", "old_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_incremental_image_dedup(n: int = 48, max_hamming: int = 3) -> str:
+    return f"""
+WITH {_sql_image_dhash_hv(n)}
+SELECT b.i AS new_id, a.i AS old_id,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i % 2 = 0 AND b.i % 2 = 1
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_incremental_image_dedup"] = (
+    q_incremental_image_dedup,
+    _sql_incremental_image_dedup(),
 )
 
 
@@ -6558,6 +6611,7 @@ _WINDOW_50 = [
     "ext_image_dhash_pairs",
     "ext_audio_energy_hash_pairs",
     "ext_video_dhash_pairs",
+    "ext_incremental_image_dedup",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6603,7 +6657,6 @@ _WINDOW_50 = [
     "f_regexp_extract",
     "ext_fuzzy_name_pairs",
     "json_variant",
-    "json_map_explode",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
