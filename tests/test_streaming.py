@@ -373,3 +373,50 @@ def test_sliding_counts_stream_matches_batch(spark, events_dir, events_batch):
     # sliding doubles coverage: ~2x the tumbling row count
     tumbling = windowed_event_counts(events_batch).count()
     assert want.count() > 1.8 * tumbling
+
+
+def test_ingest_media_dedup_stream(spark, tmp_path):
+    """Streaming media ingestion: images arrive over micro-batches
+    (twins split ACROSS batches); the accumulated signature corpus must
+    be near-dup-free (no two stored hashes within the Hamming radius),
+    keep one representative per twin group, and store signatures only
+    (no payload re-decode of prior batches)."""
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_gradient_images,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_media_dedup_stream,
+    )
+
+    media = synthetic_gradient_images(spark, n=24).select(
+        "media_id", "payload"
+    )
+    src = str(tmp_path / "src")
+    # split twins across files: evens then odds -> cross-batch rejection
+    media.filter(F.col("media_id") % 2 == 0).coalesce(1).write.parquet(src)
+    media.filter(F.col("media_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    q = ingest_media_dedup_stream(
+        stream, corpus_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert set(corpus.columns) == {"media_id", "dhash", "__batch_id"}
+    # near-dup-free accumulated corpus
+    leftover = hamming_pairs_64(corpus, "media_id", "dhash", max_hamming=3)
+    assert leftover.count() == 0
+    # every twin group has exactly one representative among stored ids,
+    # and it's the even (first-arrived) one
+    kept = {r["media_id"] for r in corpus.collect()}
+    for g in range(12):
+        assert (2 * g in kept) and (2 * g + 1 not in kept)

@@ -102,3 +102,85 @@ def ingest_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_media_dedup_stream(
+    stream_media: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    on_error: str = "skip",
+):
+    """Streaming MEDIA ingestion with perceptual-dedup rejection — the
+    media twin of :func:`ingest_dedup_stream`: each micro-batch of
+    (id, payload) rows is dHashed (REAL decode, corrupt payloads
+    quarantined by default), deduplicated within itself (min-id
+    survivor per identical/near hash), then checked against the
+    accumulated corpus with
+    :func:`~uofi_payroll_etl_main_demo_spark.ext.dedup.incremental_hamming_pairs_64`
+    — new×old pairs only, so per-batch cost tracks the batch.
+
+    The corpus stores ``(id, dhash)`` SIGNATURES, not payloads — prior
+    batches are never re-decoded, and the corpus side of each banding
+    join is a narrow (long, long) scan no matter how large the media
+    bytes were. Exactly-once via the same ``__batch_id`` dynamic
+    partition overwrite + replay-safe ``<` batch`` filter as the text
+    ingester.
+    """
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        hamming_pairs_64,
+        incremental_hamming_pairs_64,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import image_dhash
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = image_dhash(batch_df, on_error=on_error).persist()
+        try:
+            # within-batch dedup: component-wise min-id survivor (the
+            # same CC-based contract as the text ingester — a greedy
+            # pairwise drop would lose whole chains A~B~C)
+            pairs = hamming_pairs_64(
+                sigs, id_col, "dhash", max_hamming, max_bucket_size
+            ).select("id_a", "id_b")
+            survivors = dedup_survivors(
+                sigs, pairs, id_col=id_col, src="id_a", dst="id_b"
+            )
+            try:
+                corpus = (
+                    spark.read.parquet(corpus_path)
+                    .filter(F.col("__batch_id") < F.lit(batch_id))
+                    .select(id_col, "dhash")
+                )
+                has_corpus = len(corpus.take(1)) > 0
+            except Exception:  # first batch: corpus dir doesn't exist
+                has_corpus = False
+            if has_corpus:
+                hits = (
+                    incremental_hamming_pairs_64(
+                        corpus, survivors, id_col, "dhash",
+                        max_hamming, max_bucket_size,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(hits, id_col, "left_anti")
+            (
+                survivors.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(corpus_path)
+            )
+        finally:
+            sigs.unpersist()
+
+    return (
+        stream_media.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
