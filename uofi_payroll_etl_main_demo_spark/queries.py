@@ -6042,6 +6042,66 @@ REGISTRY["ext_incremental_image_dedup"] = (
 )
 
 
+def q_quality_calibrated_filter(spark, sf_dir):
+    """Per-source quality CALIBRATION: raw quality scores are not
+    comparable across sources (a boilerplate-heavy source saturates
+    low), so production filters threshold the per-source percentile,
+    not the raw score. One window per source (percent_rank over
+    (quality, doc_id) — deterministic tie-break), keep the top 40% of
+    EACH source; output carries raw + calibrated score. Partitioned
+    rank = one shuffle on source; no global sort."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        curation_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", "source", "text")
+        .join(curation_scores(docs).select("doc_id", "quality"), "doc_id")
+        .select(
+            "doc_id", "source", F.round("quality", 6).alias("quality")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn(
+            "q_pctile", F.round(F.percent_rank().over(w), 6)
+        )
+        .filter(F.col("q_pctile") >= 0.6)
+        .select("doc_id", "source", "quality", "q_pctile")
+    )
+
+
+def _sql_quality_calibrated_filter() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks, text FROM documents),
+q AS (SELECT doc_id, source, round(
+    0.4 * least(len(toks) / 100.0, 1.0)
+    + 0.4 * (CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END)
+    + 0.2 * (1.0 - least(
+        (CASE WHEN length(text) > 0
+         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+              / length(text) ELSE 0.0 END) * 5, 1.0)), 6) AS quality
+  FROM t),
+r AS (SELECT doc_id, source, quality,
+        round(percent_rank() OVER (PARTITION BY source
+              ORDER BY quality, doc_id), 6) AS q_pctile
+      FROM q)
+SELECT doc_id, source, quality, q_pctile FROM r WHERE q_pctile >= 0.6
+"""
+
+
+REGISTRY["ext_quality_calibrated_filter"] = (
+    q_quality_calibrated_filter,
+    _sql_quality_calibrated_filter(),
+)
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -6612,6 +6672,7 @@ _WINDOW_50 = [
     "ext_audio_energy_hash_pairs",
     "ext_video_dhash_pairs",
     "ext_incremental_image_dedup",
+    "ext_quality_calibrated_filter",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6656,7 +6717,6 @@ _WINDOW_50 = [
     "f_date_trunc",
     "f_regexp_extract",
     "ext_fuzzy_name_pairs",
-    "json_variant",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
