@@ -242,3 +242,48 @@ def fingerprint64(c: ColumnOrName) -> Column:
     return (
         F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
     )
+
+
+def hashed_bow_buckets(c: ColumnOrName, dim: int = 16) -> Column:
+    """md5 feature-hash bucket per token occurrence → array<bigint>.
+
+    Materialize THIS in a projection, then feed
+    :func:`hashed_bow_embedding_from_buckets` — hashing once per token
+    and counting over the small int array keeps the md5 out of the
+    per-dimension lambdas (rule 8: an inlined tokenize+md5 would
+    re-evaluate once per dimension per row)."""
+    toks = tokenize_ws(c)
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(dim),
+    )
+
+
+def hashed_bow_embedding_from_buckets(
+    buckets: ColumnOrName, dim: int = 16
+) -> Column:
+    """Deterministic hashed bag-of-words embedding → array<double>:
+    feature j = count of token occurrences in md5 bucket j,
+    L2-normalized; empty docs → null. The feature-hashing trick
+    (Weinberger et al. 2009) as pure Column expressions — the
+    closed-form text→vector stage that lets the ANN operators run
+    end-to-end from text with an EXACT DuckDB twin (md5 bucketing is
+    bit-identical cross-engine; counts are integers, so the normalized
+    components divide the same two exact numbers in both engines).
+
+    Real model embeddings drop in by swapping this column for an
+    inference output — every downstream operator (KNN join, IVF/PQ,
+    semantic dedup) consumes `array<double>` regardless.
+    """
+    b = _col(buckets)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(b, lambda x: x == j)).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(
+        F.size(b) > 0, F.transform(counts, lambda x: x / norm)
+    )

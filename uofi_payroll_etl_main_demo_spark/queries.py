@@ -6102,6 +6102,66 @@ REGISTRY["ext_quality_calibrated_filter"] = (
 )
 
 
+def q_text_embed_topk(spark, sf_dir):
+    """Text→vector→ANN end-to-end WITHOUT a model: hashed bag-of-words
+    embedding (functions/text.py hashed_bow_* — md5 feature hashing,
+    L2-normalized, exact cross-engine) over the documents table, then
+    top-10 cosine neighbors of doc 0. The query vector is collected
+    once (one row, constant-size by construction — the same literal
+    pattern as ext_topk_cosine) and inlined, so scoring is a narrow
+    map + distributed partial top-k, no join at all. Swapping the
+    closed-form embedder for a model inference column leaves the whole
+    plan unchanged — this is the RAG/semantic-search spine."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        hashed_bow_buckets,
+        hashed_bow_embedding_from_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bk = docs.select("doc_id", hashed_bow_buckets("text").alias("__b"))
+    emb = bk.select(
+        "doc_id", hashed_bow_embedding_from_buckets("__b").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    qv = emb.filter(F.col("doc_id") == 0).head()["__v"]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.filter(F.col("doc_id") != 0)
+        .select("doc_id", dot.alias("__s"))
+        .orderBy(F.desc("__s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("__s", 6).alias("score"))
+    )
+
+
+def _sql_text_embed_topk(dim: int = 16, k: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bk AS (SELECT doc_id, list_transform(toks,
+         tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim}) AS b
+       FROM t WHERE len(toks) > 0),
+cnt AS (SELECT doc_id, list_transform(range(0, {dim}),
+          j -> CAST(len(list_filter(b, x -> x = j)) AS DOUBLE)) AS c
+        FROM bk),
+emb AS (SELECT doc_id, list_transform(c, x -> x / sqrt(
+          list_aggregate(list_transform(c, y -> y * y), 'sum'))) AS v
+        FROM cnt),
+qv AS (SELECT v FROM emb WHERE doc_id = 0)
+SELECT doc_id,
+       round(list_dot_product(e.v, (SELECT v FROM qv)), 6) AS score
+FROM emb e WHERE doc_id <> 0
+ORDER BY list_dot_product(e.v, (SELECT v FROM qv)) DESC, doc_id
+LIMIT {k}
+"""
+
+
+REGISTRY["ext_text_embed_topk"] = (q_text_embed_topk, _sql_text_embed_topk())
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -6673,6 +6733,7 @@ _WINDOW_50 = [
     "ext_video_dhash_pairs",
     "ext_incremental_image_dedup",
     "ext_quality_calibrated_filter",
+    "ext_text_embed_topk",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6716,7 +6777,6 @@ _WINDOW_50 = [
     "f_try_cast",
     "f_date_trunc",
     "f_regexp_extract",
-    "ext_fuzzy_name_pairs",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
