@@ -226,3 +226,13 @@ def test_chunk_dedup_rewrite_scan_pruned(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for scan in r.scans:
         assert scan["read_schema"].count(":") <= 2
+
+
+def test_text_embed_topk_is_narrow_partial_topk(spark, sf_dir):
+    """Text→vector→top-k: no join anywhere (query vector inlined as a
+    literal), scoring is a narrow map, and the k-selection runs as
+    distributed TakeOrderedAndProject — no global sort."""
+    plan = formatted_plan(R.q_text_embed_topk(spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")

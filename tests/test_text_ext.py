@@ -1133,3 +1133,33 @@ def test_incremental_hamming_new_old_only(spark):
     for g in range(8):
         assert got[(2 * g + 1, 2 * g)] == 0
     assert all(n % 2 == 1 and o % 2 == 0 for n, o in got)
+
+
+def test_hashed_bow_embedding_properties(spark):
+    """Hashed BOW embeddings: unit norm, dim-16, null on empty, and
+    equal for permuted token order (bag semantics)."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        hashed_bow_buckets,
+        hashed_bow_embedding_from_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha"), (1, "gamma alpha alpha beta"),
+         (2, ""), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id",
+            hashed_bow_embedding_from_buckets(
+                hashed_bow_buckets("text")
+            ).alias("v"),
+        ).collect()
+    }
+    assert rows[2] is None
+    assert rows[0] == rows[1]  # bag-of-words: order-invariant
+    for d in (0, 1, 3):
+        v = rows[d]
+        assert len(v) == 16
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-12  # unit norm
