@@ -1163,3 +1163,44 @@ def test_hashed_bow_embedding_properties(spark):
         v = rows[d]
         assert len(v) == 16
         assert abs(sum(x * x for x in v) - 1.0) < 1e-12  # unit norm
+
+
+def test_image_resize_blockmean_roundtrip(spark):
+    """Resize: output payloads are decodable PPMs at the target dims;
+    values equal the numpy block-mean mirror; resized images feed
+    image_dhash unchanged."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_ppm,
+        image_dhash,
+        image_resize_blockmean,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=4)
+    originals = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    out = {
+        r["media_id"]: r
+        for r in image_resize_blockmean(media, 9, 8).collect()
+    }
+    assert len(out) == 4
+    for mid, r in out.items():
+        px = decode_ppm(bytes(r["payload"]))
+        assert px.shape == (8, 9, 3)
+        # mirror: block-mean + round-half-up of the original
+        full = decode_ppm(originals[mid]).astype(np.float64)
+        rb = np.array_split(np.arange(full.shape[0]), 8)
+        cb = np.array_split(np.arange(full.shape[1]), 9)
+        for rr in range(8):
+            for cc in range(9):
+                m = full[np.ix_(rb[rr], cb[cc])].mean(axis=(0, 1))
+                exp = np.floor(m + 0.5).astype(np.uint8)
+                assert (px[rr, cc] == exp).all()
+    # downstream compatibility
+    hashed = image_dhash(
+        image_resize_blockmean(media, 9, 8).select("media_id", "payload")
+    )
+    assert hashed.count() == 4

@@ -862,3 +862,64 @@ def render_gradient_images_distributed(
         ]
     )
     return base.mapInPandas(batches, schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_resize_blockmean(
+    media: "DataFrame",
+    out_width: int,
+    out_height: int,
+    on_error: str = "raise",
+) -> "DataFrame":
+    """REAL image RESIZE over ``mapInPandas``: P6-PPM decode →
+    block-mean downscale to ``out_width × out_height`` (channelwise
+    means over near-equal pixel bands, rounded half-up to uint8) →
+    re-encoded P6-PPM payload. The thumbnail/normalize stage of an
+    image-corpus pipeline; output rows feed :func:`image_dhash`,
+    :func:`image_features` or any other decoder unchanged.
+
+    Rows explode nothing and shuffle nothing — a narrow Arrow-batched
+    map, embarrassingly parallel at corpus scale. ``on_error="skip"``
+    quarantines undecodable payloads (see :func:`image_dhash`).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px = decode_ppm(bytes(payload)).astype(np.float64)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                h, w, _ = px.shape
+                rb = np.array_split(np.arange(h), out_height)
+                cb = np.array_split(np.arange(w), out_width)
+                small = np.zeros((out_height, out_width, 3), dtype=np.uint8)
+                for r, rows_ in enumerate(rb):
+                    for c, cols in enumerate(cb):
+                        m = px[np.ix_(rows_, cols)].mean(axis=(0, 1))
+                        small[r, c] = np.floor(m + 0.5).astype(np.uint8)
+                out.append((mid, ppm_bytes(small), out_width, out_height))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
