@@ -102,6 +102,8 @@ HEADLINE = [
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
+    "ext_quality_calibrated_filter",
+    "ext_text_embed_topk",
 ]
 
 

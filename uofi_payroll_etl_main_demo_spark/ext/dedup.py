@@ -530,10 +530,17 @@ def simhash(
     signature from literal masks. The 64 sums partial-aggregate
     map-side, so the shuffle carries one 64-column row per document —
     at corpus scale this is a narrow agg, not a wide explode join.
-    Docs with zero tokens get a null signature. (A 16×4-lane packed-
-    counter variant was A/B'd and measured SLOWER — the shift/mask
-    chains cost more per row than the 64 straight conditional sums,
-    which stay inside whole-stage codegen.)
+    Docs with zero tokens get a null signature.
+
+    Three alternatives were A/B'd and measured SLOWER: (a) a 16×4-lane
+    packed-counter agg — shift/mask chains cost more per row than 64
+    straight conditional sums inside codegen; (b) a zero-shuffle
+    per-row HOF ``aggregate`` with a 64-int array accumulator — 2.5×
+    slower from per-token array allocation; (c) a carry-save
+    bit-sliced struct-of-11-longs accumulator (2 long ops per level
+    per token) — correct, but the 64-bit × 11-level extraction tree
+    (~700 terms) breaks codegen and did not finish at sf0.1. The
+    explode+agg form stays.
     """
     if hash_family == "portable":
         tok = (
