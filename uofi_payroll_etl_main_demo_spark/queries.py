@@ -3592,6 +3592,53 @@ REGISTRY["ext_pack_sequences"] = (q_pack_sequences, _sql_pack_sequences())
 REGISTRY["ext_shard_assign"] = (q_shard_assign, _sql_shard_assign())
 
 
+def q_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report on the greedy first-fit layout: per
+    source, sequence count, packed token total, and integer-ppm fill
+    rate (tokens / (n_seqs × capacity)) — the utilization metric that
+    decides context-window capacity and bucketing policy. Composes the
+    already-oracle-checked packer; fill is integer arithmetic, so the
+    panel is engine-exact."""
+    from uofi_payroll_etl_main_demo_spark.ext.packing import pack_greedy
+    from uofi_payroll_etl_main_demo_spark.functions.text import token_count
+
+    cap = 512
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_greedy(
+        d, capacity=cap, group_col="source", order_col="doc_id",
+        size_col="n_tokens",
+    )
+    n_seqs = F.count_distinct("seq_id")
+    total = F.sum("n_tokens")
+    return packed.groupBy("source").agg(
+        n_seqs.cast("bigint").alias("n_seqs"),
+        total.cast("bigint").alias("total_tokens"),
+        F.expr(f"CAST(sum(n_tokens) * 1000000 div "
+               f"(count(distinct seq_id) * {cap}) AS BIGINT)")
+        .alias("fill_ppm"),
+    )
+
+
+def _sql_packing_efficiency(capacity: int = 512) -> str:
+    return f"""
+WITH packed AS ({_sql_pack_sequences(capacity)})
+SELECT source,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) * 1000000 //
+            (count(DISTINCT seq_id) * {capacity}) AS BIGINT) AS fill_ppm
+FROM packed GROUP BY source
+"""
+
+
+REGISTRY["ext_packing_efficiency"] = (
+    q_packing_efficiency,
+    _sql_packing_efficiency(),
+)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (CDC-shaped) near-dup detection: which docs of the
     'new batch' (doc_id % 5 == 4) near-duplicate the existing corpus
@@ -6734,6 +6781,7 @@ _WINDOW_50 = [
     "ext_incremental_image_dedup",
     "ext_quality_calibrated_filter",
     "ext_text_embed_topk",
+    "ext_packing_efficiency",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6776,7 +6824,6 @@ _WINDOW_50 = [
     "w6_range_frame",
     "f_try_cast",
     "f_date_trunc",
-    "f_regexp_extract",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
