@@ -1204,3 +1204,25 @@ def test_image_resize_blockmean_roundtrip(spark):
         image_resize_blockmean(media, 9, 8).select("media_id", "payload")
     )
     assert hashed.count() == 4
+
+
+def test_chunk_dedup_rewrite_shuffle_width_invariant(spark, sf_dir):
+    """The rewrite output (including reassembled text) is identical
+    under different shuffle widths — keep-first is (doc_id, chunk_idx)
+    ordered, never partition-ordered."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, chunk_dedup_rewrite(docs, size=32).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = sorted(map(tuple, chunk_dedup_rewrite(docs, size=32).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
