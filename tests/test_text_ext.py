@@ -1226,3 +1226,31 @@ def test_chunk_dedup_rewrite_shuffle_width_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_hashed_bow_agg_matches_column_builder(spark):
+    """The corpus-level explode+agg embedder (codegen path) is
+    numerically identical to the Column-builder form."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        hashed_bow_embeddings,
+    )
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        hashed_bow_buckets,
+        hashed_bow_embedding_from_buckets,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r["doc_id"]: r["v"] for r in hashed_bow_embeddings(docs).collect()}
+    bk = docs.select("doc_id", hashed_bow_buckets("text").alias("__b"))
+    b = {
+        r["doc_id"]: r["v"]
+        for r in bk.select(
+            "doc_id",
+            hashed_bow_embedding_from_buckets("__b").alias("v"),
+        ).collect()
+        if r["v"] is not None
+    }
+    assert a == b

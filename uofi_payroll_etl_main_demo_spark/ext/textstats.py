@@ -649,3 +649,48 @@ def bigram_surprisal(
         .cast("bigint")
         .alias("bigram_milli_bits"),
     )
+
+
+def hashed_bow_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Hashed bag-of-words embeddings for a whole corpus → (id, v):
+    the DataFrame-level scale path for
+    ``functions.text.hashed_bow_embedding_from_buckets`` — token
+    explode → md5 bucket → groupBy with ``dim`` conditional sums →
+    normalize. Numerically identical to the Column-builder form
+    (pinned in tests), but the hot path stays inside whole-stage
+    codegen: higher-order-function lambdas are interpreted per
+    element, measured 2× slower at sf0.1. Same shape as the SimHash
+    signature agg — the shuffle carries one ``dim``-column row per
+    document. Zero-token docs yield no row (their embedding is null
+    by definition)."""
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        tokenize_ws,
+    )
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
+            .cast("bigint") % F.lit(dim)
+        ).alias("__bk"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("__bk") == j, 1).otherwise(0))
+        .cast("double")
+        .alias(f"__c{j}")
+        for j in range(dim)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    cols = [F.col(f"__c{j}") for j in range(dim)]
+    norm = F.sqrt(sum((c * c for c in cols), F.lit(0.0)))
+    return g.select(
+        F.col(id_col),
+        F.transform(F.array(*cols), lambda x: x / norm).alias("v"),
+    )

@@ -6159,16 +6159,12 @@ def q_text_embed_topk(spark, sf_dir):
     map + distributed partial top-k, no join at all. Swapping the
     closed-form embedder for a model inference column leaves the whole
     plan unchanged — this is the RAG/semantic-search spine."""
-    from uofi_payroll_etl_main_demo_spark.functions.text import (
-        hashed_bow_buckets,
-        hashed_bow_embedding_from_buckets,
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        hashed_bow_embeddings,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    bk = docs.select("doc_id", hashed_bow_buckets("text").alias("__b"))
-    emb = bk.select(
-        "doc_id", hashed_bow_embedding_from_buckets("__b").alias("__v")
-    ).filter(F.col("__v").isNotNull())
+    emb = hashed_bow_embeddings(docs).withColumnRenamed("v", "__v")
     qv = emb.filter(F.col("doc_id") == 0).head()["__v"]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     dot = F.aggregate(
