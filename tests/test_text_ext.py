@@ -1254,3 +1254,36 @@ def test_hashed_bow_agg_matches_column_builder(spark):
         if r["v"] is not None
     }
     assert a == b
+
+
+def test_bloom_prefilter_superset_and_exactness(spark):
+    """Bloom membership is a superset of exact membership (zero false
+    negatives); with a tiny filter false positives appear and are
+    still deterministic (build twice -> identical words)."""
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        bloom_build_words,
+        bloom_might_contain,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(50)], "s string"
+    )
+    probes = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(40, 140)], "s string"
+    )
+    w1 = bloom_build_words(vals, "s", m_bits=256, k=3)
+    w2 = bloom_build_words(vals, "s", m_bits=256, k=3)
+    assert w1 == w2  # deterministic build
+    import pyspark.sql.functions as _F
+
+    got = {
+        r["s"]: r["hit"]
+        for r in probes.select(
+            "s", bloom_might_contain(w1, _F.col("s"), 256, 3).alias("hit")
+        ).collect()
+    }
+    # no false negatives on true members
+    assert all(got[f"item-{i}"] for i in range(40, 50))
+    # tiny m with 50 items -> some false positives, but not everything
+    fp = [i for i in range(50, 140) if got[f"item-{i}"]]
+    assert 0 < len(fp) < 100

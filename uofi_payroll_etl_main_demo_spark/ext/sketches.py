@@ -116,3 +116,73 @@ def heavy_hitters_report(
     return exact.join(est, "term").select(
         "term", "exact_count", "cms_count"
     )
+
+
+# ---------------- Bloom filter (exact-reproducible) ----------------------
+
+def _bloom_h1(v: Column) -> Column:
+    return F.conv(F.substring(F.md5(v), 1, 13), 16, 10).cast("bigint")
+
+
+def _bloom_h2(v: Column) -> Column:
+    return F.conv(F.substring(F.md5(v), 14, 13), 16, 10).cast("bigint")
+
+
+def bloom_build_words(
+    df: DataFrame, value_col: str, m_bits: int = 65536, k: int = 3
+) -> list[int]:
+    """Distributed Bloom-filter build over a value column → dense list
+    of ``m_bits/64`` signed-long words (constant size, collected).
+
+    Positions are the standard double-hash family pos_i = (h1 + i·h2)
+    mod m over the two 52-bit md5 halves — fully deterministic and
+    engine-portable, so unlike library Blooms the EXACT bit pattern
+    (and therefore every membership answer, including false positives)
+    is reproducible in the DuckDB oracle. The build is one explode +
+    one ``bit_or`` groupBy whose output is ≤ m/64 rows regardless of
+    input size; the collect is constant-size by construction.
+    """
+    v = F.col(value_col)
+    h1, h2 = _bloom_h1(v), _bloom_h2(v)
+    positions = F.array(
+        *[((h1 + F.lit(i) * h2) % m_bits).cast("long") for i in range(k)]
+    )
+    words = (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_might_contain(
+    words: list[int], v: Column, m_bits: int = 65536, k: int = 3
+) -> Column:
+    """Membership test column against a :func:`bloom_build_words`
+    result, inlined as a literal array (broadcast-by-literal — the
+    filter is KBs at any corpus size). True iff all k positions are
+    set. Arithmetic ``shiftright & 1`` extracts any bit including the
+    sign bit, so no unsigned special-casing is needed."""
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    h1, h2 = _bloom_h1(v), _bloom_h2(v)
+    cond = F.lit(True)
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % m_bits
+        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        cond = cond & (bit == 1)
+    return cond

@@ -3639,6 +3639,128 @@ REGISTRY["ext_packing_efficiency"] = (
 )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Sketch-prefiltered decontamination: build a DETERMINISTIC Bloom
+    filter over the eval set's 5-gram shingles (ext/sketches.py — one
+    bit_or groupBy, constant-size collect, inlined as a literal), test
+    every training shingle against it as a narrow map, and send ONLY
+    bloom-positives into the exact semi-join — the production shape
+    when the eval set is too hot to join against every shingle of a
+    100 TB corpus. Because the Bloom bit pattern is md5-derived, the
+    oracle reproduces every membership answer INCLUDING false
+    positives, so the report (per-doc shingles / bloom hits / exact
+    hits / flag) is value-exact, and bloom ≥ exact by construction."""
+    from uofi_payroll_etl_main_demo_spark.ext.sketches import (
+        bloom_build_words,
+        bloom_might_contain,
+    )
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        shingles_from_tokens,
+        tokenize_ws,
+    )
+
+    m_bits, k = 65536, 3
+    d = _t(spark, sf_dir, "documents")
+
+    def doc_shingles(df):
+        tokd = df.select(
+            F.col("doc_id"), tokenize_ws("text").alias("__toks")
+        )
+        return tokd.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("__toks"), 5)).alias("s"),
+        )
+
+    ev_sh = doc_shingles(d.filter(F.col("doc_id") % 20 == 0)).select("s")
+    words = bloom_build_words(ev_sh, "s", m_bits, k)
+    ev_set = ev_sh.distinct()
+    tr_sh = doc_shingles(d.filter(F.col("doc_id") % 20 != 0))
+    flagged = tr_sh.withColumn(
+        "__bloom", bloom_might_contain(words, F.col("s"), m_bits, k)
+    )
+    bloom_pos = flagged.filter(F.col("__bloom"))
+    exact = bloom_pos.join(ev_set, "s", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("__ne"))
+    counts = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("__bloom"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+    )
+    return counts.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        F.coalesce("__ne", F.lit(0)).cast("bigint").alias("n_exact_hits"),
+        (F.coalesce("__ne", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _sql_bloom_decontaminate(m_bits: int = 65536, k: int = 3) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 5 + 2),
+           i -> array_to_string(toks[i:i + 4], ' ')))) AS s
+  FROM t WHERE len(toks) >= 5
+),
+hx AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+  FROM sh
+),
+evpos AS (
+  SELECT DISTINCT ((h1 + r.i * h2) % {m_bits}) AS pos
+  FROM hx, range(0, {k}) r(i) WHERE doc_id % 20 = 0
+),
+wrd AS (
+  SELECT CAST(pos // 64 AS INT) AS w,
+         bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775808
+                ELSE (1::BIGINT << CAST(pos % 64 AS INT)) END) AS bits
+  FROM evpos GROUP BY 1
+),
+evset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, s, h1, h2 FROM hx WHERE doc_id % 20 != 0),
+trpos AS (
+  SELECT tr.doc_id, tr.s, ((tr.h1 + r.i * tr.h2) % {m_bits}) AS pos
+  FROM tr, range(0, {k}) r(i)
+),
+trbit AS (
+  SELECT p.doc_id, p.s,
+         min(coalesce((wrd.bits >> CAST(p.pos % 64 AS INT)) & 1, 0))
+           AS allset
+  FROM trpos p
+  LEFT JOIN wrd ON wrd.w = CAST(p.pos // 64 AS INT)
+  GROUP BY p.doc_id, p.s
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(allset) AS BIGINT) AS n_bloom_hits
+  FROM trbit GROUP BY doc_id
+),
+ex AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+  FROM trbit b JOIN evset e ON b.s = e.s
+  WHERE b.allset = 1
+  GROUP BY b.doc_id
+)
+SELECT p.doc_id, p.n_shingles, p.n_bloom_hits,
+       coalesce(ex.n_exact_hits, 0) AS n_exact_hits,
+       coalesce(ex.n_exact_hits, 0) > 0 AS contaminated
+FROM perdoc p LEFT JOIN ex USING (doc_id)
+"""
+
+
+REGISTRY["ext_bloom_decontaminate"] = (
+    q_bloom_decontaminate,
+    _sql_bloom_decontaminate(),
+)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (CDC-shaped) near-dup detection: which docs of the
     'new batch' (doc_id % 5 == 4) near-duplicate the existing corpus
@@ -6778,6 +6900,7 @@ _WINDOW_50 = [
     "ext_quality_calibrated_filter",
     "ext_text_embed_topk",
     "ext_packing_efficiency",
+    "ext_bloom_decontaminate",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
@@ -6819,7 +6942,6 @@ _WINDOW_50 = [
     "w7_locf_fill",
     "w6_range_frame",
     "f_try_cast",
-    "f_date_trunc",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
