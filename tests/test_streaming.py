@@ -391,8 +391,9 @@ def test_ingest_media_dedup_stream(spark, tmp_path):
         ingest_media_dedup_stream,
     )
 
+    # exercise a NON-default id column name end-to-end
     media = synthetic_gradient_images(spark, n=24).select(
-        "media_id", "payload"
+        F.col("media_id").alias("img_id"), "payload"
     )
     src = str(tmp_path / "src")
     # split twins across files: evens then odds -> cross-batch rejection
@@ -406,17 +407,17 @@ def test_ingest_media_dedup_stream(spark, tmp_path):
     ).parquet(src)
     corpus_path = str(tmp_path / "corpus")
     q = ingest_media_dedup_stream(
-        stream, corpus_path, str(tmp_path / "ckpt")
+        stream, corpus_path, str(tmp_path / "ckpt"), id_col="img_id"
     )
     q.awaitTermination(300)
 
     corpus = spark.read.parquet(corpus_path)
-    assert set(corpus.columns) == {"media_id", "dhash", "__batch_id"}
+    assert set(corpus.columns) == {"img_id", "dhash", "__batch_id"}
     # near-dup-free accumulated corpus
-    leftover = hamming_pairs_64(corpus, "media_id", "dhash", max_hamming=3)
+    leftover = hamming_pairs_64(corpus, "img_id", "dhash", max_hamming=3)
     assert leftover.count() == 0
     # every twin group has exactly one representative among stored ids,
     # and it's the even (first-arrived) one
-    kept = {r["media_id"] for r in corpus.collect()}
+    kept = {r["img_id"] for r in corpus.collect()}
     for g in range(12):
         assert (2 * g in kept) and (2 * g + 1 not in kept)

@@ -753,6 +753,9 @@ def test_minhash_prod_full_recall_on_fixtures(spark):
         )
         if os.path.isdir(d)
     ]
+    # a missing fixture tree must FAIL, not green-light vacuously —
+    # this test is the documented justification for the prod oracle
+    assert fixture_sfs, "no driver fixture directories found"
     for sf in fixture_sfs:
         prod = set(
             map(tuple, R.q_minhash_pairs_prod(spark, sf).collect())
@@ -1109,6 +1112,10 @@ def test_distributed_render_twins_and_distinct_patterns(spark):
     assert len(sigs) == 40
     for g in range(20):
         assert sigs[2 * g] == sigs[2 * g + 1]
+    # cross-pattern DISTINCTNESS is the probe's entropy guarantee — a
+    # low-entropy pixel-law regression (the 0-rows-at-32x incident in
+    # BASELINE.md) must fail here, not in the probe
+    assert len(set(sigs.values())) == 20
 
 
 def test_incremental_hamming_new_old_only(spark):
@@ -1287,3 +1294,26 @@ def test_bloom_prefilter_superset_and_exactness(spark):
     # tiny m with 50 items -> some false positives, but not everything
     fp = [i for i in range(50, 140) if got[f"item-{i}"]]
     assert 0 < len(fp) < 100
+
+
+def test_hashed_bow_dim_mismatch_fails_loud(spark):
+    """Buckets built with a larger dim than the embedder expects must
+    raise, not silently normalize a token-dropping embedding."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        hashed_bow_buckets,
+        hashed_bow_embedding_from_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} tok{i*7} item{i*13} thing{i*31}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    bad = df.select(
+        hashed_bow_embedding_from_buckets(
+            hashed_bow_buckets("text", dim=64), dim=16
+        ).alias("v")
+    )
+    with _pytest.raises(Exception):
+        bad.collect()

@@ -627,6 +627,59 @@ def simhash_near_dup_pairs(
     )
 
 
+def _pigeonhole_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+    extra: tuple[tuple[str, str], ...] = (),
+) -> "DataFrame":
+    """Shared banding core: null-filter → (chunk, chunk_key) explode →
+    one groupBy collecting per-bucket (id, h[, extras]) structs →
+    size>1 filter → optional mega-bucket cap. Every Hamming pair
+    generator (batch, incremental, SimHash, media) goes through THIS
+    function so a banding fix lands exactly once.
+
+    ``extra`` = ((source_col, struct_field), ...) adds tag fields to
+    the bucket structs (e.g. the incremental generators' __new flag).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sh = sigs.filter(F.col(sig_col).isNotNull())
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col(sig_col), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("ck"),
+        )
+        for c in range(nchunks)
+    ]
+    keep = [F.col(id_col), F.col(sig_col).alias("__sig")] + [
+        F.col(src).alias(f"__x_{dst}") for src, dst in extra
+    ]
+    chunks = sh.select(
+        *keep, F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(
+        id_col, "__sig", *[f"__x_{dst}" for _s, dst in extra],
+        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
+    )
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        F.col("__sig").alias("h"),
+        *[F.col(f"__x_{dst}").alias(dst) for _s, dst in extra],
+    )
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(F.collect_list(member).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
+    return buckets
+
+
 def hamming_pairs_64(
     sigs: DataFrame,
     id_col: str,
@@ -646,37 +699,9 @@ def hamming_pairs_64(
     same no-self-join shape as the text generators). Returns
     (id_a, id_b, hamming) with id_a < id_b.
     """
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
-    sh = sigs.filter(F.col(sig_col).isNotNull())
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col(sig_col), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-            .alias("ck"),
-        )
-        for c in range(nchunks)
-    ]
-    chunks = sh.select(
-        F.col(id_col),
-        F.col(sig_col).alias("__sig"),
-        F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select(
-        id_col, "__sig",
-        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
+    buckets = _pigeonhole_buckets(
+        sigs, id_col, sig_col, max_hamming, max_bucket_size
     )
-    buckets = (
-        chunks.groupBy("chunk", "ck")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("h"))
-            ).alias("docs")
-        )
-        .filter(F.size("docs") > 1)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
     docs = F.col("docs")
     pair_structs = F.filter(
         F.flatten(
@@ -722,48 +747,17 @@ def incremental_hamming_pairs_64(
 
     Returns (new_id, old_id, hamming).
     """
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
     tagged = corpus_sigs.select(
-        F.col(id_col), F.col(sig_col).alias("__sig"),
-        F.lit(False).alias("__new"),
+        F.col(id_col), F.col(sig_col), F.lit(False).alias("__new")
     ).unionByName(
         batch_sigs.select(
-            F.col(id_col), F.col(sig_col).alias("__sig"),
-            F.lit(True).alias("__new"),
+            F.col(id_col), F.col(sig_col), F.lit(True).alias("__new")
         )
-    ).filter(F.col("__sig").isNotNull())
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("__sig"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-            .alias("ck"),
-        )
-        for c in range(nchunks)
-    ]
-    chunks = tagged.select(
-        F.col(id_col), "__sig", "__new",
-        F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select(
-        id_col, "__sig", "__new",
-        F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"),
     )
-    buckets = (
-        chunks.groupBy("chunk", "ck")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col(id_col).alias("id"),
-                    F.col("__sig").alias("h"),
-                    F.col("__new").alias("n"),
-                )
-            ).alias("docs")
-        )
-        .filter(F.size("docs") > 1)
+    buckets = _pigeonhole_buckets(
+        tagged, id_col, sig_col, max_hamming, max_bucket_size,
+        extra=(("__new", "n"),),
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
     docs = F.col("docs")
     news = F.filter(docs, lambda d: d["n"])
     olds = F.filter(docs, lambda d: ~d["n"])

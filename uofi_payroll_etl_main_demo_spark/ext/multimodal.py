@@ -775,10 +775,18 @@ def video_near_dup_pairs(
             "media_id"
         ),
         "payload",
-    )
+        # packing precondition: frame_idx must fit the 1e6 slot —
+        # fail the task loudly rather than silently corrupt pairs
+        F.assert_true(
+            (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
+            F.lit("frame_idx out of packing range [0, 1e6)"),
+        ).alias("__ck"),
+    ).drop("__ck")
+    # integer div/mod unpack — float division truncates wrongly past
+    # 2^53 and the packing requires frame_idx < 1e6 (asserted below)
     sigs = image_dhash(packed, on_error=on_error).select(
-        (F.col("media_id") / F.lit(1_000_000)).cast("long").alias("vid"),
-        (F.col("media_id") % F.lit(1_000_000)).cast("int").alias("f"),
+        F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("vid"),
+        F.expr("CAST(media_id % 1000000 AS INT)").alias("f"),
         "dhash",
     )
     a, b = sigs.alias("a"), sigs.alias("b")

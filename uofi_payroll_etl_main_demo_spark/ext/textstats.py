@@ -42,7 +42,9 @@ def document_stats(
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     n_chars = F.length("__text").cast("bigint")
     n_punct = F.size(
-        F.regexp_extract_all(F.col("__text"), F.lit(r"[^\w\s]"), 0)
+        F.regexp_extract_all(
+            F.col("__text"), F.lit(r"[^\w \t\n\r\f\x0b]"), 0
+        )
     ).cast("bigint")
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("double")),
@@ -74,7 +76,10 @@ def document_stats(
 
 
 def curation_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quality score + predicted language in ONE narrow select.
 
@@ -82,10 +87,14 @@ def curation_scores(
     :func:`language_id` fused over a single tokenization projection —
     composing the two as separate frames joined on ``id_col`` costs
     two extra shuffles for what is a per-row map; at corpus scale the
-    fused form is one scan, zero joins.
+    fused form is one scan, zero joins. ``keep_cols`` passes extra
+    input columns through (e.g. ``("source",)``) so callers that need
+    them don't re-join the input — re-joining is the exact
+    anti-pattern this function exists to remove.
     """
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.col(text_col).alias("__text"),
         tokenize_ws(text_col).alias("__toks"),
     )
@@ -94,7 +103,9 @@ def curation_scores(
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     n_chars = F.length("__text").cast("bigint")
     n_punct = F.size(
-        F.regexp_extract_all(F.col("__text"), F.lit(r"[^\w\s]"), 0)
+        F.regexp_extract_all(
+            F.col("__text"), F.lit(r"[^\w \t\n\r\f\x0b]"), 0
+        )
     ).cast("bigint")
     length_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
     diversity = F.when(
@@ -128,6 +139,7 @@ def curation_scores(
     predicted = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         quality.alias("quality"),
         predicted.alias("predicted_lang"),
     )

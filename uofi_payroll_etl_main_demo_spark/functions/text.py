@@ -31,7 +31,11 @@ STOPWORDS = {
 # verbatim, the SQL oracles' _TOKS (queries.py imports this constant).
 _WS_RE = "[ \t\n\r\f\x0b]"
 
-_PUNCT_RE = r"[^\w\s]"
+# Punct class spells out the whitespace chars (raw, NOT \s): Java's \s
+# includes U+000B, RE2/DuckDB's does not, so `[^\w\s]` silently counts
+# a vertical tab as punctuation in one engine only. \w is ASCII
+# [A-Za-z0-9_] in both. Twin: the SQL oracles' _SQL_PUNCT (queries.py).
+_PUNCT_RE = r"[^\w \t\n\r\f\x0b]"
 # BPE-ish word/number/punctuation segmentation (public GPT-2 style shape,
 # simplified): runs of letters, runs of digits, single punctuation marks.
 # Whitespace exclusion via the raw-char class (engine-portable, see
@@ -281,9 +285,20 @@ def hashed_bow_embedding_from_buckets(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.size(F.filter(b, lambda x: x == j)).cast("double"),
     )
+    # dim-mismatch guard: buckets built with a LARGER dim would drop
+    # tokens silently (their bucket matches no j) yet still normalize —
+    # a plausible-looking wrong embedding. Fail the task instead.
+    total = F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x)
+    checked = F.when(
+        F.assert_true(
+            total == F.size(b).cast("double"),
+            F.lit("hashed_bow dim mismatch: bucket values exceed dim"),
+        ).isNull(),
+        counts,
+    )
     norm = F.sqrt(
-        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(checked, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return F.when(
-        F.size(b) > 0, F.transform(counts, lambda x: x / norm)
+        F.size(b) > 0, F.transform(checked, lambda x: x / norm)
     )

@@ -2268,6 +2268,11 @@ _TOKS = (
     + "+'), __t -> __t <> '')"
 )
 
+# Portable punct class — twin of functions/text.py _PUNCT_RE: the
+# whitespace chars are spelled out (Java \s includes U+000B, RE2 does
+# not, so [^\w\s] diverges on vertical tabs).
+_SQL_PUNCT = r"[^\w \t\n\r\f\x0b]"
+
 
 def _sql_doc_stats() -> str:
     return f"""
@@ -2280,7 +2285,7 @@ SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '{_SQL_PUNCT}')) AS BIGINT) AS n_punct,
   round(CASE WHEN len(toks) > 0 THEN
     CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
          'sum') AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
@@ -2291,7 +2296,7 @@ SELECT doc_id,
              ELSE 0.0 END)
     + 0.2 * (1.0 - least(
         (CASE WHEN length(text) > 0
-         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         THEN CAST(len(regexp_extract_all(text, '{_SQL_PUNCT}')) AS DOUBLE)
               / length(text) ELSE 0.0 END) * 5, 1.0)), 6) AS quality
 FROM t
 """
@@ -4101,7 +4106,7 @@ def _sql_quality_classifier(threshold: int = 550_000) -> str:
     return f"""
 WITH f AS (
   SELECT doc_id, {_TOKS} AS toks, length(text) AS nc,
-         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+         len(regexp_extract_all(text, '{_SQL_PUNCT}')) AS punct
   FROM documents
 ),
 c AS (
@@ -6226,12 +6231,9 @@ def q_quality_calibrated_filter(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    scored = (
-        docs.select("doc_id", "source", "text")
-        .join(curation_scores(docs).select("doc_id", "quality"), "doc_id")
-        .select(
-            "doc_id", "source", F.round("quality", 6).alias("quality")
-        )
+    # ONE scan, zero joins: source passes through the fused scorer
+    scored = curation_scores(docs, keep_cols=("source",)).select(
+        "doc_id", "source", F.round("quality", 6).alias("quality")
     )
     w = Window.partitionBy("source").orderBy("quality", "doc_id")
     return (
@@ -6254,7 +6256,7 @@ q AS (SELECT doc_id, source, round(
              ELSE 0.0 END)
     + 0.2 * (1.0 - least(
         (CASE WHEN length(text) > 0
-         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         THEN CAST(len(regexp_extract_all(text, '{_SQL_PUNCT}')) AS DOUBLE)
               / length(text) ELSE 0.0 END) * 5, 1.0)), 6) AS quality
   FROM t),
 r AS (SELECT doc_id, source, quality,
@@ -6519,7 +6521,7 @@ q AS (SELECT doc_id,
              ELSE 0.0 END)
     + 0.2 * (1.0 - least(
         (CASE WHEN length(text) > 0
-         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         THEN CAST(len(regexp_extract_all(text, '{_SQL_PUNCT}')) AS DOUBLE)
               / length(text) ELSE 0.0 END) * 5, 1.0)) AS quality
   FROM t),
 qd AS (SELECT doc_id, quality,
@@ -6889,7 +6891,7 @@ _WINDOW_50 = [
     # rows-only BY DESIGN (no SQL twin exists); their exactness twins
     # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
     # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (6) --
+    # -- new this round (11) --
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
@@ -6906,7 +6908,8 @@ _WINDOW_50 = [
     "pipeline_cpa_shape",
     "ext_length_bucketed_batches",
     "ext_minhash_pairs_prod",
-    # -- stalest cohort: last driver-green in r1 (40) --
+    # -- stalest cohort: last driver-green in r1 (35 of 40; 5 rotated
+    #    out as new queries arrived — each retains its r1 green row) --
     "p1_projection",
     "p2_output_contract",
     "p6_p7_filter_eq_between",

@@ -19,8 +19,30 @@ its own half-written remains.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _read_corpus_before(spark, corpus_path, batch_id, cols):
+    """Read accumulated corpus partitions earlier than ``batch_id``.
+
+    Returns None ONLY when the corpus does not exist yet (first batch:
+    AnalysisException / PATH_NOT_FOUND). Any other read failure — a
+    transient FS error, a corrupt file — RAISES: treating it as
+    "first batch" would silently skip the cross-batch dedup check and
+    admit near-duplicates into the corpus forever.
+    """
+    try:
+        return (
+            spark.read.parquet(corpus_path)
+            .filter(F.col("__batch_id") < F.lit(batch_id))
+            .select(*cols)
+        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def ingest_dedup_stream(
@@ -64,19 +86,14 @@ def ingest_dedup_stream(
             survivors = dedup_survivors(
                 batch_df, pairs, id_col=id_col, src="id_a", dst="id_b"
             )
-            try:
-                corpus = (
-                    spark.read.parquet(corpus_path)
-                    # replay safety: never dedup against this batch's own
-                    # (possibly half-written) earlier attempt or any later
-                    # batch — partition pruning resolves this filter
-                    # without reading data
-                    .filter(F.col("__batch_id") < F.lit(batch_id))
-                    .select(id_col, text_col)
-                )
-                has_corpus = len(corpus.take(1)) > 0
-            except Exception:  # first batch: corpus dir doesn't exist yet
-                has_corpus = False
+            # replay safety: never dedup against this batch's own
+            # (possibly half-written) earlier attempt or any later
+            # batch — partition pruning resolves this filter without
+            # reading data
+            corpus = _read_corpus_before(
+                spark, corpus_path, batch_id, [id_col, text_col]
+            )
+            has_corpus = corpus is not None and len(corpus.take(1)) > 0
             if has_corpus:
                 hits = incremental_near_dup_pairs(
                     corpus,
@@ -138,7 +155,18 @@ def ingest_media_dedup_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sigs = image_dhash(batch_df, on_error=on_error).persist()
+        # image_dhash's batch contract is (media_id, payload): alias the
+        # caller's id column in, and restore it on the stored corpus —
+        # without this a non-default id_col would KeyError in the
+        # executor (dead-parameter trap).
+        batch = batch_df.select(
+            F.col(id_col).alias("media_id"), "payload"
+        )
+        sigs = (
+            image_dhash(batch, on_error=on_error)
+            .withColumnRenamed("media_id", id_col)
+            .persist()
+        )
         try:
             # within-batch dedup: component-wise min-id survivor (the
             # same CC-based contract as the text ingester — a greedy
@@ -149,15 +177,10 @@ def ingest_media_dedup_stream(
             survivors = dedup_survivors(
                 sigs, pairs, id_col=id_col, src="id_a", dst="id_b"
             )
-            try:
-                corpus = (
-                    spark.read.parquet(corpus_path)
-                    .filter(F.col("__batch_id") < F.lit(batch_id))
-                    .select(id_col, "dhash")
-                )
-                has_corpus = len(corpus.take(1)) > 0
-            except Exception:  # first batch: corpus dir doesn't exist
-                has_corpus = False
+            corpus = _read_corpus_before(
+                spark, corpus_path, batch_id, [id_col, "dhash"]
+            )
+            has_corpus = corpus is not None and len(corpus.take(1)) > 0
             if has_corpus:
                 hits = (
                     incremental_hamming_pairs_64(
