@@ -236,3 +236,17 @@ def test_text_embed_topk_is_narrow_partial_topk(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_relational_composites_broadcast_everything(spark, sf_dir):
+    """Q3/Q5-shaped composites: every dimension chain broadcasts, the
+    fact side never sort-merges, and the Q3 top-k is distributed
+    TakeOrdered (no global sort)."""
+    r3 = inspect_plan(R.q_shipping_priority(spark, sf_dir))
+    assert r3.sort_merge_joins == 0
+    assert r3.broadcast_joins >= 2
+    plan3 = formatted_plan(R.q_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan3
+    r5 = inspect_plan(R.q_local_supplier_volume(spark, sf_dir))
+    assert r5.sort_merge_joins == 0
+    assert r5.broadcast_joins >= 3

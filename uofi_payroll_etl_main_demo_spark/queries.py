@@ -3766,6 +3766,137 @@ REGISTRY["ext_bloom_decontaminate"] = (
 )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape on the fixture schema: segment-filtered customers
+    × date-bounded orders × post-date lineitems → top-10 unshipped
+    orders by decimal-exact revenue. Plan: customer dim broadcasts
+    into orders, the orders side broadcasts into lineitem (both sides
+    of every join are key-pruned before the join), one partial-agg
+    groupBy, distributed TakeOrdered for the top-k — no global sort,
+    no fact-side shuffle for enrichment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         AS DECIMAL(18,4))) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+REGISTRY["rel_shipping_priority"] = (
+    q_shipping_priority,
+    _SQL_SHIPPING_PRIORITY,
+)
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join (region-filtered nations →
+    customers ⋈ orders ⋈ lineitem ⋈ supplier with the LOCAL-supplier
+    constraint c_nationkey = s_nationkey) → per-nation decimal-exact
+    revenue. Every dimension chain broadcasts; the only shuffle the
+    fact table pays is the final per-nation partial agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    cust = c.join(
+        nat, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("__cnat"), "n_name")
+    orders = o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01"), F.lit("1996-12-31")
+        )
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "__cnat", "n_name"
+    )
+    supp = s.select("s_suppkey", F.col("s_nationkey").alias("__snat"))
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("__cnat") == F.col("__snat"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("n_name", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+      AND TIMESTAMP '1996-12-31'
+GROUP BY n_name
+"""
+
+
+REGISTRY["rel_local_supplier_volume"] = (
+    q_local_supplier_volume,
+    _SQL_LOCAL_SUPPLIER_VOLUME,
+)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (CDC-shaped) near-dup detection: which docs of the
     'new batch' (doc_id % 5 == 4) near-duplicate the existing corpus
