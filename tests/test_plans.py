@@ -242,11 +242,11 @@ def test_relational_composites_broadcast_everything(spark, sf_dir):
     """Q3/Q5-shaped composites: every dimension chain broadcasts, the
     fact side never sort-merges, and the Q3 top-k is distributed
     TakeOrdered (no global sort)."""
-    r3 = inspect_plan(R.q_shipping_priority(spark, sf_dir))
+    df3 = R.q_shipping_priority(spark, sf_dir)
+    r3 = inspect_plan(df3)
     assert r3.sort_merge_joins == 0
     assert r3.broadcast_joins >= 2
-    plan3 = formatted_plan(R.q_shipping_priority(spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan3
+    assert "TakeOrderedAndProject" in formatted_plan(df3)
     r5 = inspect_plan(R.q_local_supplier_volume(spark, sf_dir))
     assert r5.sort_merge_joins == 0
     assert r5.broadcast_joins >= 3

@@ -3766,6 +3766,24 @@ REGISTRY["ext_bloom_decontaminate"] = (
 )
 
 
+def _rev_expr():
+    """Decimal-exact discounted revenue: extprice × (1 − discount),
+    summed later as DECIMAL(18,4) — ONE definition shared by the Q3/Q5
+    composites so a precision change cannot diverge between them (the
+    SQL twin is _SQL_REV)."""
+    return (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).cast("decimal(18,4)")
+
+
+_SQL_REV = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    " AS DECIMAL(18,4))"
+)
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape on the fixture schema: segment-filtered customers
     × date-bounded orders × post-date lineitems → top-10 unshipped
@@ -3783,10 +3801,7 @@ def q_shipping_priority(spark, sf_dir):
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    rev = (
-        F.col("l_extendedprice").cast(_DEC)
-        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    ).cast("decimal(18,4)")
+    rev = _rev_expr()
     return (
         li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -3803,13 +3818,11 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
-_SQL_SHIPPING_PRIORITY = """
+_SQL_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-            AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3817,9 +3830,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND l_shipdate > TIMESTAMP '1998-01-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-         AS DECIMAL(18,4))) DESC, l_orderkey
+ORDER BY sum({_SQL_REV}) DESC, l_orderkey
 LIMIT 10
 """
 
@@ -3858,10 +3869,7 @@ def q_local_supplier_volume(spark, sf_dir):
         "o_orderkey", "__cnat", "n_name"
     )
     supp = s.select("s_suppkey", F.col("s_nationkey").alias("__snat"))
-    rev = (
-        F.col("l_extendedprice").cast(_DEC)
-        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    ).cast("decimal(18,4)")
+    rev = _rev_expr()
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -3872,11 +3880,9 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
-_SQL_LOCAL_SUPPLIER_VOLUME = """
+_SQL_LOCAL_SUPPLIER_VOLUME = f"""
 SELECT n_name,
-       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-            AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -7022,7 +7028,7 @@ _WINDOW_50 = [
     # rows-only BY DESIGN (no SQL twin exists); their exactness twins
     # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
     # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (11) --
+    # -- new this round (13) --
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
@@ -7034,12 +7040,14 @@ _WINDOW_50 = [
     "ext_text_embed_topk",
     "ext_packing_efficiency",
     "ext_bloom_decontaminate",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
     "ext_length_bucketed_batches",
     "ext_minhash_pairs_prod",
-    # -- stalest cohort: last driver-green in r1 (35 of 40; 5 rotated
+    # -- stalest cohort: last driver-green in r1 (33 of 40; 7 rotated
     #    out as new queries arrived — each retains its r1 green row) --
     "p1_projection",
     "p2_output_contract",
@@ -7074,8 +7082,6 @@ _WINDOW_50 = [
     "w5_topk_per_group",
     "w8_ntile_deciles",
     "w7_locf_fill",
-    "w6_range_frame",
-    "f_try_cast",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
