@@ -1317,3 +1317,60 @@ def test_hashed_bow_dim_mismatch_fails_loud(spark):
     )
     with _pytest.raises(Exception):
         bad.collect()
+
+
+def test_chunk_dedup_rewrite_matches_python_mirror_on_hostile_text(spark):
+    """Differential vs a pure-Python mirror over hostile corpora:
+    control characters (incl. U+000B), unicode, huge single tokens,
+    duplicate chunks within AND across docs, empties."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    WS = " \t\n\r\f\x0b"
+
+    def mirror(rows, size):
+        import re
+
+        seen = set()
+        out = {}
+        for doc_id, text in sorted(rows):
+            toks = [t for t in re.split("[" + WS + "]+", text) if t]
+            chunks = [
+                " ".join(toks[i : i + size])
+                for i in range(0, len(toks), size)
+            ]
+            kept = []
+            for ch in chunks:
+                if ch not in seen:
+                    seen.add(ch)
+                    kept.append(ch)
+            out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+        return out
+
+    atom = st.sampled_from(
+        ["tok", "x" * 500, "é漢", "\x0b", "\n", " ", "a b c d ", ""]
+    )
+    texts = st.lists(atom, min_size=0, max_size=30).map("".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(texts, min_size=1, max_size=6))
+    def check(docs):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        # duplicate the first doc under a later id: cross-doc dedup case
+        rows.append((len(docs), docs[0]))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+            for r in chunk_dedup_rewrite(df, size=4).collect()
+        }
+        assert got == mirror(rows, 4)
+
+    check()
