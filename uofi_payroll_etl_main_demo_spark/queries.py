@@ -3903,6 +3903,43 @@ REGISTRY["rel_local_supplier_volume"] = (
 )
 
 
+def q_media_quarantine_report(spark, sf_dir):
+    """Corrupt-media quarantine under the oracle: every 5th payload of
+    the gradient fixture is overwritten with undecodable bytes; the
+    dHash pass runs with ``on_error="skip"`` and the report anti-joins
+    the hash output back against the input — exactly the documented
+    quarantine recipe (README media pipelines). Each id's quarantined
+    flag is deterministic, so the driver value-checks that corrupt
+    blobs are (a) dropped, (b) ONLY they are dropped, and (c) the job
+    survives."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=40).select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 5 == 0, F.lit(b"P6\ncorrupt")
+        ).otherwise(F.col("payload")).alias("payload"),
+    )
+    hashed = image_dhash(media, on_error="skip").select("media_id")
+    return media.select("media_id").join(
+        hashed.withColumn("__ok", F.lit(True)), "media_id", "left"
+    ).select(
+        "media_id",
+        F.coalesce(~F.col("__ok"), F.lit(True)).alias("quarantined"),
+    )
+
+
+REGISTRY["ext_media_quarantine_report"] = (
+    q_media_quarantine_report,
+    "SELECT i AS media_id, (i % 5 = 0) AS quarantined "
+    "FROM range(0, 40) t(i)",
+)
+
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (CDC-shaped) near-dup detection: which docs of the
     'new batch' (doc_id % 5 == 4) near-duplicate the existing corpus
@@ -7028,7 +7065,7 @@ _WINDOW_50 = [
     # rows-only BY DESIGN (no SQL twin exists); their exactness twins
     # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
     # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (13) --
+    # -- new this round (14) --
     "ext_chunk_dedup_rewrite",
     "ext_vocab_panel",
     "pipeline_rewrite_curation",
@@ -7042,13 +7079,15 @@ _WINDOW_50 = [
     "ext_bloom_decontaminate",
     "rel_shipping_priority",
     "rel_local_supplier_volume",
+    "ext_media_quarantine_report",
     # -- changed this round (4) --
     "pipeline_curation",
     "pipeline_cpa_shape",
     "ext_length_bucketed_batches",
     "ext_minhash_pairs_prod",
     # -- stalest cohort: last driver-green in r1 (33 of 40; 7 rotated
-    #    out as new queries arrived — each retains its r1 green row) --
+    #    out as new queries arrived — each retains its r1 green row;
+    #    32 remain after the quarantine-report swap) --
     "p1_projection",
     "p2_output_contract",
     "p6_p7_filter_eq_between",
@@ -7081,7 +7120,6 @@ _WINDOW_50 = [
     "a12_unpivot",
     "w5_topk_per_group",
     "w8_ntile_deciles",
-    "w7_locf_fill",
 ]
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
