@@ -134,6 +134,16 @@ def main() -> None:
         "simhash_pairs",
         lambda: simhash_near_dup_pairs(docs, max_hamming=3),
     )
+    # capped variant: at >=128x the replica cliques put thousands of
+    # near-identical signatures in single pigeonhole buckets — the
+    # mega-bucket regime the skew valve exists for (uncapped, the
+    # in-bucket expansion exhausts a single host's memory)
+    run(
+        "simhash_pairs_capped",
+        lambda: simhash_near_dup_pairs(
+            docs, max_hamming=3, max_bucket_size=2000
+        ),
+    )
     run(
         "ngram_jaccard",
         lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.2),
