@@ -94,9 +94,16 @@ HEADLINE = [
     "stream_dedup",
     "stream_interval_join",
     "a14_quantiles",
-    # round 4: ANN exactness audits + adversarial-text slice
-    "ext_ivf_topk_full",
-    "ext_pq_topk_full",
+    # round 6: persisted-index SERVING paths replace the in-query
+    # full-probe audits here — the audits retrain quantizers per run,
+    # so pairing them against the trivial brute-force oracle SQL made
+    # the per-query DuckDB ratio read as "clustering vs scan" (r5
+    # verdict); the index queries answer from prebuilt tables, which
+    # IS the workload the oracle's exact top-k answers. The audits
+    # stay in the registry as correctness rows.
+    "ext_ivf_index_query",
+    "ext_ivf_index_query_probe",
+    "ext_pq_index_query",
     "ext_pathological_text_stats",
     # round 5: corpus rewrite + vocabulary panel + rewrite composite
     "ext_chunk_dedup_rewrite",

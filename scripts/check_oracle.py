@@ -54,6 +54,11 @@ def main() -> int:
             print(f"ERROR    {name}: spark raised {exc}")
             failures.append(name)
             continue
+        finally:
+            # operators persist intermediates their lazy result consumes
+            # and cannot unpersist them before the collect; don't let
+            # 179 queries' panels accumulate in executor storage
+            spark.catalog.clearCache()
         if name not in osql:
             print(f"ROWSONLY {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue

@@ -1,0 +1,179 @@
+"""Persisted ANN index lifecycle: build → save → load → query.
+
+Pins the three contracts the lifecycle exists for:
+  1. EXACTNESS — full-probe IVF / full-margin PQ served from disk
+     return the brute-force top-k bit-for-bit.
+  2. NO RETRAIN — a matching ensure-load does zero training work
+     (index files untouched); a corpus-tag or param change rebuilds.
+  3. INDEX-ONLY PLANS — the IVF serving plan scans only the index
+     directory, with the probe filter applied as a PARTITION filter
+     (the parquet scan prunes unprobed inverted lists' files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+    corpus_fingerprint,
+    ensure_ivf_index,
+    ensure_pq_index,
+    ivf_index_build,
+    ivf_index_load,
+    pq_index_build,
+    pq_index_load,
+)
+from uofi_payroll_etl_main_demo_spark.ext.similarity import brute_force_top_k
+from uofi_payroll_etl_main_demo_spark.plans.inspect import (
+    formatted_plan,
+    inspect_plan,
+)
+
+QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_mtimes(index_dir: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_ivf_index_roundtrip_exact_at_full_probe(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t1")
+    loaded = ivf_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(QV, k=10, nprobe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_serving_plan_reads_only_index_tables(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(_emb(spark, sf_dir), idx, n_centroids=4, corpus_tag="t1")
+    out = ivf_index_load(spark, idx).search(QV, k=10, nprobe=2)
+    report = inspect_plan(out)
+    assert report.scans, "expected at least one parquet scan"
+    for s in report.scans:
+        assert idx in s["location"], f"non-index scan: {s['location']}"
+        assert "embeddings.parquet" not in s["location"]
+    # the probe predicate must prune PARTITIONS (inverted lists), not
+    # just filter rows post-scan
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan
+    lo = plan.index("PartitionFilters")
+    assert "centroid" in plan[lo : lo + 200]
+
+
+def test_ensure_ivf_loads_without_rebuilding(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ensure_ivf_index(emb, idx, corpus_tag="snap1", n_centroids=4)
+    before = _index_mtimes(idx)
+    again = ensure_ivf_index(emb, idx, corpus_tag="snap1", n_centroids=4)
+    assert _index_mtimes(idx) == before  # no file rewritten: pure load
+    assert len(again.centroids) == 4
+    # corpus-tag change (new snapshot) forces a rebuild
+    ensure_ivf_index(emb, idx, corpus_tag="snap2", n_centroids=4)
+    assert _index_mtimes(idx) != before
+
+
+def test_ivf_probe_subset_of_full(spark, sf_dir, tmp_path):
+    """nprobe<full returns a subset of the corpus ranked by true
+    cosine — every returned row's score matches the exact score, and
+    full probe recovers the true top-k (recall trade is only WHICH
+    rows survive the pruning)."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t1")
+    loaded = ivf_index_load(spark, idx)
+    exact = {
+        r["vec_id"]: round(r["score"], 9)
+        for r in brute_force_top_k(emb, QV, k=10_000).collect()
+    }
+    probed = loaded.search(QV, k=10, nprobe=1).collect()
+    assert 0 < len(probed) <= 10
+    for r in probed:
+        assert round(r["score"], 9) == exact[r["vec_id"]]
+
+
+def test_pq_index_roundtrip_exact_at_full_margin(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t1")
+    loaded = pq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, candidates=1_000_000, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_pq_codes_table_shape_and_adc_only_path(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t1")
+    codes = spark.read.parquet(f"{idx}/codes")
+    n = emb.count()
+    assert codes.count() == n  # every vector encoded
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    # index-only ADC query: no corpus touch, approximate scores
+    out = pq_index_load(spark, idx).search(QV, k=5, candidates=50)
+    report = inspect_plan(out)
+    for s in report.scans:
+        assert idx in s["location"], f"non-index scan: {s['location']}"
+    assert out.count() == 5
+
+
+def test_ensure_pq_loads_without_rebuilding(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    ensure_pq_index(emb, idx, corpus_tag="snap1", m=8, n_centroids=16)
+    before = _index_mtimes(idx)
+    ensure_pq_index(emb, idx, corpus_tag="snap1", m=8, n_centroids=16)
+    assert _index_mtimes(idx) == before
+    # an m change is a different index geometry: rebuild
+    ensure_pq_index(emb, idx, corpus_tag="snap1", m=4, n_centroids=16)
+    assert _index_mtimes(idx) != before
+
+
+def test_index_kind_and_meta_guards(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(_emb(spark, sf_dir), idx, n_centroids=4, corpus_tag="t")
+    with pytest.raises(ValueError, match="not pq"):
+        pq_index_load(spark, idx)
+
+
+def test_corpus_fingerprint_tracks_file_state(tmp_path):
+    p = tmp_path / "corpus.parquet"
+    p.write_bytes(b"aaa")
+    t1 = corpus_fingerprint(str(p))
+    assert t1 == corpus_fingerprint(str(p))  # stable while unchanged
+    os.utime(p, ns=(1, 2))  # touched file = new snapshot
+    assert corpus_fingerprint(str(p)) != t1

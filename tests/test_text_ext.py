@@ -1098,6 +1098,76 @@ def test_video_near_dup_pairs_twins_and_threshold(spark):
     assert all(v >= 0.5 for v in pairs.values())
 
 
+def test_media_null_payload_contract(spark):
+    """NULL payloads: 'raise' fails LOUD (a null row must not silently
+    vanish from the loud mode); 'skip' quarantines them like corrupt
+    bytes — distinguishable via the anti-join quarantine pattern."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        image_resize_blockmean,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=4)
+    nullrow = spark.createDataFrame([(99, None, None)], media.schema)
+    both = media.unionByName(nullrow)
+    ok = image_dhash(both, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in ok) == [0, 1, 2, 3]
+    with _pytest.raises(Exception):
+        image_dhash(both, on_error="raise").collect()
+    with _pytest.raises(Exception):
+        image_resize_blockmean(both, 4, 4, on_error="raise").collect()
+
+
+def test_video_near_dup_decoded_denominator(spark):
+    """match_fraction divides by frames ACTUALLY decoded: corrupt a
+    frame of video 1 under on_error='skip' and the twin pair (0,1)
+    keeps fraction n_match/greatest(n_a, n_b) = 7/8 — never >1.0, and
+    the lost frame visibly lowers the score instead of being masked.
+    The declared-count path (n_frames=) is a loud validation: it must
+    fail when a video decodes fewer frames than declared. The
+    frame_idx packing assert must be LIVE (not pruned away)."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_video_frame_images,
+        video_near_dup_pairs,
+    )
+
+    frames = synthetic_video_frame_images(spark, n_videos=4, frames=8)
+    corrupt_one = frames.withColumn(
+        "payload",
+        F.when(
+            (F.col("video_id") == 1) & (F.col("frame_idx") == 3),
+            F.lit(b"P6\nbad"),
+        ).otherwise(F.col("payload")),
+    )
+    pairs = {
+        (r["vid_a"], r["vid_b"]): (r["n_match"], r["match_fraction"])
+        for r in video_near_dup_pairs(
+            corrupt_one, min_match_fraction=0.5, on_error="skip"
+        ).collect()
+    }
+    assert pairs[(0, 1)] == (7, 0.875)  # 7 matches / max(8, 7) frames
+    assert pairs[(2, 3)] == (8, 1.0)
+    # declared-count validation fails loud on the short video
+    with _pytest.raises(Exception):
+        video_near_dup_pairs(
+            corrupt_one, n_frames=8, min_match_fraction=0.5, on_error="skip"
+        ).collect()
+    # packing assert is live: an out-of-range frame_idx fails the job
+    oob = frames.withColumn(
+        "frame_idx",
+        F.when(F.col("frame_idx") == 0, F.lit(2_000_000)).otherwise(
+            F.col("frame_idx")
+        ),
+    )
+    with _pytest.raises(Exception):
+        video_near_dup_pairs(oob, min_match_fraction=0.5).collect()
+
+
 def test_distributed_render_twins_and_distinct_patterns(spark):
     """Executor-side renderer: odd twins hash identical to their even
     neighbor; distinct pattern groups produce distinct hashes (no

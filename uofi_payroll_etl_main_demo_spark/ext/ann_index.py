@@ -1,0 +1,508 @@
+"""Persisted ANN index lifecycle: build → save → load → query.
+
+The in-query ANN operators (``ext/similarity.py pq_top_k``,
+``ext/ivf.py build_ivf_index``) retrain their quantizers inside every
+query — right for one-shot analytics, wrong for a serving corpus: a
+real engine builds the index ONCE and amortizes the training across
+thousands of queries (the public FAISS ``write_index``/``read_index``
+lifecycle). This module materializes the trained artifacts as plain
+parquet tables so the SERVING path reads only index data:
+
+    {index_dir}/meta/        one row: format version, kind, params,
+                             corpus_tag (rebuild trigger)
+    {index_dir}/centroids/   IVF: (centroid int, cvec array<double>)
+    {index_dir}/assigned/    IVF-Flat inverted lists: (vec_id,
+                             embedding), PARTITIONED BY centroid — a
+                             probe of p lists prunes to ~p/#lists of
+                             the files at the parquet-scan level (real
+                             partition pruning; at 100 TB this is the
+                             difference between scanning the corpus and
+                             scanning a shard)
+    {index_dir}/codebooks/   PQ: (j int, c int, cvec array<double>)
+    {index_dir}/codes/       PQ codes: (vec_id, codes array<int>) —
+                             m small ints per vector (4 B at m=8 with
+                             nibble packing; stored unpacked here for
+                             oracle inspectability, still ~32 B vs
+                             256 B raw)
+
+Plain parquet + a one-row meta table (no sidecar JSON) keeps every
+artifact readable by ANY engine — the DuckDB oracle can audit index
+contents directly, and a cluster deployment inherits Spark's
+writer/committer semantics (atomic via _SUCCESS markers) on any
+Hadoop-compatible filesystem.
+
+No reference parity: the reference
+(`/root/reference/etl_payroll_pipeline_demo.py`) has no vector surface;
+this is extension scope (SURVEY.md §2.9 similarity-search family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+    cosine_similarity,
+)
+
+INDEX_FORMAT_VERSION = 1
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("id_col", T.StringType(), False),
+        T.StructField("vec_col", T.StringType(), False),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("n_centroids", T.IntegerType(), False),
+        T.StructField("m", T.IntegerType(), True),
+        T.StructField("seed", T.IntegerType(), True),
+        T.StructField("corpus_tag", T.StringType(), False),
+    ]
+)
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — honors the
+    path's scheme (file://, hdfs://, s3a://), unlike os.path, so the
+    ensure-build flow works unchanged on a cluster store."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return bool(fs.exists(hpath))
+
+
+def corpus_fingerprint(*paths: str) -> str:
+    """Cheap local-corpus snapshot tag (path + size + mtime per file,
+    md5-folded): keys an index build to the exact corpus files it was
+    trained on, so a regenerated fixture triggers a rebuild instead of
+    serving stale lists. A cluster deployment would key by its table
+    snapshot/version id instead; the tag is an opaque string either way.
+    """
+    h = hashlib.md5()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
+    spark.createDataFrame([row], _META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
+
+
+def _read_meta(spark: SparkSession, index_dir: str) -> dict:
+    rows = spark.read.parquet(f"{index_dir}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt index meta at {index_dir}: {len(rows)} rows")
+    meta = rows[0].asDict()
+    if meta["version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format v{meta['version']} at {index_dir}; "
+            f"this build reads v{INDEX_FORMAT_VERSION}"
+        )
+    return meta
+
+
+# ------------------------------------------------------------------ IVF --
+
+
+def ivf_index_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    corpus_tag: str = "",
+) -> None:
+    """Train the coarse quantizer ONCE and persist the whole index.
+
+    k-means fits through ``pyspark.ml`` (tree-aggregated, executor
+    side); the assignment pass is a narrow map; the inverted lists
+    land partitioned by ``centroid`` so the serving path's probe
+    filter prunes partitions at the scan. Meta is written LAST — a
+    build that dies mid-write leaves no meta row, and
+    :func:`ensure_ivf_index` treats the directory as absent.
+    """
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
+
+    spark = embeddings.sparkSession
+    dim = int(
+        embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()[0][0]
+    )
+    index = build_ivf_index(
+        embeddings,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        index.assigned.select(id_col, vec_col, "centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{index_dir}/assigned")
+    )
+    _write_meta(
+        spark,
+        index_dir,
+        {
+            "version": INDEX_FORMAT_VERSION,
+            "kind": "ivf",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "m": None,
+            "seed": seed,
+            "corpus_tag": corpus_tag,
+        },
+    )
+
+
+class IVFDiskIndex:
+    """Loaded handle: centroids on the driver (tiny), lists lazy."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta: dict):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+        self.centroids: list[list[float]] = [
+            r["cvec"]
+            for r in spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("centroid")
+            .collect()
+        ]
+
+    def nearest_centroids(
+        self, query_vec: list[float], nprobe: int
+    ) -> list[int]:
+        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+        def cos(c: list[float]) -> float:
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+        ranked = sorted(
+            range(len(self.centroids)),
+            key=lambda i: (-cos(self.centroids[i]), i),
+        )
+        return ranked[:nprobe]
+
+    def search(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """Top-k over the nprobe nearest inverted lists — the plan
+        reads ONLY the index's partitioned parquet (training never
+        re-runs), and the ``centroid isin`` predicate is a PARTITION
+        filter, so only the probed lists' files are scanned."""
+        probe = self.nearest_centroids(query_vec, nprobe)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        lists = self.spark.read.parquet(f"{self.index_dir}/assigned")
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        return (
+            lists.filter(F.col("centroid").isin(*probe))
+            .select(
+                F.col(id_col),
+                cosine_similarity(F.col(vec_col), q).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+
+
+def ivf_index_load(spark: SparkSession, index_dir: str) -> IVFDiskIndex:
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    return IVFDiskIndex(spark, index_dir, meta)
+
+
+def ensure_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    corpus_tag: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFDiskIndex:
+    """Load the index if it matches (params + corpus_tag), else
+    (re)build — the one-call lifecycle entry a repeated-query workload
+    uses. Matching loads do ZERO training work."""
+    spark = embeddings.sparkSession
+    if _fs_exists(spark, f"{index_dir}/meta"):
+        try:
+            meta = _read_meta(spark, index_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["kind"] == "ivf"
+            and meta["corpus_tag"] == corpus_tag
+            and meta["n_centroids"] == n_centroids
+            and meta["id_col"] == id_col
+            and meta["vec_col"] == vec_col
+            and meta["seed"] == seed
+        ):
+            return IVFDiskIndex(spark, index_dir, meta)
+    ivf_index_build(
+        embeddings,
+        index_dir,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        corpus_tag=corpus_tag,
+    )
+    return ivf_index_load(spark, index_dir)
+
+
+# ------------------------------------------------------------------- PQ --
+
+
+def pq_index_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    m: int = 8,
+    n_centroids: int = 16,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_tag: str = "",
+) -> None:
+    """Train PQ codebooks ONCE (deterministic Lloyd on the id-sorted
+    sample — shared trainer with the in-query ``pq_top_k``), encode the
+    corpus distributed (Arrow batches), persist codebooks + codes.
+    Meta last, same crash-safety contract as the IVF build."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        train_pq_codebooks,
+    )
+
+    spark = embeddings.sparkSession
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    train = np.stack([r[0] for r in sample]).astype(np.float64)
+    dim = train.shape[1]
+    codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
+    sub = dim // m
+    cb_rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(n_centroids)
+    ]
+    spark.createDataFrame(
+        cb_rows, "j int, c int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+    cb_bc = codebooks  # closed over; shipped once per task via pickle
+    codes_schema = T.StructType(
+        [
+            T.StructField("vec_id_out", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                X = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((X[:, None, :] - cb_bc[None, j, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id_out": pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(encode, codes_schema)
+        .withColumnRenamed("vec_id_out", id_col)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codes")
+    )
+    _write_meta(
+        spark,
+        index_dir,
+        {
+            "version": INDEX_FORMAT_VERSION,
+            "kind": "pq",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "m": m,
+            "seed": None,
+            "corpus_tag": corpus_tag,
+        },
+    )
+
+
+class PQDiskIndex:
+    """Loaded handle: codebooks on the driver (m·n_centroids·sub
+    doubles — KBs), codes lazy."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta: dict):
+        import numpy as np
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+        m, n_centroids = meta["m"], meta["n_centroids"]
+        sub = meta["dim"] // m
+        self.codebooks = np.empty((m, n_centroids, sub))
+        for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+            self.codebooks[r["j"], r["c"]] = r["cvec"]
+
+    def search(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        candidates: int = 100,
+        rerank_corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC scan over the persisted codes (no corpus touch, no
+        training): ``adc[v] = Σ_j lut[j, codes[v][j]]`` with the lookup
+        table built driver-side from the loaded codebooks. With
+        ``rerank_corpus`` (the id-addressable row store), the top
+        ``candidates`` are exact-reranked by true cosine — the standard
+        two-stage serving path; without it, returns the raw ADC scores
+        (pure index-only query).
+        """
+        import numpy as np
+
+        meta = self.meta
+        m = meta["m"]
+        sub = meta["dim"] // m
+        q = np.asarray(query_vec, dtype=np.float64)
+        lut = np.einsum("jd,jcd->jc", q.reshape(m, sub), self.codebooks)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id_out", T.LongType()),
+                T.StructField("adc", T.DoubleType()),
+            ]
+        )
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                top = np.argsort(-adc)[:candidates]
+                yield pd.DataFrame(
+                    {
+                        "vec_id_out": pdf[id_col].to_numpy()[top],
+                        "adc": adc[top],
+                    }
+                )
+
+        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes")
+        cand = (
+            codes_df.mapInPandas(scan, schema)
+            .orderBy(F.desc("adc"), F.asc("vec_id_out"))
+            .limit(candidates)
+        )
+        if rerank_corpus is None:
+            return cand.select(
+                F.col("vec_id_out").alias(id_col), F.col("adc").alias("score")
+            ).limit(k)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        ids = cand.select(F.col("vec_id_out").alias(id_col))
+        return (
+            rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                cosine_similarity(F.col(vec_col), qlit).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+
+
+def pq_index_load(spark: SparkSession, index_dir: str) -> PQDiskIndex:
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    return PQDiskIndex(spark, index_dir, meta)
+
+
+def ensure_pq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    corpus_tag: str,
+    m: int = 8,
+    n_centroids: int = 16,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQDiskIndex:
+    """Load-or-build, keyed by params + corpus_tag (see
+    :func:`ensure_ivf_index`)."""
+    spark = embeddings.sparkSession
+    if _fs_exists(spark, f"{index_dir}/meta"):
+        try:
+            meta = _read_meta(spark, index_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["kind"] == "pq"
+            and meta["corpus_tag"] == corpus_tag
+            and meta["n_centroids"] == n_centroids
+            and meta["m"] == m
+            and meta["id_col"] == id_col
+            and meta["vec_col"] == vec_col
+        ):
+            return PQDiskIndex(spark, index_dir, meta)
+    pq_index_build(
+        embeddings,
+        index_dir,
+        m=m,
+        n_centroids=n_centroids,
+        train_sample=train_sample,
+        lloyd_iters=lloyd_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_tag=corpus_tag,
+    )
+    return pq_index_load(spark, index_dir)

@@ -257,6 +257,196 @@ def decode_ppm(payload: bytes):
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_bytes(pixels, filter_type: "int | str" = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a REAL 8-bit truecolor PNG
+    (stdlib ``zlib``/``struct`` only — public spec, RFC 2083). Written
+    for fixtures: ``filter_type`` selects the per-scanline filter
+    (0-4), or ``"cycle"`` applies filter ``r % 5`` to row ``r`` so one
+    payload exercises every unfilter path in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("png_bytes writes truecolor (H, W, 3) arrays")
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        line = px[r].reshape(-1).astype(np.int64)
+        ft = (r % 5) if filter_type == "cycle" else int(filter_type)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = line - pred
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """(H, W, 3) uint8 array from a REAL PNG stream — stdlib-only
+    decode (``zlib`` inflate + per-scanline unfiltering, public spec):
+    8-bit depth, color types 0 (gray, replicated to RGB), 2 (RGB) and
+    6 (RGBA, alpha dropped), all five filter types, non-interlaced.
+    Chunk CRCs are VERIFIED and truncation at any layer (chunk header,
+    chunk body, inflate stream, pixel count) raises — corrupt blobs
+    must fail the decode site loudly so ``on_error="skip"`` can
+    quarantine them. Adam7 interlacing, palettes and 16-bit depth stay
+    principled ``NotImplementedError`` stubs.
+
+    Unfiltering Sub/Average/Paeth is a per-pixel recurrence (each byte
+    depends on the reconstructed left neighbor) — a sequential loop by
+    nature; it runs executor-side over Arrow batches, so corpus-scale
+    parallelism comes from rows, not pixels.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG stream")
+    i = len(_PNG_SIG)
+    ihdr = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while i < len(payload):
+        if i + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk data")
+        crc = payload[i + 8 + length : i + 12 + length]
+        if len(crc) != 4:
+            raise ValueError("truncated PNG chunk crc")
+        if struct.unpack(">I", crc)[0] != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + length
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG color type {color} unsupported (gray/RGB/RGBA only)"
+        )
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if comp or filt:
+        raise ValueError("invalid PNG compression/filter method")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).astype(np.int64)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return px
+
+
+def decode_image(payload: bytes):
+    """(H, W, 3) uint8 from any supported image container — magic-byte
+    dispatch: binary P6 PPM (:func:`decode_ppm`) or PNG
+    (:func:`decode_png`). Unsupported codecs (JPEG etc.) raise
+    ``NotImplementedError`` at the decode site, the documented stub
+    boundary. Every hash/resize path routes through here, so a new
+    codec lights up the whole image pipeline at once."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    raise NotImplementedError("unsupported image codec (P6 PPM / PNG only)")
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode + features over ``mapInPandas``: RMS, zero-
     crossing rate, and FFT spectral centroid per PCM-WAV payload.
@@ -540,7 +730,9 @@ def image_dhash(
     P6-PPM decode, per-pixel grayscale (channel mean), block-mean
     downscale to ``grid_rows x grid_cols``, then one bit per
     horizontal neighbor comparison (``m[r, c+1] > m[r, c]``), packed
-    little-endian as ``bit (r*8 + c)`` into a SIGNED int64 (bit 63 is
+    little-endian as ``bit (r*(grid_cols-1) + c)`` — each row
+    contributes ``grid_cols-1`` comparisons, so the default 8×9 grid
+    fills exactly 64 bits — into a SIGNED int64 (bit 63 is
     the sign bit, same convention as the SimHash signatures, so
     :func:`~uofi_payroll_etl_main_demo_spark.ext.dedup.hamming_pairs_64`
     applies unchanged).
@@ -554,10 +746,12 @@ def image_dhash(
     value-checked, not just row-counted.
 
     ``on_error="skip"`` drops undecodable payloads (truncated/corrupt
-    bytes) instead of failing the task — at corpus scale one corrupt
-    blob must quarantine, not kill the job; pair it with an anti-join
-    against the output to materialize the quarantine set. The default
-    ``"raise"`` keeps failures loud for curated fixtures.
+    bytes AND null payloads) instead of failing the task — at corpus
+    scale one corrupt blob must quarantine, not kill the job; pair it
+    with an anti-join against the output to materialize the quarantine
+    set. The default ``"raise"`` keeps EVERY failure loud for curated
+    fixtures, null payloads included — a null row must not silently
+    vanish from a mode that promises loud failures.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
@@ -570,7 +764,9 @@ def image_dhash(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    continue
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"null payload for media_id={mid}")
                 try:
                     px = decode_ppm(bytes(payload)).astype(np.float64)
                 except Exception:
@@ -678,8 +874,9 @@ def audio_energy_hash(
     hash identically; structural edits don't. Pairs via
     ``hamming_pairs_64`` on the ``ehash`` column.
 
-    ``on_error="skip"`` quarantines undecodable payloads instead of
-    failing the task (see :func:`image_dhash`).
+    ``on_error="skip"`` quarantines undecodable payloads (nulls
+    included) instead of failing the task; ``"raise"`` fails loud on
+    nulls too (see :func:`image_dhash`).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
@@ -692,7 +889,9 @@ def audio_energy_hash(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    continue
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"null payload for media_id={mid}")
                 try:
                     x, _sr = decode_wav(bytes(payload))
                 except Exception:
@@ -754,7 +953,7 @@ def synthetic_video_frame_images(
 
 def video_near_dup_pairs(
     frames: "DataFrame",
-    n_frames: int,
+    n_frames: "int | None" = None,
     min_match_fraction: float = 0.5,
     on_error: str = "raise",
 ) -> "DataFrame":
@@ -763,32 +962,58 @@ def video_near_dup_pairs(
     an EQUI-join on ``(frame_idx, dhash)`` — two videos pair only
     where a sampled frame hashes identically at the same position, so
     there is never an all-pairs comparison; a video-pair's match count
-    aggregates from the join and ``match_fraction = n_match /
-    n_frames`` thresholds the output. The standard sampled-frame
-    fingerprint recipe of video-corpus dedup, shaped as one narrow
-    hash pass + one hash-bucketed join + one pair agg.
+    aggregates from the join and thresholds the output. The standard
+    sampled-frame fingerprint recipe of video-corpus dedup, shaped as
+    one narrow hash pass + one hash-bucketed join + one pair agg.
+
+    ``match_fraction`` divides by the frames each video ACTUALLY
+    decoded (``greatest(n_decoded_a, n_decoded_b)``), not a
+    caller-declared count — with ``on_error="skip"`` quarantining
+    corrupt frames, a declared denominator under-reports (fraction
+    could exceed 1.0) or masks true duplicates. Passing ``n_frames``
+    turns it into a loud VALIDATION: any video whose decoded count
+    differs fails the job (leave it ``None`` with ``on_error="skip"``,
+    where differing counts are expected).
 
     Returns (vid_a, vid_b, n_match, match_fraction), vid_a < vid_b.
     """
+    # packing precondition: frame_idx must fit the 1e6 slot — the
+    # assert GATES media_id itself (assert_true returns NULL on pass,
+    # so the `when` branch is taken row-by-row); an assert projected
+    # into a separate dropped column would be removed by column
+    # pruning and never evaluated.
+    packed_expr = F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")
     packed = frames.select(
-        (F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")).alias(
-            "media_id"
-        ),
+        F.when(
+            F.assert_true(
+                (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
+                F.lit("frame_idx out of packing range [0, 1e6)"),
+            ).isNull(),
+            packed_expr,
+        ).alias("media_id"),
         "payload",
-        # packing precondition: frame_idx must fit the 1e6 slot —
-        # fail the task loudly rather than silently corrupt pairs
-        F.assert_true(
-            (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
-            F.lit("frame_idx out of packing range [0, 1e6)"),
-        ).alias("__ck"),
-    ).drop("__ck")
+    )
     # integer div/mod unpack — float division truncates wrongly past
-    # 2^53 and the packing requires frame_idx < 1e6 (asserted below)
+    # 2^53 and the packing requires frame_idx < 1e6 (asserted above)
     sigs = image_dhash(packed, on_error=on_error).select(
         F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("vid"),
         F.expr("CAST(media_id % 1000000 AS INT)").alias("f"),
         "dhash",
     )
+    cnts = sigs.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_decoded")
+    )
+    if n_frames is not None:
+        cnts = cnts.select(
+            "vid",
+            F.when(
+                F.assert_true(
+                    F.col("n_decoded") == F.lit(int(n_frames)),
+                    F.lit("decoded frame count differs from declared n_frames"),
+                ).isNull(),
+                F.col("n_decoded"),
+            ).alias("n_decoded"),
+        )
     a, b = sigs.alias("a"), sigs.alias("b")
     matches = a.join(
         b,
@@ -798,14 +1023,26 @@ def video_near_dup_pairs(
     ).select(
         F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
     )
+    # per-video counts are one row per video — broadcast both lookups
     return (
         matches.groupBy("vid_a", "vid_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_match"))
+        .join(
+            F.broadcast(cnts.withColumnRenamed("n_decoded", "n_a")),
+            F.col("vid_a") == F.col("vid"),
+        )
+        .drop("vid")
+        .join(
+            F.broadcast(cnts.withColumnRenamed("n_decoded", "n_b")),
+            F.col("vid_b") == F.col("vid"),
+        )
+        .drop("vid")
         .withColumn(
             "match_fraction",
-            F.round(F.col("n_match") / F.lit(n_frames), 6),
+            F.round(F.col("n_match") / F.greatest("n_a", "n_b"), 6),
         )
         .filter(F.col("match_fraction") >= min_match_fraction)
+        .select("vid_a", "vid_b", "n_match", "match_fraction")
     )
 
 
@@ -897,7 +1134,8 @@ def image_resize_blockmean(
 
     Rows explode nothing and shuffle nothing — a narrow Arrow-batched
     map, embarrassingly parallel at corpus scale. ``on_error="skip"``
-    quarantines undecodable payloads (see :func:`image_dhash`).
+    quarantines undecodable payloads, nulls included; ``"raise"``
+    fails loud on nulls too (see :func:`image_dhash`).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
@@ -910,7 +1148,9 @@ def image_resize_blockmean(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    continue
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"null payload for media_id={mid}")
                 try:
                     px = decode_ppm(bytes(payload)).astype(np.float64)
                 except Exception:

@@ -536,6 +536,38 @@ def knn_join_gemm(
     )
 
 
+def train_pq_codebooks(
+    train: "np.ndarray", m: int, n_centroids: int, lloyd_iters: int = 5
+):
+    """Deterministic PQ codebook training (shared by the in-query
+    :func:`pq_top_k` and the persisted index lifecycle in
+    :mod:`~uofi_payroll_etl_main_demo_spark.ext.ann_index`): per
+    subspace, Lloyd iterations from an evenly-spaced deterministic
+    init over the (id-sorted) training sample. Returns
+    ``(m, n_centroids, dim//m)`` float64 codebooks."""
+    import numpy as np
+
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codebooks = np.empty((m, n_centroids, sub))
+    for j in range(m):
+        X = train[:, j * sub : (j + 1) * sub]
+        # deterministic init: evenly spaced sample rows (sorted by id)
+        idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+        C = X[idx].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        codebooks[j] = C
+    return codebooks
+
+
 def pq_top_k(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -575,24 +607,8 @@ def pq_top_k(
         .collect()
     )
     train = np.stack([r[0] for r in sample]).astype(np.float64)
-    dim = train.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    codebooks = np.empty((m, n_centroids, sub))
-    for j in range(m):
-        X = train[:, j * sub : (j + 1) * sub]
-        # deterministic init: evenly spaced sample rows (sorted by id)
-        idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
-        C = X[idx].copy()
-        for _ in range(lloyd_iters):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(n_centroids):
-                pts = X[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
-        codebooks[j] = C
+    codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
+    sub = train.shape[1] // m
     q = np.asarray(query_vec, dtype=np.float64)
     # ADC table: lut[j, c] = q_j · codebook[j, c] → approx dot(q, v) =
     # Σ_j lut[j, code_j(v)]

@@ -8,6 +8,7 @@ from uofi_payroll_etl_main_demo_spark.functions.cleanse import (  # noqa: F401
     ensure_string,
     fiscal_year,
     is_missing,
+    normalize_cell,
     normalize_numeric_string,
     null_string_col,
     split_code_name,

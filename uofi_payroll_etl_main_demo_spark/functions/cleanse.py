@@ -67,6 +67,26 @@ def normalize_numeric_string(c: ColumnOrName) -> Column:
     ).otherwise(t)
 
 
+def normalize_cell(c: ColumnOrName) -> Column:
+    """Full-fidelity port of the reference's per-column cleanup chain
+    at etl_payroll_pipeline_demo.py:673-682: the ``int(float(x))``
+    coercion for integral digit-strings (:func:`normalize_numeric_string`
+    — pandas' ``isdigit`` gate excludes signs, so negatives skip it),
+    THEN the unconditional trailing-``.0`` strip pandas applies to
+    EVERY cell (``.str.replace(r'\\.0$', '')``: ``'-123.0'``→``'-123'``,
+    ``'v1.0'``→``'v1'``).
+
+    One deliberate divergence: the reference's ``astype(str)`` turns
+    missing cells into the literal string ``'nan'``; here NULL stays
+    NULL — typed-null outputs instead of stringified sentinels.
+    :func:`is_missing` treats both as missing, and Spark's
+    distinct/keep-first treat nulls as equal (as pandas does equal
+    ``'nan'`` strings), so the reference's dedup cascade behaves
+    identically; only the output representation differs.
+    """
+    return F.regexp_replace(normalize_numeric_string(c), r"\.0$", "")
+
+
 def is_missing(c: ColumnOrName) -> Column:
     """Tri-state missing predicate: NULL, blank, or literal 'nan'/'NaN'.
 

@@ -22,7 +22,7 @@ from uofi_payroll_etl_main_demo_spark.functions.cleanse import (
     concat_key,
     dedupe_column_names,
     ensure_string,
-    normalize_numeric_string,
+    normalize_cell,
     select_contract,
     split_code_name,
     to_timestamp_coerce,
@@ -207,19 +207,22 @@ def cpa_pipeline(
 
     # -- normalize numeric-ish strings (reference 669-682, F15) --
     # The reference loops over ALL columns (`for col in df_cpa_fy.columns`)
-    # coercing each to a trimmed string with the int(float(x)) ".0"-strip,
-    # then re-parses the two date columns back to datetime (684-691) — so
-    # timestamps round-trip and every string column is normalized before
-    # the second full-row distinct. We mirror that: every non-timestamp
-    # column gets the whole-value normalization (one narrow select, no
-    # extra stage); timestamp columns stay typed (their string round-trip
-    # in the reference is the identity for valid dates).
+    # coercing each cell: int(float(x)) for integral digit-strings, then
+    # astype(str).strip() and an UNCONDITIONAL trailing-'.0' strip on
+    # every value ('-123.0'→'-123', 'v1.0'→'v1'); the two date columns
+    # re-parse back to datetime (684-691). normalize_cell carries the
+    # full chain (both the integral coercion and the universal strip);
+    # the one documented divergence is NULL handling — the reference's
+    # astype(str) stringifies NaN to 'nan', we keep typed NULLs (see
+    # normalize_cell's docstring for why the dedup cascade is
+    # unaffected). Timestamp columns stay typed (their string
+    # round-trip in the reference is the identity for valid dates).
     ts_types = ("timestamp", "date")
     df = df.select(
         *[
             F.col(f.name).alias(f.name)
             if f.dataType.typeName() in ts_types
-            else normalize_numeric_string(F.col(f.name)).alias(f.name)
+            else normalize_cell(F.col(f.name)).alias(f.name)
             for f in df.schema.fields
         ]
     )
