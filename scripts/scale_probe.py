@@ -162,6 +162,21 @@ def main() -> None:
             )
         ),
     )
+    # star-contraction CC over the same edges (round 6, VERDICT #7):
+    # large-star/small-star alternation — which variant wins at probe
+    # scale decides dedup_survivors' adaptive switch
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components_star,
+    )
+
+    run(
+        "cc_star_over_minhash",
+        lambda: connected_components_star(
+            minhash_near_dup_pairs(
+                docs, num_hashes=32, bands=16, k=3, threshold=0.2
+            )
+        ),
+    )
 
     # corpus rewrite (round 5): output rows stay = n_docs; work is one
     # window + one groupBy over the chunk explode — linear by shape
@@ -173,6 +188,24 @@ def main() -> None:
         "chunk_dedup_rewrite",
         lambda: chunk_dedup_rewrite(docs, size=32),
     )
+
+    # hostile-input rewrite (round 6): multi-MB single-LINE documents —
+    # each is ONE unsplittable multi-MB token/chunk — mixed into the
+    # corpus; max_chunk_bytes quarantines them before any wide stage,
+    # so rows = n_docs (hostile ids excluded) and the wall must stay at
+    # the clean run's, not balloon on oversized shuffle blocks
+    def _hostile_rewrite():
+        hostile = spark.range(16).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(
+                F.format_string("h%d", F.col("id")),
+                F.repeat(F.lit("x"), 4_000_000),
+            ).alias("text"),
+        )
+        mixed = docs.select("doc_id", "text").unionByName(hostile)
+        return chunk_dedup_rewrite(mixed, size=32, max_chunk_bytes=65536)
+
+    run("chunk_dedup_rewrite_hostile_capped", _hostile_rewrite)
 
     # multimodal dedup at scale (round 5): images render EXECUTOR-SIDE
     # (mapInPandas over an id range — no driver materialization), then

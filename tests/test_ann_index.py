@@ -163,6 +163,51 @@ def test_ensure_pq_loads_without_rebuilding(spark, sf_dir, tmp_path):
     assert _index_mtimes(idx) != before
 
 
+def test_ivf_index_add_grows_lists_without_retrain(spark, sf_dir, tmp_path):
+    """The CDC path: build on half the corpus, ivf_index_add the other
+    half — centroids unchanged (no retrain), the added vectors land in
+    Euclidean-nearest lists (same metric as the build's KMeans), and a
+    full-probe search over the grown index equals brute force over the
+    WHOLE corpus. The refreshed corpus_tag makes ensure_ivf_index load,
+    not rebuild."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_add,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_index_build(old, idx, n_centroids=4, corpus_tag="half")
+    cents_before = spark.read.parquet(f"{idx}/centroids").collect()
+    ivf_index_add(new, idx, new_corpus_tag="full")
+    assert spark.read.parquet(f"{idx}/centroids").collect() == cents_before
+    loaded = ensure_ivf_index(emb, idx, corpus_tag="full", n_centroids=4)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(QV, k=10, nprobe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+    # every added vector is in its Euclidean-nearest list
+    import numpy as np
+
+    C = np.array([r["cvec"] for r in sorted(cents_before, key=lambda r: r["centroid"])])
+    rows = (
+        spark.read.parquet(f"{idx}/assigned")
+        .filter(F.col("vec_id") % 2 == 1)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d2 = ((C - v) ** 2).sum(axis=1)
+        assert r["centroid"] == int(d2.argmin())
+
+
 def test_index_kind_and_meta_guards(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")
     ivf_index_build(_emb(spark, sf_dir), idx, n_centroids=4, corpus_tag="t")

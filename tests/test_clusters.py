@@ -66,6 +66,60 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert via_driver == via_dist and len(via_driver) == 9
 
 
+def test_cc_density_routing_and_three_path_agreement(spark, monkeypatch):
+    """Above driver_threshold, the density switch routes SPARSE graphs
+    (avg degree ≤ star_max_degree) to star contraction and DENSE ones
+    to label propagation — and all three engines return identical
+    labels on the same graph (measured basis in BASELINE.md: star
+    1.6–1.8× faster at degree 7–31, 1.6× slower at degree 140)."""
+    import uofi_payroll_etl_main_demo_spark.ext.clusters as C
+
+    # sparse: a 40-node path, avg degree < 2
+    sparse = _pairs(spark, [(i, i + 1) for i in range(40)])
+    # dense: two K9 cliques, avg degree 8
+    dense_edges = [
+        (g * 100 + a, g * 100 + b)
+        for g in range(2)
+        for a in range(9)
+        for b in range(a + 1, 9)
+    ]
+    dense = _pairs(spark, dense_edges)
+
+    calls = []
+    real_star, real_lp = C._cc_star, C._cc_label_prop
+    monkeypatch.setattr(
+        C, "_cc_star", lambda *a, **k: calls.append("star") or real_star(*a, **k)
+    )
+    monkeypatch.setattr(
+        C,
+        "_cc_label_prop",
+        lambda *a, **k: calls.append("lp") or real_lp(*a, **k),
+    )
+    got_sparse = {
+        r["id"]: r["comp"]
+        for r in C.connected_components(
+            sparse, driver_threshold=1, star_max_degree=4
+        ).collect()
+    }
+    assert calls == ["star"]
+    got_dense = {
+        r["id"]: r["comp"]
+        for r in C.connected_components(
+            dense, driver_threshold=1, star_max_degree=4
+        ).collect()
+    }
+    assert calls == ["star", "lp"]
+    # same labels from the driver union-find ground truth
+    truth_sparse = {
+        r["id"]: r["comp"] for r in C.connected_components(sparse).collect()
+    }
+    truth_dense = {
+        r["id"]: r["comp"] for r in C.connected_components(dense).collect()
+    }
+    assert got_sparse == truth_sparse
+    assert got_dense == truth_dense
+
+
 def test_dedup_survivors_keeps_min_and_untouched(spark):
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(1, 8)], "doc_id bigint, text string"

@@ -1098,6 +1098,111 @@ def test_video_near_dup_pairs_twins_and_threshold(spark):
     assert all(v >= 0.5 for v in pairs.values())
 
 
+def test_png_roundtrip_every_filter_and_color_type():
+    """decode_png is LOSSLESS for every scanline filter (0-4) and
+    handles gray (replicated) and RGBA (alpha dropped) streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_png,
+        png_bytes,
+    )
+
+    h, w = 16, 18
+    r = np.arange(h).reshape(-1, 1)
+    c = np.arange(w).reshape(1, -1)
+    px = np.stack(
+        [(r * 7 + c * 13) % 256, (r * 3 + c * c) % 256, (r + c * 31) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for ft in (0, 1, 2, 3, 4, "cycle"):
+        out = decode_png(png_bytes(px, filter_type=ft))
+        assert out.shape == (h, w, 3)
+        assert (out == px).all(), f"filter {ft} not lossless"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale (color type 0): replicated onto 3 channels
+    gray = ((r * 5 + c * 11) % 256).astype(np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    payload = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 2] == gray).all()
+    # RGBA (color type 6): alpha dropped
+    rgba = np.dstack([px, ((r + c) % 256).astype(np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    payload = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == px).all()
+
+
+def test_png_corruption_is_loud():
+    """Truncation at any layer and CRC damage raise (so on_error='skip'
+    can quarantine); unsupported variants are principled stubs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_png,
+        png_bytes,
+    )
+
+    px = (np.arange(16 * 18 * 3).reshape(16, 18, 3) % 256).astype(np.uint8)
+    good = png_bytes(px)
+    for bad in (good[:20], good[: len(good) // 2], good[:-6]):
+        with _pytest.raises(Exception):
+            decode_png(bad)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # damage IDAT body → CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+    with _pytest.raises(NotImplementedError):
+        decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_png_dhash_equals_ppm_dhash(spark):
+    """PNG decode is lossless ⇒ the dHash of every PNG-encoded image
+    equals its PPM twin's bit-for-bit — and a truncated PNG quarantines
+    through the same on_error path as corrupt PPM."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images,
+        synthetic_gradient_images_png,
+    )
+
+    ppm = synthetic_gradient_images(spark, n=12)
+    png = synthetic_gradient_images_png(spark, n=12)
+    h_ppm = {r["media_id"]: r["dhash"] for r in image_dhash(ppm).collect()}
+    h_png = {r["media_id"]: r["dhash"] for r in image_dhash(png).collect()}
+    assert h_ppm == h_png
+    truncated = png.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0, F.expr("substring(payload, 1, 30)"))
+        .otherwise(F.col("payload")),
+    )
+    kept = image_dhash(truncated, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in kept) == list(range(1, 12))
+
+
 def test_media_null_payload_contract(spark):
     """NULL payloads: 'raise' fails LOUD (a null row must not silently
     vanish from the loud mode); 'skip' quarantines them like corrupt
@@ -1303,6 +1408,74 @@ def test_chunk_dedup_rewrite_shuffle_width_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_chunk_dedup_rewrite_hash_window_is_narrow(spark, sf_dir):
+    """The global keep-first window shuffles KEYS ONLY: the
+    hashpartitioning(__h) exchange must not carry chunk_text (a
+    multi-KB column through the skew-prone exchange) — text flows
+    through exactly one id-partitioned reassembly exchange."""
+    import re
+
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+    from uofi_payroll_etl_main_demo_spark.plans.inspect import formatted_plan
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    plan = formatted_plan(chunk_dedup_rewrite(docs, size=32))
+    window_exchanges = [
+        m for m in re.finditer(
+            r"Exchange\n(?:.*\n)*?Arguments: hashpartitioning\(__h", plan
+        )
+    ]
+    assert window_exchanges, "expected a __h-partitioned exchange"
+    for m in window_exchanges:
+        seg = plan[m.start() : m.end() + 200]
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", seg)
+        assert inp and "chunk_text" not in inp.group(1), seg[:300]
+
+
+def test_chunk_dedup_rewrite_byte_cap_quarantine(spark):
+    """max_chunk_bytes: a multi-MB single-line (single-token) document
+    is QUARANTINED — excluded from the output before any wide stage —
+    while every clean document's rewrite is byte-identical to the
+    uncapped run; default (None) keeps the hostile doc."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+    )
+
+    hostile = "x" * 2_000_000  # one 2 MB token: unsplittable chunk
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 20),
+            (2, "alpha beta gamma delta " * 20),  # full dup of 1
+            (3, hostile),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    capped = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+        for r in chunk_dedup_rewrite(df, max_chunk_bytes=65536).collect()
+    }
+    assert set(capped) == {1, 2, 4}  # doc 3 quarantined
+    uncapped = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+        for r in chunk_dedup_rewrite(df).collect()
+    }
+    assert set(uncapped) == {1, 2, 3, 4}
+    assert uncapped[3][2] == hostile  # default preserves the hostile doc
+    for d in (1, 2, 4):
+        assert capped[d] == uncapped[d]
+    # dedup intact: doc 2 (full dup of doc 1) keeps nothing; doc 1's
+    # middle chunk is an intra-doc dup of its first (period-4 text), so
+    # 2 of 3 chunks survive
+    assert capped[2] == (3, 0, "")
+    assert capped[1][0] == 3 and capped[1][1] == 2
 
 
 def test_hashed_bow_agg_matches_column_builder(spark):

@@ -23,6 +23,18 @@ from uofi_payroll_etl_main_demo_spark.ext.curation import (  # noqa: F401
     quality_classifier,
     repetition_stats,
 )
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
+    IVFDiskIndex,
+    PQDiskIndex,
+    corpus_fingerprint,
+    ensure_ivf_index,
+    ensure_pq_index,
+    ivf_index_add,
+    ivf_index_build,
+    ivf_index_load,
+    pq_index_build,
+    pq_index_load,
+)
 from uofi_payroll_etl_main_demo_spark.ext.ivf import (  # noqa: F401
     IVFIndex,
     build_ivf_index,

@@ -275,6 +275,65 @@ def ensure_ivf_index(
     return ivf_index_load(spark, index_dir)
 
 
+def ivf_index_add(
+    embeddings_new: DataFrame,
+    index_dir: str,
+    *,
+    new_corpus_tag: str,
+) -> None:
+    """Incremental index maintenance — the CDC path of the lifecycle:
+    assign NEW vectors to the EXISTING centroids (no retrain; the
+    standard IVF add, quantization error drifts only as far as the
+    data does) and APPEND them to the inverted-list partitions.
+    Assignment is a pure JVM-side expression (argmax over ≤hundreds of
+    centroid cosines — no Python boundary), so adds scale like any
+    narrow map + partitioned write.
+
+    ``new_corpus_tag`` re-keys the index to the grown corpus snapshot
+    so a subsequent :func:`ensure_ivf_index` with the same tag LOADS
+    instead of rebuilding. Meta is rewritten after the append."""
+    spark = embeddings_new.sparkSession
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centroids = [
+        r["cvec"]
+        for r in spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("centroid")
+        .collect()
+    ]
+    # argmin over per-centroid SQUARED EUCLIDEAN distance — the same
+    # metric the build's KMeans assignment used (an add that assigned
+    # by cosine would file vectors into different lists than a rebuild
+    # would). array_min on (d2, idx) structs: lexicographic min takes
+    # the closest centroid, ties broken toward the lowest id.
+    def _d2(c: list[float]):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        diffs = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            clit,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = F.array(
+        *[
+            F.struct(_d2(c).alias("d2"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = embeddings_new.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(scored)["i"].cast("int").alias("centroid"),
+    )
+    assigned.write.mode("append").partitionBy("centroid").parquet(
+        f"{index_dir}/assigned"
+    )
+    _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
+
+
 # ------------------------------------------------------------------- PQ --
 
 

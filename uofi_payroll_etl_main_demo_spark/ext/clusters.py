@@ -39,6 +39,7 @@ def connected_components(
     max_iter: int = 25,
     state_partitions: int | None = None,
     driver_threshold: int = 100_000,
+    star_max_degree: int = 64,
 ) -> DataFrame:
     """Undirected connected components of the pair graph.
 
@@ -46,27 +47,52 @@ def connected_components(
     ``component`` is the minimum id reachable from it. Raises if the
     propagation hasn't converged within ``max_iter`` sweeps.
 
-    SIZE-ADAPTIVE, the same philosophy as AQE's broadcast demotion: a
-    near-dup pair graph is usually orders of magnitude smaller than its
-    corpus, and below ``driver_threshold`` edges the distributed
-    iteration pays nothing but per-sweep scheduling floor — so small
-    graphs are solved with driver-side union-find over the bare (src,
-    dst) id pairs (KB–MB of longs, never document payloads) and the
-    labeling returned as one broadcast-sized frame. Bit-identical
-    output (min reachable id). Larger graphs take the distributed
-    min-label-propagation + pointer-jumping path under
-    ``session.iterative_conf`` (AQE off, state-sized shuffle width);
-    pass ``driver_threshold=0`` to force it.
+    ADAPTIVE on two axes, the same philosophy as AQE's broadcast
+    demotion — all three paths produce bit-identical output (min
+    reachable id):
+
+    - SIZE: a near-dup pair graph is usually orders of magnitude
+      smaller than its corpus, and below ``driver_threshold`` edges
+      the distributed iteration pays nothing but per-sweep scheduling
+      floor — driver-side union-find over the bare (src, dst) id
+      pairs (KB–MB of longs, never document payloads), returned as one
+      broadcast-sized frame.
+    - DENSITY (measured, scripts/scale_probe.py 8×/32×/128×, recorded
+      in BASELINE.md): star contraction (:func:`connected_components_star`)
+      beats label propagation ~1.6–1.8× on SPARSE graphs (avg degree
+      ≈7 at 8×, ≈31 at 32×) because its per-round frames are the
+      monotonically SHRINKING edge set — but LOSES 1.6× on dense
+      replica-clique graphs (avg degree ≈140 at 128×), where the
+      per-node ``collect_set`` neighborhoods grow with degree. So
+      graphs above ``driver_threshold`` route by average degree
+      ``2E/V``: ≤ ``star_max_degree`` (default 64, the measured
+      crossover band) → star; above → label propagation +
+      pointer-jumping. Both run under ``session.iterative_conf``.
+
+    ``driver_threshold=0`` forces the distributed label-prop path
+    (legacy escape hatch); ``star_max_degree=0`` disables the star
+    branch.
     """
     if not driver_threshold:
         with iterative_conf(pairs.sparkSession, state_partitions):
             return _cc_label_prop(pairs, src, dst, max_iter)
-    # materialize the (often expensive) pair plan ONCE; the size probe
-    # and whichever path wins both read this cache
+    # materialize the (often expensive) pair plan ONCE; the size/
+    # density probes and whichever path wins all read this cache
     pairs = pairs.select(src, dst).persist()
     try:
-        if pairs.count() <= driver_threshold:
+        n_edges = pairs.count()
+        if n_edges <= driver_threshold:
             return _cc_driver_union_find(pairs, src, dst)
+        if star_max_degree:
+            n_nodes = (
+                pairs.select(F.col(src).alias("id"))
+                .unionByName(pairs.select(F.col(dst).alias("id")))
+                .distinct()
+                .count()
+            )
+            if n_nodes and (2 * n_edges) / n_nodes <= star_max_degree:
+                with iterative_conf(pairs.sparkSession, state_partitions):
+                    return _cc_star(pairs, src, dst, max_iter)
         with iterative_conf(pairs.sparkSession, state_partitions):
             return _cc_label_prop(pairs, src, dst, max_iter)
     finally:

@@ -505,7 +505,7 @@ def image_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                px = decode_ppm(bytes(payload)).astype(np.float64)
+                px = decode_image(bytes(payload)).astype(np.float64)
                 h, w, _ = px.shape
                 gray = px.mean(axis=2)
                 # block-average to 4x4: split rows/cols into 4 nearly
@@ -642,7 +642,7 @@ def image_tile_means(media: DataFrame, grid: int = 4) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                px = decode_ppm(bytes(payload)).astype(np.float64)
+                px = decode_image(bytes(payload)).astype(np.float64)
                 h, w, _ = px.shape
                 gray = px.mean(axis=2)
                 rb = np.array_split(np.arange(h), grid)
@@ -712,6 +712,51 @@ def synthetic_gradient_images(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_gradient_images_png(
+    spark, n: int = 48, width: int = 18, height: int = 16
+) -> "DataFrame":
+    """The PNG twin of :func:`synthetic_gradient_images` — SAME pixel
+    law ``v(g, r, c) = 3 + (g*37 + c*c*11 + r*7) % 237`` (odd ids are
+    channel-shifted luminance-identical twins), but payloads are REAL
+    compressed PNG streams, with image ``i`` written using scanline
+    filter ``i % 5`` so the corpus collectively exercises every
+    unfilter path (None/Sub/Up/Average/Paeth). PNG decode is lossless,
+    so every perceptual hash — and therefore the SQL oracle — is
+    bit-identical to the PPM fixture's."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        g = i // 2
+        r_idx = np.arange(height).reshape(-1, 1)
+        c_idx = np.arange(width).reshape(1, -1)
+        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
+        px = np.zeros((height, width, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            px[:, :, 0] = v
+            px[:, :, 1] = v
+            px[:, :, 2] = v
+        else:
+            px[:, :, 0] = v + 3
+            px[:, :, 1] = v
+            px[:, :, 2] = v - 3
+        rows.append(
+            (
+                i,
+                png_bytes(px, filter_type=i % 5),
+                {
+                    "modality": "image",
+                    "mime": "image/png",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -768,7 +813,7 @@ def image_dhash(
                         continue
                     raise ValueError(f"null payload for media_id={mid}")
                 try:
-                    px = decode_ppm(bytes(payload)).astype(np.float64)
+                    px = decode_image(bytes(payload)).astype(np.float64)
                 except Exception:
                     if on_error == "skip":
                         continue
@@ -1152,7 +1197,7 @@ def image_resize_blockmean(
                         continue
                     raise ValueError(f"null payload for media_id={mid}")
                 try:
-                    px = decode_ppm(bytes(payload)).astype(np.float64)
+                    px = decode_image(bytes(payload)).astype(np.float64)
                 except Exception:
                     if on_error == "skip":
                         continue

@@ -258,6 +258,7 @@ def chunk_dedup_rewrite(
     text_col: str = "text",
     id_col: str = "doc_id",
     size: int = 32,
+    max_chunk_bytes: int | None = None,
 ) -> DataFrame:
     """Corpus REWRITE by global passage dedup: tumbling ``size``-token
     chunks, exact-dedup chunks corpus-wide (survivor = first occurrence
@@ -271,27 +272,94 @@ def chunk_dedup_rewrite(
     are whitespace-normalizing by construction). Docs whose every chunk
     was seen before rewrite to ''; empty docs stay '' with 0 chunks.
 
-    Shape: narrow chunk explode → ONE hash-partitioned window for the
-    global keep-first (the shuffle carries chunk text because the
-    output needs it — a rewrite, unlike stats, cannot shuffle hashes
-    only) → one groupBy(id) reassembly. Both shuffles are linear in
-    corpus size; no pair expansion anywhere.
+    Shape: the global keep-first decision runs over a NARROW key frame
+    — the hash-partitioned window shuffles ``(md5, id, chunk_idx)``
+    only, never text, so the skew-prone exchange (duplicate-heavy
+    corpora concentrate popular hashes) carries 48-byte rows at any
+    document size; per-doc winner lists (int arrays) then join back
+    (one id-partitioned exchange, the only one carrying chunk text,
+    and the reassembly groupBy reuses its partitioning). The chunk
+    explode is computed twice (keys + rebuild) — recompute-narrow is
+    the right trade against shuffling text through the window at
+    100 TB. No pair expansion anywhere.
+
+    ``max_chunk_bytes`` is the hostile-input valve (same posture as
+    the LSH ``max_bucket_size``): a multi-MB single-line document
+    makes a multi-MB single *token* — one chunk row that becomes an
+    oversized shuffle block. With the cap set, any document containing
+    a chunk whose UTF-8 length exceeds it is QUARANTINED — excluded
+    from the output before any wide stage (recover the quarantine set
+    by anti-joining ids against the output); ``None`` (default)
+    preserves every document.
     """
     from pyspark.sql import Window
 
+    base = df
+    if max_chunk_bytes is not None:
+        # ONE narrow filter, no join, chunk text never built: the max
+        # tumbling-chunk byte length folds over token BYTE LENGTHS in
+        # a single aggregate pass (chunk bytes = Σ token bytes +
+        # (count-1) single-space separators — exactly what array_join
+        # will produce downstream). An explode+anti-join form was
+        # measured 10× slower here: it re-chunks the corpus per
+        # reference and shuffles full chunk text through the anti-join.
+        lens = F.transform(
+            tokenize_ws(text_col), lambda t: F.octet_length(t).cast("long")
+        )
+        zero = F.lit(0).cast("long")
+        max_bytes = F.aggregate(
+            lens,
+            F.struct(
+                zero.alias("s"), zero.alias("c"), F.lit(-1).cast("long").alias("mx")
+            ),
+            lambda acc, x: F.when(
+                acc["c"] == size,
+                F.struct(
+                    x.alias("s"),
+                    F.lit(1).cast("long").alias("c"),
+                    F.greatest(acc["mx"], acc["s"] + acc["c"] - 1).alias("mx"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["s"] + x).alias("s"),
+                    (acc["c"] + 1).alias("c"),
+                    acc["mx"].alias("mx"),
+                )
+            ),
+            lambda acc: F.greatest(
+                acc["mx"],
+                F.when(acc["c"] > 0, acc["s"] + acc["c"] - 1).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            ),
+        )
+        base = base.filter(
+            F.coalesce(max_bytes <= F.lit(int(max_chunk_bytes)), F.lit(True))
+        )
     chunks = chunk_documents(
-        df, text_col=text_col, id_col=id_col, size=size, stride=size
+        base, text_col=text_col, id_col=id_col, size=size, stride=size
+    )
+    keys = chunks.select(
+        F.col(id_col), "chunk_idx", F.md5("chunk_text").alias("__h")
     )
     w = Window.partitionBy("__h").orderBy(id_col, "chunk_idx")
-    ranked = chunks.select(
+    keep = (
+        keys.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("chunk_idx").alias("__keep"))
+    )
+    flagged = chunks.join(keep, id_col, "left").select(
         F.col(id_col),
         "chunk_idx",
         "chunk_text",
-        F.md5("chunk_text").alias("__h"),
-    ).withColumn("__rn", F.row_number().over(w))
-    rebuilt = ranked.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_contains(F.col("__keep"), F.col("chunk_idx")), F.lit(False)
+        ).alias("__kept"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_kept"),
         F.array_join(
@@ -299,7 +367,7 @@ def chunk_dedup_rewrite(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("__rn") == 1,
+                            F.col("__kept"),
                             F.struct(
                                 F.col("chunk_idx"), F.col("chunk_text")
                             ),
@@ -312,7 +380,7 @@ def chunk_dedup_rewrite(
         ).alias("text_clean"),
     )
     return (
-        df.select(F.col(id_col))
+        base.select(F.col(id_col))
         .join(rebuilt, id_col, "left")
         .select(
             id_col,

@@ -4270,6 +4270,92 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
 REGISTRY["ext_semantic_dedup"] = (q_semantic_dedup, _sql_semantic_dedup())
 
 
+def q_semantic_dedup_docs(spark, sf_dir):
+    """MODEL-FREE end-to-end semantic dedup over raw TEXT — the full
+    text→vector→dedup loop as one lazy plan: hashed bag-of-words
+    embedding (codegen explode+agg, no model), hyperplane-LSH buckets,
+    bucket-local exact-cosine pairs (never all-pairs), connected
+    components, min-id survivors. Swapping the closed-form embedder
+    for a model-inference column leaves every downstream stage
+    unchanged — this is the SemDeDup recipe with the embedding model
+    factored out, so the whole pipeline gets a VALUE oracle instead of
+    stopping at a precomputed embeddings table (ext_semantic_dedup)."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        all_pairs_above,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        hashed_bow_embeddings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_bow_embeddings(docs, dim=16)
+    pairs = all_pairs_above(
+        emb, dim=16, threshold=0.96, n_planes=4, id_col="doc_id",
+        vec_col="v",
+    )
+    kept = dedup_survivors(docs.select("doc_id", "source"), pairs, "doc_id")
+    return kept.select("doc_id", "source")
+
+
+def _sql_semantic_dedup_docs(
+    dim: int = 16, threshold: float = 0.96, n_planes: int = 4,
+    seed: int = 42,
+) -> str:
+    """Composed CTE twin: hashed-BOW embedding (the ext_text_embed_topk
+    CTEs), deterministic hyperplane buckets, bucket-local cosine pairs,
+    recursive-CTE transitive closure, min-id survivors."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for b, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bk AS (SELECT doc_id, list_transform(toks,
+         tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim}) AS b
+       FROM t WHERE len(toks) > 0),
+cnt AS (SELECT doc_id, list_transform(range(0, {dim}),
+          j -> CAST(len(list_filter(b, x -> x = j)) AS DOUBLE)) AS c
+        FROM bk),
+emb AS (SELECT doc_id, list_transform(c, x -> x / sqrt(
+          list_aggregate(list_transform(c, y -> y * y), 'sum'))) AS v
+        FROM cnt),
+bbk AS (SELECT doc_id, v, {bucket} AS bucket FROM emb),
+pairs AS (
+  SELECT a.doc_id AS id_a, x.doc_id AS id_b
+  FROM bbk a JOIN bbk x ON a.bucket = x.bucket AND a.doc_id < x.doc_id
+  WHERE list_cosine_similarity(a.v, x.v) >= {threshold}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING min(node) != src
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+REGISTRY["ext_semantic_dedup_docs"] = (
+    q_semantic_dedup_docs,
+    _sql_semantic_dedup_docs(),
+)
+
+
 def q_unigram_surprisal(spark, sf_dir):
     """Quality scoring: corpus-unigram-LM average surprisal per doc in
     exact integer milli-bits (floor-log2 via integer bit length — no
@@ -6335,6 +6421,33 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
 
 REGISTRY["ext_image_dhash_pairs"] = (
     q_image_dhash_pairs,
+    _sql_image_dhash_pairs(),
+)
+
+
+def q_image_dhash_png_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup over REAL COMPRESSED PNG payloads:
+    stdlib-zlib PNG decode (chunk CRCs verified, all five scanline
+    filters unfiltered — the fixture cycles filter i%5 across the
+    corpus) → the same dHash → banded Hamming pairs. PNG decode is
+    lossless and the fixture shares the PPM corpus' closed-form pixel
+    law, so the oracle is IDENTICAL to ext_image_dhash_pairs — any
+    inflate/unfilter defect shows up as a hash-bit mismatch."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images_png,
+    )
+
+    media = synthetic_gradient_images_png(spark, n=48)
+    sigs = image_dhash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "dhash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+REGISTRY["ext_image_dhash_png_pairs"] = (
+    q_image_dhash_png_pairs,
     _sql_image_dhash_pairs(),
 )
 
