@@ -58,6 +58,9 @@ def test_contract_shape():
         "ext_ivf_topk",  # data-adaptive k-means index
         "ext_ivf_pq_topk",  # data-adaptive (k-means + Lloyd codebooks)
         "ext_pq_topk",  # data-adaptive Lloyd codebooks
+        # data-adaptive nprobe pruning over the persisted index; its
+        # full-probe twin ext_ivf_index_query is the value oracle
+        "ext_ivf_index_query_probe",
         "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
         "ext_bpe_encode",  # ditto; both pinned vs Python reference
         # ext_minhash_pairs_prod is NOT here since round 4: the exact

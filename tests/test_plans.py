@@ -103,6 +103,23 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
 _NESTED_LOOP_OK: set[str] = set()
 
 
+def test_ivf_index_registry_query_reads_only_index(spark, sf_dir):
+    """The persisted-index SERVING queries' plans read the index store,
+    not the corpus: ext_ivf_index_query scans ONLY the index directory
+    (training never re-runs in the serving plan) and its probe filter
+    lands as a partition filter; the probe variant prunes to a strict
+    subset of the inverted-list partitions."""
+    r = inspect_plan(R.q_ivf_index_query(spark, sf_dir))
+    assert r.scans, "expected parquet scans"
+    for s in r.scans:
+        assert "/spark_graft_indexes/" in s["location"] or "ivf8_" in s["location"], s
+        assert "embeddings.parquet" not in s["location"], s
+    plan = formatted_plan(R.q_ivf_index_query_probe(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    i = plan.index("PartitionFilters")
+    assert "centroid" in plan[i : i + 200]
+
+
 def test_registry_wide_plan_lint(spark, sf_dir):
     """Every registry query's physical plan must be scale-shaped:
 

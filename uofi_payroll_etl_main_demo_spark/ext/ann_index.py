@@ -91,6 +91,17 @@ def corpus_fingerprint(*paths: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _invalidate_meta(spark: SparkSession, index_dir: str) -> None:
+    """Delete the meta table before a (re)build touches data dirs: a
+    crash mid-rebuild must leave the index LOOKING absent (ensure_*
+    rebuilds) rather than a valid-looking meta over partial lists."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/meta")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
     spark.createDataFrame([row], _META_SCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -136,9 +147,11 @@ def ivf_index_build(
     from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
 
     spark = embeddings.sparkSession
-    dim = int(
-        embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()[0][0]
-    )
+    head = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    dim = int(head[0][0])
+    _invalidate_meta(spark, index_dir)
     index = build_ivf_index(
         embeddings,
         n_centroids=n_centroids,
@@ -360,12 +373,15 @@ def pq_index_build(
     )
 
     spark = embeddings.sparkSession
+    _invalidate_meta(spark, index_dir)
     sample = (
         embeddings.select(vec_col)
         .orderBy(F.asc(id_col))
         .limit(train_sample)
         .collect()
     )
+    if not sample:
+        raise ValueError("cannot build a PQ index over an empty corpus")
     train = np.stack([r[0] for r in sample]).astype(np.float64)
     dim = train.shape[1]
     codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)

@@ -1039,12 +1039,15 @@ def video_near_dup_pairs(
         "payload",
     )
     # integer div/mod unpack — float division truncates wrongly past
-    # 2^53 and the packing requires frame_idx < 1e6 (asserted above)
+    # 2^53 and the packing requires frame_idx < 1e6 (asserted above).
+    # PERSISTED: three plans consume the signatures (per-video decoded
+    # counts + both sides of the candidate self-join) and the decode is
+    # the expensive stage — without the cache every frame decodes 3×.
     sigs = image_dhash(packed, on_error=on_error).select(
         F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("vid"),
         F.expr("CAST(media_id % 1000000 AS INT)").alias("f"),
         "dhash",
-    )
+    ).persist()
     cnts = sigs.groupBy("vid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_decoded")
     )

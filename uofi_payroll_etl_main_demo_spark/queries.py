@@ -7276,72 +7276,76 @@ REGISTRY["ext_embedding_norm_stats"] = (
 # Rows green in r1-r3 and untouched this round remain covered by
 # scripts/check_oracle.py + pytest.
 _WINDOW_50 = [
-    # Round-5 rotation. After r4 every SQL-twinned registry query has a
-    # driver-green row; the window now carries (a) queries NEW this
-    # round, (b) queries whose code or oracle CHANGED this round, and
-    # (c) the stalest re-verification cohort — every query whose only
-    # driver-green row is from r1, plus the three oldest r2-only rows.
-    # The five remaining never-windowed names (ext_ivf_topk,
-    # ext_ivf_pq_topk, ext_pq_topk, ext_bpe_merges, ext_bpe_encode) are
-    # rows-only BY DESIGN (no SQL twin exists); their exactness twins
-    # (ext_ivf_topk_full / ext_pq_topk_full / pytest BPE pins) are
-    # driver-green, so window slots go to value-checked queries instead.
-    # -- new this round (14) --
+    # Round-6 rotation (max staleness policy: every SQL-twinned query
+    # re-driven within ~2 rounds). Carries (a) queries NEW this round,
+    # (b) queries whose implementation CHANGED this round (rewrite
+    # narrow-window + byte-cap, persist pooling, density-adaptive CC —
+    # output-identical by design, so a driver row re-proves it), and
+    # (c) the stalest cohort: all 16 whose latest driver-green is r1,
+    # plus 21 of the 29 r2-latest (the LSH/similarity block, streaming
+    # twins, temporal joins). Deferred to r7: the 8 remaining r2 rows
+    # (scd2_history, ext_mixture_take, ext_shard_assign) — all
+    # pytest-covered and r2-green, re-windowed next. Several r1-era
+    # names were consolidated since r1 (json_struct/json_extract →
+    # json_struct_and_path; p3/p4/p5 → p3_p4_p5_filters; u2/u3/u4 →
+    # u2_u3_u4_setops); the consolidated forms carry those slots.
+    # -- new this round (4) --
+    "ext_ivf_index_query",
+    "ext_pq_index_query",
+    "ext_image_dhash_png_pairs",
+    "ext_semantic_dedup_docs",
+    # -- changed this round (9) --
     "ext_chunk_dedup_rewrite",
-    "ext_vocab_panel",
     "pipeline_rewrite_curation",
-    "ext_image_dhash_pairs",
-    "ext_audio_energy_hash_pairs",
     "ext_video_dhash_pairs",
-    "ext_incremental_image_dedup",
-    "ext_quality_calibrated_filter",
-    "ext_text_embed_topk",
-    "ext_packing_efficiency",
-    "ext_bloom_decontaminate",
-    "rel_shipping_priority",
-    "rel_local_supplier_volume",
-    "ext_media_quarantine_report",
-    # -- changed this round (4) --
     "pipeline_curation",
-    "pipeline_cpa_shape",
-    "ext_length_bucketed_batches",
-    "ext_minhash_pairs_prod",
-    # -- stalest cohort: last driver-green in r1 (33 of 40; 7 rotated
-    #    out as new queries arrived — each retains its r1 green row;
-    #    32 remain after the quarantine-report swap) --
-    "p1_projection",
-    "p2_output_contract",
-    "p6_p7_filter_eq_between",
-    "p8_format_violations",
-    "p9_tristate_missing",
-    "p10_first_pick",
-    "o_topk_orders",
-    "j1_broadcast_left_join",
-    "j6_synthetic_key_join",
-    "j7_multi_key_join",
-    "jx_semi_join",
-    "jx_anti_join",
-    "j10_mode_lookup_join",
-    "a1_mode_by_group",
-    "a2_a4_minmax_counts",
-    "a8_percentiles",
-    "a6_rollup",
-    "a7_pivot",
-    "w3_running_total",
-    "w4_rank_lag",
-    "a5_count_distinct",
-    "w2_dedup_keep_first",
-    "d1_distinct_rows",
-    "d2_dedup_business_key",
-    "u1_union_by_name",
-    "f_cleanse_normalize",
-    "f6_split_code_name",
-    "f10_timestamp_coerce",
-    "f12_fiscal_year",
-    "a12_unpivot",
-    "w5_topk_per_group",
-    "w8_ntile_deciles",
+    "pipeline_curation_v2",
+    "ext_semantic_dedup",
+    "ext_dedup_clusters",
+    "ext_dedup_clusters_star",
+    "ext_leakage_split",
+    # -- stalest: the r1-latest cohort (consolidated names carry the
+    #    slots of their r1-era constituents) --
+    "ext_fuzzy_name_pairs",
+    "f_date_trunc",
+    "f_regexp_extract",
+    "f_try_cast",
+    "json_struct_and_path",
+    "json_map_explode",
+    "json_variant",
+    "p3_p4_p5_filters",
+    "u2_u3_u4_setops",
+    "w6_range_frame",
+    "w7_locf_fill",
+    # -- stalest: 26 of the 29 r2-latest --
+    "a14_quantiles",
+    "ext_chunk_documents",
+    "ext_decontaminate",
+    "ext_dedup_best_of_cluster",
+    "ext_doc_stats",
+    "ext_embedding_pairs_bucketed",
+    "ext_exact_dedup",
+    "ext_hard_negatives",
+    "ext_language_id",
+    "ext_lsh_topk",
+    "ext_repetition_stats",
+    "ext_sq_rerank_topk",
+    "ext_topk_cosine",
+    "ext_topk_cosine_gemm",
+    "ext_winnow_containment",
+    "ext_winnow_fingerprints",
+    "ext_zscore",
+    "stream_dedup",
+    "stream_interval_join",
+    "tj_asof_join",
+    "tj_range_join",
+    "ext_dataset_card",
+    "ext_pii_redact",
+    "ext_quality_classifier",
+    "a9_approx_distinct",
+    "samp_hash_sample",
 ]
+
 
 assert len(_WINDOW_50) == 50, len(_WINDOW_50)
 _missing = [n for n in _WINDOW_50 if n not in REGISTRY]
