@@ -90,6 +90,7 @@ HEADLINE = [
     "ext_session_paths",
     "ext_curriculum_order",
     "ext_incremental_dedup",
+    "ext_minhash_index_query",
     "ext_mixture_take",
     "stream_dedup",
     "stream_interval_join",

@@ -35,6 +35,13 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     pq_index_build,
     pq_index_load,
 )
+from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
+    MinHashDiskIndex,
+    ensure_minhash_index,
+    minhash_index_add,
+    minhash_index_build,
+    minhash_index_load,
+)
 from uofi_payroll_etl_main_demo_spark.ext.ivf import (  # noqa: F401
     IVFIndex,
     build_ivf_index,

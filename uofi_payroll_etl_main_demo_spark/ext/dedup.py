@@ -171,6 +171,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def band_key_structs(num_hashes: int, bands: int) -> list:
+    """The LSH band-key expressions over signature columns m0..m{n-1}:
+    one struct (band, bh) per band, bh = xxhash64 of the band's
+    signature slice (only slice EQUALITY matters for bucketing, so an
+    engine-local hash of the concatenated slice is safe — and every
+    path that BUILDS or QUERIES band keys must use THIS function, or
+    stored index keys and query keys would silently never match)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+
+
 def _min_sig_agg(
     df: DataFrame,
     id_col: str,
@@ -268,7 +293,6 @@ def minhash_near_dup_pairs(
     by ``threshold`` (output: id_a, id_b, jaccard); otherwise pairs
     carry estimated signature similarity (id_a, id_b, est_jaccard).
     """
-    rows_per_band = num_hashes // bands
     # ONE shingle pass feeds everything downstream: the same explode +
     # groupBy produces the n partial-min signature columns AND (for
     # verify) the exact shingle set. Persisted because banding, both
@@ -286,21 +310,7 @@ def minhash_near_dup_pairs(
     ).persist()
     # Static band count → Python loop of literal slices; each band key
     # is the hash of its signature-slice columns.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + i}").cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                )
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_structs = band_key_structs(num_hashes, bands)
     banded = per_doc.select(
         F.col(id_col),
         F.explode(F.array(*band_structs)).alias("bk"),
@@ -416,7 +426,6 @@ def incremental_near_dup_pairs(
             F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
         )
     )
-    rows_per_band = num_hashes // bands
     flags = tagged.select(id_col, "__new")
     per_doc = _min_sig_agg(
         _shingle_hashes(tagged, text_col, id_col, k, hash_family),
@@ -425,21 +434,7 @@ def incremental_near_dup_pairs(
         F.collect_list("sh").alias("__set"),
         hash_family=hash_family,
     ).join(flags, id_col).persist()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + i}").cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                )
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_structs = band_key_structs(num_hashes, bands)
     banded = per_doc.select(
         F.col(id_col),
         F.col("__new"),

@@ -1,0 +1,312 @@
+"""Persisted MinHash dedup index: build → save → load → query → add.
+
+The text analogue of :mod:`~uofi_payroll_etl_main_demo_spark.ext.ann_index`
+— the in-query CDC operator (``ext/dedup.py incremental_near_dup_pairs``)
+re-shingles and re-signatures the WHOLE corpus on every batch; at
+100 TB the daily dedup job should pay for the batch, not the corpus.
+This module materializes the corpus' LSH state once:
+
+    {index_dir}/bands/     (doc_id, bh) PARTITIONED BY band, sorted by
+                           bh within partitions — the candidate join's
+                           probe side, ~bands × 16 B per document
+    {index_dir}/shingles/  (doc_id, shingle-hash set) — exact-Jaccard
+                           verification of candidates without touching
+                           document text
+    {index_dir}/meta/      one row: format version, params, corpus_tag
+
+Query cost is one signature pass over the NEW batch plus an equi-join
+of its band keys against the stored bands table; verification joins
+only the candidate ids' stored shingle sets. ``add`` appends a batch's
+bands+shingles (the caller decides which batch rows survived dedup),
+so the store grows with the corpus without ever rebuilding.
+
+Index-vs-inline EQUIVALENCE is the correctness contract: built and
+queried with the same parameters, ``MinHashDiskIndex.query`` must
+return exactly ``incremental_near_dup_pairs(corpus, batch, ...)`` —
+pinned in tests and by the registry oracle (the same portable-family
+SQL twin verifies both).
+
+No reference parity: the reference pipeline has no dedup surface;
+extension scope (SURVEY.md §2.9 dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+    INDEX_FORMAT_VERSION,
+    _fs_exists,
+    _invalidate_meta,
+)
+from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+    _min_sig_agg,
+    _shingle_hashes,
+    band_key_structs,
+)
+
+_MH_META_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("id_col", T.StringType(), False),
+        T.StructField("text_col", T.StringType(), False),
+        T.StructField("num_hashes", T.IntegerType(), False),
+        T.StructField("bands", T.IntegerType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("hash_family", T.StringType(), False),
+        T.StructField("corpus_tag", T.StringType(), False),
+    ]
+)
+
+
+def _banded_and_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One shingle pass → ((id, band, bh) band rows, (id, set) shingle
+    sets). The per-doc wide frame is persisted because both outputs
+    consume it; the caller unpersists via the returned frames' lineage
+    (or a harness clearCache)."""
+    per_doc = _min_sig_agg(
+        _shingle_hashes(df, text_col, id_col, k, hash_family),
+        id_col,
+        num_hashes,
+        F.collect_list("sh").alias("__set"),
+        hash_family=hash_family,
+    ).persist()
+    banded = per_doc.select(
+        F.col(id_col),
+        F.explode(F.array(*band_key_structs(num_hashes, bands))).alias("bk"),
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    sets_ = per_doc.select(F.col(id_col), F.col("__set"))
+    return banded, sets_
+
+
+def minhash_index_build(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 4,
+    hash_family: str = "portable",
+    corpus_tag: str = "",
+) -> None:
+    """Shingle + signature + band the corpus ONCE, persist the LSH
+    state. Meta invalidated first / written last — same crash contract
+    as the ANN builds."""
+    spark = corpus.sparkSession
+    _invalidate_meta(spark, index_dir)
+    banded, sets_ = _banded_and_sets(
+        corpus, text_col, id_col, num_hashes, bands, k, hash_family
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bh")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+    sets_.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    spark.createDataFrame(
+        [
+            {
+                "version": INDEX_FORMAT_VERSION,
+                "kind": "minhash",
+                "id_col": id_col,
+                "text_col": text_col,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "k": k,
+                "hash_family": hash_family,
+                "corpus_tag": corpus_tag,
+            }
+        ],
+        _MH_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def _read_mh_meta(spark: SparkSession, index_dir: str) -> dict:
+    rows = spark.read.parquet(f"{index_dir}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt index meta at {index_dir}: {len(rows)} rows")
+    meta = rows[0].asDict()
+    if meta["version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format v{meta['version']} at {index_dir}; "
+            f"this build reads v{INDEX_FORMAT_VERSION}"
+        )
+    if meta["kind"] != "minhash":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not minhash"
+        )
+    return meta
+
+
+class MinHashDiskIndex:
+    """Loaded handle: params on the driver, band/shingle tables lazy."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta: dict):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+
+    def query(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.5,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """(new_id, old_id, jaccard ≥ threshold): which batch documents
+        near-duplicate the INDEXED corpus. One signature pass over the
+        batch; the corpus contributes only stored band rows (equi-join
+        on (band, bh)) and the candidates' stored shingle sets — the
+        corpus text is never read, never re-shingled.
+
+        ``max_bucket_size`` drops candidates whose stored band bucket
+        exceeds the cap (the boilerplate mega-bucket valve, applied on
+        the CORPUS side where the skew lives). Batch ids must be
+        disjoint from indexed ids."""
+        m = self.meta
+        id_col, text_col = m["id_col"], m["text_col"]
+        new_banded, new_sets = _banded_and_sets(
+            batch,
+            text_col,
+            id_col,
+            m["num_hashes"],
+            m["bands"],
+            m["k"],
+            m["hash_family"],
+        )
+        stored = self.spark.read.parquet(f"{self.index_dir}/bands")
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
+
+            cnt = F.count(F.lit(1)).over(
+                Window.partitionBy("band", "bh")
+            )
+            stored = (
+                stored.withColumn("__bn", cnt)
+                .filter(F.col("__bn") <= max_bucket_size)
+                .drop("__bn")
+            )
+        cand = (
+            new_banded.withColumnRenamed(id_col, "new_id")
+            .join(
+                stored.withColumnRenamed(id_col, "old_id"),
+                ["band", "bh"],
+            )
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        old_sets = self.spark.read.parquet(f"{self.index_dir}/shingles")
+        with_a = cand.join(
+            new_sets.select(
+                F.col(id_col).alias("new_id"), F.col("__set").alias("set_a")
+            ),
+            "new_id",
+        )
+        with_b = with_a.join(
+            old_sets.select(
+                F.col(id_col).alias("old_id"), F.col("__set").alias("set_b")
+            ),
+            "old_id",
+        )
+        inter = F.size(F.array_intersect("set_a", "set_b"))
+        union = F.size("set_a") + F.size("set_b") - inter
+        return (
+            with_b.withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "old_id", "jaccard")
+        )
+
+
+def minhash_index_load(spark: SparkSession, index_dir: str) -> MinHashDiskIndex:
+    return MinHashDiskIndex(spark, index_dir, _read_mh_meta(spark, index_dir))
+
+
+def minhash_index_add(
+    batch: DataFrame, index_dir: str, *, new_corpus_tag: str
+) -> None:
+    """Append a batch's LSH state (bands + shingle sets) to the store —
+    the accept-into-corpus half of the CDC loop (query first, then add
+    the survivors). Re-keys the corpus tag; no existing file is
+    rewritten."""
+    spark = batch.sparkSession
+    meta = _read_mh_meta(spark, index_dir)
+    banded, sets_ = _banded_and_sets(
+        batch,
+        meta["text_col"],
+        meta["id_col"],
+        meta["num_hashes"],
+        meta["bands"],
+        meta["k"],
+        meta["hash_family"],
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bh")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+    sets_.write.mode("append").parquet(f"{index_dir}/shingles")
+    spark.createDataFrame(
+        [{**meta, "corpus_tag": new_corpus_tag}], _MH_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def ensure_minhash_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    corpus_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 4,
+    hash_family: str = "portable",
+) -> MinHashDiskIndex:
+    """Load-or-build keyed by params + corpus_tag (see ann_index)."""
+    spark = corpus.sparkSession
+    if _fs_exists(spark, f"{index_dir}/meta"):
+        try:
+            meta = _read_mh_meta(spark, index_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["corpus_tag"] == corpus_tag
+            and meta["num_hashes"] == num_hashes
+            and meta["bands"] == bands
+            and meta["k"] == k
+            and meta["hash_family"] == hash_family
+            and meta["id_col"] == id_col
+            and meta["text_col"] == text_col
+        ):
+            return MinHashDiskIndex(spark, index_dir, meta)
+    minhash_index_build(
+        corpus,
+        index_dir,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        hash_family=hash_family,
+        corpus_tag=corpus_tag,
+    )
+    return minhash_index_load(spark, index_dir)

@@ -4171,6 +4171,53 @@ REGISTRY["ext_incremental_dedup"] = (
 )
 
 
+def q_minhash_index_query(spark, sf_dir):
+    """Persisted TEXT-dedup index serving path (ext/dedup_index.py):
+    the corpus' MinHash LSH state — band keys partitioned by band,
+    shingle-hash sets for verification — is ensure-built ONCE, and the
+    CDC query pays one signature pass over the BATCH plus an equi-join
+    against the stored bands; the corpus text is never re-shingled.
+    Built and queried with the in-query CDC operator's exact parameters
+    (portable family, 32 hashes × 16 bands, k=3), so the oracle is the
+    SAME portable-family SQL twin that verifies ext_incremental_dedup —
+    the index path must reproduce the inline path pair-for-pair,
+    jaccard-for-jaccard."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        ensure_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"mh32x16k3_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index = ensure_minhash_index(
+        corpus,
+        idx_dir,
+        corpus_tag=corpus_fingerprint(doc_path) + ":mod5ne4",
+        num_hashes=32,
+        bands=16,
+        k=3,
+        hash_family="portable",
+    )
+    out = index.query(batch, threshold=0.2)
+    return out.select(
+        "new_id", "old_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+REGISTRY["ext_minhash_index_query"] = (
+    q_minhash_index_query,
+    _sql_incremental_dedup(),
+)
+
+
 def q_incremental_simhash(spark, sf_dir):
     """Incremental SimHash dedup: new-batch docs (doc_id % 5 == 4)
     within Hamming ≤ 3 of the existing corpus — the SimHash twin of
@@ -7294,12 +7341,14 @@ _WINDOW_50 = [
     "ext_pq_index_query",
     "ext_image_dhash_png_pairs",
     "ext_semantic_dedup_docs",
-    # -- changed this round (9) --
+    # -- changed this round (9; pipeline_curation_v2's persist-pool
+    #    touch yields its slot to the new ext_minhash_index_query —
+    #    v2 stays covered by the full sweep + pytest) --
+    "ext_minhash_index_query",
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
     "ext_video_dhash_pairs",
     "pipeline_curation",
-    "pipeline_curation_v2",
     "ext_semantic_dedup",
     "ext_dedup_clusters",
     "ext_dedup_clusters_star",
