@@ -112,6 +112,7 @@ HEADLINE = [
     "pipeline_rewrite_curation",
     "ext_quality_calibrated_filter",
     "ext_text_embed_topk",
+    "ext_passage_topk",
     "rel_shipping_priority",
     "rel_local_supplier_volume",
 ]

@@ -734,7 +734,7 @@ def bigram_surprisal(
 def hashed_bow_embeddings(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: "str | list[str]" = "doc_id",
     dim: int = 16,
 ) -> DataFrame:
     """Hashed bag-of-words embeddings for a whole corpus → (id, v):
@@ -752,10 +752,15 @@ def hashed_bow_embeddings(
         tokenize_ws,
     )
 
+    # id_col may be a LIST (composite key — e.g. (doc_id, chunk_idx)
+    # for passage-level embeddings); the single-column form is the
+    # common corpus case.
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = df.select(
-        F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+        *[F.col(c) for c in id_cols],
+        F.explode(tokenize_ws(text_col)).alias("__t"),
     ).select(
-        id_col,
+        *id_cols,
         (
             F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
             .cast("bigint") % F.lit(dim)
@@ -767,10 +772,10 @@ def hashed_bow_embeddings(
         .alias(f"__c{j}")
         for j in range(dim)
     ]
-    g = tok.groupBy(id_col).agg(*aggs)
+    g = tok.groupBy(*id_cols).agg(*aggs)
     cols = [F.col(f"__c{j}") for j in range(dim)]
     norm = F.sqrt(sum((c * c for c in cols), F.lit(0.0)))
     return g.select(
-        F.col(id_col),
+        *[F.col(c) for c in id_cols],
         F.transform(F.array(*cols), lambda x: x / norm).alias("v"),
     )

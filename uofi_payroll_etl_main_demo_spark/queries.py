@@ -6771,6 +6771,110 @@ LIMIT {k}
 REGISTRY["ext_text_embed_topk"] = (q_text_embed_topk, _sql_text_embed_topk())
 
 
+def _bow_query_vec(text: str, dim: int = 16) -> list[float]:
+    """Driver-side hashed-BOW of a literal query string under the SAME
+    law as ``functions.text.hashed_bow_buckets`` (md5[:15] % dim,
+    counts, L2-normalize) — inlined as a literal on both engine sides,
+    the QUERY_VEC pattern."""
+    import hashlib
+    import math
+
+    counts = [0] * dim
+    for tok in text.split():
+        counts[int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim] += 1
+    n = math.sqrt(sum(c * c for c in counts)) or 1.0
+    return [c / n for c in counts]
+
+
+PASSAGE_QUERY_TEXT = "data panel review quality window"
+_PASSAGE_QV = _bow_query_vec(PASSAGE_QUERY_TEXT)
+
+
+def q_passage_topk(spark, sf_dir):
+    """PASSAGE-level retrieval with doc-level max pooling — the
+    late-interaction/RAG shape: tumbling 32-token chunks, hashed-BOW
+    embedding PER CHUNK (composite (doc_id, chunk_idx) key through the
+    codegen explode+agg embedder), cosine against a literal query
+    embedding, then each document scores as its BEST chunk (max score,
+    ties to the lowest chunk_idx) and the top 10 documents return with
+    the winning passage index. Retrieval granularity is passages —
+    long documents can't bury a relevant span in their average — while
+    the result stays doc-level. Scoring is a narrow map over chunk
+    rows; doc pooling is one max-agg; k-selection is distributed
+    TakeOrderedAndProject. Swapping the closed-form embedder for a
+    model column changes nothing downstream."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_documents,
+        hashed_bow_embeddings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=32, stride=32)
+    emb = hashed_bow_embeddings(
+        chunks, text_col="chunk_text", id_col=["doc_id", "chunk_idx"]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in _PASSAGE_QV])
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        emb.select("doc_id", "chunk_idx", dot.alias("__s"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("__s"), (-F.col("chunk_idx")).alias("__ni"))).alias("__b"))
+        .select(
+            "doc_id",
+            (-F.col("__b.__ni")).cast("int").alias("best_chunk_idx"),
+            F.col("__b.__s").alias("__s"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("__s"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", "best_chunk_idx", F.round("__s", 6).alias("score")
+        )
+    )
+
+
+def _sql_passage_topk(dim: int = 16, size: int = 32, k: int = 10) -> str:
+    qv = "[" + ", ".join(repr(x) for x in _PASSAGE_QV) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - {size}, 0) + {size - 1})
+               / {size}.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         toks[i * {size} + 1 : i * {size} + {size}] AS ctoks
+       FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+bk AS (SELECT doc_id, chunk_idx, list_transform(ctoks,
+         tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim}) AS b
+       FROM ch WHERE len(ctoks) > 0),
+cnt AS (SELECT doc_id, chunk_idx, list_transform(range(0, {dim}),
+          j -> CAST(len(list_filter(b, x -> x = j)) AS DOUBLE)) AS cv
+        FROM bk),
+emb AS (SELECT doc_id, chunk_idx, list_transform(cv, x -> x / sqrt(
+          list_aggregate(list_transform(cv, y -> y * y), 'sum'))) AS v
+        FROM cnt),
+scored AS (SELECT doc_id, chunk_idx,
+             list_dot_product(v, {qv}) AS s FROM emb),
+best AS (SELECT doc_id, chunk_idx AS best_chunk_idx, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, chunk_idx) AS rn
+         FROM scored)
+SELECT doc_id, best_chunk_idx, round(s, 6) AS score
+FROM best WHERE rn = 1
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+REGISTRY["ext_passage_topk"] = (q_passage_topk, _sql_passage_topk())
+
+
 def q_chunk_dedup_stats(spark, sf_dir):
     """Passage-level dedup: chunk every document (32-token tumbling
     windows), dedup chunks GLOBALLY on md5 (survivor = first by
@@ -7331,12 +7435,14 @@ _WINDOW_50 = [
     # (c) the stalest cohort: all 16 whose latest driver-green is r1,
     # plus 21 of the 29 r2-latest (the LSH/similarity block, streaming
     # twins, temporal joins). Deferred to r7: the 8 remaining r2 rows
-    # (scd2_history, ext_mixture_take, ext_shard_assign) — all
+    # (scd2_history, ext_mixture_take, ext_shard_assign,
+    # a9_approx_distinct) — all
     # pytest-covered and r2-green, re-windowed next. Several r1-era
     # names were consolidated since r1 (json_struct/json_extract →
     # json_struct_and_path; p3/p4/p5 → p3_p4_p5_filters; u2/u3/u4 →
     # u2_u3_u4_setops); the consolidated forms carry those slots.
-    # -- new this round (4) --
+    # -- new this round --
+    "ext_passage_topk",
     "ext_ivf_index_query",
     "ext_pq_index_query",
     "ext_image_dhash_png_pairs",
@@ -7391,7 +7497,6 @@ _WINDOW_50 = [
     "ext_dataset_card",
     "ext_pii_redact",
     "ext_quality_classifier",
-    "a9_approx_distinct",
     "samp_hash_sample",
 ]
 
