@@ -1478,6 +1478,37 @@ def test_chunk_dedup_rewrite_byte_cap_quarantine(spark):
     assert capped[1][0] == 3 and capped[1][1] == 2
 
 
+def test_rewrite_valve_and_report_agree(spark, sf_dir):
+    """The byte-cap valve and the quarantine report share one guard
+    expression — the ids the report flags at cap X are EXACTLY the ids
+    the capped rewrite excludes."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        chunk_dedup_rewrite,
+        max_tumbling_chunk_bytes,
+    )
+    from uofi_payroll_etl_main_demo_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cap = 170
+    flagged = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", max_tumbling_chunk_bytes("text", 32).alias("mb")
+        )
+        .filter(F.col("mb") > cap)
+        .collect()
+    }
+    assert flagged  # the fixture corpus trips this cap
+    out_ids = {
+        r["doc_id"]
+        for r in chunk_dedup_rewrite(docs, max_chunk_bytes=cap).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all_ids - out_ids == flagged
+
+
 def test_hashed_bow_agg_matches_column_builder(spark):
     """The corpus-level explode+agg embedder (codegen path) is
     numerically identical to the Column-builder form."""

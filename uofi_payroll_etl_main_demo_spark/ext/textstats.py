@@ -253,6 +253,47 @@ def chunk_documents(
     )
 
 
+def max_tumbling_chunk_bytes(text_col: str, size: int):
+    """Per-row MAX byte length over the tumbling ``size``-token chunks
+    of ``text_col`` — WITHOUT building chunk text: one aggregate fold
+    over token byte lengths (chunk bytes = Σ token bytes + (count−1)
+    single-space separators, exactly what ``array_join`` produces
+    downstream). −1 for token-less text; NULL text → NULL. Shared by
+    the ``chunk_dedup_rewrite`` byte-cap valve and the quarantine
+    report query — the guard and the report must agree byte-for-byte.
+    """
+    lens = F.transform(
+        tokenize_ws(text_col), lambda t: F.octet_length(t).cast("long")
+    )
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        lens,
+        F.struct(
+            zero.alias("s"), zero.alias("c"), F.lit(-1).cast("long").alias("mx")
+        ),
+        lambda acc, x: F.when(
+            acc["c"] == size,
+            F.struct(
+                x.alias("s"),
+                F.lit(1).cast("long").alias("c"),
+                F.greatest(acc["mx"], acc["s"] + acc["c"] - 1).alias("mx"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["s"] + x).alias("s"),
+                (acc["c"] + 1).alias("c"),
+                acc["mx"].alias("mx"),
+            )
+        ),
+        lambda acc: F.greatest(
+            acc["mx"],
+            F.when(acc["c"] > 0, acc["s"] + acc["c"] - 1).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+
+
 def chunk_dedup_rewrite(
     df: DataFrame,
     text_col: str = "text",
@@ -296,43 +337,11 @@ def chunk_dedup_rewrite(
 
     base = df
     if max_chunk_bytes is not None:
-        # ONE narrow filter, no join, chunk text never built: the max
-        # tumbling-chunk byte length folds over token BYTE LENGTHS in
-        # a single aggregate pass (chunk bytes = Σ token bytes +
-        # (count-1) single-space separators — exactly what array_join
-        # will produce downstream). An explode+anti-join form was
+        # ONE narrow filter, no join, chunk text never built (see
+        # max_tumbling_chunk_bytes). An explode+anti-join form was
         # measured 10× slower here: it re-chunks the corpus per
         # reference and shuffles full chunk text through the anti-join.
-        lens = F.transform(
-            tokenize_ws(text_col), lambda t: F.octet_length(t).cast("long")
-        )
-        zero = F.lit(0).cast("long")
-        max_bytes = F.aggregate(
-            lens,
-            F.struct(
-                zero.alias("s"), zero.alias("c"), F.lit(-1).cast("long").alias("mx")
-            ),
-            lambda acc, x: F.when(
-                acc["c"] == size,
-                F.struct(
-                    x.alias("s"),
-                    F.lit(1).cast("long").alias("c"),
-                    F.greatest(acc["mx"], acc["s"] + acc["c"] - 1).alias("mx"),
-                ),
-            ).otherwise(
-                F.struct(
-                    (acc["s"] + x).alias("s"),
-                    (acc["c"] + 1).alias("c"),
-                    acc["mx"].alias("mx"),
-                )
-            ),
-            lambda acc: F.greatest(
-                acc["mx"],
-                F.when(acc["c"] > 0, acc["s"] + acc["c"] - 1).otherwise(
-                    F.lit(-1).cast("long")
-                ),
-            ),
-        )
+        max_bytes = max_tumbling_chunk_bytes(text_col, size)
         base = base.filter(
             F.coalesce(max_bytes <= F.lit(int(max_chunk_bytes)), F.lit(True))
         )

@@ -6987,6 +6987,60 @@ REGISTRY["ext_chunk_dedup_rewrite"] = (
 )
 
 
+def q_rewrite_quarantine_report(spark, sf_dir):
+    """Quarantine REPORT for the rewrite byte-cap valve: which
+    documents a ``max_chunk_bytes`` cap would exclude, with the
+    offending max tumbling-chunk byte length — the same accountability
+    query the media quarantine has (`ext_media_quarantine_report`):
+    a valve that silently drops rows is a data-loss bug, a valve whose
+    quarantine set is one query away is an operational control. The
+    report shares the valve's exact guard expression
+    (``max_tumbling_chunk_bytes`` — one narrow fold over token byte
+    lengths, chunk text never built), so report and valve cannot
+    disagree. The cap here (170 B over 32-token chunks) sits inside
+    the fixture corpus' chunk-size distribution (p90 ≈ 182 B), so the
+    report is value-checked on a NON-empty quarantine set."""
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        max_tumbling_chunk_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mb = max_tumbling_chunk_bytes("text", 32)
+    return (
+        docs.select(
+            "doc_id", mb.cast("bigint").alias("max_chunk_bytes")
+        )
+        .filter(F.col("max_chunk_bytes") > 170)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_rewrite_quarantine_report(size: int = 32, cap: int = 170) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - {size}, 0) + {size - 1})
+               / {size}.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t),
+ch AS (SELECT doc_id,
+         strlen(array_to_string(
+           toks[i * {size} + 1 : i * {size} + {size}], ' ')) AS cb
+       FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+mx AS (SELECT doc_id, CAST(max(cb) AS BIGINT) AS max_chunk_bytes
+       FROM ch GROUP BY doc_id)
+SELECT doc_id, max_chunk_bytes FROM mx
+WHERE max_chunk_bytes > {cap} ORDER BY doc_id
+"""
+
+
+REGISTRY["ext_rewrite_quarantine_report"] = (
+    q_rewrite_quarantine_report,
+    _sql_rewrite_quarantine_report(),
+)
+
+
 def q_vocab_panel(spark, sf_dir):
     """Per-source vocabulary-health panel (ext/textstats.py
     vocab_panel): token occurrences, type count, hapax count,
