@@ -207,6 +207,41 @@ def main() -> None:
 
     run("chunk_dedup_rewrite_hostile_capped", _hostile_rewrite)
 
+    # persisted MinHash index (round 6): the CDC claim is that QUERY
+    # cost tracks the BATCH, not the corpus — build once per factor
+    # (timed separately), then query a FIXED 500-doc batch; across
+    # factors the query row should stay near-flat while the corpus
+    # (and build) grows linearly
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        ensure_minhash_index,
+        minhash_index_load,
+    )
+
+    mh_dir = f"/tmp/scale_probe_mh_{factor}x"
+    mh_params = dict(num_hashes=32, bands=16, k=3, hash_family="xxhash64")
+
+    def _mh_build():
+        ensure_minhash_index(
+            docs, mh_dir, corpus_tag=f"probe{factor}", **mh_params
+        )
+        return docs.sparkSession.read.parquet(f"{mh_dir}/bands")
+
+    def _mh_query():
+        # fixed-size batch: 500 fresh near-dup variants of originals,
+        # ids disjoint from every replica id
+        batch = (
+            spark.read.parquet(f"{BASE}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
+            )
+        )
+        return minhash_index_load(spark, mh_dir).query(batch, threshold=0.2)
+
+    run("minhash_index_build", _mh_build)
+    run("minhash_index_query_fixed_batch", _mh_query)
+
     # multimodal dedup at scale (round 5): images render EXECUTOR-SIDE
     # (mapInPandas over an id range — no driver materialization), then
     # real PPM decode -> dHash -> pigeonhole Hamming pairs; every even

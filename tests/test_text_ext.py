@@ -1155,6 +1155,39 @@ def test_png_roundtrip_every_filter_and_color_type():
     assert (decode_png(payload) == px).all()
 
 
+def test_png_roundtrip_property():
+    """Hypothesis: ANY uint8 image round-trips losslessly through
+    png_bytes → decode_png under every filter type and arbitrary
+    (h, w) — the decoder's unfiltering recurrences are exercised on
+    adversarial pixel content, not just the fixture law."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_png,
+        png_bytes,
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    )
+    def roundtrip(h, w, seed, ft):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(png_bytes(px, filter_type=ft)) == px).all()
+
+    roundtrip()
+
+
 def test_png_corruption_is_loud():
     """Truncation at any layer and CRC damage raise (so on_error='skip'
     can quarantine); unsupported variants are principled stubs."""
@@ -1177,6 +1210,63 @@ def test_png_corruption_is_loud():
         decode_png(bytes(flipped))
     with _pytest.raises(NotImplementedError):
         decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_bmp_roundtrip_and_dispatch(spark):
+    """BMP: lossless roundtrip (incl. the 4-byte row-padding widths),
+    top-down negative-height decode, loud truncation, and the same
+    dHash as the PPM twin through the decode_image dispatch."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        image_dhash,
+        ppm_bytes,
+        synthetic_gradient_images,
+    )
+
+    for w in (5, 6, 7, 8):  # every padding remainder
+        r = np.arange(16).reshape(-1, 1)
+        c = np.arange(w).reshape(1, -1)
+        px = np.stack(
+            [(r * 7 + c) % 256, (r + c * 13) % 256, (r * 3 + c * 5) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        assert (decode_bmp(bmp_bytes(px)) == px).all(), w
+    # top-down variant: flip the height sign and the row order
+    good = bytearray(bmp_bytes(px))
+    h = struct.unpack_from("<i", good, 22)[0]
+    struct.pack_into("<i", good, 22, -h)
+    off = struct.unpack_from("<I", good, 10)[0]
+    stride = (px.shape[1] * 3 + 3) // 4 * 4
+    body = bytes(good[off:])
+    flipped = b"".join(
+        body[r * stride : (r + 1) * stride]
+        for r in range(h - 1, -1, -1)
+    )
+    assert (decode_bmp(bytes(good[:off]) + flipped) == px).all()
+    with _pytest.raises(ValueError):
+        decode_bmp(bmp_bytes(px)[:-10])
+    # dispatch parity: BMP payload hashes identically to the PPM twin
+    media = synthetic_gradient_images(spark, n=4)
+    import pyspark.sql.functions as _F  # noqa: N811
+
+    def reencode(payload):
+        from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+            decode_ppm,
+        )
+
+        return bmp_bytes(decode_ppm(bytes(payload)))
+
+    rows = [(r["media_id"], reencode(r["payload"])) for r in media.collect()]
+    bmp_media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    h_ppm = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    h_bmp = {r["media_id"]: r["dhash"] for r in image_dhash(bmp_media).collect()}
+    assert h_ppm == h_bmp
 
 
 def test_png_dhash_equals_ppm_dhash(spark):

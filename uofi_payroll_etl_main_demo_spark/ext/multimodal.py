@@ -433,18 +433,86 @@ def decode_png(payload: bytes):
     return px
 
 
+def bmp_bytes(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a 24-bpp uncompressed BMP
+    (BITMAPINFOHEADER, BGR byte order, bottom-up rows, 4-byte row
+    padding — the public Windows DIB layout, stdlib ``struct`` only)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body.extend(px[r, :, ::-1].tobytes())  # RGB → BGR
+        body.extend(b"\x00" * pad)
+    off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp(payload: bytes):
+    """(H, W, 3) uint8 from an uncompressed 24/32-bpp BMP — both
+    bottom-up (positive height) and top-down (negative) row orders;
+    compressed (RLE) and paletted variants raise the principled
+    ``NotImplementedError``. Truncation raises."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise NotImplementedError("not a BMP stream")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variants unsupported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE/bitfields) unsupported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP unsupported (24/32 only)")
+    if w <= 0 or h_raw == 0 or planes != 1:
+        raise ValueError("invalid BMP dimensions")
+    h = abs(h_raw)
+    ch = bpp // 8
+    stride = (w * ch + 3) // 4 * 4
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if h_raw > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
 def decode_image(payload: bytes):
     """(H, W, 3) uint8 from any supported image container — magic-byte
-    dispatch: binary P6 PPM (:func:`decode_ppm`) or PNG
-    (:func:`decode_png`). Unsupported codecs (JPEG etc.) raise
-    ``NotImplementedError`` at the decode site, the documented stub
-    boundary. Every hash/resize path routes through here, so a new
-    codec lights up the whole image pipeline at once."""
+    dispatch: binary P6 PPM (:func:`decode_ppm`), PNG
+    (:func:`decode_png`) or uncompressed BMP (:func:`decode_bmp`).
+    Unsupported codecs (JPEG etc.) raise ``NotImplementedError`` at
+    the decode site, the documented stub boundary. Every hash/resize
+    path routes through here, so a new codec lights up the whole image
+    pipeline at once."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
-    raise NotImplementedError("unsupported image codec (P6 PPM / PNG only)")
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image codec (P6 PPM / PNG / BMP only)"
+    )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
