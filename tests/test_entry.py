@@ -61,6 +61,9 @@ def test_contract_shape():
         # data-adaptive nprobe pruning over the persisted index; its
         # full-probe twin ext_ivf_index_query is the value oracle
         "ext_ivf_index_query_probe",
+        # lossy codec: quantization noise has no closed form; the codec
+        # is value-pinned against hand-built spec streams in test_jpeg
+        "ext_image_dhash_jpeg_pairs",
         "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
         "ext_bpe_encode",  # ditto; both pinned vs Python reference
         # ext_minhash_pairs_prod is NOT here since round 4: the exact

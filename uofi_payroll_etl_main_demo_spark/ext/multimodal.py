@@ -499,19 +499,24 @@ def decode_bmp(payload: bytes):
 def decode_image(payload: bytes):
     """(H, W, 3) uint8 from any supported image container — magic-byte
     dispatch: binary P6 PPM (:func:`decode_ppm`), PNG
-    (:func:`decode_png`) or uncompressed BMP (:func:`decode_bmp`).
-    Unsupported codecs (JPEG etc.) raise ``NotImplementedError`` at
-    the decode site, the documented stub boundary. Every hash/resize
-    path routes through here, so a new codec lights up the whole image
-    pipeline at once."""
+    (:func:`decode_png`), uncompressed BMP (:func:`decode_bmp`) or
+    baseline JPEG (:mod:`~uofi_payroll_etl_main_demo_spark.ext.jpeg`).
+    Unsupported codecs raise ``NotImplementedError`` at the decode
+    site, the documented stub boundary. Every hash/resize path routes
+    through here, so a new codec lights up the whole image pipeline at
+    once."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from uofi_payroll_etl_main_demo_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unsupported image codec (P6 PPM / PNG / BMP only)"
+        "unsupported image codec (P6 PPM / PNG / BMP / JPEG only)"
     )
 
 
@@ -815,6 +820,51 @@ def synthetic_gradient_images_png(
                 {
                     "modality": "image",
                     "mime": "image/png",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_gradient_images_jpeg(
+    spark, n: int = 48, width: int = 18, height: int = 16, quality: int = 95
+) -> "DataFrame":
+    """The JPEG twin of :func:`synthetic_gradient_images` — same pixel
+    law, payloads REAL baseline-JPEG (entropy-coded, lossy). Unlike
+    the PNG twin there is NO bit-exact oracle: quantization shifts
+    pixels a few levels, so hashes are pinned by perceptual STABILITY
+    (Hamming ≤ 2 of the lossless twin at q=95, tests/test_jpeg.py) and
+    the registry row is rows-only by design."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.jpeg import jpeg_bytes
+
+    rows = []
+    for i in range(n):
+        g = i // 2
+        r_idx = np.arange(height).reshape(-1, 1)
+        c_idx = np.arange(width).reshape(1, -1)
+        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
+        px = np.zeros((height, width, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            px[:, :, 0] = v
+            px[:, :, 1] = v
+            px[:, :, 2] = v
+        else:
+            px[:, :, 0] = v + 3
+            px[:, :, 1] = v
+            px[:, :, 2] = v - 3
+        rows.append(
+            (
+                i,
+                jpeg_bytes(px, quality=quality),
+                {
+                    "modality": "image",
+                    "mime": "image/jpeg",
                     "width": width,
                     "height": height,
                     "duration_ms": None,

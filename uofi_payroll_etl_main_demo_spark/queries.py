@@ -6499,6 +6499,32 @@ REGISTRY["ext_image_dhash_png_pairs"] = (
 )
 
 
+def q_image_dhash_jpeg_pairs(spark, sf_dir):
+    """Perceptual dedup over REAL baseline-JPEG payloads (stdlib+numpy
+    entropy decode, ext/jpeg.py): gradient fixture → dHash → banded
+    Hamming pairs at a threshold widened to 6 — JPEG is LOSSY, so each
+    hash may drift ≤2 bits off its lossless twin (pinned in
+    tests/test_jpeg.py) and the pair threshold absorbs both ends'
+    drift. Rows-only BY DESIGN: quantization noise has no closed form,
+    so the exact SQL oracle of the PPM/PNG twins cannot apply; the
+    codec itself is value-pinned against hand-constructed spec streams
+    (DC-only closed-form pixels, 4:4:4 and 4:2:0) in pytest."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images_jpeg,
+    )
+
+    media = synthetic_gradient_images_jpeg(spark, n=48)
+    sigs = image_dhash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "dhash", max_hamming=6
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+REGISTRY["ext_image_dhash_jpeg_pairs"] = (q_image_dhash_jpeg_pairs, None)
+
+
 def q_audio_energy_hash_pairs(spark, sf_dir):
     """Perceptual audio dedup: REAL PCM-WAV decode → 64-bit energy-step
     fingerprint (integer sum-of-squares per window, one bit per rising
