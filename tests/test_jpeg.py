@@ -217,3 +217,27 @@ def test_jpeg_pairs_query_full_twin_recall(spark):
     }
     for g in range(24):
         assert (2 * g, 2 * g + 1) in pairs, g
+
+
+def test_hand_built_restart_interval():
+    """DRI=1 with an RST0 marker between two grayscale blocks: the
+    second block's DC PREDICTOR must reset (diff +5 after the restart
+    means DC=5 → 138, not 10·16/8+128); bit alignment must resync at
+    the marker. Exercises the restart path end-to-end."""
+    enc_dc, _ = _build_huffman(*_DC_LUM)
+    enc_ac, _ = _build_huffman(*_AC_LUM)
+    bw1, bw2 = _BW(), _BW()
+    _dc_block(bw1, enc_dc, enc_ac, 5)
+    _dc_block(bw2, enc_dc, enc_ac, 5)  # same diff — but predictor reset
+    stream = (
+        _headers(16, 8, bytes([1, 0x11, 0]), 16)
+        + _seg(0xFFDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw1.bytes()
+        + b"\xff\xd0"  # RST0
+        + bw2.bytes()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert (out[:, :8] == 138).all()
+    assert (out[:, 8:] == 138).all()  # reset predictor: 138, NOT 148
