@@ -115,6 +115,8 @@ HEADLINE = [
     "ext_passage_topk",
     "rel_shipping_priority",
     "rel_local_supplier_volume",
+    "rel_volume_shipping",
+    "rel_returned_item_report",
 ]
 
 

@@ -4013,6 +4013,174 @@ REGISTRY["rel_local_supplier_volume"] = (
 )
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume — revenue shipped
+    from supplier-nation to customer-nation per year, for one ordered
+    nation pair in both directions. Both nation dims broadcast into
+    supplier/customer, those broadcast into the fact chain; the fact
+    table's only shuffle is the final (supp_nation, cust_nation,
+    year) partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1, n2 = "NATION_0", "NATION_1"
+    supp = s.join(
+        n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("__sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = c.join(
+        n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")),
+        F.col("c_nationkey") == F.col("__ck"),
+    ).select("c_custkey", "cust_nation")
+    orders = o.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    rev = _rev_expr()
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
+_SQL_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+   OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0')
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+REGISTRY["rel_volume_shipping"] = (q_volume_shipping, _SQL_VOLUME_SHIPPING)
+
+
+def q_part_type_revenue(spark, sf_dir):
+    """TPC-H Q9 shape on the fixture schema (no partsupp table, so
+    revenue stands in for profit): per supplier-nation × year revenue
+    over parts whose type contains a token (ECONOMY) — part dim filter pushes to
+    the part scan, both dims broadcast, one fact agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    parts = p.filter(F.col("p_type").contains("ECONOMY")).select("p_partkey")
+    supp = s.join(
+        n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("nation")),
+        F.col("s_nationkey") == F.col("__sk"),
+    ).select("s_suppkey", "nation")
+    rev = _rev_expr()
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("nation", "l_year", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+_SQL_PART_TYPE_REVENUE = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type LIKE '%ECONOMY%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+REGISTRY["rel_part_type_revenue"] = (
+    q_part_type_revenue,
+    _SQL_PART_TYPE_REVENUE,
+)
+
+
+def q_returned_item_report(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue LOST to returns
+    (l_returnflag = 'R') in a date window — the claims/refund report.
+    Orders date-filter before the join, customer dim broadcasts, one
+    per-customer agg, distributed TakeOrdered top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    orders = o.filter(
+        F.col("o_orderdate").between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+    ).select("o_orderkey", "o_custkey")
+    cust = c.join(
+        n.select(F.col("n_nationkey").alias("__nk"), F.col("n_name")),
+        F.col("c_nationkey") == F.col("__nk"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    rev = _rev_expr()
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+            "n_name",
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
+_SQL_RETURNED_ITEM_REPORT = f"""
+SELECT c_custkey, c_name,
+       round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal, n_name,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+      AND TIMESTAMP '1995-12-31'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum({_SQL_REV}) DESC, c_custkey
+LIMIT 20
+"""
+
+
+REGISTRY["rel_returned_item_report"] = (
+    q_returned_item_report,
+    _SQL_RETURNED_ITEM_REPORT,
+)
+
+
 def q_media_quarantine_report(spark, sf_dir):
     """Corrupt-media quarantine under the oracle: every 5th payload of
     the gradient fixture is overwritten with undecodable bytes; the
@@ -7516,7 +7684,8 @@ _WINDOW_50 = [
     # plus 21 of the 29 r2-latest (the LSH/similarity block, streaming
     # twins, temporal joins). Deferred to r7: the 8 remaining r2 rows
     # (scd2_history, ext_mixture_take, ext_shard_assign,
-    # a9_approx_distinct) — all
+    # a9_approx_distinct, ext_dataset_card, ext_pii_redact,
+    # ext_quality_classifier) — all
     # pytest-covered and r2-green, re-windowed next. Several r1-era
     # names were consolidated since r1 (json_struct/json_extract →
     # json_struct_and_path; p3/p4/p5 → p3_p4_p5_filters; u2/u3/u4 →
@@ -7574,10 +7743,10 @@ _WINDOW_50 = [
     "stream_interval_join",
     "tj_asof_join",
     "tj_range_join",
-    "ext_dataset_card",
-    "ext_pii_redact",
-    "ext_quality_classifier",
     "samp_hash_sample",
+    "rel_volume_shipping",
+    "rel_part_type_revenue",
+    "rel_returned_item_report",
 ]
 
 
