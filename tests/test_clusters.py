@@ -66,6 +66,36 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert via_driver == via_dist and len(via_driver) == 9
 
 
+def test_cc_star_keeps_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-loop pairs must survive every CC
+    engine with label (x, x) — star contraction drops self-loops
+    before its first round, so it must restore such nodes from the
+    input's node set (review finding: the three paths must return the
+    same ROW SET, not just the same labels on shared rows)."""
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 7)])
+    want = {1: 1, 2: 1, 3: 1, 7: 7}
+    got_star = {
+        r["id"]: r["comp"] for r in connected_components_star(pairs).collect()
+    }
+    got_uf = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    got_lp = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            pairs, driver_threshold=0
+        ).collect()
+    }
+    assert got_star == want
+    assert got_uf == want
+    assert got_lp == want
+
+
 def test_cc_density_routing_and_three_path_agreement(spark, monkeypatch):
     """Above driver_threshold, the density switch routes SPARSE graphs
     (avg degree ≤ star_max_degree) to star contraction and DENSE ones

@@ -39,7 +39,6 @@ this is extension scope (SURVEY.md §2.9 similarity-search family).
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +61,12 @@ _META_SCHEMA = T.StructType(
         T.StructField("n_centroids", T.IntegerType(), False),
         T.StructField("m", T.IntegerType(), True),
         T.StructField("seed", T.IntegerType(), True),
+        # training hyperparameters are part of the index IDENTITY: an
+        # ensure-load that ignored them would silently serve an index
+        # trained under different settings
+        T.StructField("max_iter", T.IntegerType(), True),
+        T.StructField("train_sample", T.IntegerType(), True),
+        T.StructField("lloyd_iters", T.IntegerType(), True),
         T.StructField("corpus_tag", T.StringType(), False),
     ]
 )
@@ -182,6 +187,9 @@ def ivf_index_build(
             "n_centroids": n_centroids,
             "m": None,
             "seed": seed,
+            "max_iter": max_iter,
+            "train_sample": None,
+            "lloyd_iters": None,
             "corpus_tag": corpus_tag,
         },
     )
@@ -204,17 +212,9 @@ class IVFDiskIndex:
     def nearest_centroids(
         self, query_vec: list[float], nprobe: int
     ) -> list[int]:
-        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+        from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
 
-        def cos(c: list[float]) -> float:
-            cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
-
-        ranked = sorted(
-            range(len(self.centroids)),
-            key=lambda i: (-cos(self.centroids[i]), i),
-        )
-        return ranked[:nprobe]
+        return rank_centroids(self.centroids, query_vec, nprobe)
 
     def search(
         self, query_vec: list[float], k: int = 10, nprobe: int = 4
@@ -273,6 +273,7 @@ def ensure_ivf_index(
             and meta["id_col"] == id_col
             and meta["vec_col"] == vec_col
             and meta["seed"] == seed
+            and meta.get("max_iter") == max_iter
         ):
             return IVFDiskIndex(spark, index_dir, meta)
     ivf_index_build(
@@ -310,6 +311,12 @@ def ivf_index_add(
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if head and int(head[0][0]) != meta["dim"]:
+        raise ValueError(
+            f"batch dimension {int(head[0][0])} != index dim {meta['dim']}"
+            " — a mismatched add would silently misassign every vector"
+        )
     centroids = [
         r["cvec"]
         for r in spark.read.parquet(f"{index_dir}/centroids")
@@ -373,7 +380,8 @@ def pq_index_build(
     )
 
     spark = embeddings.sparkSession
-    _invalidate_meta(spark, index_dir)
+    # validate BEFORE invalidating: a bad call (empty upstream frame)
+    # must not destroy a previously valid serving index
     sample = (
         embeddings.select(vec_col)
         .orderBy(F.asc(id_col))
@@ -382,6 +390,7 @@ def pq_index_build(
     )
     if not sample:
         raise ValueError("cannot build a PQ index over an empty corpus")
+    _invalidate_meta(spark, index_dir)
     train = np.stack([r[0] for r in sample]).astype(np.float64)
     dim = train.shape[1]
     codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
@@ -441,6 +450,9 @@ def pq_index_build(
             "n_centroids": n_centroids,
             "m": m,
             "seed": None,
+            "max_iter": None,
+            "train_sample": train_sample,
+            "lloyd_iters": lloyd_iters,
             "corpus_tag": corpus_tag,
         },
     )
@@ -567,6 +579,8 @@ def ensure_pq_index(
             and meta["m"] == m
             and meta["id_col"] == id_col
             and meta["vec_col"] == vec_col
+            and meta.get("train_sample") == train_sample
+            and meta.get("lloyd_iters") == lloyd_iters
         ):
             return PQDiskIndex(spark, index_dir, meta)
     pq_index_build(

@@ -229,6 +229,16 @@ def connected_components_star(
 
 
 def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    # nodes appearing ONLY in self-loop pairs have no proper edge and
+    # would vanish when self-loops are dropped below — keep the full
+    # node set so the output row set matches union-find/label-prop
+    # exactly (each such node labels itself)
+    all_nodes = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -278,10 +288,16 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         ).first()
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
-            roots = edges.select(F.col("v").alias("id")).distinct()
+            labeled = edges.select(
+                F.col("u").alias("id"), F.col("v").alias("comp")
+            )
+            # roots AND self-loop-only nodes: everything in the input's
+            # node set without a child→min edge labels itself
+            selfs = all_nodes.join(
+                labeled.select("id"), "id", "left_anti"
+            ).select("id", F.col("id").alias("comp"))
             return (
-                edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
-                .unionByName(roots.select("id", F.col("id").alias("comp")))
+                labeled.unionByName(selfs)
                 .distinct()
                 # materialize inside the iterative_conf scope (the
                 # caller's restored confs would otherwise replan this)

@@ -392,6 +392,39 @@ def minhash_near_dup_pairs(
     )
 
 
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    id_col: str,
+    threshold: float,
+    a_col: str = "new_id",
+    b_col: str = "old_id",
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs — the ONE
+    shared tail of the inline CDC operator and the persisted-index
+    query (ext/dedup_index.py): both must verify with identical math
+    or their pinned equivalence silently breaks. ``sets_a``/``sets_b``
+    are (id, __set) shingle-hash frames for each side (the same frame
+    twice for a self-corpus check). Returns (a_col, b_col, jaccard ≥
+    threshold)."""
+    with_a = cand.join(
+        sets_a.select(F.col(id_col).alias(a_col), F.col("__set").alias("set_a")),
+        a_col,
+    )
+    with_b = with_a.join(
+        sets_b.select(F.col(id_col).alias(b_col), F.col("__set").alias("set_b")),
+        b_col,
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        with_b.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def incremental_near_dup_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -481,25 +514,7 @@ def incremental_near_dup_pairs(
         .dropDuplicates(["new_id", "old_id"])
     )
     sets_ = per_doc.select(F.col(id_col), F.col("__set"))
-    with_a = cand.join(
-        sets_.select(
-            F.col(id_col).alias("new_id"), F.col("__set").alias("set_a")
-        ),
-        "new_id",
-    )
-    with_b = with_a.join(
-        sets_.select(
-            F.col(id_col).alias("old_id"), F.col("__set").alias("set_b")
-        ),
-        "old_id",
-    )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size("set_a") + F.size("set_b") - inter
-    return (
-        with_b.withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "old_id", "jaccard")
-    )
+    return verify_jaccard_pairs(cand, sets_, sets_, id_col, threshold)
 
 
 def simhash(

@@ -45,6 +45,7 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup import (
     _min_sig_agg,
     _shingle_hashes,
     band_key_structs,
+    verify_jaccard_pairs,
 )
 
 _MH_META_SCHEMA = T.StructType(
@@ -62,6 +63,15 @@ _MH_META_SCHEMA = T.StructType(
 )
 
 
+# Drain-on-next-call persist lifetime (same pattern as the registry's
+# _PERSIST_POOL): each build/query/add pins ONE signature frame and
+# releases the previous call's — a long-lived CDC daemon holds one
+# batch's signatures, not one per processed batch. Sequential callers
+# only; a concurrent query on another index would merely recompute
+# (unpersist is never a correctness hazard).
+_SIG_POOL: list = []
+
+
 def _banded_and_sets(
     df: DataFrame,
     text_col: str,
@@ -73,8 +83,9 @@ def _banded_and_sets(
 ) -> tuple[DataFrame, DataFrame]:
     """One shingle pass → ((id, band, bh) band rows, (id, set) shingle
     sets). The per-doc wide frame is persisted because both outputs
-    consume it; the caller unpersists via the returned frames' lineage
-    (or a harness clearCache)."""
+    consume it; lifetime is bounded by the module pool above."""
+    while _SIG_POOL:
+        _SIG_POOL.pop().unpersist()
     per_doc = _min_sig_agg(
         _shingle_hashes(df, text_col, id_col, k, hash_family),
         id_col,
@@ -82,6 +93,7 @@ def _banded_and_sets(
         F.collect_list("sh").alias("__set"),
         hash_family=hash_family,
     ).persist()
+    _SIG_POOL.append(per_doc)
     banded = per_doc.select(
         F.col(id_col),
         F.explode(F.array(*band_key_structs(num_hashes, bands))).alias("bk"),
@@ -212,24 +224,8 @@ class MinHashDiskIndex:
             .dropDuplicates(["new_id", "old_id"])
         )
         old_sets = self.spark.read.parquet(f"{self.index_dir}/shingles")
-        with_a = cand.join(
-            new_sets.select(
-                F.col(id_col).alias("new_id"), F.col("__set").alias("set_a")
-            ),
-            "new_id",
-        )
-        with_b = with_a.join(
-            old_sets.select(
-                F.col(id_col).alias("old_id"), F.col("__set").alias("set_b")
-            ),
-            "old_id",
-        )
-        inter = F.size(F.array_intersect("set_a", "set_b"))
-        union = F.size("set_a") + F.size("set_b") - inter
-        return (
-            with_b.withColumn("jaccard", inter.cast("double") / union)
-            .filter(F.col("jaccard") >= threshold)
-            .select("new_id", "old_id", "jaccard")
+        return verify_jaccard_pairs(
+            cand, new_sets, old_sets, id_col, threshold
         )
 
 

@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 from uofi_payroll_etl_main_demo_spark.functions.vectors import cosine_similarity
 
 
+def rank_centroids(
+    centroids: "list[list[float]]", query_vec: "list[float]", nprobe: int
+) -> "list[int]":
+    """Driver-side probe ranking shared by the in-query index and the
+    persisted-index handle (ext/ann_index.py): cosine against the
+    (small) centroid table, deterministic tie-break by centroid id.
+    ONE implementation — if the probe rule ever changes, both paths
+    must move together or they would probe different lists."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(c: "list[float]") -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos(centroids[i]), i)
+    )
+    return ranked[:nprobe]
+
+
 class IVFIndex:
     """Centroids (driver-side, small) + cluster-assigned corpus (lazy)."""
 
@@ -36,17 +56,7 @@ class IVFIndex:
 
     def nearest_centroids(self, query_vec: list[float], nprobe: int) -> list[int]:
         """Driver-side: rank the (small) centroid table against the query."""
-        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-
-        def cos(c: list[float]) -> float:
-            cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
-
-        ranked = sorted(
-            range(len(self.centroids)),
-            key=lambda i: (-cos(self.centroids[i]), i),
-        )
-        return ranked[:nprobe]
+        return rank_centroids(self.centroids, query_vec, nprobe)
 
     def search(
         self, query_vec: list[float], k: int = 10, nprobe: int = 4

@@ -737,6 +737,32 @@ def image_tile_means(media: DataFrame, grid: int = 4) -> DataFrame:
     return media.mapInPandas(batches, TILE_SCHEMA)
 
 
+def _gradient_pixels(i: int, width: int, height: int):
+    """The gradient-fixture pixel law, ONE implementation for every
+    payload twin (PPM/PNG/JPEG): image ``i`` renders pattern
+    ``g = i // 2`` as ``v = 3 + (g*37 + c*c*11 + r*7) % 237``; even
+    ids store v on all channels, odd ids are the channel-shifted
+    (+3/0/−3) luminance-identical twin. The SQL oracles reproduce this
+    exact law — a fixture tweak must happen HERE (and there), nowhere
+    else."""
+    import numpy as np
+
+    g = i // 2
+    r_idx = np.arange(height).reshape(-1, 1)
+    c_idx = np.arange(width).reshape(1, -1)
+    v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    if i % 2 == 0:
+        px[:, :, 0] = v
+        px[:, :, 1] = v
+        px[:, :, 2] = v
+    else:
+        px[:, :, 0] = v + 3
+        px[:, :, 1] = v
+        px[:, :, 2] = v - 3
+    return px
+
+
 def synthetic_gradient_images(
     spark, n: int = 48, width: int = 18, height: int = 16
 ) -> "DataFrame":
@@ -755,19 +781,7 @@ def synthetic_gradient_images(
 
     rows = []
     for i in range(n):
-        g = i // 2
-        r_idx = np.arange(height).reshape(-1, 1)
-        c_idx = np.arange(width).reshape(1, -1)
-        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
-        px = np.zeros((height, width, 3), dtype=np.uint8)
-        if i % 2 == 0:
-            px[:, :, 0] = v
-            px[:, :, 1] = v
-            px[:, :, 2] = v
-        else:
-            px[:, :, 0] = v + 3
-            px[:, :, 1] = v
-            px[:, :, 2] = v - 3
+        px = _gradient_pixels(i, width, height)
         rows.append(
             (
                 i,
@@ -800,19 +814,7 @@ def synthetic_gradient_images_png(
 
     rows = []
     for i in range(n):
-        g = i // 2
-        r_idx = np.arange(height).reshape(-1, 1)
-        c_idx = np.arange(width).reshape(1, -1)
-        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
-        px = np.zeros((height, width, 3), dtype=np.uint8)
-        if i % 2 == 0:
-            px[:, :, 0] = v
-            px[:, :, 1] = v
-            px[:, :, 2] = v
-        else:
-            px[:, :, 0] = v + 3
-            px[:, :, 1] = v
-            px[:, :, 2] = v - 3
+        px = _gradient_pixels(i, width, height)
         rows.append(
             (
                 i,
@@ -845,19 +847,7 @@ def synthetic_gradient_images_jpeg(
 
     rows = []
     for i in range(n):
-        g = i // 2
-        r_idx = np.arange(height).reshape(-1, 1)
-        c_idx = np.arange(width).reshape(1, -1)
-        v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7) % 237
-        px = np.zeros((height, width, 3), dtype=np.uint8)
-        if i % 2 == 0:
-            px[:, :, 0] = v
-            px[:, :, 1] = v
-            px[:, :, 2] = v
-        else:
-            px[:, :, 0] = v + 3
-            px[:, :, 1] = v
-            px[:, :, 2] = v - 3
+        px = _gradient_pixels(i, width, height)
         rows.append(
             (
                 i,
@@ -1114,6 +1104,9 @@ def synthetic_video_frame_images(
     )
 
 
+_VIDEO_SIG_POOL: list = []
+
+
 def video_near_dup_pairs(
     frames: "DataFrame",
     n_frames: "int | None" = None,
@@ -1161,11 +1154,17 @@ def video_near_dup_pairs(
     # PERSISTED: three plans consume the signatures (per-video decoded
     # counts + both sides of the candidate self-join) and the decode is
     # the expensive stage — without the cache every frame decodes 3×.
+    # Drain-on-next-call lifetime: the previous invocation's frame is
+    # released here (its action has completed for sequential callers),
+    # so looped calls hold one cached signature frame, not one per call.
+    while _VIDEO_SIG_POOL:
+        _VIDEO_SIG_POOL.pop().unpersist()
     sigs = image_dhash(packed, on_error=on_error).select(
         F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("vid"),
         F.expr("CAST(media_id % 1000000 AS INT)").alias("f"),
         "dhash",
     ).persist()
+    _VIDEO_SIG_POOL.append(sigs)
     cnts = sigs.groupBy("vid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_decoded")
     )

@@ -2447,7 +2447,16 @@ REGISTRY["ext_pq_topk_full"] = (q_pq_topk_full, _sql_topk_cosine())
 
 def _ann_index_root() -> str:
     """Index store root (env-overridable). Local default is /tmp; a
-    cluster deployment points this at its shared object store."""
+    cluster deployment points this at its shared object store.
+
+    SINGLE-WRITER assumption: the ensure-build flow is not safe
+    against two processes racing a (re)build of the SAME index dir
+    (one can read meta while the other is mid-overwrite) — run
+    concurrent harnesses with distinct SPARK_GRAFT_INDEX_DIR roots. A
+    cluster deployment would serialize builds through its scheduler
+    the same way any table-materialization job is serialized. Bench
+    timing is unaffected: the one-time build lands in the UNTIMED
+    warmup run, so the timed serving rows never include training."""
     return os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_indexes")
 
 
