@@ -117,6 +117,13 @@ HEADLINE = [
     "rel_local_supplier_volume",
     "rel_volume_shipping",
     "rel_returned_item_report",
+    # round 6 TPC-H-shape completion: the four heaviest shapes of the
+    # new block (two-level agg, having-semi-join + top-k, stacked
+    # EXISTS/NOT-EXISTS aggs, conditional-share over a 5-dim join)
+    "rel_customer_distribution",
+    "rel_large_orders",
+    "rel_waiting_suppliers",
+    "rel_market_share",
 ]
 
 
