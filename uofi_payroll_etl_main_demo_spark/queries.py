@@ -4779,7 +4779,11 @@ def q_large_orders(spark, sf_dir):
     first (orderkey + quantity only), its survivors join orders →
     customer (both enrichments key-pruned), and the top-k is a
     distributed TakeOrdered on (o_totalprice DESC, o_orderkey) — no
-    global sort. Quantity sums are decimal-exact."""
+    global sort. Quantity sums are decimal-exact. The sort key is the
+    ROUNDED total: DuckDB resolves the twin's ORDER BY o_totalprice to
+    the rounded output alias, and the fixture doubles carry ~1e-9 FP
+    noise around the 2dp grid, so sorting the raw column could order a
+    rounding-collision pair differently at the limit boundary."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -4795,16 +4799,17 @@ def q_large_orders(spark, sf_dir):
             c.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn(
+            "__tp_r", F.round(F.col("o_totalprice").cast("double"), 2)
+        )
+        .orderBy(F.desc("__tp_r"), F.asc("o_orderkey"))
         .limit(100)
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round(F.col("o_totalprice").cast("double"), 2).alias(
-                "o_totalprice"
-            ),
+            F.col("__tp_r").alias("o_totalprice"),
             F.round("sum_qty", 2).alias("sum_qty"),
         )
     )
@@ -4821,7 +4826,7 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
-ORDER BY o_totalprice DESC, o_orderkey
+ORDER BY round(CAST(o_totalprice AS DOUBLE), 2) DESC, o_orderkey
 LIMIT 100
 """
 
@@ -4954,7 +4959,10 @@ def q_waiting_suppliers(spark, sf_dir):
     order-joined frame — per (order, supplier) lateness, then
     per-order supplier/late counts — joined back; every frame after
     the first agg is (order × supplier)-sized. Deterministic top-k by
-    (numwait DESC, s_name)."""
+    (numwait DESC, s_name, s_suppkey) — the suppkey tail makes the
+    limit boundary deterministic even under duplicate names, and both
+    engines group by suppkey so duplicate-named suppliers stay
+    distinct rows."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -4993,7 +5001,7 @@ def q_waiting_suppliers(spark, sf_dir):
             s.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"), F.asc("s_suppkey"))
         .limit(20)
         .select("s_name", "numwait")
     )
@@ -5016,8 +5024,8 @@ FROM per_os
 JOIN picked USING (l_orderkey)
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE late = 1
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name, s_suppkey
 LIMIT 20
 """
 
