@@ -1050,6 +1050,106 @@ def test_audio_energy_hash_polarity_invariance(spark):
         assert pairs[(2 * g, 2 * g + 1)] == 0
 
 
+def test_mulaw_codec_exactness():
+    """G.711 mu-law codec pins (no Spark): codeword roundtrip (0x7F is
+    the standard negative-zero alias of 0xFF), the public ±32124 /
+    zero extremes, full-int16-range quantization-error bound, sign
+    symmetry, exact container decode, and dispatcher routing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        decode_audio,
+        decode_wav_mulaw,
+        mulaw_compress,
+        mulaw_expand,
+        mulaw_wav_bytes,
+        wav_bytes_pcm16,
+    )
+
+    b = np.arange(256, dtype=np.uint8)
+    rt = mulaw_compress(mulaw_expand(b))
+    # every codeword survives except negative zero, which canonicalizes
+    # to positive zero (both decode to 0 — the G.711 alias)
+    assert (rt[b != 0x7F] == b[b != 0x7F]).all()
+    assert rt[0x7F] == 0xFF and mulaw_expand([0x7F])[0] == 0
+    assert mulaw_expand(mulaw_compress([32767]))[0] == 32124
+    assert mulaw_expand(mulaw_compress([-32768]))[0] == -32124
+    assert mulaw_expand(mulaw_compress([0]))[0] == 0
+    assert len(np.unique(mulaw_expand(b))) == 255
+
+    k = np.arange(-32768, 32768, dtype=np.int64)
+    y = mulaw_expand(mulaw_compress(k))
+    x0 = np.abs(np.clip(k, -32635, 32635)) + 132
+    step = 8 * (1 << (np.frexp(x0.astype(np.float64))[1] - 8))
+    assert (np.abs(y - np.clip(k, -32635, 32635)) <= step).all()
+    km = np.arange(0, 32636, dtype=np.int64)
+    assert (
+        mulaw_expand(mulaw_compress(-km)) == -mulaw_expand(mulaw_compress(km))
+    ).all()
+
+    pcm = ((np.arange(800, dtype=np.int64) ** 2 * 17 + 31) % 401) - 200
+    wav = mulaw_wav_bytes(pcm, 8000)
+    x, sr = decode_wav_mulaw(wav)
+    assert sr == 8000
+    assert (np.rint(x * 32767.0).astype(np.int64)
+            == mulaw_expand(mulaw_compress(pcm))).all()
+    xd, _ = decode_audio(wav)
+    assert (xd == x).all()
+    xp, _ = decode_audio(wav_bytes_pcm16(pcm, 8000))
+    assert (np.rint(xp * 32767.0).astype(np.int64) == pcm).all()
+    with _pytest.raises(ValueError):
+        decode_audio(b"not a wav at all")
+    # unsupported format code (e.g. 3 = IEEE float) raises the stub
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 0)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_mulaw_audio_pipeline_differential(spark):
+    """mu-law clips ride the SAME energy-hash path as PCM: polarity
+    twins still collapse after lossy quantization, and every hash
+    matches an independent pure-Python mirror built from the
+    seg-threshold (searchsorted) formulation of g711.c — a different
+    formulation than the frexp encoder, so the two laws can't share a
+    bug."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        synthetic_patterned_audio,
+    )
+
+    media = synthetic_patterned_audio(spark, n=12, codec="mulaw")
+    sigs = {r["media_id"]: r["ehash"] for r in audio_energy_hash(media).collect()}
+    seg_end = np.array([255, 511, 1023, 2047, 4095, 8191, 16383, 32767])
+    for i in range(12):
+        g = i // 2
+        j = np.arange(64 * 50, dtype=np.int64)
+        k = ((g * 31 + j * j * 17 + (j // 50) * 29) % 401) - 200
+        if i % 2 == 1:
+            k = -k
+        x0 = np.minimum(np.abs(k), 32635) + 132
+        exp = np.searchsorted(seg_end, x0)  # first seg_end >= x0
+        p2 = 1 << exp
+        y = np.where(k < 0, -1, 1) * (
+            ((x0 // (8 * p2)) % 16 * 8 + 132) * p2 - 132
+        )
+        e = (y[: 64 * 50] ** 2).reshape(64, 50).sum(axis=1)
+        hv = 0
+        for w in range(63):
+            if e[w + 1] > e[w]:
+                hv |= 1 << w
+        assert sigs[i] == hv, i
+    for g in range(6):
+        assert sigs[2 * g] == sigs[2 * g + 1]
+    assert len(set(sigs.values())) > 1
+
+
 def test_media_hash_on_error_quarantine(spark):
     """Corrupt payloads: on_error='skip' drops the row (job survives),
     default 'raise' surfaces the failure, bad mode rejected."""

@@ -229,6 +229,140 @@ def decode_wav(payload: bytes):
     return x, sr
 
 
+def mulaw_compress(pcm):
+    """G.711 mu-law compress int16 linear samples → uint8 codewords
+    (ITU-T G.711 / the public-domain Sun ``g711.c`` algorithm:
+    bias 0x84, clip 32635, segment = bit-length(biased) - 8, 4-bit
+    mantissa, ones-complement output). Vectorized: the segment comes
+    from ``np.frexp``'s exponent, which IS the bit length for positive
+    ints, so no log2 float-boundary risk."""
+    import numpy as np
+
+    k = np.asarray(pcm, dtype=np.int64)
+    sign = np.where(k < 0, 0x80, 0)
+    x = np.minimum(np.abs(k), 32635) + 0x84
+    exp = np.frexp(x.astype(np.float64))[1] - 8  # bit_length(x) - 8, in [0, 7]
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes):
+    """G.711 mu-law expand uint8 codewords → int16-range linear
+    samples (exact integers; max magnitude 32124). Inverse of
+    :func:`mulaw_compress` on codewords: ``compress(expand(b)) == b``
+    for every byte, pinned in tests."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    y = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -y, y)
+
+
+def mulaw_wav_bytes(pcm, sample_rate: int = 8000) -> bytes:
+    """Encode int16 linear samples as a mono G.711 mu-law WAV
+    (RIFF format code 7, 8 bits/sample, 18-byte fmt chunk with
+    ``cbSize = 0`` as non-PCM WAVE requires). The stdlib ``wave``
+    module writes PCM only, so the container is assembled directly
+    from the public RIFF/WAVE layout."""
+    import struct
+
+    data = mulaw_compress(pcm).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", 7, 1, sample_rate, sample_rate * 1, 1, 8, 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(payload: bytes):
+    """Yield (tag, data) for each chunk of a RIFF/WAVE stream; raises
+    ``ValueError`` on a non-WAVE or truncated container."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + size > len(payload):
+            raise ValueError("truncated RIFF chunk")
+        yield tag, payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+
+
+def decode_wav_mulaw(payload: bytes):
+    """(samples float64 in [-1,1], sample_rate) from a G.711 mu-law
+    WAV (format code 7). Expanded linear values are exact integers
+    scaled by 1/32767 — the same scaling as :func:`decode_wav`, so
+    ``rint(x * 32767)`` in the hash paths recovers them exactly."""
+    import struct
+
+    import numpy as np
+
+    fmt_code = channels = sr = bits = None
+    data = None
+    for tag, chunk in _riff_chunks(payload):
+        if tag == b"fmt " and len(chunk) >= 16:
+            fmt_code, channels, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+        elif tag == b"data":
+            data = chunk
+    if fmt_code is None or data is None:
+        raise ValueError("WAVE stream missing fmt/data chunk")
+    if fmt_code != 7 or bits != 8:
+        raise NotImplementedError("only 8-bit mu-law WAV here (format 7)")
+    x = mulaw_expand(np.frombuffer(data, dtype=np.uint8)).astype(np.float64)
+    x /= 32767.0
+    if channels and channels > 1:
+        x = x[: (x.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return x, sr
+
+
+def _wav_format_code(payload: bytes) -> "int | None":
+    """The RIFF fmt-chunk format code, or None for non-RIFF payloads."""
+    import struct
+
+    try:
+        for tag, chunk in _riff_chunks(payload):
+            if tag == b"fmt " and len(chunk) >= 2:
+                return struct.unpack("<H", chunk[:2])[0]
+    except ValueError:
+        return None
+    return None
+
+
+def decode_audio(payload: bytes):
+    """(samples float64 in [-1,1], sample_rate) from any supported
+    audio container — format-code dispatch: 16-bit PCM WAV
+    (:func:`decode_wav`) or G.711 mu-law WAV
+    (:func:`decode_wav_mulaw`). The audio twin of
+    :func:`decode_image`: every audio feature/hash path routes through
+    here, so a new codec lights up the whole audio pipeline at once.
+    Unsupported codecs raise ``NotImplementedError`` at the decode
+    site (the documented stub boundary); corrupt containers raise
+    ``ValueError``."""
+    code = _wav_format_code(payload)
+    if code == 1:
+        return decode_wav(payload)
+    if code == 7:
+        return decode_wav_mulaw(payload)
+    if code is None:
+        raise ValueError("not a RIFF/WAVE stream")
+    raise NotImplementedError(
+        f"unsupported WAV format code {code} (PCM16 / mu-law only)"
+    )
+
+
 def decode_ppm(payload: bytes):
     """(H, W, 3) uint8 array from binary P6 PPM."""
     import numpy as np
@@ -535,7 +669,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                x, sr = decode_wav(bytes(payload))
+                x, sr = decode_audio(bytes(payload))
                 n = x.size
                 rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
                 zcr = (
@@ -670,7 +804,7 @@ def audio_energy_profile(media: DataFrame, window_ms: int = 25) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                x, sr = decode_wav(bytes(payload))
+                x, sr = decode_audio(bytes(payload))
                 win = max(1, sr * window_ms // 1000)
                 for j in range(0, x.size, win):
                     seg = x[j : j + win]
@@ -967,7 +1101,11 @@ def wav_bytes_pcm16(pcm, sample_rate: int = 8000) -> bytes:
 
 
 def synthetic_patterned_audio(
-    spark, n: int = 32, windows: int = 64, window_samples: int = 50
+    spark,
+    n: int = 32,
+    windows: int = 64,
+    window_samples: int = 50,
+    codec: str = "pcm16",
 ) -> "DataFrame":
     """Deterministic REAL audio table for perceptual dedup: clip ``i``
     renders integer-PCM pattern ``g = i // 2``; odd ids are the
@@ -977,9 +1115,16 @@ def synthetic_patterned_audio(
 
     Sample law (closed form, reproduced by the SQL oracle):
         k(g, j) = ((g*31 + j*j*17 + (j // window_samples)*29) % 401) - 200
-    """
+
+    ``codec="mulaw"`` writes the same samples through the lossy G.711
+    encoder (:func:`mulaw_wav_bytes`) — the compressed-telephony twin
+    of the PCM fixture. mu-law is sign-symmetric, so the polarity
+    twins still quantize to mirrored samples with identical window
+    energies, and the oracle reproduces the quantization exactly."""
     import numpy as np
 
+    if codec not in ("pcm16", "mulaw"):
+        raise ValueError(f"codec must be 'pcm16' or 'mulaw': {codec!r}")
     total = windows * window_samples
     rows = []
     for i in range(n):
@@ -988,13 +1133,18 @@ def synthetic_patterned_audio(
         k = ((g * 31 + j * j * 17 + (j // window_samples) * 29) % 401) - 200
         if i % 2 == 1:
             k = -k
+        payload = (
+            wav_bytes_pcm16(k, 8000)
+            if codec == "pcm16"
+            else mulaw_wav_bytes(k, 8000)
+        )
         rows.append(
             (
                 i,
-                wav_bytes_pcm16(k, 8000),
+                payload,
                 {
                     "modality": "audio",
-                    "mime": "audio/wav",
+                    "mime": "audio/wav" if codec == "pcm16" else "audio/basic",
                     "width": None,
                     "height": None,
                     "duration_ms": total * 1000 // 8000,
@@ -1046,7 +1196,7 @@ def audio_energy_hash(
                         continue
                     raise ValueError(f"null payload for media_id={mid}")
                 try:
-                    x, _sr = decode_wav(bytes(payload))
+                    x, _sr = decode_audio(bytes(payload))
                 except Exception:
                     if on_error == "skip":
                         continue
