@@ -633,8 +633,9 @@ def decode_bmp(payload: bytes):
 def decode_image(payload: bytes):
     """(H, W, 3) uint8 from any supported image container — magic-byte
     dispatch: binary P6 PPM (:func:`decode_ppm`), PNG
-    (:func:`decode_png`), uncompressed BMP (:func:`decode_bmp`) or
-    baseline JPEG (:mod:`~uofi_payroll_etl_main_demo_spark.ext.jpeg`).
+    (:func:`decode_png`), uncompressed BMP (:func:`decode_bmp`),
+    baseline JPEG (:mod:`~uofi_payroll_etl_main_demo_spark.ext.jpeg`)
+    or single-frame GIF (:mod:`~uofi_payroll_etl_main_demo_spark.ext.gif`).
     Unsupported codecs raise ``NotImplementedError`` at the decode
     site, the documented stub boundary. Every hash/resize path routes
     through here, so a new codec lights up the whole image pipeline at
@@ -649,8 +650,12 @@ def decode_image(payload: bytes):
         from uofi_payroll_etl_main_demo_spark.ext.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        from uofi_payroll_etl_main_demo_spark.ext.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unsupported image codec (P6 PPM / PNG / BMP / JPEG only)"
+        "unsupported image codec (P6 PPM / PNG / BMP / JPEG / GIF only)"
     )
 
 
@@ -956,6 +961,38 @@ def synthetic_gradient_images_png(
                 {
                     "modality": "image",
                     "mime": "image/png",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_gradient_images_gif(
+    spark, n: int = 48, width: int = 18, height: int = 16
+) -> "DataFrame":
+    """The GIF twin of :func:`synthetic_gradient_images` — SAME pixel
+    law (odd ids channel-shifted luminance-identical twins), payloads
+    REAL palette-indexed LZW GIF87a streams
+    (:func:`~uofi_payroll_etl_main_demo_spark.ext.gif.gif_bytes`).
+    GIF decode is lossless for palette-sized images (the gradient law
+    uses ≤237 distinct colors), so every perceptual hash — and the SQL
+    oracle — is bit-identical to the PPM/PNG fixtures'."""
+    rows = []
+    from uofi_payroll_etl_main_demo_spark.ext.gif import gif_bytes
+
+    for i in range(n):
+        px = _gradient_pixels(i, width, height)
+        rows.append(
+            (
+                i,
+                gif_bytes(px),
+                {
+                    "modality": "image",
+                    "mime": "image/gif",
                     "width": width,
                     "height": height,
                     "duration_ms": None,

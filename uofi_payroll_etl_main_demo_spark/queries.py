@@ -7581,6 +7581,33 @@ REGISTRY["ext_image_dhash_png_pairs"] = (
 )
 
 
+def q_image_dhash_gif_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup over REAL GIF payloads: palette-
+    indexed variable-width LZW decode (ext/gif.py — full GIF state
+    machine: CLEAR/END, width growth to 12 bits, KwKwK case) → the
+    same dHash → banded Hamming pairs. GIF is lossless for palette-
+    sized images and the fixture shares the PPM corpus' closed-form
+    pixel law, so the oracle is IDENTICAL to ext_image_dhash_pairs —
+    any LZW/palette defect shows up as a hash-bit mismatch."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        synthetic_gradient_images_gif,
+    )
+
+    media = synthetic_gradient_images_gif(spark, n=48)
+    sigs = image_dhash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "dhash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+REGISTRY["ext_image_dhash_gif_pairs"] = (
+    q_image_dhash_gif_pairs,
+    _sql_image_dhash_pairs(),
+)
+
+
 def q_image_dhash_jpeg_pairs(spark, sf_dir):
     """Perceptual dedup over REAL baseline-JPEG payloads (stdlib+numpy
     entropy decode, ext/jpeg.py): gradient fixture → dHash → banded
@@ -8718,8 +8745,9 @@ _WINDOW_50 = [
     "rel_promo_part_suppliers",
     "rel_waiting_suppliers",
     "rel_sales_opportunity",
-    # -- new this round: compressed-audio codec --
+    # -- new this round: compressed-media codecs (mu-law WAV, GIF) --
     "ext_audio_mulaw_hash_pairs",
+    "ext_image_dhash_gif_pairs",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
@@ -8729,10 +8757,11 @@ _WINDOW_50 = [
     "ext_leakage_split",
     # -- stalest: the r1-latest cohort (consolidated names carry the
     #    slots of their r1-era constituents) --
+    #    (f_try_cast yields its slot to the new GIF row — a scalar
+    #    try_cast probe, pytest-covered and full-sweep-green; r7 takes it)
     "ext_fuzzy_name_pairs",
     "f_date_trunc",
     "f_regexp_extract",
-    "f_try_cast",
     "json_struct_and_path",
     "json_map_explode",
     "json_variant",
