@@ -1110,6 +1110,59 @@ def test_mulaw_codec_exactness():
         decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_alaw_codec_exactness():
+    """G.711 A-law codec pins (no Spark): full 256-codeword roundtrip
+    (A-law has NO negative-zero alias — 0x55/0xD5 decode to -8/+8, so
+    all 256 decoded values are distinct and zero is never produced),
+    the public ±32256 extremes, per-segment quantization-error bound
+    over the full int16 range, the documented sign ASYMMETRY
+    (``-m - 1`` folding), exact container decode, and dispatcher
+    routing of format code 6."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        alaw_wav_bytes,
+        decode_audio,
+        decode_wav_alaw,
+    )
+
+    b = np.arange(256, dtype=np.uint8)
+    assert (alaw_compress(alaw_expand(b)) == b).all()
+    dec = alaw_expand(b)
+    assert len(np.unique(dec)) == 256 and (dec != 0).all()
+    assert np.abs(dec).min() == 8
+    assert alaw_expand(alaw_compress([32767]))[0] == 32256
+    assert alaw_expand(alaw_compress([-32768]))[0] == -32256
+    assert alaw_expand(alaw_compress([0]))[0] == 8  # +0 quantizes up
+
+    k = np.arange(-32768, 32768, dtype=np.int64)
+    y = alaw_expand(alaw_compress(k))
+    m = k >> 3
+    v = np.where(m >= 0, m, -m - 1)
+    aend = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.minimum(np.searchsorted(aend, v, side="left"), 7)
+    step = np.where(seg == 0, 16, 16 << seg)
+    assert (np.abs(y - k) <= step).all()
+    # sign asymmetry: k and -k decode to magnitudes differing only at
+    # multiples of 8 (the -m-1 fold), by at most one quantization step
+    km = np.arange(1, 32636, dtype=np.int64)
+    yp = alaw_expand(alaw_compress(km))
+    yn = alaw_expand(alaw_compress(-km))
+    off8 = km[(yp != -yn)]
+    assert (off8 % 8 == 0).all() and len(off8) > 0
+
+    pcm = ((np.arange(800, dtype=np.int64) ** 2 * 17 + 31) % 401) - 200
+    wav = alaw_wav_bytes(pcm, 8000)
+    x, sr = decode_wav_alaw(wav)
+    assert sr == 8000
+    assert (np.rint(x * 32767.0).astype(np.int64)
+            == alaw_expand(alaw_compress(pcm))).all()
+    xd, _ = decode_audio(wav)
+    assert (xd == x).all()
+
+
 def test_mulaw_audio_pipeline_differential(spark):
     """mu-law clips ride the SAME energy-hash path as PCM: polarity
     twins still collapse after lossy quantization, and every hash

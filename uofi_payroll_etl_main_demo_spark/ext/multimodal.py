@@ -261,6 +261,40 @@ def mulaw_expand(codes):
     return np.where(sign != 0, -y, y)
 
 
+def alaw_compress(pcm):
+    """G.711 A-law compress int16 linear samples → uint8 codewords
+    (ITU-T G.711 / the public-domain Sun ``g711.c`` ``linear2alaw``:
+    >>3 to 13-bit, negatives fold as ``-m - 1``, 8-entry segment
+    table, 4-bit mantissa, even-bit inversion mask 0x55/0xD5).
+    Vectorized with ``np.searchsorted`` over the segment-end table."""
+    import numpy as np
+
+    k = np.asarray(pcm, dtype=np.int64)
+    m = k >> 3
+    mask = np.where(m >= 0, 0xD5, 0x55)
+    v = np.where(m >= 0, m, -m - 1)
+    aend = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.searchsorted(aend, v, side="left")
+    shift = np.where(seg < 2, 1, seg)
+    aval = (np.minimum(seg, 7) << 4) | ((v >> shift) & 0x0F)
+    return ((np.where(seg >= 8, 0x7F, aval) ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes):
+    """G.711 A-law expand uint8 codewords → int16-range linear samples
+    (exact integers; max magnitude 32256). Inverse of
+    :func:`alaw_compress` on codewords: ``compress(expand(b)) == b``
+    for every byte, pinned in tests. Sign convention per ``g711.c``:
+    bit 0x80 of the 0x55-unmasked value set means POSITIVE."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype=np.int64) ^ 0x55) & 0xFF
+    seg = (a >> 4) & 0x07
+    t = ((a & 0x0F) << 4) + np.where(seg == 0, 8, 0x108)
+    t = np.where(seg > 1, t << np.maximum(seg - 1, 0), t)
+    return np.where((a & 0x80) != 0, t, -t)
+
+
 def mulaw_wav_bytes(pcm, sample_rate: int = 8000) -> bytes:
     """Encode int16 linear samples as a mono G.711 mu-law WAV
     (RIFF format code 7, 8 bits/sample, 18-byte fmt chunk with
@@ -272,6 +306,26 @@ def mulaw_wav_bytes(pcm, sample_rate: int = 8000) -> bytes:
     data = mulaw_compress(pcm).tobytes()
     fmt = struct.pack(
         "<HHIIHHH", 7, 1, sample_rate, sample_rate * 1, 1, 8, 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def alaw_wav_bytes(pcm, sample_rate: int = 8000) -> bytes:
+    """Encode int16 linear samples as a mono G.711 A-law WAV (RIFF
+    format code 6, 8 bits/sample, 18-byte fmt chunk with ``cbSize = 0``
+    as non-PCM WAVE requires). Same container layout as
+    :func:`mulaw_wav_bytes`, different companding law."""
+    import struct
+
+    data = alaw_compress(pcm).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", 6, 1, sample_rate, sample_rate * 1, 1, 8, 0
     )
     body = (
         b"WAVE"
@@ -328,6 +382,35 @@ def decode_wav_mulaw(payload: bytes):
     return x, sr
 
 
+def decode_wav_alaw(payload: bytes):
+    """(samples float64 in [-1,1], sample_rate) from a G.711 A-law
+    WAV (format code 6). Expanded linear values are exact integers
+    scaled by 1/32767 — the same scaling as :func:`decode_wav`, so
+    ``rint(x * 32767)`` in the hash paths recovers them exactly."""
+    import struct
+
+    import numpy as np
+
+    fmt_code = channels = sr = bits = None
+    data = None
+    for tag, chunk in _riff_chunks(payload):
+        if tag == b"fmt " and len(chunk) >= 16:
+            fmt_code, channels, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+        elif tag == b"data":
+            data = chunk
+    if fmt_code is None or data is None:
+        raise ValueError("WAVE stream missing fmt/data chunk")
+    if fmt_code != 6 or bits != 8:
+        raise NotImplementedError("only 8-bit A-law WAV here (format 6)")
+    x = alaw_expand(np.frombuffer(data, dtype=np.uint8)).astype(np.float64)
+    x /= 32767.0
+    if channels and channels > 1:
+        x = x[: (x.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return x, sr
+
+
 def _wav_format_code(payload: bytes) -> "int | None":
     """The RIFF fmt-chunk format code, or None for non-RIFF payloads."""
     import struct
@@ -344,8 +427,8 @@ def _wav_format_code(payload: bytes) -> "int | None":
 def decode_audio(payload: bytes):
     """(samples float64 in [-1,1], sample_rate) from any supported
     audio container — format-code dispatch: 16-bit PCM WAV
-    (:func:`decode_wav`) or G.711 mu-law WAV
-    (:func:`decode_wav_mulaw`). The audio twin of
+    (:func:`decode_wav`), G.711 A-law WAV (:func:`decode_wav_alaw`)
+    or G.711 mu-law WAV (:func:`decode_wav_mulaw`). The audio twin of
     :func:`decode_image`: every audio feature/hash path routes through
     here, so a new codec lights up the whole audio pipeline at once.
     Unsupported codecs raise ``NotImplementedError`` at the decode
@@ -354,12 +437,14 @@ def decode_audio(payload: bytes):
     code = _wav_format_code(payload)
     if code == 1:
         return decode_wav(payload)
+    if code == 6:
+        return decode_wav_alaw(payload)
     if code == 7:
         return decode_wav_mulaw(payload)
     if code is None:
         raise ValueError("not a RIFF/WAVE stream")
     raise NotImplementedError(
-        f"unsupported WAV format code {code} (PCM16 / mu-law only)"
+        f"unsupported WAV format code {code} (PCM16 / A-law / mu-law only)"
     )
 
 
@@ -1153,15 +1238,19 @@ def synthetic_patterned_audio(
     Sample law (closed form, reproduced by the SQL oracle):
         k(g, j) = ((g*31 + j*j*17 + (j // window_samples)*29) % 401) - 200
 
-    ``codec="mulaw"`` writes the same samples through the lossy G.711
-    encoder (:func:`mulaw_wav_bytes`) — the compressed-telephony twin
-    of the PCM fixture. mu-law is sign-symmetric, so the polarity
-    twins still quantize to mirrored samples with identical window
-    energies, and the oracle reproduces the quantization exactly."""
+    ``codec="mulaw"`` / ``codec="alaw"`` write the same samples
+    through the lossy G.711 encoders (:func:`mulaw_wav_bytes` /
+    :func:`alaw_wav_bytes`) — the compressed-telephony twins of the
+    PCM fixture. mu-law is sign-symmetric, so the polarity twins still
+    quantize to mirrored samples with identical window energies.
+    A-law is NOT exactly sign-symmetric (negatives fold as ``-m - 1``),
+    so the twins' energies differ slightly — measured hamming ≤ 3 on
+    this fixture, still inside the pairing threshold — and the oracle
+    reproduces the asymmetric quantization exactly."""
     import numpy as np
 
-    if codec not in ("pcm16", "mulaw"):
-        raise ValueError(f"codec must be 'pcm16' or 'mulaw': {codec!r}")
+    if codec not in ("pcm16", "mulaw", "alaw"):
+        raise ValueError(f"codec must be 'pcm16', 'mulaw' or 'alaw': {codec!r}")
     total = windows * window_samples
     rows = []
     for i in range(n):
@@ -1170,18 +1259,18 @@ def synthetic_patterned_audio(
         k = ((g * 31 + j * j * 17 + (j // window_samples) * 29) % 401) - 200
         if i % 2 == 1:
             k = -k
-        payload = (
-            wav_bytes_pcm16(k, 8000)
-            if codec == "pcm16"
-            else mulaw_wav_bytes(k, 8000)
-        )
+        payload = {
+            "pcm16": wav_bytes_pcm16,
+            "mulaw": mulaw_wav_bytes,
+            "alaw": alaw_wav_bytes,
+        }[codec](k, 8000)
         rows.append(
             (
                 i,
                 payload,
                 {
                     "modality": "audio",
-                    "mime": "audio/wav" if codec == "pcm16" else "audio/basic",
+                    "mime": "audio/basic" if codec == "mulaw" else "audio/wav",
                     "width": None,
                     "height": None,
                     "duration_ms": total * 1000 // 8000,

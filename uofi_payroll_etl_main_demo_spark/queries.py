@@ -7768,6 +7768,93 @@ REGISTRY["ext_audio_mulaw_hash_pairs"] = (
 )
 
 
+def q_audio_alaw_hash_pairs(spark, sf_dir):
+    """Compressed-audio dedup through the OTHER G.711 companding law:
+    the patterned clips re-encoded as A-law WAV (format code 6,
+    ext/multimodal.py alaw_wav_bytes) → ``decode_audio`` dispatch →
+    the identical energy-hash path. A-law is NOT sign-symmetric
+    (negatives fold as ``-m - 1`` per the public ``g711.c``), so the
+    polarity twins quantize to slightly different energies — measured
+    hamming ≤ 3, still inside the pairing threshold — which makes this
+    row a sharper oracle than mu-law: any sign-handling defect in
+    either engine's law moves pairs across the threshold. Oracle:
+    DuckDB recomputes the A-law quantization from the seg-threshold
+    formulation (``v = k//8`` / ``(-k-1)//8`` under DuckDB's
+    truncating ``//`` — equal to the encoder's arithmetic shift; CASE
+    ladder for the segment; validated equal to the numpy law over the
+    full int16 range), then every window energy, bit and Hamming
+    distance exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        synthetic_patterned_audio,
+    )
+
+    media = synthetic_patterned_audio(spark, n=32, codec="alaw")
+    sigs = audio_energy_hash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "ehash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_audio_alaw_hash_pairs(
+    n: int = 32, windows: int = 64, win: int = 50, max_hamming: int = 3
+) -> str:
+    return f"""
+WITH lin AS (
+  SELECT i, j,
+    (((i // 2) * 31 + j * j * 17 + (j // {win}) * 29) % 401) - 200 AS k0
+  FROM range(0, {n}) t(i), range(0, {windows * win}) s(j)
+),
+pol AS (
+  SELECT i, j, CASE WHEN i % 2 = 1 THEN -k0 ELSE k0 END AS k FROM lin
+),
+vv AS (
+  SELECT i, j, k,
+    CASE WHEN k >= 0 THEN k // 8 ELSE (-k - 1) // 8 END AS v
+  FROM pol
+),
+sg AS (
+  SELECT i, j, k, v,
+    CASE WHEN v <= 31 THEN 0 WHEN v <= 63 THEN 1 WHEN v <= 127 THEN 2
+         WHEN v <= 255 THEN 3 WHEN v <= 511 THEN 4 WHEN v <= 1023 THEN 5
+         WHEN v <= 2047 THEN 6 WHEN v <= 4095 THEN 7 ELSE 8 END AS s
+  FROM vv
+),
+quant AS (
+  SELECT i, j,
+    (CASE WHEN k >= 0 THEN 1 ELSE -1 END)
+      * (CASE WHEN s >= 8 THEN 32256
+              WHEN s = 0 THEN ((v // 2) % 16) * 16 + 8
+              ELSE (((v // (1::BIGINT << greatest(s, 1))) % 16) * 16 + 264)
+                   * (1::BIGINT << (s - 1)) END) AS y
+  FROM sg
+),
+e AS (
+  SELECT i, j // {win} AS w, sum(y * y) AS e FROM quant GROUP BY i, j // {win}
+),
+bits AS (
+  SELECT a.i, a.w AS idx, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.i = b.i AND b.w = a.w + 1 WHERE a.w < 63
+),
+hv AS (
+  SELECT i, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << idx)
+                     ELSE 0 END) AS BIGINT) AS ehash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.ehash, b.ehash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_audio_alaw_hash_pairs"] = (
+    q_audio_alaw_hash_pairs,
+    _sql_audio_alaw_hash_pairs(),
+)
+
+
 def q_video_dhash_pairs(spark, sf_dir):
     """Video near-dup dedup from sampled frames: per-frame perceptual
     dHash (REAL PPM decode) → equi-join on (frame_idx, dhash) → pair
@@ -8745,8 +8832,9 @@ _WINDOW_50 = [
     "rel_promo_part_suppliers",
     "rel_waiting_suppliers",
     "rel_sales_opportunity",
-    # -- new this round: compressed-media codecs (mu-law WAV, GIF) --
+    # -- new this round: compressed-media codecs (mu-law/A-law WAV, GIF) --
     "ext_audio_mulaw_hash_pairs",
+    "ext_audio_alaw_hash_pairs",
     "ext_image_dhash_gif_pairs",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
@@ -8757,11 +8845,11 @@ _WINDOW_50 = [
     "ext_leakage_split",
     # -- stalest: the r1-latest cohort (consolidated names carry the
     #    slots of their r1-era constituents) --
-    #    (f_try_cast yields its slot to the new GIF row — a scalar
-    #    try_cast probe, pytest-covered and full-sweep-green; r7 takes it)
+    #    (f_try_cast and f_regexp_extract yield their slots to the new
+    #    GIF and A-law rows — scalar-function probes, pytest-covered
+    #    and full-sweep-green; r7 takes them)
     "ext_fuzzy_name_pairs",
     "f_date_trunc",
-    "f_regexp_extract",
     "json_struct_and_path",
     "json_map_explode",
     "json_variant",
