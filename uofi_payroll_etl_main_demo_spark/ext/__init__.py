@@ -42,6 +42,12 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
     minhash_index_build,
     minhash_index_load,
 )
+from uofi_payroll_etl_main_demo_spark.ext.layout import (  # noqa: F401
+    parquet_zone_maps,
+    zorder_key,
+    zorder_key_sql,
+    zorder_layout,
+)
 from uofi_payroll_etl_main_demo_spark.ext.ivf import (  # noqa: F401
     IVFIndex,
     build_ivf_index,

@@ -1,0 +1,158 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional pruning.
+
+At 100 TB a scan is only as cheap as the files it can SKIP. Parquet
+carries per-file / per-row-group min-max statistics ("zone maps"), and
+Spark prunes against them — but sorting by one column makes only THAT
+column's zone maps selective. Interleaving the bits of several columns
+into one Morton key and range-sorting by it bounds EVERY participating
+column inside each file, so a filter on any subset of the z-order
+columns skips most files (the technique behind Delta Lake's
+``OPTIMIZE ZORDER BY`` and ClickHouse/DuckDB space-filling-curve
+layouts — public literature: Morton 1966; "Interleave bits by Binary
+Magic Numbers" is the classic bit-twiddling form, but the general
+k-column form below unrolls per bit).
+
+Everything here is pure integer Column arithmetic — no UDFs, fully
+inside whole-stage codegen, and reproducible bit-for-bit in ANSI SQL
+(the registry twins build the same expression text for DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "zorder_key",
+    "zorder_key_sql",
+    "zorder_layout",
+    "parquet_zone_maps",
+]
+
+
+def _norm(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Scale an integer column into [0, 2**bits) with EXACT integer
+    math. Spark's ``/`` is double division, so the quotient is taken
+    as ``floor(n / d)`` — exact here because the guards bound the
+    numerator under 2**48 (both operands representable, and the
+    worst-case rounding error ``q * 2**-52 < 2**-36`` is smaller than
+    the smallest nonzero remainder fraction ``1/d > 2**-32``), and
+    identical to the oracle's truncating ``//`` because every operand
+    is non-negative after clamping."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if hi - lo > (1 << 32):
+        raise ValueError(f"domain wider than 2^32 ([{lo}, {hi}])")
+    if bits > 19:
+        raise ValueError(f"bits = {bits} breaks the exact-floor bound (max 19)")
+    top = (1 << bits) - 1
+    clamped = F.least(F.greatest(col.cast("long"), F.lit(lo)), F.lit(hi))
+    return F.floor((clamped - F.lit(lo)) * top / F.lit(hi - lo)).cast("long")
+
+
+def zorder_key(cols, bits: int = 16) -> Column:
+    """Morton key Column interleaving ``cols`` — a list of
+    ``(column, lo, hi)`` triples (column name or Column, inclusive
+    integer bounds). Bit ``b`` of normalized column ``j`` lands at
+    position ``b * k + j``, so the total width is ``bits * k`` and
+    must fit a signed long (``bits * k <= 62`` enforced).
+
+    Bounds are explicit (not sampled) so the key is DETERMINISTIC and
+    oracle-reproducible; pass domain bounds or conservative clamps.
+    """
+    k = len(cols)
+    if k < 1:
+        raise ValueError("need at least one column")
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds signed-long range")
+    key = F.lit(0).cast("long")
+    for j, (c, lo, hi) in enumerate(cols):
+        n = _norm(F.col(c) if isinstance(c, str) else c, int(lo), int(hi), bits)
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(n, b).bitwiseAND(F.lit(1)), b * k + j)
+            )
+    return key
+
+
+def zorder_key_sql(cols, bits: int = 16) -> str:
+    """The ANSI-SQL text of :func:`zorder_key` over the same
+    ``(column_name, lo, hi)`` triples — the DuckDB oracle twin builds
+    its expression from here so the two engines share one law."""
+    k = len(cols)
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds signed-long range")
+    top = (1 << bits) - 1
+    terms = []
+    for j, (name, lo, hi) in enumerate(cols):
+        lo, hi = int(lo), int(hi)
+        n = (
+            f"(((least(greatest(CAST({name} AS BIGINT), {lo}), {hi})"
+            f" - {lo}) * {top}) // {hi - lo})"
+        )
+        for b in range(bits):
+            terms.append(f"((({n} >> {b}) & 1) << {b * k + j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols,
+    bits: int = 16,
+    num_partitions: "int | None" = None,
+    key_col: str = "_zkey",
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional zone-map pruning: compute
+    the Morton key, range-partition by it (one contiguous curve
+    segment per output file) and sort within partitions, then drop the
+    key. Write the result with ``.write.parquet`` and every
+    participating column's per-file min-max becomes selective.
+
+    ``repartitionByRange`` samples to pick boundaries — fine for a
+    WRITE path (layout quality, not answer correctness, is at stake);
+    the deterministic registry twins bucket by ``key >> shift``
+    instead so the oracle never depends on sampling.
+    """
+    keyed = df.withColumn(key_col, zorder_key(cols, bits))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(parts, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
+    )
+
+
+def parquet_zone_maps(path: str, columns) -> "list[dict]":
+    """Read back the per-file zone maps (min/max per column) of a
+    parquet directory via the parquet FOOTERS — the metadata a scan
+    planner prunes with, so this is the ground truth for "did the
+    layout make pruning possible". Footer reads are metadata-only
+    (no row groups are decoded) and the file list is driver-side by
+    construction (one dict per FILE, not per row)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        row = {"file": os.path.basename(f), "num_rows": meta.num_rows}
+        schema_names = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        for c in columns:
+            i = schema_names[c]
+            mins, maxs = [], []
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(i).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            row[f"{c}_min"] = min(mins) if mins else None
+            row[f"{c}_max"] = max(maxs) if maxs else None
+        out.append(row)
+    return out

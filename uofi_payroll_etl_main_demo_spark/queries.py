@@ -8769,6 +8769,107 @@ REGISTRY["ext_embedding_norm_stats"] = (
 )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over lineitem's (part, supplier)
+    dimensions — the layout law behind multi-dimensional zone-map
+    pruning (ext/layout.py zorder_key; cf. Delta OPTIMIZE ZORDER BY).
+    Pure integer Column arithmetic (clamp → exact-floor scale → bit
+    interleave), no UDFs, one whole-stage-codegen projection. The
+    modulo keeps the domain bounds CONSTANT across scale factors, and
+    the (0, 4999) bounds exercise the non-identity scaling path
+    ((x * 4095) // 4999). Oracle: DuckDB evaluates the expression text
+    from zorder_key_sql — both engines share one generated law."""
+    from uofi_payroll_etl_main_demo_spark.ext.layout import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    px = (F.col("l_partkey") % 5000).alias("px")
+    sx = (F.col("l_suppkey") % 5000).alias("sx")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key([(px, 0, 4999), (sx, 0, 4999)], bits=12).alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def _sql_zorder_key() -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.layout import zorder_key_sql
+
+    expr = zorder_key_sql([("px", 0, 4999), ("sx", 0, 4999)], bits=12)
+    return f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 5000 AS px, l_suppkey % 5000 AS sx
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, {expr} AS zkey
+FROM base
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+REGISTRY["ext_zorder_key"] = (q_zorder_key, _sql_zorder_key())
+
+
+def q_zorder_layout_stats(spark, sf_dir):
+    """The WHY of z-ordering, measured: bucket lineitem by the top 6
+    bits of the 24-bit Morton key (64 contiguous curve segments = the
+    deterministic stand-in for range-partitioned output files) and
+    report each bucket's min/max span on BOTH dimensions. Every bucket
+    bounds every participating column — the per-file zone maps a scan
+    prunes with; compare against a natural-order layout where only
+    insertion order is bounded. Fixed-width ``zkey >> 6`` bucketing
+    (not repartitionByRange) keeps the oracle sampling-free; the %64
+    domain wraps even at the smallest fixture sf, so the driver's
+    sf0.01 run covers all 64 buckets on the part dimension."""
+    from uofi_payroll_etl_main_demo_spark.ext.layout import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    px = (F.col("l_partkey") % 64).alias("px")
+    sx = (F.col("l_suppkey") % 64).alias("sx")
+    keyed = li.select(
+        (F.col("l_partkey") % 64).alias("px"),
+        (F.col("l_suppkey") % 64).alias("sx"),
+        zorder_key([(px, 0, 63), (sx, 0, 63)], bits=6).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 6).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_zorder_layout_stats() -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.layout import zorder_key_sql
+
+    expr = zorder_key_sql([("px", 0, 63), ("sx", 0, 63)], bits=6)
+    return f"""
+WITH base AS (
+  SELECT l_partkey % 64 AS px, l_suppkey % 64 AS sx FROM lineitem),
+keyed AS (SELECT px, sx, {expr} AS zkey FROM base)
+SELECT zkey >> 6 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(px) AS px_min, max(px) AS px_max,
+       min(sx) AS sx_min, max(sx) AS sx_max
+FROM keyed GROUP BY zkey >> 6
+ORDER BY bucket
+"""
+
+
+REGISTRY["ext_zorder_layout_stats"] = (
+    q_zorder_layout_stats,
+    _sql_zorder_layout_stats(),
+)
+
+
 # Round-4 rotation: ALL 35 SQL-twinned registry rows that have never
 # had a driver-green CORRECTNESS entry (r1-r3 windows ∪ = 129 distinct
 # greens; these are the remainder), plus the 6 rows whose oracle or
@@ -8823,10 +8924,8 @@ _WINDOW_50 = [
     "rel_important_parts",
     "rel_priority_shipping",
     "rel_customer_distribution",
-    "rel_promo_revenue",
     "rel_top_supplier",
     "rel_parts_supplier_count",
-    "rel_small_qty_revenue",
     "rel_large_orders",
     "rel_brand_size_discount",
     "rel_promo_part_suppliers",
@@ -8836,6 +8935,12 @@ _WINDOW_50 = [
     "ext_audio_mulaw_hash_pairs",
     "ext_audio_alaw_hash_pairs",
     "ext_image_dhash_gif_pairs",
+    # -- new this round: z-order layout (rel_promo_revenue and
+    #    rel_small_qty_revenue yield their slots — two of the 19
+    #    structurally-similar rel_* aggregates, full-sweep-green;
+    #    r7 takes them) --
+    "ext_zorder_key",
+    "ext_zorder_layout_stats",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
