@@ -1163,6 +1163,105 @@ def test_alaw_codec_exactness():
     assert (xd == x).all()
 
 
+def _adpcm_scalar_reference(pcm, spb=25):
+    """Independent row-at-a-time IMA ADPCM round trip — a direct port
+    of the spec pseudocode (encoder feeding its own reconstruction),
+    for differential-testing the vectorized implementation."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    out = []
+    for b in range(0, len(pcm), spb):
+        block = pcm[b : b + spb]
+        pred, idx = int(block[0]), 0
+        out.append(pred)
+        for s in block[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+            out.append(pred)
+    return out
+
+
+def test_adpcm_codec_exactness():
+    """IMA ADPCM codec pins (no Spark): vectorized encode+decode vs an
+    independent scalar spec port over hostile signals (white noise,
+    steps, clipping ramps), container round trip, header fidelity
+    (decoder honors the stored step index), dispatcher routing of
+    format code 17, and the loud failure paths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        adpcm_decode_blocks,
+        adpcm_encode_blocks,
+        adpcm_wav_bytes,
+        decode_audio,
+        decode_wav_adpcm,
+    )
+
+    rng_like = (np.arange(2000, dtype=np.int64) ** 3 * 2654435761) % 65536 - 32768
+    signals = [
+        ((np.arange(1000, dtype=np.int64) ** 2 * 17) % 401) - 200,  # noise
+        np.repeat([0, 30000, -30000, 5], 250).astype(np.int64),  # steps
+        np.clip(np.arange(1000, dtype=np.int64) * 70 - 33000, -32768, 32767),
+        rng_like[:2000],  # full-range noise exercises the clamps
+    ]
+    for sig in signals:
+        preds, nibs = adpcm_encode_blocks(sig, 25)
+        y = adpcm_decode_blocks(preds, np.zeros(len(preds)), nibs)
+        assert list(y) == _adpcm_scalar_reference(sig, 25)
+
+    pcm = signals[3]
+    wav = adpcm_wav_bytes(pcm, 8000)
+    x, sr = decode_wav_adpcm(wav)
+    assert sr == 8000
+    preds, nibs = adpcm_encode_blocks(pcm, 25)
+    assert (np.rint(x * 32767.0).astype(np.int64)
+            == adpcm_decode_blocks(preds, np.zeros(len(preds)), nibs)).all()
+    xd, _ = decode_audio(wav)
+    assert (xd == x).all()
+    # 4:1-ish compression: 16 bytes per 25 samples vs 50 bytes PCM16
+    n_data = len(pcm) // 25 * 16
+    assert n_data * 3 < len(pcm) * 2
+
+    # the decoder honors the header's step index (not an assumed 0)
+    import struct
+
+    hacked = bytearray(wav)
+    data_at = wav.index(b"data") + 8
+    hacked[data_at + 2] = 40  # first block's step index
+    y2 = np.rint(decode_wav_adpcm(bytes(hacked))[0] * 32767.0).astype(np.int64)
+    y1 = np.rint(x * 32767.0).astype(np.int64)
+    assert (y2[:25] != y1[:25]).any() and (y2[25:] == y1[25:]).all()
+
+    with _pytest.raises(ValueError):
+        adpcm_encode_blocks(np.arange(26), 25)  # not block-aligned
+    with _pytest.raises(ValueError):
+        decode_wav_adpcm(wav[:-3])  # truncated mid-block
+
+
 def test_mulaw_audio_pipeline_differential(spark):
     """mu-law clips ride the SAME energy-hash path as PCM: polarity
     twins still collapse after lossy quantization, and every hash

@@ -7855,6 +7855,114 @@ REGISTRY["ext_audio_alaw_hash_pairs"] = (
 )
 
 
+def q_audio_adpcm_hash_pairs(spark, sf_dir):
+    """Compressed-audio dedup through a SEQUENTIAL codec: IMA ADPCM
+    (WAV format code 17 — 4-bit delta coding with an adaptive step
+    index, ext/multimodal.py adpcm_wav_bytes/decode_wav_adpcm). Unlike
+    the memoryless G.711 companders, every decoded sample depends on
+    the running (predictor, step-index) state, so the DuckDB oracle
+    simulates the whole encode→decode state machine in a RECURSIVE CTE
+    — one iteration per nibble position, all 32×128 blocks advancing
+    in parallel (the encoder resets the step index at each 16-byte /
+    25-sample block boundary precisely so blocks are independent; the
+    header carries the index, so the container stays spec-exact).
+    Fixture: amplitude-modulated triangle waves
+    (synthetic_smooth_audio) — deltas the 4-bit coder can track;
+    measured twin hamming 0, cross-pattern min 4, so threshold 3
+    yields exactly the 16 polarity-twin pairs. The white-noise
+    patterned fixture is deliberately NOT used: ADPCM smears it until
+    distinct patterns collide (cross min 0 — measured, recorded in the
+    fixture docstring)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_energy_hash,
+        synthetic_smooth_audio,
+    )
+
+    media = synthetic_smooth_audio(spark, n=32)
+    sigs = audio_energy_hash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "ehash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_audio_adpcm_hash_pairs(
+    n: int = 32, windows: int = 64, win: int = 50, max_hamming: int = 3
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        _IMA_STEP_TABLE,
+    )
+
+    total = windows * win
+    # the quantizer, spelled once and inlined — REPEATED subexpressions
+    # are deliberate (recursive CTEs can't lateral-chain), and integer-
+    # exact: step > 0 so // == >> at every site
+    d0 = "abs(s - pred)"
+    b4 = f"(CASE WHEN {d0} >= step THEN 1 ELSE 0 END)"
+    d1 = f"({d0} - step * {b4})"
+    b2 = f"(CASE WHEN {d1} >= step // 2 THEN 1 ELSE 0 END)"
+    d2 = f"({d1} - (step // 2) * {b2})"
+    b1 = f"(CASE WHEN {d2} >= step // 4 THEN 1 ELSE 0 END)"
+    diff = f"(step // 8 + (step // 4) * {b1} + (step // 2) * {b2} + step * {b4})"
+    sgn = "(CASE WHEN s - pred < 0 THEN -1 ELSE 1 END)"
+    nmag = f"({b4} * 4 + {b2} * 2 + {b1})"
+    didx = (
+        f"(CASE WHEN {nmag} <= 3 THEN -1 WHEN {nmag} = 4 THEN 2 "
+        f"WHEN {nmag} = 5 THEN 4 WHEN {nmag} = 6 THEN 6 ELSE 8 END)"
+    )
+    steps_values = ", ".join(
+        f"({si}, {sv})" for si, sv in enumerate(_IMA_STEP_TABLE)
+    )
+    return f"""
+WITH RECURSIVE step_t(si, step) AS (
+  VALUES {steps_values}
+),
+dec(i, blk, t, pred, idx) AS (
+  SELECT i, blk, 0,
+         (CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END)
+           * (50 + ((i // 2) * 13 + ((blk * 25) // {win}) * 7) % 100)
+           * (25 - abs((blk * 25) % {win} - 25)),
+         0
+  FROM range(0, {n}) a(i), range(0, {total // 25}) b(blk)
+  UNION ALL
+  SELECT i, blk, t + 1,
+    greatest(least(pred + {sgn} * {diff}, 32767), -32768),
+    greatest(least(idx + {didx}, 88), 0)
+  FROM (
+    SELECT d.i, d.blk, d.t, d.pred, d.idx, st.step,
+      (CASE WHEN d.i % 2 = 1 THEN -1 ELSE 1 END)
+        * (50 + ((d.i // 2) * 13 + ((d.blk * 25 + d.t + 1) // {win}) * 7) % 100)
+        * (25 - abs((d.blk * 25 + d.t + 1) % {win} - 25)) AS s
+    FROM dec d JOIN step_t st ON st.si = d.idx
+    WHERE d.t < 24
+  )
+),
+e AS (
+  SELECT i, (blk * 25 + t) // {win} AS w, sum(pred * pred) AS e
+  FROM dec GROUP BY i, (blk * 25 + t) // {win}
+),
+bits AS (
+  SELECT a.i, a.w AS idx, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.i = b.i AND b.w = a.w + 1 WHERE a.w < 63
+),
+hv AS (
+  SELECT i, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << idx)
+                     ELSE 0 END) AS BIGINT) AS ehash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.ehash, b.ehash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_audio_adpcm_hash_pairs"] = (
+    q_audio_adpcm_hash_pairs,
+    _sql_audio_adpcm_hash_pairs(),
+)
+
+
 def q_video_dhash_pairs(spark, sf_dir):
     """Video near-dup dedup from sampled frames: per-frame perceptual
     dHash (REAL PPM decode) → equi-join on (frame_idx, dhash) → pair
@@ -8925,15 +9033,17 @@ _WINDOW_50 = [
     "rel_priority_shipping",
     "rel_customer_distribution",
     "rel_top_supplier",
-    "rel_parts_supplier_count",
     "rel_large_orders",
     "rel_brand_size_discount",
     "rel_promo_part_suppliers",
     "rel_waiting_suppliers",
     "rel_sales_opportunity",
-    # -- new this round: compressed-media codecs (mu-law/A-law WAV, GIF) --
+    # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
+    #    WAV, GIF; rel_parts_supplier_count yields a slot like its
+    #    rel_* siblings; r7 takes it) --
     "ext_audio_mulaw_hash_pairs",
     "ext_audio_alaw_hash_pairs",
+    "ext_audio_adpcm_hash_pairs",
     "ext_image_dhash_gif_pairs",
     # -- new this round: z-order layout (rel_promo_revenue and
     #    rel_small_qty_revenue yield their slots — two of the 19
