@@ -1,0 +1,110 @@
+"""Content-defined chunking: the law, the edges, and the POINT —
+boundaries re-synchronize after an edit, so chunk hashes survive
+insertions that break fixed-width chunking completely."""
+
+import hashlib
+
+import pytest
+
+from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+    cdc_chunk_spans,
+    cdc_chunks,
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the fence and the birds sing in the morning sun; "
+    "later the rain falls softly on the roof and the river swells "
+    "under the old stone bridge where travelers rest their horses "
+    "and trade stories about distant markets and mountain passes"
+) * 3
+
+
+def test_spans_cover_text_exactly():
+    for text in (LOREM, "short", "", "a" * 7, "a" * 8, LOREM[:100]):
+        spans = cdc_chunk_spans(text)
+        # spans tile the text: contiguous, in order, no gaps/overlap
+        at = 0
+        for s, ln in spans:
+            assert s == at and ln >= 1
+            at += ln
+        assert at == len(text)
+        if text:
+            assert spans, "non-empty text must produce chunks"
+
+
+def test_shift_robustness_vs_fixed_width():
+    """Insert a prefix: content-defined chunk hashes mostly SURVIVE
+    (boundaries depend on local windows only), while fixed-width
+    64-char chunk hashes are all different."""
+    edited = "INSERTED PREAMBLE >>> " + LOREM
+
+    def hashes(text):
+        return [
+            hashlib.md5(text[s : s + ln].encode()).hexdigest()
+            for s, ln in cdc_chunk_spans(text)
+        ]
+
+    h0, h1 = set(hashes(LOREM)), set(hashes(edited))
+    assert len(h0 & h1) >= 0.7 * len(h0)
+
+    def fixed(text):
+        return {
+            hashlib.md5(text[i : i + 64].encode()).hexdigest()
+            for i in range(0, len(text), 64)
+        }
+
+    assert not (fixed(LOREM) & fixed(edited))
+
+
+def test_edit_localization():
+    """Flip one character mid-text: only the chunks overlapping the
+    edit (plus at most the window's reach) change; every other span
+    and hash is identical."""
+    i = len(LOREM) // 2
+    edited = LOREM[:i] + "#" + LOREM[i + 1 :]
+    a, b = cdc_chunk_spans(LOREM), cdc_chunk_spans(edited)
+    # identical prefix spans until the edit's window reach
+    pre_a = [s for s in a if s[0] + s[1] <= i]
+    pre_b = [s for s in b if s[0] + s[1] <= i]
+    shared_prefix = 0
+    for x, y in zip(pre_a, pre_b):
+        if x != y:
+            break
+        shared_prefix += 1
+    assert shared_prefix >= len(pre_a) - 1
+    # suffix re-synchronizes: identical (start, len) spans again
+    tail_a = {s for s in a if s[0] > i + 8}
+    tail_b = {s for s in b if s[0] > i + 8}
+    assert tail_a and tail_a == tail_b
+
+
+def test_guards_and_pathological_input():
+    with pytest.raises(ValueError):
+        cdc_chunks(None, window=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(None, divisor=1)
+    # all-same-char text: deterministic (either one giant chunk or a
+    # periodic split — both tile the text)
+    spans = cdc_chunk_spans("x" * 500)
+    assert sum(ln for _, ln in spans) == 500
+
+
+def test_spark_path_matches_scalar_law(spark):
+    df = spark.createDataFrame(
+        [(1, LOREM), (2, "INSERTED >>> " + LOREM), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    for did, text in ((1, LOREM), (2, "INSERTED >>> " + LOREM)):
+        got = sorted(
+            (r["chunk_idx"], r["start"], r["chunk_len"], r["chunk_hash"])
+            for r in rows
+            if r["doc_id"] == did
+        )
+        exp = [
+            (i, s, ln, hashlib.md5(text[s : s + ln].encode()).hexdigest())
+            for i, (s, ln) in enumerate(cdc_chunk_spans(text))
+        ]
+        assert got == exp

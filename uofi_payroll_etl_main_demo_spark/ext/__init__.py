@@ -18,6 +18,10 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup import (  # noqa: F401
     simhash,
     simhash_near_dup_pairs,
 )
+from uofi_payroll_etl_main_demo_spark.ext.cdc import (  # noqa: F401
+    cdc_chunk_spans,
+    cdc_chunks,
+)
 from uofi_payroll_etl_main_demo_spark.ext.curation import (  # noqa: F401
     gopher_rules,
     quality_classifier,

@@ -8978,6 +8978,112 @@ REGISTRY["ext_zorder_layout_stats"] = (
 )
 
 
+_CDC_W, _CDC_D = 8, 64
+
+
+def _sql_cdc_chunk_table() -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import CDC_M, CDC_P
+
+    terms = " + ".join(
+        f"(lag(code, {k}) OVER w * {pow(CDC_P, k, CDC_M)}::BIGINT) % {CDC_M}"
+        if k
+        else f"(code * 1::BIGINT) % {CDC_M}"
+        for k in range(_CDC_W)
+    )
+    return f"""
+chars AS (
+  SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos, text
+  FROM documents
+),
+coded AS (
+  SELECT doc_id, pos, ord(substr(text, CAST(pos AS INT) + 1, 1)) AS code
+  FROM chars
+),
+hashed AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos >= {_CDC_W - 1} THEN ({terms}) % {CDC_M}
+         ELSE NULL END AS h
+  FROM coded
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+assigned AS (
+  SELECT doc_id, pos,
+    COALESCE(sum(CASE WHEN h IS NOT NULL AND h % {_CDC_D} = 0 THEN 1
+                      ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS chunk_idx
+  FROM hashed
+),
+spans AS (
+  SELECT doc_id, chunk_idx, min(pos) AS start, count(*) AS chunk_len
+  FROM assigned GROUP BY doc_id, chunk_idx
+),
+chunk_table AS (
+  SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+         CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(c.start AS BIGINT) AS start,
+         CAST(c.chunk_len AS BIGINT) AS chunk_len,
+         md5(substr(d.text, CAST(c.start AS INT) + 1,
+                    CAST(c.chunk_len AS INT))) AS chunk_hash
+  FROM spans c JOIN documents d USING (doc_id)
+)"""
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over documents (ext/cdc.py): rolling
+    window-hash boundaries (LBFS/Rabin family; W=8, divisor 64), one
+    row per chunk with its md5. The Spark side is the PRODUCTION numpy
+    mapInPandas path (no shuffle — each doc chunks independently); the
+    oracle rebuilds the law declaratively with lag/window functions —
+    a cross-IMPLEMENTATION differential, not a re-run of the same
+    code. The windowed (stateless) law is what makes both the
+    parallelism and the non-recursive oracle possible."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunks(docs, window=_CDC_W, divisor=_CDC_D)
+
+
+REGISTRY["ext_cdc_chunks"] = (
+    q_cdc_chunks,
+    f"WITH {_sql_cdc_chunk_table()} SELECT * FROM chunk_table",
+)
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Chunk-level duplication report: content-defined chunks shared
+    by MORE THAN ONE document — what a chunk store would deduplicate,
+    and what shifted/partially-edited near-dup docs still have in
+    common when fixed-width chunking finds nothing. Shuffles only
+    (hash, len, doc_id) — never chunk text."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = cdc_chunks(docs, window=_CDC_W, divisor=_CDC_D)
+    return (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+REGISTRY["ext_cdc_chunk_dedup"] = (
+    q_cdc_chunk_dedup,
+    f"""WITH {_sql_cdc_chunk_table()}
+SELECT chunk_hash, chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM chunk_table
+GROUP BY chunk_hash, chunk_len
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+
+
 # Round-4 rotation: ALL 35 SQL-twinned registry rows that have never
 # had a driver-green CORRECTNESS entry (r1-r3 windows ∪ = 129 distinct
 # greens; these are the remainder), plus the 6 rows whose oracle or
@@ -9034,9 +9140,7 @@ _WINDOW_50 = [
     "rel_customer_distribution",
     "rel_top_supplier",
     "rel_large_orders",
-    "rel_brand_size_discount",
     "rel_promo_part_suppliers",
-    "rel_waiting_suppliers",
     "rel_sales_opportunity",
     # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
     #    WAV, GIF; rel_parts_supplier_count yields a slot like its
@@ -9045,12 +9149,15 @@ _WINDOW_50 = [
     "ext_audio_alaw_hash_pairs",
     "ext_audio_adpcm_hash_pairs",
     "ext_image_dhash_gif_pairs",
-    # -- new this round: z-order layout (rel_promo_revenue and
-    #    rel_small_qty_revenue yield their slots — two of the 19
+    # -- new this round: z-order layout + content-defined chunking
+    #    (rel_promo_revenue, rel_small_qty_revenue, rel_waiting_suppliers
+    #    and rel_brand_size_discount yield their slots — four of the 19
     #    structurally-similar rel_* aggregates, full-sweep-green;
     #    r7 takes them) --
     "ext_zorder_key",
     "ext_zorder_layout_stats",
+    "ext_cdc_chunks",
+    "ext_cdc_chunk_dedup",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
