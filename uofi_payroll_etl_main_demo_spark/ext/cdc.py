@@ -38,10 +38,38 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["CDC_P", "CDC_M", "cdc_chunks", "cdc_chunk_spans"]
+__all__ = [
+    "CDC_P",
+    "CDC_M",
+    "cdc_chunks",
+    "cdc_chunk_spans",
+    "poly_gram_hashes",
+    "substring_dedup_spans",
+]
 
 CDC_P = 1000003
 CDC_M = 2147483647  # 2^31 - 1
+
+
+def poly_gram_hashes(text: str, width: int):
+    """Polynomial hash of every ``width``-codepoint gram of ``text``
+    (position t carries ``sum_k code(t+width-1-k) * P^k mod M`` — the
+    hash of the gram ENDING at t+width-1, indexed by its START t).
+    Vectorized over positions; the one law shared by the chunker, the
+    substring-dedup grams and the SQL oracles."""
+    import numpy as np
+
+    n = len(text)
+    if n < width:
+        return np.zeros(0, dtype=np.int64)
+    pows = [pow(CDC_P, k, CDC_M) for k in range(width)]
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    h = np.zeros(n - width + 1, dtype=np.int64)
+    for k in range(width):
+        h = (h + codes[width - 1 - k : n - k] * pows[k]) % CDC_M
+    return h
 
 CDC_SCHEMA = T.StructType(
     [
@@ -63,15 +91,9 @@ def cdc_chunk_spans(text: str, window: int = 8, divisor: int = 64):
     n = len(text)
     if n == 0:
         return []
-    pows = [pow(CDC_P, k, CDC_M) for k in range(window)]
     bounds = []
     if n >= window:
-        codes = np.frombuffer(
-            text.encode("utf-32-le"), dtype="<u4"
-        ).astype(np.int64)
-        h = np.zeros(n - window + 1, dtype=np.int64)
-        for k in range(window):
-            h = (h + codes[window - 1 - k : n - k] * pows[k]) % CDC_M
+        h = poly_gram_hashes(text, window)
         bounds = np.nonzero(h % divisor == 0)[0] + (window - 1)
     spans, start = [], 0
     for b in bounds:
@@ -136,3 +158,92 @@ def cdc_chunks(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, CDC_SCHEMA)
+
+
+GRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("gh", T.LongType(), False),
+    ]
+)
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, width: int):
+    """(doc_id, pos, gh) for every width-gram — numpy per doc, one
+    Arrow pass, no shuffle (the groupBy downstream shuffles only these
+    three integers, never text)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "pos": [], "gh": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                h = poly_gram_hashes(text, width)
+                out["doc_id"].extend([did] * len(h))
+                out["pos"].extend(range(len(h)))
+                out["gh"].extend(h.tolist())
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "pos": "int64", "gh": "int64"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, GRAM_SCHEMA)
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+) -> DataFrame:
+    """Exact repeated-substring detection (the character-level dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — there via suffix arrays): every maximal span
+    whose ``width``-grams ALL occur more than once in the corpus.
+    Any substring of length >= width repeated anywhere (across docs
+    or within one) contains a repeated width-gram, and every repeated
+    width-gram certifies a repeated substring, so sliding-gram
+    multiplicity is an exact detector at granularity ``width``.
+
+    Plan shape: gram rows are numpy-built (no shuffle), duplicate
+    gram hashes found with one integer-only groupBy, positions merged
+    into maximal spans with the gaps-and-islands window trick
+    (``pos - row_number``). The shuffle carries (hash, doc, pos)
+    integers — ~12 bytes per corpus character; that is the honest
+    cost of exact substring dedup without a distributed suffix array,
+    and the reason the near-dup family (minhash/simhash) exists for
+    the cheap first pass. Hash collisions (M = 2^31-1) can merge two
+    distinct grams; both engines share the law, so results stay
+    oracle-identical — the false-positive rate (~n²/2M) is the
+    documented trade for an integer-only shuffle.
+
+    Returns (doc_id, span_start, span_len) — span_len >= width.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2: {width}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    grams = _gram_rows(df, id_col, text_col, width)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + width).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )

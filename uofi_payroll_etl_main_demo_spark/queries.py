@@ -9071,6 +9071,77 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact repeated-substring spans over documents (ext/cdc.py
+    substring_dedup_spans — the character-level dedup of Lee et al.,
+    ACL 2022, at gram width 40): every maximal span whose 40-grams all
+    occur >= 2 times in the corpus. Spark side: numpy gram hashes (no
+    shuffle) → integer-only groupBy for duplicate hashes →
+    gaps-and-islands merge. Oracle: DuckDB recomputes the polynomial
+    gram law as a generated 40-term lag sum, then the identical
+    dup-filter + islands pipeline — cross-implementation, and any
+    off-by-one in either engine's gram indexing moves a span edge."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+        substring_dedup_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup_spans(docs, width=_SUBDUP_W)
+
+
+_SUBDUP_W = 40
+
+
+def _sql_substring_dedup_spans() -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import CDC_M, CDC_P
+
+    w = _SUBDUP_W
+    terms = " + ".join(
+        f"(lag(code, {k}) OVER win * {pow(CDC_P, k, CDC_M)}::BIGINT) % {CDC_M}"
+        if k
+        else f"(code * 1::BIGINT) % {CDC_M}"
+        for k in range(w)
+    )
+    return f"""
+WITH chars AS (
+  SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos, text
+  FROM documents
+),
+coded AS (
+  SELECT doc_id, pos, ord(substr(text, CAST(pos AS INT) + 1, 1)) AS code
+  FROM chars
+),
+grams AS (
+  SELECT doc_id, pos - {w - 1} AS start, ({terms}) % {CDC_M} AS gh
+  FROM coded
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY pos >= {w - 1}
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.start FROM grams g JOIN dup USING (gh)
+),
+islands AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start)
+           AS grp
+  FROM hits
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) - min(start) + {w} AS BIGINT) AS span_len
+FROM islands GROUP BY doc_id, grp
+"""
+
+
+REGISTRY["ext_substring_dedup_spans"] = (
+    q_substring_dedup_spans,
+    _sql_substring_dedup_spans(),
+)
+
+
 REGISTRY["ext_cdc_chunk_dedup"] = (
     q_cdc_chunk_dedup,
     f"""WITH {_sql_cdc_chunk_table()}
@@ -9140,7 +9211,6 @@ _WINDOW_50 = [
     "rel_customer_distribution",
     "rel_top_supplier",
     "rel_large_orders",
-    "rel_promo_part_suppliers",
     "rel_sales_opportunity",
     # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
     #    WAV, GIF; rel_parts_supplier_count yields a slot like its
@@ -9150,14 +9220,16 @@ _WINDOW_50 = [
     "ext_audio_adpcm_hash_pairs",
     "ext_image_dhash_gif_pairs",
     # -- new this round: z-order layout + content-defined chunking
-    #    (rel_promo_revenue, rel_small_qty_revenue, rel_waiting_suppliers
-    #    and rel_brand_size_discount yield their slots — four of the 19
+    #    + substring dedup (rel_promo_revenue, rel_small_qty_revenue,
+    #    rel_waiting_suppliers, rel_brand_size_discount and
+    #    rel_promo_part_suppliers yield their slots — five of the 19
     #    structurally-similar rel_* aggregates, full-sweep-green;
     #    r7 takes them) --
     "ext_zorder_key",
     "ext_zorder_layout_stats",
     "ext_cdc_chunks",
     "ext_cdc_chunk_dedup",
+    "ext_substring_dedup_spans",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
