@@ -124,6 +124,15 @@ HEADLINE = [
     "rel_large_orders",
     "rel_waiting_suppliers",
     "rel_market_share",
+    # round 6 late block: z-order layout law (wide codegen expression
+    # over the full lineitem scan) and the CDC / exact-substring dedup
+    # family (1.5M-char corpus at sf0.1: gram hashing + integer-only
+    # shuffles; DuckDB pays the same law through window functions)
+    "ext_zorder_key",
+    "ext_zorder_layout_stats",
+    "ext_cdc_chunks",
+    "ext_cdc_chunk_dedup",
+    "ext_substring_dedup_spans",
 ]
 
 
