@@ -178,6 +178,24 @@ def main() -> None:
         ),
     )
 
+    # content-defined chunking (round 6): per-doc numpy, no shuffle —
+    # wall must track corpus size linearly
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+        cdc_chunks,
+        substring_dedup_spans,
+    )
+
+    run("cdc_chunks", lambda: cdc_chunks(docs))
+    # exact substring dedup (round 6): the replica corpus is the
+    # ADVERSARIAL case — every doc is near-identical to factor-1
+    # others, so ~every gram is duplicated, hits ≈ all grams, and the
+    # dup side is too big for AQE to broadcast (sort-merge fallback).
+    # Honest worst case: output-bound, like the minhash cliques.
+    run(
+        "substring_dedup_spans",
+        lambda: substring_dedup_spans(docs, width=40),
+    )
+
     # corpus rewrite (round 5): output rows stay = n_docs; work is one
     # window + one groupBy over the chunk explode — linear by shape
     from uofi_payroll_etl_main_demo_spark.ext.textstats import (

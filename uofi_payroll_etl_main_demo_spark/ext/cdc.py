@@ -253,16 +253,9 @@ def substring_dedup_spans(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # Three plan shapes measured at sf0.1 (1.5M grams):
-    #   groupBy + join, grams unpersisted — 6.2 s (the mapInPandas
-    #     gram scan runs twice, once per consumer);
-    #   count() window over gh — 3.9 s (single scan, but the window
-    #     SORTS every gram row by gh);
-    #   persist + hash-agg + join — 2.4 s (partial-agg shuffle of
-    #     (gh, count) only; the dup side is tiny on normal corpora so
-    #     AQE broadcasts it and the gram side is never sorted; on a
-    #     pathological everything-repeats corpus AQE falls back to a
-    #     sort-merge join, which is the window form's cost).
+    # persist: grams feed two consumers (the multiplicity aggregate
+    # and the join); unpersisted, the mapInPandas gram scan runs twice
+    # (measured 6.2 s vs 2.8 s at sf0.1)
     grams = _gram_rows(df, id_col, text_col, width).persist()
     dup = (
         grams.groupBy("gh")
@@ -270,7 +263,20 @@ def substring_dedup_spans(
         .filter(F.col("__n") >= 2)
         .select("gh")
     )
-    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    # The join strategy is PINNED (shuffle-hash on the dup side), not
+    # left to the planner: the gram side's Python-map stats are opaque
+    # to Catalyst, and at 128x probe scale the optimizer chose to
+    # broadcast the 192M-row GRAM side — 1.6 GB of driver collect,
+    # past spark.driver.maxResultSize (observed failure, recorded in
+    # BASELINE.md). Shuffle-hash never sorts and never collects: it
+    # moves (gh, doc, pos) integers once and builds the hash table on
+    # the dup side, which is bounded by DISTINCT duplicated hashes.
+    # Measured at sf0.1: 2.8 s vs 3.9 s for a driver-side
+    # count-then-broadcast variant (the count is an extra job) and
+    # 3.9 s for a count-window form that sorts every gram row.
+    hits = grams.join(dup.hint("shuffle_hash"), "gh").select(
+        "doc_id", "pos"
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn(
         "__grp", F.col("pos") - F.row_number().over(w)
