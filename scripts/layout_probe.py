@@ -64,8 +64,13 @@ def build(spark, factor: int, files: int) -> tuple[str, str, int, int]:
 
 
 def cant_skip_fraction(path: str, box: dict) -> float:
-    maps = [m for m in parquet_zone_maps(path, list({c for c, _, _ in (
-        ("l_partkey", 0, 0), ("l_suppkey", 0, 0))})) if m["num_rows"]]
+    maps = [
+        m
+        for m in parquet_zone_maps(path, ["l_partkey", "l_suppkey"])
+        if m["num_rows"]
+    ]
+    if not maps:
+        raise ValueError(f"no non-empty parquet files under {path}")
     hit = 0
     for m in maps:
         inter = all(

@@ -107,6 +107,24 @@ def test_guards_and_stub_boundaries():
     grid = np.stack(np.meshgrid(many, many, many), -1).reshape(-1, 3)[:300]
     with pytest.raises(ValueError):
         gif_bytes(grid.reshape(30, 10, 3))
+    # animation = a SECOND image block before the trailer: must hit
+    # the stub boundary, not silently decode frame 1 (two different
+    # animations sharing frame 1 would dedup as identical)
+    one = _hand_gif()
+    body, frame = one[:-1], b"\x2c" + one[one.index(b"\x2c") + 1 :]
+    with pytest.raises(NotImplementedError):
+        decode_gif(body + frame)
+    # trailing garbage instead of a trailer stays loud
+    with pytest.raises(ValueError):
+        decode_gif(one[:-1] + b"\x07")
+    with pytest.raises(ValueError):
+        decode_gif(one[:-1])  # sub-blocks end but no trailer byte
+    # LZW min code size has a spec ceiling of 8 (palette indices are
+    # bytes); 9 must be a clear ValueError, not a table-build crash
+    bad = bytearray(one)
+    bad[one.index(b"\x2c") + 10] = 9
+    with pytest.raises(ValueError, match="min code size"):
+        decode_gif(bytes(bad))
 
 
 def test_gif_fixture_hashes_match_ppm_twin(spark):

@@ -79,8 +79,30 @@ def test_zorder_guards():
         zorder_key([("a", 0, 100)], bits=20)  # exact-floor bound
     with pytest.raises(ValueError):
         zorder_key([], bits=8)
+    # the SQL twin fails identically at build time ("one law, two
+    # engines" includes the guards — a '// 0' discovered only when
+    # the oracle executes is not identical failure)
     with pytest.raises(ValueError):
         zorder_key_sql([("a", 0, 100)] * 4, bits=16)
+    with pytest.raises(ValueError):
+        zorder_key_sql([("a", 5, 5)], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key_sql([("a", 0, 1 << 33)], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key_sql([("a", 0, 100)], bits=20)
+    with pytest.raises(ValueError):
+        zorder_key_sql([], bits=8)
+
+
+def test_zone_maps_tolerate_zero_row_group_files(spark, tmp_path):
+    """An empty DataFrame writes a parquet file with ZERO row groups;
+    zone-map readback must report it (num_rows 0, None stats), not
+    crash building the column map from row group 0."""
+    path = str(tmp_path / "empty")
+    spark.createDataFrame([], "a long, b long").write.parquet(path)
+    maps = parquet_zone_maps(path, ["a", "b"])
+    assert maps and all(m["num_rows"] == 0 for m in maps)
+    assert all(m["a_min"] is None and m["b_max"] is None for m in maps)
 
 
 def test_zorder_layout_tightens_zone_maps(spark, tmp_path):

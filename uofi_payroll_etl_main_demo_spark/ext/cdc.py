@@ -168,6 +168,13 @@ def cdc_chunks(
     return df.select(id_col, text_col).mapInPandas(batches, CDC_SCHEMA)
 
 
+# Session-bounded persist pool (the dedup_index._SIG_POOL pattern):
+# each substring_dedup_spans call drains the previous call's gram
+# cache, so a long session holds at most ONE gram frame instead of
+# leaking one per invocation. Sequential callers only; a concurrent
+# unpersist merely recomputes (never a correctness hazard).
+_GRAM_POOL: list = []
+
 GRAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -255,8 +262,12 @@ def substring_dedup_spans(
 
     # persist: grams feed two consumers (the multiplicity aggregate
     # and the join); unpersisted, the mapInPandas gram scan runs twice
-    # (measured 6.2 s vs 2.8 s at sf0.1)
+    # (measured 6.2 s vs 2.8 s at sf0.1). Lifetime bounded by the
+    # module pool above.
+    while _GRAM_POOL:
+        _GRAM_POOL.pop().unpersist()
     grams = _gram_rows(df, id_col, text_col, width).persist()
+    _GRAM_POOL.append(grams)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -228,7 +228,9 @@ def decode_gif(payload: bytes):
         raise ValueError("truncated before LZW min code size")
     min_code_size = payload[i]
     i += 1
-    if not 2 <= min_code_size <= 11:
+    # spec ceiling is 8: palette indices never exceed 255, and 9+
+    # would make _lzw_decode build root entries > 0xFF
+    if not 2 <= min_code_size <= 8:
         raise ValueError(f"bad LZW min code size {min_code_size}")
     chunks = []
     while True:
@@ -245,4 +247,30 @@ def decode_gif(payload: bytes):
     idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
     if (idx >= len(gct)).any():
         raise ValueError("palette index beyond color table")
+    # walk the remaining blocks: a second image separator means an
+    # ANIMATION, which must hit the documented stub boundary — not
+    # silently hash as its first frame (two different animations
+    # sharing frame 1 would dedup as identical)
+    while True:
+        if i >= len(payload):
+            raise ValueError("GIF stream ended without trailer")
+        block = payload[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x2C:
+            raise NotImplementedError("multi-frame animated GIF unsupported")
+        if block == 0x21:
+            if i >= len(payload):
+                raise ValueError("truncated extension")
+            i += 1  # label
+            while True:
+                if i >= len(payload):
+                    raise ValueError("truncated extension sub-block")
+                n = payload[i]
+                i += 1 + n
+                if n == 0:
+                    break
+            continue
+        raise ValueError(f"unknown GIF block 0x{block:02x}")
     return gct[idx].reshape(h, w, 3)

@@ -80,12 +80,22 @@ def zorder_key_sql(cols, bits: int = 16) -> str:
     ``(column_name, lo, hi)`` triples — the DuckDB oracle twin builds
     its expression from here so the two engines share one law."""
     k = len(cols)
+    if k < 1:
+        raise ValueError("need at least one column")
     if bits * k > 62:
         raise ValueError(f"bits*k = {bits * k} exceeds signed-long range")
+    if bits > 19:
+        raise ValueError(f"bits = {bits} breaks the exact-floor bound (max 19)")
     top = (1 << bits) - 1
     terms = []
     for j, (name, lo, hi) in enumerate(cols):
         lo, hi = int(lo), int(hi)
+        # same guards as the Spark twin (_norm) — the "one law, two
+        # engines" contract includes failing identically at build time
+        if hi <= lo:
+            raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        if hi - lo > (1 << 32):
+            raise ValueError(f"domain wider than 2^32 ([{lo}, {hi}])")
         n = (
             f"(((least(greatest(CAST({name} AS BIGINT), {lo}), {hi})"
             f" - {lo}) * {top}) // {hi - lo})"
@@ -138,9 +148,10 @@ def parquet_zone_maps(path: str, columns) -> "list[dict]":
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         meta = pq.ParquetFile(f).metadata
         row = {"file": os.path.basename(f), "num_rows": meta.num_rows}
+        # column indices from the FILE schema, not row group 0 — a
+        # zero-row-group file (empty DataFrame write) has no group 0
         schema_names = {
-            meta.row_group(0).column(i).path_in_schema: i
-            for i in range(meta.num_columns)
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
         }
         for c in columns:
             i = schema_names[c]
