@@ -21,6 +21,27 @@ def skewed(spark):
     return spark.createDataFrame(rows, "id long, k string, v double")
 
 
+def test_skew_report_math_and_guards(spark, skewed):
+    from uofi_payroll_etl_main_demo_spark.operators.skew import skew_report
+
+    rep = skew_report(skewed, ["k"], top_n=3).collect()
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+    hot = rep[0]
+    # 800 'hot' rows of 1000 over 8 distinct keys
+    assert hot["k"] == "hot" and hot["cnt"] == 800
+    assert hot["share_pct"] == 80.0 and hot["cum_share_pct"] == 80.0
+    assert hot["skew_factor"] == 800 * 8 / 1000  # = 6.4 = n_salts hint
+    assert rep[1]["cum_share_pct"] > 80.0
+    # ties broken by key value: the seven k* tail keys alternate
+    # deterministically
+    again = skew_report(skewed, ["k"], top_n=3).collect()
+    assert [tuple(r) for r in rep] == [tuple(r) for r in again]
+    with pytest.raises(ValueError):
+        skew_report(skewed, [], top_n=3)
+    with pytest.raises(ValueError):
+        skew_report(skewed, ["k"], top_n=0)
+
+
 def test_with_salt_deterministic_and_bounded(spark, skewed):
     a = with_salt(skewed, ["id"], n_salts=8).select("id", "__salt")
     b = with_salt(skewed, ["id"], n_salts=8).select("id", "__salt")

@@ -19,6 +19,61 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """The DIAGNOSTIC next to the mitigations: per-key concentration
+    stats for a prospective shuffle key — row count, corpus share,
+    cumulative share, and ``skew_factor`` (count / mean-per-key; also
+    the salt count that would level that key, which is what
+    :func:`with_salt`'s ``n_salts`` wants). Returns the ``top_n``
+    heaviest keys, heaviest first, ties broken by key value.
+
+    Scale shape: one partial-agg groupBy over the fact table, then a
+    global top-N (`orderBy(...).limit`, a partial top-k per partition
+    — never a single-partition window over ALL keys) joined to a
+    broadcast one-row total. The only full-width pass is the count.
+    """
+    if not keys:
+        raise ValueError("need at least one key column")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1: {top_n}")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(k) for k in keys]
+    top = counts.orderBy(*order).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "share_pct",
+            F.round(F.col("cnt") * 100.0 / F.col("__total"), 4),
+        )
+        .withColumn(
+            "cum_share_pct",
+            F.round(
+                F.sum("cnt").over(w) * 100.0 / F.col("__total"), 4
+            ),
+        )
+        .withColumn(
+            "skew_factor",
+            F.round(
+                F.col("cnt") * F.col("__n_keys") / F.col("__total"), 4
+            ),
+        )
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(*keys, "rank", "cnt", "share_pct", "cum_share_pct",
+                "skew_factor")
+    )
+
+
 def with_salt(
     df: DataFrame,
     distinct_on: Sequence[str],

@@ -8978,6 +8978,39 @@ REGISTRY["ext_zorder_layout_stats"] = (
 )
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis (operators/skew.py skew_report): the
+    top keys of a prospective shuffle key with share, cumulative
+    share and skew_factor = count/mean-per-key — the number
+    with_salt's n_salts wants. Scale shape pinned in the operator: one
+    partial-agg groupBy, a partial top-k (orderBy+limit — never a
+    single-partition window over all keys), and a broadcast one-row
+    total. Fixture's lang column is genuinely skewed (en ≈ 44%)."""
+    from uofi_payroll_etl_main_demo_spark.operators.skew import skew_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return skew_report(docs, ["lang"], top_n=10)
+
+
+def _sql_skew_report() -> str:
+    return """
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+tot AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts),
+top AS (SELECT * FROM counts ORDER BY cnt DESC, lang LIMIT 10)
+SELECT lang,
+  CAST(row_number() OVER (ORDER BY cnt DESC, lang) AS INT) AS rank,
+  CAST(cnt AS BIGINT) AS cnt,
+  round(cnt * 100.0 / total, 4) AS share_pct,
+  round(sum(cnt) OVER (ORDER BY cnt DESC, lang ROWS UNBOUNDED PRECEDING)
+        * 100.0 / total, 4) AS cum_share_pct,
+  round(cnt * n_keys * 1.0 / total, 4) AS skew_factor
+FROM top, tot
+"""
+
+
+REGISTRY["ext_skew_report"] = (q_skew_report, _sql_skew_report())
+
+
 _CDC_W, _CDC_D = 8, 64
 
 
@@ -9209,7 +9242,6 @@ _WINDOW_50 = [
     "rel_important_parts",
     "rel_priority_shipping",
     "rel_customer_distribution",
-    "rel_top_supplier",
     "rel_large_orders",
     "rel_sales_opportunity",
     # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
@@ -9230,6 +9262,7 @@ _WINDOW_50 = [
     "ext_cdc_chunks",
     "ext_cdc_chunk_dedup",
     "ext_substring_dedup_spans",
+    "ext_skew_report",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
