@@ -10,6 +10,7 @@ statistics a scan planner prunes with), natural-order files don't.
 import pytest
 
 from uofi_payroll_etl_main_demo_spark.ext.layout import (
+    compact_parquet,
     parquet_zone_maps,
     zorder_key,
     zorder_key_sql,
@@ -92,6 +93,56 @@ def test_zorder_guards():
         zorder_key_sql([("a", 0, 100)], bits=20)
     with pytest.raises(ValueError):
         zorder_key_sql([], bits=8)
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """64 tiny files → a handful near target size; content identical;
+    the zorder_cols form compacts AND clusters in one pass."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    src = str(tmp_path / "small")
+    li.repartition(64).write.parquet(src)
+    import glob
+
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(src + "/*.parquet")
+    )
+    target = max(-(-total // 4), 1)  # ceil: so ceil(total/target) <= 4
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_bytes=target)
+    assert stats["files_in"] == 64
+    # ceil(total/target) = 4 requested; coalesce may merge unevenly
+    # but never exceeds the request
+    assert 1 <= stats["files_out"] <= 4
+    a = spark.read.parquet(src).groupBy().sum("l_quantity").first()[0]
+    b = spark.read.parquet(dst).groupBy().sum("l_quantity").first()[0]
+    assert a == b
+
+    # compact + cluster: zone maps tighten while file count drops
+    dst2 = str(tmp_path / "compact_zorder")
+    pmax = li.selectExpr("max(l_partkey)").first()[0]
+    smax = li.selectExpr("max(l_suppkey)").first()[0]
+    stats2 = compact_parquet(
+        spark, src, dst2, target_bytes=target,
+        zorder_cols=[("l_partkey", 1, int(pmax)),
+                     ("l_suppkey", 1, int(smax))],
+        bits=12,
+    )
+    assert stats2["files_out"] <= 4
+    maps = [
+        m for m in parquet_zone_maps(dst2, ["l_partkey"]) if m["num_rows"]
+    ]
+    spans = [
+        (m["l_partkey_max"] - m["l_partkey_min"]) / (pmax - 1) for m in maps
+    ]
+    assert sum(spans) / len(spans) < 0.85  # tighter than full domain
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, str(tmp_path / "nope"), dst + "2")
 
 
 def test_zone_maps_tolerate_zero_row_group_files(spark, tmp_path):

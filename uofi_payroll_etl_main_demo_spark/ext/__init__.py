@@ -47,6 +47,7 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
     minhash_index_load,
 )
 from uofi_payroll_etl_main_demo_spark.ext.layout import (  # noqa: F401
+    compact_parquet,
     parquet_zone_maps,
     zorder_key,
     zorder_key_sql,

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compact_parquet",
     "zorder_key",
     "zorder_key_sql",
     "zorder_layout",
@@ -130,6 +131,56 @@ def zorder_layout(
         .sortWithinPartitions(key_col)
         .drop(key_col)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    zorder_cols=None,
+    bits: int = 16,
+) -> dict:
+    """OPTIMIZE-style compaction: rewrite a parquet directory into
+    ~``target_bytes`` files (the small-files problem — a 100 TB table
+    accreted from streaming micro-batches or per-task writes pays a
+    per-file open/footer/scheduling cost that dwarfs the data; Delta's
+    OPTIMIZE, Iceberg's rewrite_data_files are this operation).
+
+    File count = ceil(input_bytes / target_bytes) from the REAL
+    on-disk listing (compressed bytes — the honest estimator for the
+    rewrite's output, same codec in and out). Plain compaction uses
+    ``coalesce`` (merges partitions WITHOUT a shuffle); passing
+    ``zorder_cols`` upgrades the rewrite to :func:`zorder_layout`
+    (one shuffle, and the output gets multi-dimensional zone maps —
+    compact + cluster in a single pass, like OPTIMIZE ZORDER BY).
+
+    Returns {files_in, files_out, bytes_in} for the caller's log.
+    ``dst`` must not equal ``src`` (parquet can't overwrite its own
+    input mid-read)."""
+    import glob
+    import os
+
+    if os.path.abspath(dst) == os.path.abspath(src):
+        raise ValueError("dst must differ from src")
+    files = [
+        f
+        for f in glob.glob(os.path.join(src, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {src}")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_in // target_bytes))
+    df = spark.read.parquet(src)
+    if zorder_cols:
+        out = zorder_layout(df, zorder_cols, bits=bits, num_partitions=n_out)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("error").parquet(dst)
+    files_out = len(glob.glob(os.path.join(dst, "*.parquet")))
+    return {"files_in": len(files), "files_out": files_out,
+            "bytes_in": bytes_in}
 
 
 def parquet_zone_maps(path: str, columns) -> "list[dict]":
