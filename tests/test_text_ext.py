@@ -1262,6 +1262,68 @@ def test_adpcm_codec_exactness():
         decode_wav_adpcm(wav[:-3])  # truncated mid-block
 
 
+def test_adpcm_vectorized_equals_scalar_reference_fuzz():
+    """Hypothesis fuzz: the block-vectorized ADPCM round trip equals
+    the scalar spec port on arbitrary int16 signals (clamps, step
+    extremes, every index-table branch)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        adpcm_decode_blocks,
+        adpcm_encode_blocks,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=25,
+            max_size=200,
+        ).map(lambda xs: xs[: len(xs) - len(xs) % 25])
+    )
+    def check(sig):
+        sig = np.asarray(sig, dtype=np.int64)
+        preds, nibs = adpcm_encode_blocks(sig, 25)
+        y = adpcm_decode_blocks(preds, np.zeros(len(preds)), nibs)
+        assert list(y) == _adpcm_scalar_reference(sig, 25)
+
+    check()
+
+
+def test_cdc_spans_invariants_fuzz():
+    """Hypothesis fuzz of the CDC law: spans always tile the text, and
+    an edit at position i never moves a boundary that lies more than a
+    window before it (locality — the property shift-robust chunking
+    is FOR)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_chunk_spans
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=400), st.data())
+    def check(text, data):
+        spans = cdc_chunk_spans(text)
+        at = 0
+        for s, ln in spans:
+            assert s == at and ln >= 1
+            at += ln
+        assert at == len(text)
+        if len(text) > 10:
+            i = data.draw(st.integers(0, len(text) - 1))
+            c = data.draw(st.characters())
+            edited = text[:i] + c + text[i + 1 :]
+            before = {s for s in cdc_chunk_spans(text) if s[0] + s[1] <= i - 7}
+            before_e = {
+                s for s in cdc_chunk_spans(edited) if s[0] + s[1] <= i - 7
+            }
+            assert before == before_e
+
+    check()
+
+
 def test_mulaw_audio_pipeline_differential(spark):
     """mu-law clips ride the SAME energy-hash path as PCM: polarity
     twins still collapse after lossy quantization, and every hash

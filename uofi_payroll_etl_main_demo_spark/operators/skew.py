@@ -33,39 +33,44 @@ def skew_report(
 
     Scale shape: one partial-agg groupBy over the fact table, then a
     global top-N (`orderBy(...).limit`, a partial top-k per partition
-    — never a single-partition window over ALL keys) joined to a
-    broadcast one-row total. The only full-width pass is the count.
+    — never a single-partition window over ALL keys); the grand total
+    is one driver-side row folded back in as literals. The only
+    full-width pass is the count.
     """
     if not keys:
         raise ValueError("need at least one key column")
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1: {top_n}")
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
-    totals = counts.agg(
-        F.sum("cnt").alias("__total"),
-        F.count(F.lit(1)).alias("__n_keys"),
-    )
+    # totals land on the driver as ONE row (the A5 aggregate→driver
+    # precedent; a join-based attach constant-folds into the
+    # BroadcastNestedLoopJoin the plan lint bans) and re-enter the
+    # plan as literals — a diagnostic pays one extra tiny agg job
+    total, n_keys = counts.agg(
+        F.sum("cnt"), F.count(F.lit(1))
+    ).first()
+    if not total:
+        raise ValueError("skew_report over an empty DataFrame")
     order = [F.col("cnt").desc()] + [F.col(k) for k in keys]
     top = counts.orderBy(*order).limit(top_n)
     from pyspark.sql import Window
 
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        top.crossJoin(F.broadcast(totals))
-        .withColumn(
+        top.withColumn(
             "share_pct",
-            F.round(F.col("cnt") * 100.0 / F.col("__total"), 4),
+            F.round(F.col("cnt") * 100.0 / F.lit(float(total)), 4),
         )
         .withColumn(
             "cum_share_pct",
             F.round(
-                F.sum("cnt").over(w) * 100.0 / F.col("__total"), 4
+                F.sum("cnt").over(w) * 100.0 / F.lit(float(total)), 4
             ),
         )
         .withColumn(
             "skew_factor",
             F.round(
-                F.col("cnt") * F.col("__n_keys") / F.col("__total"), 4
+                F.col("cnt") * F.lit(int(n_keys)) / F.lit(float(total)), 4
             ),
         )
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))

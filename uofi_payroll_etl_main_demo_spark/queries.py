@@ -8984,8 +8984,10 @@ def q_skew_report(spark, sf_dir):
     share and skew_factor = count/mean-per-key — the number
     with_salt's n_salts wants. Scale shape pinned in the operator: one
     partial-agg groupBy, a partial top-k (orderBy+limit — never a
-    single-partition window over all keys), and a broadcast one-row
-    total. Fixture's lang column is genuinely skewed (en ≈ 44%)."""
+    single-partition window over all keys), and a one-row driver
+    total folded back as literals (the A5 aggregate→driver precedent;
+    a join-based attach constant-folds into a BNLJ the plan lint
+    bans). Fixture's lang column is genuinely skewed (en ≈ 44%)."""
     from uofi_payroll_etl_main_demo_spark.operators.skew import skew_report
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
