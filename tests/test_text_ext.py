@@ -1023,6 +1023,59 @@ def test_image_dhash_twin_invariance(spark):
         assert pairs[(2 * g, 2 * g + 1)] == 0
 
 
+def test_image_whash_invariances(spark):
+    """The WHT hash's contracts: (a) channel-sum-identical twins hash
+    identically; (b) GLOBAL BRIGHTNESS SCALING is invariant (every
+    coefficient and the median scale together) — the case that
+    distinguishes it from a mean-threshold hash; (c) structural edits
+    flip bits; (d) undersized images hit the loud/quarantine paths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        _gradient_pixels,
+        image_whash,
+        ppm_bytes,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=8)
+    sigs = {r["media_id"]: r["whash"] for r in image_whash(media).collect()}
+    for g in range(4):
+        assert sigs[2 * g] == sigs[2 * g + 1]
+    assert len(set(sigs.values())) > 1
+
+    base = (_gradient_pixels(0, 18, 16) % 100).astype(np.uint8)
+    doubled = (base.astype(np.int64) * 2).astype(np.uint8)
+    edited = base.copy()
+    edited[4:12, 4:12] = 255  # structural edit
+    meta = {"modality": "image", "mime": "image/x-portable-pixmap",
+            "width": 18, "height": 16, "duration_ms": None,
+            "sample_rate": None}
+    df = spark.createDataFrame(
+        [
+            (0, ppm_bytes(base), meta),
+            (1, ppm_bytes(doubled), meta),
+            (2, ppm_bytes(edited), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    s = {r["media_id"]: r["whash"] for r in image_whash(df).collect()}
+    assert s[0] == s[1]  # brightness-scale invariant
+    assert s[0] != s[2]  # structural edit moves coefficients
+
+    tiny = spark.createDataFrame(
+        [(9, ppm_bytes(np.zeros((4, 4, 3), dtype=np.uint8)), meta)],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception):
+        image_whash(tiny).collect()  # smaller than 8x8, on_error=raise
+    assert image_whash(tiny, on_error="skip").count() == 0
+    with _pytest.raises(ValueError):
+        image_whash(df, on_error="maybe")
+
+
 def test_audio_energy_hash_polarity_invariance(spark):
     """Polarity-inverted twins (different bytes) hash identically and
     pair at hamming 0; the fingerprint is non-degenerate (patterns

@@ -1367,6 +1367,88 @@ def image_dhash(
     return media.mapInPandas(batches, DHASH_SCHEMA)
 
 
+WHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("whash", T.LongType()),
+    ]
+)
+
+
+def _hadamard8():
+    import numpy as np
+
+    H = np.array([[1]])
+    while H.shape[0] < 8:
+        H = np.block([[H, H], [H, -H]])
+    return H
+
+
+def image_whash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
+    """Perceptual 63-bit Walsh–Hadamard hash per image — the
+    frequency-domain sibling of :func:`image_dhash` (pHash uses a
+    float DCT; the Sylvester-ordered WHT is its ±1 INTEGER analogue,
+    so every bit decision is exact and the SQL oracle reproduces the
+    whole transform). Law: integer channel-sum grayscale, crop to the
+    largest 8-divisible box, 8×8 integer block sums, ``Y = H·X·H``,
+    one bit per AC coefficient ``Y[k] > median`` (the 32nd-smallest
+    of the 63 AC values — exact order statistic, no interpolation),
+    packed little-endian at bit ``k-1`` (63 bits; bit 63 stays 0).
+
+    Invariances (tested): channel shifts that preserve the channel
+    sum, bytewise re-encodes through any lossless codec, and GLOBAL
+    BRIGHTNESS SCALING (``v → a·v`` scales every coefficient and the
+    median together — a case dHash's fixed neighbor comparisons also
+    survive but averaging hashes do not). Structural edits move
+    coefficients across the median. ``on_error`` semantics match
+    :func:`image_dhash`."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        H = _hadamard8()
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"null payload for media_id={mid}")
+                try:
+                    px = decode_image(bytes(payload))
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                gray3 = px.astype(np.int64).sum(axis=2)
+                h8 = (gray3.shape[0] // 8) * 8
+                w8 = (gray3.shape[1] // 8) * 8
+                if h8 < 8 or w8 < 8:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(
+                        f"image smaller than 8x8 for media_id={mid}"
+                    )
+                X = (
+                    gray3[:h8, :w8]
+                    .reshape(8, h8 // 8, 8, w8 // 8)
+                    .sum(axis=(1, 3))
+                )
+                Y = (H @ X @ H).flatten()
+                m = np.sort(Y[1:])[31]
+                hv = 0
+                for k in range(1, 64):
+                    if Y[k] > m:
+                        hv |= 1 << (k - 1)
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "whash"])
+
+    return media.mapInPandas(batches, WHASH_SCHEMA)
+
+
 def wav_bytes_pcm16(pcm, sample_rate: int = 8000) -> bytes:
     """Encode an int16 sample array as mono PCM WAV EXACTLY (no float
     scaling roundtrip — ``wav_bytes``'s ``*32767`` + truncation can

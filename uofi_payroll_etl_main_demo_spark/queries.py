@@ -7554,6 +7554,83 @@ REGISTRY["ext_image_dhash_pairs"] = (
 )
 
 
+def q_image_whash_pairs(spark, sf_dir):
+    """Frequency-domain perceptual dedup: Walsh–Hadamard hash
+    (ext/multimodal.py image_whash — the ±1 INTEGER analogue of
+    pHash's DCT, so the transform is engine-exact) over the gradient
+    PPM fixture → banded Hamming pairs. The channel-shifted twins are
+    channel-SUM identical, so they hash identically (hamming 0;
+    cross-pattern min 6 measured — threshold 3 yields exactly the 24
+    twin pairs). Oracle: DuckDB rebuilds grayscale → crop → block
+    sums → H·X·H via a 64-row Hadamard VALUES table → exact
+    32nd-order-statistic median → every bit, then the pairs."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_whash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=48)
+    sigs = image_whash(media)
+    return hamming_pairs_64(
+        sigs, "media_id", "whash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_image_whash_pairs(
+    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import _hadamard8
+
+    H = _hadamard8()
+    hvals = ", ".join(
+        f"({u},{j},{int(H[u, j])})" for u in range(8) for j in range(8)
+    )
+    w8 = (width // 8) * 8
+    h8 = (height // 8) * 8
+    return f"""
+WITH h(u, j, s) AS (VALUES {hvals}),
+px AS (
+  SELECT i, r, c,
+         3 * (3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237) AS gray3
+  FROM range(0, {n}) t(i), range(0, {h8}) rr(r), range(0, {width}) cc(c)
+  WHERE c < {w8}
+),
+bm AS (
+  SELECT i, r // {h8 // 8} AS br, c // {w8 // 8} AS bc, sum(gray3) AS x
+  FROM px GROUP BY i, r // {h8 // 8}, c // {w8 // 8}
+),
+wht AS (
+  SELECT bm.i, h1.u AS u, h2.u AS v, sum(h1.s * bm.x * h2.s) AS y
+  FROM bm JOIN h h1 ON h1.j = bm.br JOIN h h2 ON h2.j = bm.bc
+  GROUP BY bm.i, h1.u, h2.u
+),
+ac AS (SELECT i, u * 8 + v AS k, y FROM wht WHERE NOT (u = 0 AND v = 0)),
+med AS (
+  SELECT i, y AS m FROM (
+    SELECT i, y, row_number() OVER (PARTITION BY i ORDER BY y) AS rn
+    FROM ac
+  ) WHERE rn = 32
+),
+hv AS (
+  SELECT ac.i, CAST(sum(CASE WHEN ac.y > med.m
+                 THEN (1::BIGINT << (ac.k - 1)) ELSE 0 END) AS BIGINT)
+           AS whash
+  FROM ac JOIN med ON ac.i = med.i GROUP BY ac.i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.whash, b.whash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.whash, b.whash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_image_whash_pairs"] = (
+    q_image_whash_pairs,
+    _sql_image_whash_pairs(),
+)
+
+
 def q_image_dhash_png_pairs(spark, sf_dir):
     """Perceptual-hash image dedup over REAL COMPRESSED PNG payloads:
     stdlib-zlib PNG decode (chunk CRCs verified, all five scanline
@@ -9237,7 +9314,6 @@ _WINDOW_50 = [
     "rel_volume_shipping",
     "rel_part_type_revenue",
     "rel_returned_item_report",
-    "rel_forecast_revenue",
     "rel_priority_late_orders",
     "rel_min_price_supplier",
     "rel_market_share",
@@ -9253,6 +9329,7 @@ _WINDOW_50 = [
     "ext_audio_alaw_hash_pairs",
     "ext_audio_adpcm_hash_pairs",
     "ext_image_dhash_gif_pairs",
+    "ext_image_whash_pairs",
     # -- new this round: z-order layout + content-defined chunking
     #    + substring dedup (rel_promo_revenue, rel_small_qty_revenue,
     #    rel_waiting_suppliers, rel_brand_size_discount and
