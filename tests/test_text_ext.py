@@ -1076,6 +1076,58 @@ def test_image_whash_invariances(spark):
         image_whash(df, on_error="maybe")
 
 
+def test_audio_spectral_hash_gain_invariance(spark):
+    """The spectral hash's contract: polarity AND positive gain leave
+    the dominant-sequency sequence unchanged (|a·Y| keeps its argmax)
+    while a structural edit moves it; plus the Hadamard closed form
+    ``H[u][t] = (-1)^popcount(u&t)`` the SQL oracle builds from, and
+    the guard rails."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        _hadamard,
+        audio_spectral_hash,
+        wav_bytes_pcm16,
+    )
+
+    H = _hadamard(64)
+    u, t = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    pop = np.vectorize(lambda a: bin(a).count("1"))(u & t)
+    assert (H == np.where(pop % 2 == 0, 1, -1)).all()
+
+    j = np.arange(64 * 8, dtype=np.int64)
+    base = ((j * j * 17 + j * 5) % 401) - 200
+    edited = base.copy()
+    edited[100:140] = 1999  # structural edit in window 1/2
+    meta = {"modality": "audio", "mime": "audio/wav", "width": None,
+            "height": None, "duration_ms": 64, "sample_rate": 8000}
+    df = spark.createDataFrame(
+        [
+            (0, wav_bytes_pcm16(base, 8000), meta),
+            (1, wav_bytes_pcm16(base * 16, 8000), meta),
+            (2, wav_bytes_pcm16(-base, 8000), meta),
+            (3, wav_bytes_pcm16(edited, 8000), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    s = {r["media_id"]: r["shash"]
+         for r in audio_spectral_hash(df, window_samples=64).collect()}
+    assert s[0] == s[1] == s[2]  # gain + polarity invariant
+    assert s[0] != s[3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_spectral_hash(df, window_samples=48)  # not a power of two
+    with _pytest.raises(ValueError):
+        audio_spectral_hash(df, on_error="maybe")
+    short = spark.createDataFrame(
+        [(9, wav_bytes_pcm16(base[:64], 8000), meta)], MEDIA_SCHEMA
+    )
+    assert audio_spectral_hash(short, on_error="skip").count() == 0
+
+
 def test_audio_energy_hash_polarity_invariance(spark):
     """Polarity-inverted twins (different bytes) hash identically and
     pair at hamming 0; the fingerprint is non-degenerate (patterns

@@ -1375,13 +1375,22 @@ WHASH_SCHEMA = T.StructType(
 )
 
 
-def _hadamard8():
+def _hadamard(n: int):
+    """Sylvester-ordered ±1 Hadamard matrix; equals the closed form
+    ``H[u][t] = (-1)^popcount(u & t)`` (pinned in tests), which is how
+    the SQL oracles build it without a 4096-row literal."""
     import numpy as np
 
+    if n & (n - 1):
+        raise ValueError(f"n must be a power of two: {n}")
     H = np.array([[1]])
-    while H.shape[0] < 8:
+    while H.shape[0] < n:
         H = np.block([[H, H], [H, -H]])
     return H
+
+
+def _hadamard8():
+    return _hadamard(8)
 
 
 def image_whash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
@@ -1447,6 +1456,80 @@ def image_whash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
             yield pd.DataFrame(out, columns=["media_id", "whash"])
 
     return media.mapInPandas(batches, WHASH_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("shash", T.LongType()),
+    ]
+)
+
+
+def audio_spectral_hash(
+    media: "DataFrame",
+    window_samples: int = 64,
+    max_windows: int = 64,
+    on_error: str = "raise",
+) -> "DataFrame":
+    """Spectral audio fingerprint with an exact integer law: per
+    window of ``window_samples`` int16 samples, the Walsh–Hadamard
+    transform (the ±1 integer analogue of the FFT's spectrum — same
+    role DCT↔WHT plays for :func:`image_whash`), then the DOMINANT
+    SEQUENCY (argmax |coefficient|, ties to the lowest index) per
+    window; one bit per rising dominant-sequency step, exactly like
+    :func:`audio_energy_hash`'s rising-energy bits.
+
+    Tracking WHERE the energy concentrates instead of HOW MUCH makes
+    this hash invariant to polarity AND to any positive amplitude
+    scaling (|a·Y| has the same argmax) — the gain-renormalized
+    re-encode case an energy fingerprint cannot collapse. Everything
+    is integer math, so the SQL oracle rebuilds the transform from
+    the closed form ``H[u][t] = (-1)^popcount(u & t)``. ``on_error``
+    semantics match :func:`audio_energy_hash`."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
+    if window_samples & (window_samples - 1) or window_samples < 2:
+        raise ValueError(
+            f"window_samples must be a power of two >= 2: {window_samples}"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        H = _hadamard(window_samples)
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"null payload for media_id={mid}")
+                try:
+                    x, _sr = decode_audio(bytes(payload))
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                k = np.rint(x * 32767.0).astype(np.int64)
+                nwin = min(k.size // window_samples, max_windows)
+                if nwin < 2:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(
+                        f"clip shorter than two windows for media_id={mid}"
+                    )
+                X = k[: nwin * window_samples].reshape(nwin, window_samples)
+                dom = np.abs(X @ H).argmax(axis=1)  # ties -> lowest index
+                hv = 0
+                for w in range(nwin - 1):
+                    if dom[w + 1] > dom[w]:
+                        hv |= 1 << w
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "shash"])
+
+    return media.mapInPandas(batches, SPECTRAL_SCHEMA)
 
 
 def wav_bytes_pcm16(pcm, sample_rate: int = 8000) -> bytes:

@@ -7932,6 +7932,80 @@ REGISTRY["ext_audio_alaw_hash_pairs"] = (
 )
 
 
+def q_audio_spectral_hash_pairs(spark, sf_dir):
+    """Spectral audio dedup (ext/multimodal.py audio_spectral_hash):
+    per-64-sample Walsh–Hadamard transform → dominant sequency
+    (argmax |coefficient|, ties low) → rising-step bits → banded
+    Hamming pairs. Invariant to polarity AND any positive gain — the
+    renormalized re-encode an energy fingerprint can't collapse.
+    Oracle: DuckDB rebuilds the transform from the closed form
+    ``H[t][u] = (-1)^popcount(t & u)`` (no matrix literal), takes the
+    same tie-broken argmax per window, then bits and pairs exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        audio_spectral_hash,
+        synthetic_patterned_audio,
+    )
+
+    media = synthetic_patterned_audio(spark, n=32)
+    sigs = audio_spectral_hash(media, window_samples=64)
+    return hamming_pairs_64(
+        sigs, "media_id", "shash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_audio_spectral_hash_pairs(
+    n: int = 32,
+    total: int = 64 * 50,
+    win: int = 64,
+    pat_win: int = 50,
+    max_hamming: int = 3,
+) -> str:
+    return f"""
+WITH px AS (
+  SELECT i, j,
+    (CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END)
+      * ((((i // 2) * 31 + j * j * 17 + (j // {pat_win}) * 29) % 401) - 200)
+      AS k
+  FROM range(0, {n}) t(i), range(0, {total}) s(j)
+),
+coef AS (
+  SELECT px.i, px.j // {win} AS w, uu.u,
+         sum(px.k * (CASE WHEN bit_count((px.j % {win}) & uu.u) % 2 = 0
+                          THEN 1 ELSE -1 END)) AS y
+  FROM px, range(0, {win}) uu(u)
+  GROUP BY px.i, px.j // {win}, uu.u
+),
+dom AS (
+  SELECT i, w, u AS d FROM (
+    SELECT i, w, u,
+           row_number() OVER (PARTITION BY i, w
+                              ORDER BY abs(y) DESC, u ASC) AS rn
+    FROM coef
+  ) WHERE rn = 1
+),
+bits AS (
+  SELECT a.i, a.w AS idx, CASE WHEN b.d > a.d THEN 1 ELSE 0 END AS bit
+  FROM dom a JOIN dom b ON a.i = b.i AND b.w = a.w + 1
+),
+hv AS (
+  SELECT i, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << idx)
+                     ELSE 0 END) AS BIGINT) AS shash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.shash, b.shash)) AS INTEGER) AS hamming
+FROM hv a JOIN hv b ON a.i < b.i
+WHERE bit_count(xor(a.shash, b.shash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_audio_spectral_hash_pairs"] = (
+    q_audio_spectral_hash_pairs,
+    _sql_audio_spectral_hash_pairs(),
+)
+
+
 def q_audio_adpcm_hash_pairs(spark, sf_dir):
     """Compressed-audio dedup through a SEQUENTIAL codec: IMA ADPCM
     (WAV format code 17 — 4-bit delta coding with an adaptive step
@@ -9317,7 +9391,6 @@ _WINDOW_50 = [
     "rel_priority_late_orders",
     "rel_min_price_supplier",
     "rel_market_share",
-    "rel_important_parts",
     "rel_priority_shipping",
     "rel_customer_distribution",
     "rel_large_orders",
@@ -9330,6 +9403,7 @@ _WINDOW_50 = [
     "ext_audio_adpcm_hash_pairs",
     "ext_image_dhash_gif_pairs",
     "ext_image_whash_pairs",
+    "ext_audio_spectral_hash_pairs",
     # -- new this round: z-order layout + content-defined chunking
     #    + substring dedup (rel_promo_revenue, rel_small_qty_revenue,
     #    rel_waiting_suppliers, rel_brand_size_discount and
