@@ -1128,6 +1128,45 @@ def test_audio_spectral_hash_gain_invariance(spark):
     assert audio_spectral_hash(short, on_error="skip").count() == 0
 
 
+def test_video_keyframes_scene_starts(spark):
+    """Keyframes over the scene fixture are exactly the scene starts
+    (first frame NULL-hamming, boundaries >= threshold); a corrupt
+    mid-scene frame quarantines under skip without inventing a
+    keyframe (the lag compares across the gap — within a scene the
+    distance over the gap is still 0)."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_scene_videos,
+        video_keyframes,
+    )
+
+    frames = synthetic_scene_videos(spark, n_videos=4)
+    kf = video_keyframes(frames, min_hamming=8).collect()
+    got = {(r["video_id"], r["frame_idx"]): r["hamming_prev"] for r in kf}
+    assert set(got) == {(v, f) for v in range(4) for f in (0, 4, 8, 12)}
+    for (v, f), h in got.items():
+        assert (h is None) == (f == 0)
+        if h is not None:
+            assert h >= 22  # measured boundary band
+
+    # corrupt one MID-SCENE frame (video 0, frame 5): it quarantines,
+    # and frame 6 compares to frame 4 (same scene, distance 0) — no
+    # phantom keyframe appears, none disappears
+    corrupted = frames.withColumn(
+        "payload",
+        F.when(
+            (F.col("video_id") == 0) & (F.col("frame_idx") == 5),
+            F.lit(b"P6 garbage"),
+        ).otherwise(F.col("payload")),
+    )
+    kf2 = video_keyframes(corrupted, min_hamming=8, on_error="skip")
+    got2 = {
+        (r["video_id"], r["frame_idx"]) for r in kf2.collect()
+    }
+    assert got2 == set(got)
+    with pytest.raises(Exception):
+        video_keyframes(corrupted, min_hamming=8).collect()
+
+
 def test_audio_energy_hash_polarity_invariance(spark):
     """Polarity-inverted twins (different bytes) hash identically and
     pair at hamming 0; the fingerprint is non-degenerate (patterns

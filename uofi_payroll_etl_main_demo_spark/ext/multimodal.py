@@ -1760,6 +1760,101 @@ def synthetic_video_frame_images(
     )
 
 
+def synthetic_scene_videos(
+    spark,
+    n_videos: int = 8,
+    scenes: int = 4,
+    scene_len: int = 4,
+    width: int = 18,
+    height: int = 16,
+) -> "DataFrame":
+    """Sampled-frame table WITH SCENE STRUCTURE (for keyframe /
+    scene-change detection): video ``v`` renders pattern ``g = v//2``;
+    frames within a scene are IDENTICAL, the pattern jumps at every
+    scene boundary; odd ids are the channel-shifted luminance twin.
+
+    Pixel law (reproduced by the SQL oracle):
+        scene = f // scene_len
+        v(g, scene, r, c) = 3 + (g*37 + scene*53 + c*c*11 + r*7) % 237
+
+    Measured on the default geometry: within-scene dHash distance 0,
+    scene-boundary distance 22–36 — any threshold in (0, 22) detects
+    exactly the scene starts."""
+    import numpy as np
+
+    rows = []
+    r_idx = np.arange(height).reshape(-1, 1)
+    c_idx = np.arange(width).reshape(1, -1)
+    for vid in range(n_videos):
+        g = vid // 2
+        for f in range(scenes * scene_len):
+            sc = f // scene_len
+            v = 3 + (g * 37 + sc * 53 + c_idx * c_idx * 11 + r_idx * 7) % 237
+            px = np.zeros((height, width, 3), dtype=np.uint8)
+            if vid % 2 == 0:
+                px[:, :, :] = v[:, :, None]
+            else:
+                px[:, :, 0] = v + 3
+                px[:, :, 1] = v
+                px[:, :, 2] = v - 3
+            rows.append((vid, f, ppm_bytes(px)))
+    return spark.createDataFrame(
+        rows, "video_id bigint, frame_idx int, payload binary"
+    )
+
+
+def video_keyframes(
+    frames: "DataFrame",
+    min_hamming: int = 8,
+    on_error: str = "raise",
+) -> "DataFrame":
+    """Keyframe / scene-change detection from sampled frames: per-frame
+    perceptual dHash (:func:`image_dhash` — real decode), then one
+    window ``lag`` per video ordered by frame index; a frame is a
+    keyframe when it is the video's first DECODED frame (``hamming_prev``
+    NULL) or its hash sits ``>= min_hamming`` bits from the previous
+    decoded frame's. The standard shot-boundary recipe of video
+    curation pipelines (frame-signature distance thresholding),
+    shaped as one narrow hash pass + one per-video window — no joins,
+    no shuffle beyond the per-video window sort.
+
+    With ``on_error="skip"`` corrupt frames quarantine and the lag
+    compares across the gap (distances are BETWEEN DECODED FRAMES —
+    the honest semantics when a frame is missing).
+
+    Returns (video_id, frame_idx, hamming_prev) for keyframes only;
+    ``hamming_prev`` is NULL on each video's first decoded frame."""
+    from pyspark.sql import Window
+
+    packed_expr = F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")
+    packed = frames.select(
+        F.when(
+            F.assert_true(
+                (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
+                F.lit("frame_idx out of packing range [0, 1e6)"),
+            ).isNull(),
+            packed_expr,
+        ).alias("media_id"),
+        "payload",
+    )
+    sigs = image_dhash(packed, on_error=on_error).select(
+        F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("video_id"),
+        F.expr("CAST(media_id % 1000000 AS INT)").alias("frame_idx"),
+        "dhash",
+    )
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(prev))
+    return (
+        sigs.withColumn("hamming_prev", ham.cast("int"))
+        .filter(
+            F.col("hamming_prev").isNull()
+            | (F.col("hamming_prev") >= min_hamming)
+        )
+        .select("video_id", "frame_idx", "hamming_prev")
+    )
+
+
 _VIDEO_SIG_POOL: list = []
 
 

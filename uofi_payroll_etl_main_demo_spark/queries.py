@@ -7631,6 +7631,82 @@ REGISTRY["ext_image_whash_pairs"] = (
 )
 
 
+def q_video_keyframes(spark, sf_dir):
+    """Shot-boundary detection over the scene-structured frame fixture
+    (ext/multimodal.py video_keyframes): per-frame dHash, one
+    per-video lag window, keyframe where the hash jumps >= 8 bits (or
+    the first frame). The fixture's within-scene distance is 0 and its
+    boundary distance 22–36, so the detected keyframes are exactly the
+    scene starts — and the oracle recomputes every dHash bit, lag and
+    threshold from the closed-form pixel law."""
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_scene_videos,
+        video_keyframes,
+    )
+
+    frames = synthetic_scene_videos(spark, n_videos=8)
+    return video_keyframes(frames, min_hamming=8)
+
+
+def _sql_video_keyframes(
+    n_videos: int = 8,
+    scenes: int = 4,
+    scene_len: int = 4,
+    width: int = 18,
+    height: int = 16,
+    min_hamming: int = 8,
+) -> str:
+    return f"""
+WITH px AS (
+  SELECT i, sc, r, c,
+         3 + ((i // 2) * 37 + sc * 53 + c * c * 11 + r * 7) % 237 AS gray
+  FROM range(0, {n_videos}) t(i), range(0, {scenes}) ss(sc),
+       range(0, {height}) rr(r), range(0, {width}) cc(c)
+),
+bm AS (
+  SELECT i, sc, r // 2 AS br, c // 2 AS bc, avg(gray) AS m
+  FROM px GROUP BY i, sc, r // 2, c // 2
+),
+bits AS (
+  SELECT a.i, a.sc, a.br * 8 + a.bc AS idx,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM bm a JOIN bm b ON a.i = b.i AND a.sc = b.sc AND a.br = b.br
+                     AND b.bc = a.bc + 1
+  WHERE a.bc < 8
+),
+hv AS (
+  SELECT i, sc,
+    CAST(sum(CASE WHEN idx = 63 AND bit = 1 THEN -9223372036854775808
+             WHEN bit = 1 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT)
+      AS dhash
+  FROM bits GROUP BY i, sc
+),
+frames AS (
+  SELECT i, f, f // {scene_len} AS sc
+  FROM range(0, {n_videos}) t(i), range(0, {scenes * scene_len}) ff(f)
+),
+dist AS (
+  SELECT fr.i, fr.f,
+         CASE WHEN fr.f = 0 THEN NULL
+              ELSE CAST(bit_count(xor(cur.dhash, prv.dhash)) AS INT)
+         END AS hamming_prev
+  FROM frames fr
+  JOIN hv cur ON cur.i = fr.i AND cur.sc = fr.sc
+  LEFT JOIN hv prv ON prv.i = fr.i AND prv.sc = (fr.f - 1) // {scene_len}
+)
+SELECT CAST(i AS BIGINT) AS video_id, CAST(f AS INT) AS frame_idx,
+       hamming_prev
+FROM dist
+WHERE hamming_prev IS NULL OR hamming_prev >= {min_hamming}
+"""
+
+
+REGISTRY["ext_video_keyframes"] = (
+    q_video_keyframes,
+    _sql_video_keyframes(),
+)
+
+
 def q_image_dhash_png_pairs(spark, sf_dir):
     """Perceptual-hash image dedup over REAL COMPRESSED PNG payloads:
     stdlib-zlib PNG decode (chunk CRCs verified, all five scanline
@@ -9389,7 +9465,6 @@ _WINDOW_50 = [
     "rel_part_type_revenue",
     "rel_returned_item_report",
     "rel_priority_late_orders",
-    "rel_min_price_supplier",
     "rel_market_share",
     "rel_priority_shipping",
     "rel_customer_distribution",
@@ -9404,6 +9479,7 @@ _WINDOW_50 = [
     "ext_image_dhash_gif_pairs",
     "ext_image_whash_pairs",
     "ext_audio_spectral_hash_pairs",
+    "ext_video_keyframes",
     # -- new this round: z-order layout + content-defined chunking
     #    + substring dedup (rel_promo_revenue, rel_small_qty_revenue,
     #    rel_waiting_suppliers, rel_brand_size_discount and
