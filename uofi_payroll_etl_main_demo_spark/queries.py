@@ -7631,6 +7631,101 @@ REGISTRY["ext_image_whash_pairs"] = (
 )
 
 
+def q_image_consensus_pairs(spark, sf_dir):
+    """Hash-ENSEMBLE image dedup: a pair counts only when BOTH
+    orthogonal fingerprints agree — dHash (spatial gradients) within
+    3 bits AND the Walsh–Hadamard hash (frequency signs) within 3
+    bits. Single-hash near-collisions rarely survive a second
+    independent law, so the ensemble trades recall for precision —
+    the standard production guard before destructive media dedup.
+    Plan: two narrow hash passes over one fixture scan, two banded
+    pair sets, one integer equi-join. Oracle: the intersection of the
+    two laws, both recomputed exactly."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        image_whash,
+        synthetic_gradient_images,
+    )
+
+    media = synthetic_gradient_images(spark, n=48)
+    dpairs = hamming_pairs_64(
+        image_dhash(media), "media_id", "dhash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").alias("hamming_d"))
+    wpairs = hamming_pairs_64(
+        image_whash(media), "media_id", "whash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").alias("hamming_w"))
+    return dpairs.join(wpairs, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.col("hamming_d").cast("int").alias("hamming_d"),
+        F.col("hamming_w").cast("int").alias("hamming_w"),
+    )
+
+
+def _sql_image_consensus_pairs(
+    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+) -> str:
+    # intersection of the two laws: the shared dhash CTE block plus
+    # the whash pipeline regenerated under distinct CTE names (no
+    # string-surgery on the single-hash oracles)
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import _hadamard8
+
+    H = _hadamard8()
+    hvals = ", ".join(
+        f"({u},{j},{int(H[u, j])})" for u in range(8) for j in range(8)
+    )
+    w8 = (width // 8) * 8
+    h8 = (height // 8) * 8
+    return f"""
+WITH {_sql_image_dhash_hv(n, width, height)},
+h(u, j, s) AS (VALUES {hvals}),
+wpx AS (
+  SELECT i, r, c,
+         3 * (3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237) AS gray3
+  FROM range(0, {n}) t(i), range(0, {h8}) rr(r), range(0, {width}) cc(c)
+  WHERE c < {w8}
+),
+wbm AS (
+  SELECT i, r // {h8 // 8} AS br, c // {w8 // 8} AS bc, sum(gray3) AS x
+  FROM wpx GROUP BY i, r // {h8 // 8}, c // {w8 // 8}
+),
+wht AS (
+  SELECT wbm.i, h1.u AS u, h2.u AS v, sum(h1.s * wbm.x * h2.s) AS y
+  FROM wbm JOIN h h1 ON h1.j = wbm.br JOIN h h2 ON h2.j = wbm.bc
+  GROUP BY wbm.i, h1.u, h2.u
+),
+wac AS (SELECT i, u * 8 + v AS k, y FROM wht WHERE NOT (u = 0 AND v = 0)),
+wmed AS (
+  SELECT i, y AS m FROM (
+    SELECT i, y, row_number() OVER (PARTITION BY i ORDER BY y) AS rn
+    FROM wac
+  ) WHERE rn = 32
+),
+whv AS (
+  SELECT wac.i, CAST(sum(CASE WHEN wac.y > wmed.m
+                 THEN (1::BIGINT << (wac.k - 1)) ELSE 0 END) AS BIGINT)
+           AS whash
+  FROM wac JOIN wmed ON wac.i = wmed.i GROUP BY wac.i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming_d,
+       CAST(bit_count(xor(wa.whash, wb.whash)) AS INTEGER) AS hamming_w
+FROM hv a
+JOIN hv b ON a.i < b.i
+JOIN whv wa ON wa.i = a.i
+JOIN whv wb ON wb.i = b.i
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+  AND bit_count(xor(wa.whash, wb.whash)) <= {max_hamming}
+"""
+
+
+REGISTRY["ext_image_consensus_pairs"] = (
+    q_image_consensus_pairs,
+    _sql_image_consensus_pairs(),
+)
+
+
 def q_video_keyframes(spark, sf_dir):
     """Shot-boundary detection over the scene-structured frame fixture
     (ext/multimodal.py video_keyframes): per-frame dHash, one
@@ -9460,9 +9555,17 @@ _WINDOW_50 = [
     "ext_image_dhash_png_pairs",
     "ext_semantic_dedup_docs",
     "ext_minhash_index_query",
-    # -- new this round: TPC-H-shape completion --
+    # -- new this round: TPC-H-shape completion (8 representative
+    #    shapes; the other 11 structurally-similar rel_* aggregates
+    #    yielded their slots to the late-round operator families
+    #    below — all full-sweep-green at HEAD, r7 takes them:
+    #    rel_promo_revenue, rel_small_qty_revenue,
+    #    rel_waiting_suppliers, rel_brand_size_discount,
+    #    rel_promo_part_suppliers, rel_top_supplier,
+    #    rel_parts_supplier_count, rel_forecast_revenue,
+    #    rel_important_parts, rel_min_price_supplier,
+    #    rel_part_type_revenue) --
     "rel_volume_shipping",
-    "rel_part_type_revenue",
     "rel_returned_item_report",
     "rel_priority_late_orders",
     "rel_market_share",
@@ -9471,8 +9574,7 @@ _WINDOW_50 = [
     "rel_large_orders",
     "rel_sales_opportunity",
     # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
-    #    WAV, GIF; rel_parts_supplier_count yields a slot like its
-    #    rel_* siblings; r7 takes it) --
+    #    WAV, GIF) + the WHT hash family, keyframes, consensus --
     "ext_audio_mulaw_hash_pairs",
     "ext_audio_alaw_hash_pairs",
     "ext_audio_adpcm_hash_pairs",
@@ -9480,12 +9582,9 @@ _WINDOW_50 = [
     "ext_image_whash_pairs",
     "ext_audio_spectral_hash_pairs",
     "ext_video_keyframes",
+    "ext_image_consensus_pairs",
     # -- new this round: z-order layout + content-defined chunking
-    #    + substring dedup (rel_promo_revenue, rel_small_qty_revenue,
-    #    rel_waiting_suppliers, rel_brand_size_discount and
-    #    rel_promo_part_suppliers yield their slots — five of the 19
-    #    structurally-similar rel_* aggregates, full-sweep-green;
-    #    r7 takes them) --
+    #    + substring dedup + skew diagnostic --
     "ext_zorder_key",
     "ext_zorder_layout_stats",
     "ext_cdc_chunks",
