@@ -168,11 +168,9 @@ def cdc_chunks(
     return df.select(id_col, text_col).mapInPandas(batches, CDC_SCHEMA)
 
 
-# Session-bounded persist pool (the dedup_index._SIG_POOL pattern):
-# each substring_dedup_spans call drains the previous call's gram
-# cache, so a long session holds at most ONE gram frame instead of
-# leaking one per invocation. Sequential callers only; a concurrent
-# unpersist merely recomputes (never a correctness hazard).
+# Session-bounded persist pool — see cache.swap_pooled for the
+# lifetime contract (one cached gram frame per session, not one per
+# substring_dedup_spans invocation).
 _GRAM_POOL: list = []
 
 GRAM_SCHEMA = T.StructType(
@@ -264,10 +262,9 @@ def substring_dedup_spans(
     # and the join); unpersisted, the mapInPandas gram scan runs twice
     # (measured 6.2 s vs 2.8 s at sf0.1). Lifetime bounded by the
     # module pool above.
-    while _GRAM_POOL:
-        _GRAM_POOL.pop().unpersist()
-    grams = _gram_rows(df, id_col, text_col, width).persist()
-    _GRAM_POOL.append(grams)
+    from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
+
+    grams = swap_pooled(_GRAM_POOL, _gram_rows(df, id_col, text_col, width))
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__n"))

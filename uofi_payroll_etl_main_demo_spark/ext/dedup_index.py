@@ -84,16 +84,18 @@ def _banded_and_sets(
     """One shingle pass → ((id, band, bh) band rows, (id, set) shingle
     sets). The per-doc wide frame is persisted because both outputs
     consume it; lifetime is bounded by the module pool above."""
-    while _SIG_POOL:
-        _SIG_POOL.pop().unpersist()
-    per_doc = _min_sig_agg(
-        _shingle_hashes(df, text_col, id_col, k, hash_family),
-        id_col,
-        num_hashes,
-        F.collect_list("sh").alias("__set"),
-        hash_family=hash_family,
-    ).persist()
-    _SIG_POOL.append(per_doc)
+    from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
+
+    per_doc = swap_pooled(
+        _SIG_POOL,
+        _min_sig_agg(
+            _shingle_hashes(df, text_col, id_col, k, hash_family),
+            id_col,
+            num_hashes,
+            F.collect_list("sh").alias("__set"),
+            hash_family=hash_family,
+        ),
+    )
     banded = per_doc.select(
         F.col(id_col),
         F.explode(F.array(*band_key_structs(num_hashes, bands))).alias("bk"),

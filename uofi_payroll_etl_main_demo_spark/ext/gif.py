@@ -167,6 +167,22 @@ def gif_bytes(pixels) -> bytes:
     return bytes(out)
 
 
+def _skip_extension(payload: bytes, i: int) -> int:
+    """Advance past one extension block (label + data sub-blocks);
+    ``i`` points just after the 0x21 introducer. One copy of the
+    sub-block walk for both the pre-image and post-image scans."""
+    if i >= len(payload):
+        raise ValueError("truncated extension")
+    i += 1  # label
+    while True:
+        if i >= len(payload):
+            raise ValueError("truncated extension sub-block")
+        n = payload[i]
+        i += 1 + n
+        if n == 0:
+            return i
+
+
 def decode_gif(payload: bytes):
     """(H, W, 3) uint8 array from a single-frame GIF87a/89a stream.
     Interlaced images, local color tables and multi-frame animations
@@ -197,16 +213,7 @@ def decode_gif(payload: bytes):
         if block == 0x3B:  # trailer before any image
             raise ValueError("GIF has no image data")
         if block == 0x21:  # extension: skip sub-blocks
-            if i >= len(payload):
-                raise ValueError("truncated extension")
-            i += 1  # label
-            while True:
-                if i >= len(payload):
-                    raise ValueError("truncated extension sub-block")
-                n = payload[i]
-                i += 1 + n
-                if n == 0:
-                    break
+            i = _skip_extension(payload, i)
             continue
         if block == 0x2C:
             break
@@ -261,16 +268,7 @@ def decode_gif(payload: bytes):
         if block == 0x2C:
             raise NotImplementedError("multi-frame animated GIF unsupported")
         if block == 0x21:
-            if i >= len(payload):
-                raise ValueError("truncated extension")
-            i += 1  # label
-            while True:
-                if i >= len(payload):
-                    raise ValueError("truncated extension sub-block")
-                n = payload[i]
-                i += 1 + n
-                if n == 0:
-                    break
+            i = _skip_extension(payload, i)
             continue
         raise ValueError(f"unknown GIF block 0x{block:02x}")
     return gct[idx].reshape(h, w, 3)

@@ -163,6 +163,8 @@ def compact_parquet(
 
     if os.path.abspath(dst) == os.path.abspath(src):
         raise ValueError("dst must differ from src")
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1: {target_bytes}")
     files = [
         f
         for f in glob.glob(os.path.join(src, "*.parquet"))
@@ -200,9 +202,11 @@ def parquet_zone_maps(path: str, columns) -> "list[dict]":
         meta = pq.ParquetFile(f).metadata
         row = {"file": os.path.basename(f), "num_rows": meta.num_rows}
         # column indices from the FILE schema, not row group 0 — a
-        # zero-row-group file (empty DataFrame write) has no group 0
+        # zero-row-group file (empty DataFrame write) has no group 0.
+        # .path keeps the dotted path_in_schema semantics for nested
+        # columns (.name would be just the leaf and can collide)
         schema_names = {
-            meta.schema.column(i).name: i for i in range(meta.num_columns)
+            meta.schema.column(i).path: i for i in range(meta.num_columns)
         }
         for c in columns:
             i = schema_names[c]

@@ -1493,6 +1493,14 @@ def audio_spectral_hash(
         raise ValueError(
             f"window_samples must be a power of two >= 2: {window_samples}"
         )
+    if window_samples > 1024:
+        # the dense Hadamard is window_samples^2 ints PER PARTITION
+        # and the transform O(n^2) per window — cap before an
+        # executor-OOM-sized matrix can be requested
+        raise ValueError(
+            f"window_samples = {window_samples} exceeds the dense-WHT "
+            "bound (1024)"
+        )
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -1803,6 +1811,46 @@ def synthetic_scene_videos(
     )
 
 
+def _pack_video_frames(frames: "DataFrame") -> "DataFrame":
+    """(media_id, payload) with ``media_id = video_id * 1e6 +
+    frame_idx`` — ONE packing law for every per-frame video operator.
+    The assert GATES media_id itself (``assert_true`` returns NULL on
+    pass, so the ``when`` branch is evaluated row-by-row; an assert
+    projected into a separate dropped column would be removed by
+    column pruning and never run). Both components are guarded:
+    ``frame_idx`` must fit the 1e6 slot AND ``video_id`` must be
+    non-negative and small enough that the product stays in int64 —
+    a negative video_id would otherwise truncate-divide into video 0
+    and silently misattribute its frames."""
+    packed_expr = F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")
+    return frames.select(
+        F.when(
+            F.assert_true(
+                (F.col("frame_idx") >= 0)
+                & (F.col("frame_idx") < 1_000_000)
+                & (F.col("video_id") >= 0)
+                & (F.col("video_id") < 9_000_000_000_000),
+                F.lit(
+                    "video_id/frame_idx out of packing range "
+                    "([0, 9e12) x [0, 1e6))"
+                ),
+            ).isNull(),
+            packed_expr,
+        ).alias("media_id"),
+        "payload",
+    )
+
+
+def _unpack_video_sig(sigs: "DataFrame", hash_col: str) -> "DataFrame":
+    """Inverse of :func:`_pack_video_frames` over a signature frame —
+    integer div/mod (float division truncates wrongly past 2^53)."""
+    return sigs.select(
+        F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("video_id"),
+        F.expr("CAST(media_id % 1000000 AS INT)").alias("frame_idx"),
+        hash_col,
+    )
+
+
 def video_keyframes(
     frames: "DataFrame",
     min_hamming: int = 8,
@@ -1826,21 +1874,8 @@ def video_keyframes(
     ``hamming_prev`` is NULL on each video's first decoded frame."""
     from pyspark.sql import Window
 
-    packed_expr = F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")
-    packed = frames.select(
-        F.when(
-            F.assert_true(
-                (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
-                F.lit("frame_idx out of packing range [0, 1e6)"),
-            ).isNull(),
-            packed_expr,
-        ).alias("media_id"),
-        "payload",
-    )
-    sigs = image_dhash(packed, on_error=on_error).select(
-        F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("video_id"),
-        F.expr("CAST(media_id % 1000000 AS INT)").alias("frame_idx"),
-        "dhash",
+    sigs = _unpack_video_sig(
+        image_dhash(_pack_video_frames(frames), on_error=on_error), "dhash"
     )
     w = Window.partitionBy("video_id").orderBy("frame_idx")
     prev = F.lag("dhash").over(w)
@@ -1884,38 +1919,21 @@ def video_near_dup_pairs(
 
     Returns (vid_a, vid_b, n_match, match_fraction), vid_a < vid_b.
     """
-    # packing precondition: frame_idx must fit the 1e6 slot — the
-    # assert GATES media_id itself (assert_true returns NULL on pass,
-    # so the `when` branch is taken row-by-row); an assert projected
-    # into a separate dropped column would be removed by column
-    # pruning and never evaluated.
-    packed_expr = F.col("video_id") * F.lit(1_000_000) + F.col("frame_idx")
-    packed = frames.select(
-        F.when(
-            F.assert_true(
-                (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
-                F.lit("frame_idx out of packing range [0, 1e6)"),
-            ).isNull(),
-            packed_expr,
-        ).alias("media_id"),
-        "payload",
-    )
-    # integer div/mod unpack — float division truncates wrongly past
-    # 2^53 and the packing requires frame_idx < 1e6 (asserted above).
     # PERSISTED: three plans consume the signatures (per-video decoded
     # counts + both sides of the candidate self-join) and the decode is
     # the expensive stage — without the cache every frame decodes 3×.
-    # Drain-on-next-call lifetime: the previous invocation's frame is
-    # released here (its action has completed for sequential callers),
-    # so looped calls hold one cached signature frame, not one per call.
-    while _VIDEO_SIG_POOL:
-        _VIDEO_SIG_POOL.pop().unpersist()
-    sigs = image_dhash(packed, on_error=on_error).select(
-        F.expr("CAST(media_id div 1000000 AS BIGINT)").alias("vid"),
-        F.expr("CAST(media_id % 1000000 AS INT)").alias("f"),
-        "dhash",
-    ).persist()
-    _VIDEO_SIG_POOL.append(sigs)
+    # Lifetime: cache.swap_pooled (one cached signature frame per
+    # session). Packing/unpacking shares _pack_video_frames'
+    # guarded law with video_keyframes.
+    from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
+
+    sigs = swap_pooled(
+        _VIDEO_SIG_POOL,
+        _unpack_video_sig(
+            image_dhash(_pack_video_frames(frames), on_error=on_error),
+            "dhash",
+        ).withColumnsRenamed({"video_id": "vid", "frame_idx": "f"}),
+    )
     cnts = sigs.groupBy("vid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_decoded")
     )

@@ -19,6 +19,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_COUNT_POOL: list = []
+
+
 def skew_report(
     df: DataFrame,
     keys: Sequence[str],
@@ -41,7 +44,15 @@ def skew_report(
         raise ValueError("need at least one key column")
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1: {top_n}")
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
+
+    # persisted: the totals action and the top-N job both consume the
+    # key counts — unpersisted, the full fact-table scan runs twice.
+    # Lifetime: cache.swap_pooled (one cached count frame per session).
+    counts = swap_pooled(
+        _COUNT_POOL,
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")),
+    )
     # totals land on the driver as ONE row (the A5 aggregate→driver
     # precedent; a join-based attach constant-folds into the
     # BroadcastNestedLoopJoin the plan lint bans) and re-enter the

@@ -7577,9 +7577,14 @@ def q_image_whash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _sql_image_whash_pairs(
-    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+def _sql_image_whash_hv(
+    n: int = 48, width: int = 18, height: int = 16, p: str = ""
 ) -> str:
+    """Shared CTE block: closed-form Walsh–Hadamard hash
+    (``{p}whv``: i, whash) for the gradient-image fixture law — ONE
+    SQL copy of the whash law, prefixed so composed oracles (the
+    consensus pairs) can inline it beside the dhash block without CTE
+    name collisions."""
     from uofi_payroll_etl_main_demo_spark.ext.multimodal import _hadamard8
 
     H = _hadamard8()
@@ -7588,39 +7593,47 @@ def _sql_image_whash_pairs(
     )
     w8 = (width // 8) * 8
     h8 = (height // 8) * 8
-    return f"""
-WITH h(u, j, s) AS (VALUES {hvals}),
-px AS (
+    return f"""{p}h(u, j, s) AS (VALUES {hvals}),
+{p}px AS (
   SELECT i, r, c,
          3 * (3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237) AS gray3
   FROM range(0, {n}) t(i), range(0, {h8}) rr(r), range(0, {width}) cc(c)
   WHERE c < {w8}
 ),
-bm AS (
+{p}bm AS (
   SELECT i, r // {h8 // 8} AS br, c // {w8 // 8} AS bc, sum(gray3) AS x
-  FROM px GROUP BY i, r // {h8 // 8}, c // {w8 // 8}
+  FROM {p}px GROUP BY i, r // {h8 // 8}, c // {w8 // 8}
 ),
-wht AS (
+{p}wht AS (
   SELECT bm.i, h1.u AS u, h2.u AS v, sum(h1.s * bm.x * h2.s) AS y
-  FROM bm JOIN h h1 ON h1.j = bm.br JOIN h h2 ON h2.j = bm.bc
+  FROM {p}bm bm JOIN {p}h h1 ON h1.j = bm.br
+               JOIN {p}h h2 ON h2.j = bm.bc
   GROUP BY bm.i, h1.u, h2.u
 ),
-ac AS (SELECT i, u * 8 + v AS k, y FROM wht WHERE NOT (u = 0 AND v = 0)),
-med AS (
+{p}ac AS (SELECT i, u * 8 + v AS k, y FROM {p}wht
+          WHERE NOT (u = 0 AND v = 0)),
+{p}med AS (
   SELECT i, y AS m FROM (
     SELECT i, y, row_number() OVER (PARTITION BY i ORDER BY y) AS rn
-    FROM ac
+    FROM {p}ac
   ) WHERE rn = 32
 ),
-hv AS (
+{p}whv AS (
   SELECT ac.i, CAST(sum(CASE WHEN ac.y > med.m
                  THEN (1::BIGINT << (ac.k - 1)) ELSE 0 END) AS BIGINT)
            AS whash
-  FROM ac JOIN med ON ac.i = med.i GROUP BY ac.i
-)
+  FROM {p}ac ac JOIN {p}med med ON ac.i = med.i GROUP BY ac.i
+)"""
+
+
+def _sql_image_whash_pairs(
+    n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
+) -> str:
+    return f"""
+WITH {_sql_image_whash_hv(n, width, height)}
 SELECT a.i AS id_a, b.i AS id_b,
        CAST(bit_count(xor(a.whash, b.whash)) AS INTEGER) AS hamming
-FROM hv a JOIN hv b ON a.i < b.i
+FROM whv a JOIN whv b ON a.i < b.i
 WHERE bit_count(xor(a.whash, b.whash)) <= {max_hamming}
 """
 
@@ -7666,55 +7679,20 @@ def q_image_consensus_pairs(spark, sf_dir):
 def _sql_image_consensus_pairs(
     n: int = 48, width: int = 18, height: int = 16, max_hamming: int = 3
 ) -> str:
-    # intersection of the two laws: the shared dhash CTE block plus
-    # the whash pipeline regenerated under distinct CTE names (no
-    # string-surgery on the single-hash oracles)
-    from uofi_payroll_etl_main_demo_spark.ext.multimodal import _hadamard8
-
-    H = _hadamard8()
-    hvals = ", ".join(
-        f"({u},{j},{int(H[u, j])})" for u in range(8) for j in range(8)
-    )
-    w8 = (width // 8) * 8
-    h8 = (height // 8) * 8
+    # intersection of the two laws: BOTH hash pipelines come from
+    # their shared single-copy CTE builders (_sql_image_dhash_hv /
+    # _sql_image_whash_hv) — a fixture-law tweak lands in every
+    # oracle at once or none
     return f"""
 WITH {_sql_image_dhash_hv(n, width, height)},
-h(u, j, s) AS (VALUES {hvals}),
-wpx AS (
-  SELECT i, r, c,
-         3 * (3 + ((i // 2) * 37 + c * c * 11 + r * 7) % 237) AS gray3
-  FROM range(0, {n}) t(i), range(0, {h8}) rr(r), range(0, {width}) cc(c)
-  WHERE c < {w8}
-),
-wbm AS (
-  SELECT i, r // {h8 // 8} AS br, c // {w8 // 8} AS bc, sum(gray3) AS x
-  FROM wpx GROUP BY i, r // {h8 // 8}, c // {w8 // 8}
-),
-wht AS (
-  SELECT wbm.i, h1.u AS u, h2.u AS v, sum(h1.s * wbm.x * h2.s) AS y
-  FROM wbm JOIN h h1 ON h1.j = wbm.br JOIN h h2 ON h2.j = wbm.bc
-  GROUP BY wbm.i, h1.u, h2.u
-),
-wac AS (SELECT i, u * 8 + v AS k, y FROM wht WHERE NOT (u = 0 AND v = 0)),
-wmed AS (
-  SELECT i, y AS m FROM (
-    SELECT i, y, row_number() OVER (PARTITION BY i ORDER BY y) AS rn
-    FROM wac
-  ) WHERE rn = 32
-),
-whv AS (
-  SELECT wac.i, CAST(sum(CASE WHEN wac.y > wmed.m
-                 THEN (1::BIGINT << (wac.k - 1)) ELSE 0 END) AS BIGINT)
-           AS whash
-  FROM wac JOIN wmed ON wac.i = wmed.i GROUP BY wac.i
-)
+{_sql_image_whash_hv(n, width, height, p="c")}
 SELECT a.i AS id_a, b.i AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming_d,
        CAST(bit_count(xor(wa.whash, wb.whash)) AS INTEGER) AS hamming_w
 FROM hv a
 JOIN hv b ON a.i < b.i
-JOIN whv wa ON wa.i = a.i
-JOIN whv wb ON wb.i = b.i
+JOIN cwhv wa ON wa.i = a.i
+JOIN cwhv wb ON wb.i = b.i
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
   AND bit_count(xor(wa.whash, wb.whash)) <= {max_hamming}
 """
