@@ -8,10 +8,12 @@ statistics a scan planner prunes with), natural-order files don't.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.ext.layout import (
     compact_parquet,
     parquet_zone_maps,
+    prune_files,
     zorder_key,
     zorder_key_sql,
     zorder_layout,
@@ -143,6 +145,52 @@ def test_compact_parquet_small_files(spark, tmp_path):
         compact_parquet(spark, src, src)
     with pytest.raises(ValueError):
         compact_parquet(spark, str(tmp_path / "nope"), dst + "2")
+
+
+def test_prune_files_correct_and_effective(spark, tmp_path):
+    """File-level pruning over a z-ordered layout: the pruned file
+    list is SOUND (reading only those files returns exactly the rows
+    the full scan's predicate returns) and EFFECTIVE (a selective 2-D
+    box keeps a minority of files); a disjoint box returns []."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pmax = int(li.selectExpr("max(l_partkey)").first()[0])
+    smax = int(li.selectExpr("max(l_suppkey)").first()[0])
+    zed = str(tmp_path / "zed")
+    zorder_layout(
+        li, [("l_partkey", 1, pmax), ("l_suppkey", 1, smax)],
+        bits=12, num_partitions=16,
+    ).write.parquet(zed)
+
+    box = {
+        "l_partkey": (pmax // 3, pmax // 3 + max(pmax // 8, 1)),
+        "l_suppkey": (1, max(smax // 3, 1)),
+    }
+    kept = prune_files(zed, box)
+    import glob
+
+    n_all = len(glob.glob(zed + "/*.parquet"))
+    assert 0 < len(kept) < n_all
+
+    pred = (
+        F.col("l_partkey").between(*box["l_partkey"])
+        & F.col("l_suppkey").between(*box["l_suppkey"])
+    )
+    full = spark.read.parquet(zed).filter(pred)
+    pruned = spark.read.parquet(*kept).filter(pred)
+    assert (
+        pruned.groupBy().agg(
+            F.count(F.lit(1)), F.sum("l_quantity")
+        ).first()
+        == full.groupBy().agg(
+            F.count(F.lit(1)), F.sum("l_quantity")
+        ).first()
+    )
+    # provably-empty box
+    assert prune_files(zed, {"l_partkey": (pmax + 10, pmax + 20)}) == []
+    with pytest.raises(ValueError):
+        prune_files(zed, {})
 
 
 def test_zone_maps_tolerate_zero_row_group_files(spark, tmp_path):

@@ -49,6 +49,7 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
 from uofi_payroll_etl_main_demo_spark.ext.layout import (  # noqa: F401
     compact_parquet,
     parquet_zone_maps,
+    prune_files,
     zorder_key,
     zorder_key_sql,
     zorder_layout,

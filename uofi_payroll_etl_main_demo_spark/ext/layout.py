@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "compact_parquet",
+    "prune_files",
     "zorder_key",
     "zorder_key_sql",
     "zorder_layout",
@@ -183,6 +184,43 @@ def compact_parquet(
     files_out = len(glob.glob(os.path.join(dst, "*.parquet")))
     return {"files_in": len(files), "files_out": files_out,
             "bytes_in": bytes_in}
+
+
+def prune_files(path: str, box: "dict[str, tuple]") -> "list[str]":
+    """Explicit zone-map pruning: the parquet files under ``path``
+    whose footer min/max INTERSECTS every ``column: (lo, hi)`` range —
+    i.e. the only files a scan of that predicate box must read. Spark
+    already prunes row groups once files are opened; this prunes at
+    the FILE level before listing ever reaches the scan, which is the
+    lever for non-partitioned-but-clustered layouts (z-ordered
+    directories, sorted exports):
+
+        spark.read.parquet(*prune_files(path, {"a": (lo, hi), ...}))
+
+    Conservative by construction: a file with missing stats for any
+    box column is KEPT (never skip what you can't bound); empty
+    (zero-row) files are dropped. Returns absolute paths; empty list
+    means the predicate provably selects nothing."""
+    import os
+
+    if not box:
+        raise ValueError("need at least one column range")
+    maps = parquet_zone_maps(path, list(box))
+    keep = []
+    for m in maps:
+        if not m["num_rows"]:
+            continue
+        ok = True
+        for c, (lo, hi) in box.items():
+            cmin, cmax = m[f"{c}_min"], m[f"{c}_max"]
+            if cmin is None or cmax is None:
+                continue  # unbounded column: keep the file
+            if cmax < lo or cmin > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(path, m["file"]))
+    return keep
 
 
 def parquet_zone_maps(path: str, columns) -> "list[dict]":
