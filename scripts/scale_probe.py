@@ -284,6 +284,24 @@ def main() -> None:
         ),
     )
 
+    # round 6: the WHT hash rides the same distributed render +
+    # signature-agnostic banding — probing that the frequency-domain
+    # law costs the same shape as the spatial one
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import image_whash
+
+    run(
+        "image_whash_pairs",
+        lambda: hamming_pairs_64(
+            image_whash(
+                render_gradient_images_distributed(spark, 1250 * factor)
+            ),
+            "media_id",
+            "whash",
+            max_hamming=3,
+            max_bucket_size=64,
+        ),
+    )
+
     # -- relational / streaming spine (round-4 extension): the payroll-
     # shaped operators must survive the same scale-up as the dedup stack
     from uofi_payroll_etl_main_demo_spark.io.readers import (
