@@ -75,3 +75,62 @@ def test_remote_store_conf_shape():
                            path_style_access=True)
     assert c2["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
     assert c2["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_data_constraints_exact_counts(spark):
+    """Every rule kind against constructed data with KNOWN violation
+    counts: null, out-of-range (NULL counts as a range violation),
+    regex, duplicate-key surplus, dangling FK (NULL FK is NOT a
+    violation), plus the satisfies escape hatch and the guards."""
+    from uofi_payroll_etl_main_demo_spark.validate import (
+        check_data_constraints,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        satisfies,
+        unique,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # id, k,    v,    code
+        (1, "a", 10.0, "AB"),
+        (2, "a", 10.0, "AB"),      # duplicate (k, v)
+        (3, None, -5.0, "xy"),     # null k, v out of range, bad code
+        (4, "b", None, "CD"),      # null v -> range violation
+        (5, "zz", 99.0, "EF"),     # v out of range, dangling FK
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double, code string")
+    dim = spark.createDataFrame([("a",), ("b",), (None,)], "dk string")
+    rep = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in check_data_constraints(
+            df,
+            [
+                not_null("k"),
+                in_range("v", 0.0, 50.0),
+                matches("code", "^[A-Z]{2}$"),
+                unique("k", "v"),
+                foreign_key("k", dim, "dk"),
+                satisfies("id_even", F.col("id") % 2 == 0),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (5, 1, False)
+    assert rep["in_range(v, 0.0, 50.0)"] == (5, 3, False)  # -5, None, 99
+    assert rep["matches(code, ^[A-Z]{2}$)"] == (5, 1, False)
+    assert rep["unique(k, v)"] == (5, 1, False)  # one surplus row
+    assert rep["foreign_key(k -> dk)"] == (5, 1, False)  # only 'zz'
+    assert rep["id_even"] == (5, 3, False)
+
+    # all-green report
+    ok = check_data_constraints(df, [not_null("id"), unique("id")]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in ok)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_data_constraints(df, [])
+    with _pytest.raises(ValueError):
+        check_data_constraints(df, [not_null("k"), not_null("k")])

@@ -9278,6 +9278,87 @@ REGISTRY["ext_zorder_layout_stats"] = (
 )
 
 
+def q_data_constraints(spark, sf_dir):
+    """Data-quality constraint gate (validate/constraints.py — the
+    Deequ/Great-Expectations shape): every row-predicate and
+    uniqueness rule folds into ONE aggregate scan; the foreign-key
+    rule adds one anti-join (+ a driver count-star for its total —
+    the 1-row-frame attach would be the BNLJ the plan lint bans).
+    The l_discount bound is DELIBERATELY violated (TPC-H discounts go
+    to 0.10) so the report's failed path is exercised, not just the
+    all-green one."""
+    from uofi_payroll_etl_main_demo_spark.validate.constraints import (
+        check_data_constraints,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        not_null("l_orderkey"),
+        in_range("l_quantity", 1, 50),
+        in_range("l_discount", 0.0, 0.08),
+        matches("l_returnflag", "^[ARN]$"),
+        unique("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+    ]
+    return check_data_constraints(li, rules).orderBy("rule")
+
+
+def _sql_data_constraints() -> str:
+    return """
+SELECT 'not_null(l_orderkey)' AS rule,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+         AS n_violations
+UNION ALL
+SELECT 'in_range(l_quantity, 1, 50)',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_quantity IS NOT NULL
+                   AND l_quantity BETWEEN 1 AND 50))
+UNION ALL
+SELECT 'in_range(l_discount, 0.0, 0.08)',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_discount IS NOT NULL
+                   AND l_discount BETWEEN 0.0 AND 0.08))
+UNION ALL
+SELECT 'matches(l_returnflag, ^[ARN]$)',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_returnflag IS NOT NULL
+                   AND regexp_matches(l_returnflag, '^[ARN]$')))
+UNION ALL
+SELECT 'unique(l_orderkey, l_linenumber)',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem)
+UNION ALL
+SELECT 'foreign_key(l_orderkey -> o_orderkey)',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+
+REGISTRY["ext_data_constraints"] = (
+    q_data_constraints,
+    f"""WITH rep AS ({_sql_data_constraints()})
+SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM rep ORDER BY rule
+""",
+)
+
+
 def q_skew_report(spark, sf_dir):
     """Shuffle-key skew diagnosis (operators/skew.py skew_report): the
     top keys of a prospective shuffle key with share, cumulative
@@ -9542,10 +9623,9 @@ _WINDOW_50 = [
     #    rel_promo_part_suppliers, rel_top_supplier,
     #    rel_parts_supplier_count, rel_forecast_revenue,
     #    rel_important_parts, rel_min_price_supplier,
-    #    rel_part_type_revenue) --
+    #    rel_part_type_revenue, rel_priority_late_orders) --
     "rel_volume_shipping",
     "rel_returned_item_report",
-    "rel_priority_late_orders",
     "rel_market_share",
     "rel_priority_shipping",
     "rel_customer_distribution",
@@ -9569,6 +9649,7 @@ _WINDOW_50 = [
     "ext_cdc_chunk_dedup",
     "ext_substring_dedup_spans",
     "ext_skew_report",
+    "ext_data_constraints",
     # -- changed this round --
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",

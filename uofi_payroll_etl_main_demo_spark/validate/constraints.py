@@ -1,0 +1,160 @@
+"""Data-quality constraint checks (the Deequ/Great-Expectations shape).
+
+`contracts.check_schema_contract` guards the SHAPE of a table; these
+rules guard its CONTENT — the gate a training-data pipeline runs
+before a corpus snapshot is blessed. Design for 100 TB: every
+row-predicate rule and every uniqueness rule folds into ONE aggregate
+scan (a rule must never cost a table pass); only referential rules
+(foreign keys) add a job each, because an anti-join is irreducibly a
+join — and it is an equi-join AQE can broadcast when the dimension is
+small.
+
+Report: one row per rule — (rule, n_rows, n_violations, passed) —
+returned as a DataFrame so the gate composes with the rest of the
+engine (write it, join it, alert on it).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Rule",
+    "not_null",
+    "in_range",
+    "matches",
+    "satisfies",
+    "unique",
+    "foreign_key",
+    "check_data_constraints",
+]
+
+
+class Rule(NamedTuple):
+    name: str
+    kind: str  # 'row' | 'unique' | 'fk'
+    payload: object
+
+
+def not_null(col: str) -> Rule:
+    """Violated by NULL values of ``col``."""
+    return Rule(f"not_null({col})", "row", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    """Violated outside ``[lo, hi]``; NULLs violate too (a bound check
+    that silently passes missing data is not a bound check)."""
+    return Rule(
+        f"in_range({col}, {lo}, {hi})",
+        "row",
+        F.col(col).isNotNull() & F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    """Violated when ``col`` does not fully match ``pattern`` (or is
+    NULL). Keep patterns engine-portable (no bare ``\\s`` — see the
+    repo's regex-class rules) if the report feeds an oracle."""
+    return Rule(
+        f"matches({col}, {pattern})",
+        "row",
+        F.col(col).isNotNull() & F.col(col).rlike(pattern),
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Rule:
+    """Escape hatch: any boolean Column; rows where it is not TRUE
+    (false or NULL) violate."""
+    return Rule(name, "row", predicate)
+
+
+def unique(*cols: str) -> Rule:
+    """Violated by every row beyond the first of a duplicated key —
+    ``n_violations = count(*) - count(DISTINCT key)``, computed inside
+    the same single aggregate scan as the row rules. NULL-containing
+    keys group by their null pattern (SQL DISTINCT semantics)."""
+    return Rule(f"unique({', '.join(cols)})", "unique", tuple(cols))
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
+    """Violated by non-NULL values of ``col`` absent from
+    ``dim[dim_col]`` (NULL FKs are not violations — add
+    :func:`not_null` if they should be). Costs one anti-join."""
+    return Rule(f"foreign_key({col} -> {dim_col})", "fk", (col, dim, dim_col))
+
+
+def check_data_constraints(df: DataFrame, rules) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → one report row per rule:
+    ``(rule, n_rows, n_violations, passed)``, in the rules' order
+    nowhere guaranteed (sort the report). All row/unique rules share
+    ONE aggregate pass over ``df``; each fk rule adds one anti-join.
+    """
+    rules = list(rules)
+    if not rules:
+        raise ValueError("need at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    fold = []
+    for idx, r in enumerate(rules):
+        if r.kind == "row":
+            aggs.append(
+                F.count_if(~F.coalesce(r.payload, F.lit(False))).alias(
+                    f"__v{idx}"
+                )
+            )
+            fold.append(idx)
+        elif r.kind == "unique":
+            key = F.struct(*[F.col(c) for c in r.payload])
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(key)).alias(f"__v{idx}")
+            )
+            fold.append(idx)
+        elif r.kind != "fk":
+            raise ValueError(f"unknown rule kind: {r.kind!r}")
+
+    wide = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(rules[idx].name).alias("rule"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__v{idx}").cast("long").alias("n_violations"),
+            )
+            for idx in fold
+        ]
+    )
+    report = wide.select(F.explode(per_rule).alias("p")).select("p.*")
+
+    fk_rules = [r for r in rules if r.kind == "fk"]
+    if fk_rules:
+        # one driver-side count-star (column-pruned scan; the A5
+        # aggregate→driver precedent) — attaching a 1-row total frame
+        # would be the BroadcastNestedLoopJoin the plan lint bans
+        n_total = df.count()
+    for r in fk_rules:
+        col, dim, dim_col = r.payload
+        viol = (
+            df.select(F.col(col).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias("__k")).distinct(),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+        report = report.unionByName(
+            viol.select(
+                F.lit(r.name).alias("rule"),
+                F.lit(n_total).cast("long").alias("n_rows"),
+                "n_violations",
+            )
+        )
+
+    return report.withColumn("passed", F.col("n_violations") == 0)
