@@ -133,6 +133,8 @@ HEADLINE = [
     "ext_cdc_chunks",
     "ext_cdc_chunk_dedup",
     "ext_substring_dedup_spans",
+    "ext_skew_report",
+    "ext_data_constraints",
 ]
 
 
