@@ -421,3 +421,71 @@ def test_ingest_media_dedup_stream(spark, tmp_path):
     kept = {r["img_id"] for r in corpus.collect()}
     for g in range(12):
         assert (2 * g in kept) and (2 * g + 1 not in kept)
+
+
+def test_ingest_constrained_stream_gates_and_reports(spark, tmp_path):
+    """Quality-gated ingestion over three micro-batches: corpus ∪
+    quarantine == input exactly (nothing dropped, nothing duplicated),
+    the split matches the batch predicate, every quarantined row
+    violates some rule, the per-batch report carries the aggregate
+    rules too, and aggregate-only rules are rejected as a gate."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_constrained_stream,
+    )
+    from uofi_payroll_etl_main_demo_spark.validate import (
+        in_range,
+        not_null,
+        unique,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text", "n_chars")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    rules = [
+        not_null("text"),
+        in_range("n_chars", 0, 400),  # real violations in the fixture
+        unique("doc_id"),  # aggregate rule: report-only
+    ]
+    corpus, quar = str(tmp_path / "corpus"), str(tmp_path / "quar")
+    rep = str(tmp_path / "rep")
+    q = ingest_constrained_stream(
+        stream, corpus, quar, str(tmp_path / "ckpt"), rules,
+        report_path=rep,
+    )
+    q.awaitTermination(300)
+
+    got_c = spark.read.parquet(corpus)
+    got_q = spark.read.parquet(quar)
+    n_in = batch.count()
+    assert got_c.count() + got_q.count() == n_in
+    assert got_c.count() == batch.filter(
+        "text IS NOT NULL AND n_chars BETWEEN 0 AND 400"
+    ).count() > 0
+    assert got_q.count() > 0  # the fixture has >400-char docs
+    assert got_q.filter("n_chars <= 400 AND text IS NOT NULL").count() == 0
+
+    report = spark.read.parquet(rep)
+    assert report.select("__batch_id").distinct().count() == 3
+    rules_seen = {r["rule"] for r in report.select("rule").distinct().collect()}
+    assert rules_seen == {
+        "not_null(text)", "in_range(n_chars, 0, 400)", "unique(doc_id)",
+    }
+    # per-batch totals reconcile with the input
+    tot = report.filter("rule = 'not_null(text)'").agg(
+        {"n_rows": "sum"}
+    ).first()[0]
+    assert tot == n_in
+
+    with _pytest.raises(ValueError):
+        ingest_constrained_stream(
+            stream, corpus, quar, str(tmp_path / "ckpt2"), [unique("doc_id")]
+        )

@@ -207,3 +207,75 @@ def ingest_media_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_constrained_stream(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    rules,
+    report_path: "str | None" = None,
+):
+    """Quality-GATED streaming ingestion: every micro-batch is split by
+    the conjunction of row-level constraint rules
+    (:mod:`~uofi_payroll_etl_main_demo_spark.validate.constraints` —
+    ``not_null`` / ``in_range`` / ``matches`` / ``satisfies``) — rows
+    passing ALL rules land in the corpus, violators land WHOLE in the
+    quarantine (same columns, so they can be repaired and replayed),
+    and, when ``report_path`` is set, the batch's full constraint
+    report (every rule kind, including ``unique``/``foreign_key``)
+    is appended as the audit trail. The data-quality circuit breaker
+    in front of a training corpus, as a stream.
+
+    Exactly-once: all three sinks write under a ``__batch_id``
+    partition with dynamic partition overwrite (the module's standard
+    idempotency pattern), so a replayed batch reproduces identical
+    corpus, quarantine and report partitions instead of duplicating.
+    Admission is row-level and needs row rules; passing only
+    aggregate-kind rules (``unique``/``fk``) raises — they still
+    evaluate into the report, they just can't split rows."""
+    from uofi_payroll_etl_main_demo_spark.validate.constraints import (
+        check_data_constraints,
+    )
+
+    rules = list(rules)
+    row_rules = [r for r in rules if r.kind == "row"]
+    if not row_rules:
+        raise ValueError("need at least one row-level rule to gate rows")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit = F.lit(True)
+        for r in row_rules:
+            admit = admit & F.coalesce(r.payload, F.lit(False))
+        batch_df = batch_df.persist()
+        try:
+            for path, frame in (
+                (corpus_path, batch_df.filter(admit)),
+                (quarantine_path, batch_df.filter(~admit)),
+            ):
+                (
+                    frame.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(path)
+                )
+            if report_path is not None:
+                (
+                    check_data_constraints(batch_df, rules)
+                    .withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(report_path)
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
