@@ -137,6 +137,31 @@ def test_substring_dedup_spans_localize(spark):
     # legitimately duplicated — the assertion above suffices.
 
 
+def test_cdc_containment_semantics(spark):
+    """Containment against a corpus: an exact copy scores 1.0, a novel
+    doc ~0.0, and a PREFIX-SHIFTED copy stays high (the CDC property —
+    fixed-width chunking would score it ~0)."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_containment
+
+    corpus = spark.createDataFrame(
+        [(1, LOREM), (2, LOREM[::-1])], "doc_id long, text string"
+    )
+    novel = "".join(chr(97 + (i * 11) % 26) for i in range(600))
+    batch = spark.createDataFrame(
+        [
+            (10, LOREM),                       # exact copy
+            (11, "SHIFTED >>> " + LOREM),      # prefix insert
+            (12, novel),                       # unseen content
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cdc_containment(corpus, batch).collect()}
+    assert got[10]["containment"] == 1.0
+    assert got[11]["containment"] >= 0.7
+    assert got[12]["containment"] <= 0.1
+    assert all(r["n_seen"] <= r["n_chunks"] for r in got.values())
+
+
 def test_spark_path_matches_scalar_law(spark):
     df = spark.createDataFrame(
         [(1, LOREM), (2, "INSERTED >>> " + LOREM), (3, None), (4, "")],

@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     "CDC_M",
     "cdc_chunks",
     "cdc_chunk_spans",
+    "cdc_containment",
     "poly_gram_hashes",
     "substring_dedup_spans",
 ]
@@ -172,6 +174,49 @@ def cdc_chunks(
 # lifetime contract (one cached gram frame per session, not one per
 # substring_dedup_spans invocation).
 _GRAM_POOL: list = []
+
+def cdc_containment(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Chunk-level containment of a NEW batch against an existing
+    corpus: each batch document's content-defined chunks are matched
+    by hash against the corpus's distinct chunk hashes, and the doc
+    reports ``containment = n_seen / n_chunks`` — "how much of
+    today's crawl is content we already have", the curation metric
+    fixed-width chunking can't deliver under edits (CDC boundaries
+    re-synchronize, so moved-but-unchanged passages still match).
+
+    Incremental by construction: per-batch cost is the batch's chunk
+    pass + one hash join against DISTINCT corpus hashes (integers +
+    md5 strings — chunk text never shuffles); the corpus side is the
+    reusable build artifact.
+
+    Returns (doc_id, n_chunks, n_seen, containment) for batch docs."""
+    old = (
+        cdc_chunks(corpus, id_col, text_col, window, divisor)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    new = cdc_chunks(batch, id_col, text_col, window, divisor)
+    marked = new.join(old, "chunk_hash", "left")
+    return (
+        marked.groupBy(F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("__seen").alias("n_seen"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_seen") / F.col("n_chunks"), 6),
+        )
+    )
+
 
 GRAM_SCHEMA = T.StructType(
     [

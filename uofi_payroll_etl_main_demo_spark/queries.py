@@ -9397,7 +9397,7 @@ REGISTRY["ext_skew_report"] = (q_skew_report, _sql_skew_report())
 _CDC_W, _CDC_D = 8, 64
 
 
-def _sql_cdc_chunk_table() -> str:
+def _sql_cdc_chunk_table(where: str = "", p: str = "") -> str:
     from uofi_payroll_etl_main_demo_spark.ext.cdc import CDC_M, CDC_P
 
     terms = " + ".join(
@@ -9407,42 +9407,42 @@ def _sql_cdc_chunk_table() -> str:
         for k in range(_CDC_W)
     )
     return f"""
-chars AS (
+{p}chars AS (
   SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos, text
-  FROM documents
+  FROM documents {where}
 ),
-coded AS (
+{p}coded AS (
   SELECT doc_id, pos, ord(substr(text, CAST(pos AS INT) + 1, 1)) AS code
-  FROM chars
+  FROM {p}chars
 ),
-hashed AS (
+{p}hashed AS (
   SELECT doc_id, pos,
     CASE WHEN pos >= {_CDC_W - 1} THEN ({terms}) % {CDC_M}
          ELSE NULL END AS h
-  FROM coded
+  FROM {p}coded
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-assigned AS (
+{p}assigned AS (
   SELECT doc_id, pos,
     COALESCE(sum(CASE WHEN h IS NOT NULL AND h % {_CDC_D} = 0 THEN 1
                       ELSE 0 END)
       OVER (PARTITION BY doc_id ORDER BY pos
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
       0) AS chunk_idx
-  FROM hashed
+  FROM {p}hashed
 ),
-spans AS (
+{p}spans AS (
   SELECT doc_id, chunk_idx, min(pos) AS start, count(*) AS chunk_len
-  FROM assigned GROUP BY doc_id, chunk_idx
+  FROM {p}assigned GROUP BY doc_id, chunk_idx
 ),
-chunk_table AS (
+{p}chunk_table AS (
   SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
          CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
          CAST(c.start AS BIGINT) AS start,
          CAST(c.chunk_len AS BIGINT) AS chunk_len,
          md5(substr(d.text, CAST(c.start AS INT) + 1,
                     CAST(c.chunk_len AS INT))) AS chunk_hash
-  FROM spans c JOIN documents d USING (doc_id)
+  FROM {p}spans c JOIN documents d USING (doc_id)
 )"""
 
 
@@ -9485,6 +9485,45 @@ def q_cdc_chunk_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def q_cdc_containment(spark, sf_dir):
+    """Batch-vs-corpus CDC containment (ext/cdc.py cdc_containment):
+    how much of an incoming batch (doc_id % 4 == 0 — the deterministic
+    stand-in for today's crawl) is chunk-level content already in the
+    corpus (the other docs). CDC boundaries re-synchronize under
+    edits, so moved-but-unchanged passages still match — the metric
+    fixed-width chunking breaks. Incremental shape: batch chunk pass +
+    one hash join against DISTINCT corpus hashes; chunk text never
+    shuffles. Oracle: the chunk CTE twice (prefixed, WHERE-split) +
+    the same left-join containment arithmetic."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_containment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return cdc_containment(
+        corpus, batch, window=_CDC_W, divisor=_CDC_D
+    )
+
+
+REGISTRY["ext_cdc_containment"] = (
+    q_cdc_containment,
+    f"""WITH {_sql_cdc_chunk_table(
+        where="WHERE doc_id % 4 != 0", p="co_")},
+{_sql_cdc_chunk_table(where="WHERE doc_id % 4 = 0", p="ba_")},
+old AS (SELECT DISTINCT chunk_hash FROM co_chunk_table),
+marked AS (
+  SELECT b.doc_id, b.chunk_hash,
+         CASE WHEN o.chunk_hash IS NOT NULL THEN 1 END AS seen
+  FROM ba_chunk_table b LEFT JOIN old o USING (chunk_hash)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(seen) AS BIGINT) AS n_seen,
+       round(count(seen) * 1.0 / count(*), 6) AS containment
+FROM marked GROUP BY doc_id
+""",
+)
 
 
 def q_substring_dedup_spans(spark, sf_dir):
@@ -9623,9 +9662,9 @@ _WINDOW_50 = [
     #    rel_promo_part_suppliers, rel_top_supplier,
     #    rel_parts_supplier_count, rel_forecast_revenue,
     #    rel_important_parts, rel_min_price_supplier,
-    #    rel_part_type_revenue, rel_priority_late_orders) --
+    #    rel_part_type_revenue, rel_priority_late_orders,
+    #    rel_returned_item_report) --
     "rel_volume_shipping",
-    "rel_returned_item_report",
     "rel_market_share",
     "rel_priority_shipping",
     "rel_customer_distribution",
@@ -9647,6 +9686,7 @@ _WINDOW_50 = [
     "ext_zorder_layout_stats",
     "ext_cdc_chunks",
     "ext_cdc_chunk_dedup",
+    "ext_cdc_containment",
     "ext_substring_dedup_spans",
     "ext_skew_report",
     "ext_data_constraints",
