@@ -180,3 +180,20 @@ def test_spark_path_matches_scalar_law(spark):
             for i, (s, ln) in enumerate(cdc_chunk_spans(text))
         ]
         assert got == exp
+
+
+def test_cdc_containment_reports_chunkless_docs(spark):
+    """Null/empty-text batch docs appear in the report as
+    (0, 0, NULL) instead of vanishing from the audit."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_containment
+
+    corpus = spark.createDataFrame([(1, LOREM)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, LOREM), (11, None), (12, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in cdc_containment(corpus, batch).collect()}
+    assert set(got) == {10, 11, 12}
+    for did in (11, 12):
+        assert got[did]["n_chunks"] == 0 and got[did]["n_seen"] == 0
+        assert got[did]["containment"] is None
+    assert got[10]["containment"] == 1.0

@@ -244,3 +244,22 @@ def test_zorder_layout_tightens_zone_maps(spark, tmp_path):
     a = spark.read.parquet(nat).groupBy().sum("l_quantity").first()[0]
     b = spark.read.parquet(zed).groupBy().sum("l_quantity").first()[0]
     assert a == b
+
+
+def test_zone_maps_and_pruning_tolerate_schema_evolution(spark, tmp_path):
+    """A file predating a column reports None stats for it, and
+    prune_files KEEPS it (never skip what you can't bound); returned
+    paths are absolute."""
+    import os
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1,)], "a long").write.parquet(path)
+    spark.createDataFrame([(2, 5)], "a long, b long").write.mode(
+        "append"
+    ).parquet(path)
+    maps = parquet_zone_maps(path, ["a", "b"])
+    assert any(m["b_min"] is None for m in maps)
+    kept = prune_files(path, {"b": (100, 200)})  # disjoint from b=5
+    # the b-bearing file is skippable; the b-less file must survive
+    assert len(kept) == 1
+    assert all(os.path.isabs(p) for p in kept)

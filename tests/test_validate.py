@@ -134,3 +134,32 @@ def test_data_constraints_exact_counts(spark):
         check_data_constraints(df, [])
     with _pytest.raises(ValueError):
         check_data_constraints(df, [not_null("k"), not_null("k")])
+
+
+def test_data_constraints_fk_only_and_anchored_matches(spark):
+    """Review regressions: (a) an fk-ONLY rule list returns a one-row
+    report instead of crashing on an empty struct explode; (b)
+    matches() is FULL-match — a substring hit is still a violation."""
+    from uofi_payroll_etl_main_demo_spark.validate import (
+        check_data_constraints,
+        foreign_key,
+        matches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "AB"), (2, "zz", "xxAByy")], "id long, k string, code string"
+    )
+    dim = spark.createDataFrame([("a",)], "dk string")
+    rep = check_data_constraints(df, [foreign_key("k", dim, "dk")]).collect()
+    assert len(rep) == 1
+    assert (rep[0]["rule"], rep[0]["n_rows"], rep[0]["n_violations"]) == (
+        "foreign_key(k -> dk)", 2, 1,
+    )
+    rep2 = {
+        r["rule"]: r["n_violations"]
+        for r in check_data_constraints(
+            df, [matches("code", "[A-Z]{2}")]
+        ).collect()
+    }
+    # 'AB' fully matches; 'xxAByy' only CONTAINS a match -> violation
+    assert rep2["matches(code, [A-Z]{2})"] == 1

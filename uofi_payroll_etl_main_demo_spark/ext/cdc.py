@@ -196,7 +196,10 @@ def cdc_containment(
     md5 strings — chunk text never shuffles); the corpus side is the
     reusable build artifact.
 
-    Returns (doc_id, n_chunks, n_seen, containment) for batch docs."""
+    Returns (doc_id, n_chunks, n_seen, containment) for EVERY batch
+    doc — a NULL/empty-text document produces no chunks and reports
+    ``(0, 0, NULL)`` instead of vanishing from the audit (a gate
+    filtering on containment must still see it)."""
     old = (
         cdc_chunks(corpus, id_col, text_col, window, divisor)
         .select("chunk_hash")
@@ -205,15 +208,25 @@ def cdc_containment(
     )
     new = cdc_chunks(batch, id_col, text_col, window, divisor)
     marked = new.join(old, "chunk_hash", "left")
+    scored = marked.groupBy(F.col("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("__seen").alias("n_seen"),
+    )
+    all_ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
     return (
-        marked.groupBy(F.col("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.count("__seen").alias("n_seen"),
+        all_ids.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
         )
         .withColumn(
             "containment",
-            F.round(F.col("n_seen") / F.col("n_chunks"), 6),
+            # explicit CASE: under ANSI mode 0/0 raises, and a
+            # chunkless doc's containment is genuinely undefined
+            F.when(F.col("n_chunks") == 0, F.lit(None)).otherwise(
+                F.round(F.col("n_seen") / F.col("n_chunks"), 6)
+            ),
         )
     )
 

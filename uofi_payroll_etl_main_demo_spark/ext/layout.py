@@ -219,7 +219,7 @@ def prune_files(path: str, box: "dict[str, tuple]") -> "list[str]":
                 ok = False
                 break
         if ok:
-            keep.append(os.path.join(path, m["file"]))
+            keep.append(os.path.abspath(os.path.join(path, m["file"])))
     return keep
 
 
@@ -247,7 +247,14 @@ def parquet_zone_maps(path: str, columns) -> "list[dict]":
             meta.schema.column(i).path: i for i in range(meta.num_columns)
         }
         for c in columns:
-            i = schema_names[c]
+            i = schema_names.get(c)
+            if i is None:
+                # schema-evolved directory: a file predating the
+                # column reports unknown stats (None), which every
+                # consumer treats as "cannot bound — keep"
+                row[f"{c}_min"] = None
+                row[f"{c}_max"] = None
+                continue
             mins, maxs = [], []
             for g in range(meta.num_row_groups):
                 st = meta.row_group(g).column(i).statistics

@@ -9332,7 +9332,7 @@ SELECT 'matches(l_returnflag, ^[ARN]$)',
        (SELECT count(*) FROM lineitem),
        (SELECT count(*) FROM lineitem
         WHERE NOT (l_returnflag IS NOT NULL
-                   AND regexp_matches(l_returnflag, '^[ARN]$')))
+                   AND regexp_matches(l_returnflag, '^(?:^[ARN]$)$')))
 UNION ALL
 SELECT 'unique(l_orderkey, l_linenumber)',
        (SELECT count(*) FROM lineitem),
@@ -9517,11 +9517,18 @@ marked AS (
   SELECT b.doc_id, b.chunk_hash,
          CASE WHEN o.chunk_hash IS NOT NULL THEN 1 END AS seen
   FROM ba_chunk_table b LEFT JOIN old o USING (chunk_hash)
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(count(seen) AS BIGINT) AS n_seen,
-       round(count(seen) * 1.0 / count(*), 6) AS containment
-FROM marked GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_chunks, count(seen) AS n_seen
+  FROM marked GROUP BY doc_id
+),
+base AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0)
+SELECT base.doc_id,
+       CAST(coalesce(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen,
+       CASE WHEN coalesce(s.n_chunks, 0) = 0 THEN NULL
+            ELSE round(s.n_seen * 1.0 / s.n_chunks, 6) END AS containment
+FROM base LEFT JOIN scored s USING (doc_id)
 """,
 )
 

@@ -55,13 +55,17 @@ def in_range(col: str, lo, hi) -> Rule:
 
 
 def matches(col: str, pattern: str) -> Rule:
-    """Violated when ``col`` does not fully match ``pattern`` (or is
-    NULL). Keep patterns engine-portable (no bare ``\\s`` — see the
-    repo's regex-class rules) if the report feeds an oracle."""
+    """Violated when ``col`` does not FULLY match ``pattern`` (or is
+    NULL) — the pattern is wrapped ``^(?:...)$`` internally because
+    ``rlike``/``regexp_matches`` are substring searches and a quality
+    gate that passes partial matches is not a gate. Keep patterns
+    engine-portable (no bare ``\\s`` — see the repo's regex-class
+    rules) if the report feeds an oracle, and mirror the same wrap in
+    the oracle SQL."""
     return Rule(
         f"matches({col}, {pattern})",
         "row",
-        F.col(col).isNotNull() & F.col(col).rlike(pattern),
+        F.col(col).isNotNull() & F.col(col).rlike(f"^(?:{pattern})$"),
     )
 
 
@@ -119,24 +123,38 @@ def check_data_constraints(df: DataFrame, rules) -> DataFrame:
             raise ValueError(f"unknown rule kind: {r.kind!r}")
 
     wide = df.agg(*aggs)
-    per_rule = F.array(
-        *[
-            F.struct(
-                F.lit(rules[idx].name).alias("rule"),
-                F.col("__n").cast("long").alias("n_rows"),
-                F.col(f"__v{idx}").cast("long").alias("n_violations"),
-            )
-            for idx in fold
-        ]
-    )
-    report = wide.select(F.explode(per_rule).alias("p")).select("p.*")
-
     fk_rules = [r for r in rules if r.kind == "fk"]
     if fk_rules:
-        # one driver-side count-star (column-pruned scan; the A5
-        # aggregate→driver precedent) — attaching a 1-row total frame
-        # would be the BroadcastNestedLoopJoin the plan lint bans
-        n_total = df.count()
+        # the shared aggregate materializes ONCE driver-side (1 row —
+        # the A5 aggregate→driver precedent): its __n supplies every
+        # fk row's total WITHOUT a second table pass, attaching a
+        # 1-row frame would be the BroadcastNestedLoopJoin the plan
+        # lint bans, and the fk-only case (fold empty) needs no
+        # explode at all
+        wrow = wide.first()
+        n_total = int(wrow["__n"])
+        report = df.sparkSession.createDataFrame(
+            [
+                (rules[idx].name, n_total, int(wrow[f"__v{idx}"]))
+                for idx in fold
+            ],
+            "rule string, n_rows long, n_violations long",
+        )
+    else:
+        # no fk rules → fold is non-empty (rules is non-empty and
+        # every kind folds) and the report stays fully lazy
+        per_rule = F.array(
+            *[
+                F.struct(
+                    F.lit(rules[idx].name).alias("rule"),
+                    F.col("__n").cast("long").alias("n_rows"),
+                    F.col(f"__v{idx}").cast("long").alias("n_violations"),
+                )
+                for idx in fold
+            ]
+        )
+        report = wide.select(F.explode(per_rule).alias("p")).select("p.*")
+
     for r in fk_rules:
         col, dim, dim_col = r.payload
         viol = (
