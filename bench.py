@@ -135,6 +135,7 @@ HEADLINE = [
     "ext_substring_dedup_spans",
     "ext_skew_report",
     "ext_data_constraints",
+    "ext_cdc_containment",
 ]
 
 
