@@ -222,3 +222,36 @@ def test_corpus_fingerprint_tracks_file_state(tmp_path):
     assert t1 == corpus_fingerprint(str(p))  # stable while unchanged
     os.utime(p, ns=(1, 2))  # touched file = new snapshot
     assert corpus_fingerprint(str(p)) != t1
+
+
+def test_corpus_fingerprint_sees_inside_directories(tmp_path):
+    """A parquet DIRECTORY rewritten in place must change the tag even
+    though the directory's own stat may not change (ADVICE r7)."""
+    d = tmp_path / "corpus.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"v1-bytes")
+    t1 = corpus_fingerprint(str(d))
+    assert t1 == corpus_fingerprint(str(d))
+    os.utime(part, ns=(7, 7))  # part file rewritten in place
+    t2 = corpus_fingerprint(str(d))
+    assert t2 != t1
+    (d / "part-00001.parquet").write_bytes(b"v2")  # new part file
+    assert corpus_fingerprint(str(d)) != t2
+
+
+def test_ivf_index_add_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the same add (same batch_id) replaces that batch's
+    list partitions instead of duplicating vectors."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import ivf_index_add
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_index_build(old, idx, n_centroids=4, corpus_tag="half")
+    ivf_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+    n = spark.read.parquet(f"{idx}/assigned").count()
+    ivf_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
+    assert spark.read.parquet(f"{idx}/assigned").count() == n
+    assert n == emb.count()

@@ -50,6 +50,20 @@ def test_normalize_numeric_string(spark):
     assert got == ["123", "123", "123", "12.5", "x", "", None]
 
 
+def test_normalize_numeric_string_int_float_edge_parity(spark):
+    """The reference gate is isdigit-after-one-dot-removal +
+    float-is-integer, canonicalized via int(float(x)) — leading zeros
+    strip, trailing dots drop, all-zero values collapse to '0'
+    (etl_payroll_pipeline_demo.py:673-682; ADVICE r7 edge cases)."""
+    got = evl(
+        spark,
+        ["00123.0", "123.", "0123", "000", ".0", "1.2.3", "-123.0", "123.50"],
+        normalize_numeric_string("v"),
+    )
+    # python oracle for the gated inputs: int(float(x)) stringified
+    assert got == ["123", "123", "123", "0", "0", "1.2.3", "-123.0", "123.50"]
+
+
 def test_ensure_string_trims_and_keeps_null(spark):
     got = evl(spark, ["  a  ", None], ensure_string("v"))
     assert got == ["a", None]

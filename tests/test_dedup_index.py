@@ -85,6 +85,42 @@ def test_index_add_grows_corpus_without_rebuild(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_index_add_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once delivery: replaying the SAME add (same batch_id)
+    overwrites that batch's partitions instead of duplicating band and
+    shingle rows — query results identical either way."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 5 <= 1)
+    b = d.filter(F.col("doc_id") % 5 == 2)
+    c = d.filter(F.col("doc_id") % 5 == 4)
+    idx = str(tmp_path / "mh")
+    minhash_index_build(a, idx, corpus_tag="a", **PARAMS)
+    minhash_index_add(b, idx, new_corpus_tag="ab", batch_id="b1")
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    n_shingles = spark.read.parquet(f"{idx}/shingles").count()
+    once = _pairs(minhash_index_load(spark, idx).query(c, threshold=0.2))
+    minhash_index_add(b, idx, new_corpus_tag="ab", batch_id="b1")  # replay
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_shingles
+    assert _pairs(minhash_index_load(spark, idx).query(c, threshold=0.2)) == once
+
+
+def test_query_rejects_overlapping_batch_ids(spark, sf_dir, tmp_path):
+    """An id present on both sides would verify against the wrong
+    side's shingle set — the guard raises instead (ADVICE r7)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    idx = str(tmp_path / "mh")
+    minhash_index_build(corpus, idx, corpus_tag="t", **PARAMS)
+    loaded = minhash_index_load(spark, idx)
+    overlapping = d.filter(F.col("doc_id") % 5 <= 1)  # ⊂ indexed ids
+    with pytest.raises(ValueError, match="already indexed"):
+        loaded.query(overlapping, threshold=0.2).collect()
+    # opt-out for callers that guarantee disjointness: no guard job
+    disjoint = d.filter(F.col("doc_id") % 5 == 4)
+    assert loaded.query(disjoint, threshold=0.2, check_disjoint=False).count()
+
+
 def test_ensure_loads_and_kind_guard(spark, sf_dir, tmp_path):
     d = _docs(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 4)

@@ -86,13 +86,27 @@ def corpus_fingerprint(*paths: str) -> str:
     """Cheap local-corpus snapshot tag (path + size + mtime per file,
     md5-folded): keys an index build to the exact corpus files it was
     trained on, so a regenerated fixture triggers a rebuild instead of
-    serving stale lists. A cluster deployment would key by its table
-    snapshot/version id instead; the tag is an opaque string either way.
+    serving stale lists. A DIRECTORY path is fingerprinted by its
+    recursive file listing (per-file relative name + size + mtime) —
+    a directory's own stat does not change when a part file inside is
+    rewritten in place, so stat-ing only the top path could serve a
+    stale index over a regenerated-in-place corpus. A cluster
+    deployment would key by its table snapshot/version id instead; the
+    tag is an opaque string either way.
     """
     h = hashlib.md5()
     for p in paths:
-        st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        if os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    rel = os.path.relpath(fp, p)
+                    h.update(f"{p}:{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:12]
 
 
@@ -169,10 +183,15 @@ def ivf_index_build(
         [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    # __batch is the idempotence unit for incremental adds (see
+    # ivf_index_add); the build's rows all land in one "base" batch.
+    # centroid stays the FIRST partition level so the serving path's
+    # probe filter prunes exactly as before.
     (
         index.assigned.select(id_col, vec_col, "centroid")
+        .withColumn("__batch", F.lit("base"))
         .write.mode("overwrite")
-        .partitionBy("centroid")
+        .partitionBy("centroid", "__batch")
         .parquet(f"{index_dir}/assigned")
     )
     _write_meta(
@@ -294,18 +313,25 @@ def ivf_index_add(
     index_dir: str,
     *,
     new_corpus_tag: str,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental index maintenance — the CDC path of the lifecycle:
     assign NEW vectors to the EXISTING centroids (no retrain; the
     standard IVF add, quantization error drifts only as far as the
-    data does) and APPEND them to the inverted-list partitions.
+    data does) and add them to the inverted-list partitions.
     Assignment is a pure JVM-side expression (argmax over ≤hundreds of
     centroid cosines — no Python boundary), so adds scale like any
     narrow map + partitioned write.
 
-    ``new_corpus_tag`` re-keys the index to the grown corpus snapshot
-    so a subsequent :func:`ensure_ivf_index` with the same tag LOADS
-    instead of rebuilding. Meta is rewritten after the append."""
+    IDEMPOTENT per ``batch_id`` (defaults to ``new_corpus_tag``): the
+    batch's rows land in ``centroid=*/__batch={batch_id}`` partitions
+    via dynamic partition overwrite, so replaying an add — after a
+    crash, or from an at-least-once delivery — REPLACES that batch's
+    partitions instead of duplicating rows. Meta (the corpus re-key)
+    is written last: a crash mid-add leaves the previous tag over a
+    partial batch, and the replay that at-least-once delivery owes
+    heals the data before the tag ever advances. Distinct batches must
+    use distinct batch ids; reusing one overwrites the earlier batch."""
     spark = embeddings_new.sparkSession
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
@@ -347,9 +373,15 @@ def ivf_index_add(
         F.col(id_col),
         F.col(vec_col),
         F.array_min(scored)["i"].cast("int").alias("centroid"),
+        F.lit(batch_id if batch_id is not None else new_corpus_tag).alias(
+            "__batch"
+        ),
     )
-    assigned.write.mode("append").partitionBy("centroid").parquet(
-        f"{index_dir}/assigned"
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid", "__batch")
+        .parquet(f"{index_dir}/assigned")
     )
     _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
 

@@ -6,19 +6,23 @@ re-shingles and re-signatures the WHOLE corpus on every batch; at
 100 TB the daily dedup job should pay for the batch, not the corpus.
 This module materializes the corpus' LSH state once:
 
-    {index_dir}/bands/     (doc_id, bh) PARTITIONED BY band, sorted by
-                           bh within partitions — the candidate join's
-                           probe side, ~bands × 16 B per document
-    {index_dir}/shingles/  (doc_id, shingle-hash set) — exact-Jaccard
-                           verification of candidates without touching
-                           document text
+    {index_dir}/bands/     (doc_id, bh) PARTITIONED BY (band, __batch),
+                           sorted by bh within partitions — the
+                           candidate join's probe side, ~bands × 16 B
+                           per document
+    {index_dir}/shingles/  (doc_id, shingle-hash set) PARTITIONED BY
+                           __batch — exact-Jaccard verification of
+                           candidates without touching document text
     {index_dir}/meta/      one row: format version, params, corpus_tag
 
 Query cost is one signature pass over the NEW batch plus an equi-join
 of its band keys against the stored bands table; verification joins
-only the candidate ids' stored shingle sets. ``add`` appends a batch's
-bands+shingles (the caller decides which batch rows survived dedup),
-so the store grows with the corpus without ever rebuilding.
+only the candidate ids' stored shingle sets. ``add`` lands a batch's
+bands+shingles in that batch's own ``__batch`` partitions (the caller
+decides which batch rows survived dedup), so the store grows with the
+corpus without ever rebuilding, and replaying an add is idempotent
+(dynamic partition overwrite — the exactly-once building block the
+streaming ingest path composes on).
 
 Index-vs-inline EQUIVALENCE is the correctness contract: built and
 queried with the same parameters, ``MinHashDiskIndex.query`` must
@@ -126,14 +130,23 @@ def minhash_index_build(
     banded, sets_ = _banded_and_sets(
         corpus, text_col, id_col, num_hashes, bands, k, hash_family
     )
+    # __batch is the idempotence unit for minhash_index_add; the
+    # build's rows all land in one "base" batch. band stays the first
+    # partition level, so the candidate join's layout is unchanged.
     (
         banded.repartition("band")
         .sortWithinPartitions("bh")
+        .withColumn("__batch", F.lit("base"))
         .write.mode("overwrite")
-        .partitionBy("band")
+        .partitionBy("band", "__batch")
         .parquet(f"{index_dir}/bands")
     )
-    sets_.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    (
+        sets_.withColumn("__batch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(f"{index_dir}/shingles")
+    )
     spark.createDataFrame(
         [
             {
@@ -182,6 +195,7 @@ class MinHashDiskIndex:
         batch: DataFrame,
         threshold: float = 0.5,
         max_bucket_size: int | None = None,
+        check_disjoint: bool = True,
     ) -> DataFrame:
         """(new_id, old_id, jaccard ≥ threshold): which batch documents
         near-duplicate the INDEXED corpus. One signature pass over the
@@ -192,9 +206,33 @@ class MinHashDiskIndex:
         ``max_bucket_size`` drops candidates whose stored band bucket
         exceeds the cap (the boilerplate mega-bucket valve, applied on
         the CORPUS side where the skew lives). Batch ids must be
-        disjoint from indexed ids."""
+        disjoint from indexed ids — an overlapping id would silently
+        verify candidates against the WRONG side's shingle set, so
+        ``check_disjoint`` (default on) raises loudly on overlap at
+        the cost of one id-only semi-join against the stored shingle
+        ids (a column-pruned scan; pass ``False`` on hot serving paths
+        where the caller guarantees disjointness)."""
         m = self.meta
         id_col, text_col = m["id_col"], m["text_col"]
+        if check_disjoint:
+            overlap = (
+                batch.select(F.col(id_col))
+                .join(
+                    self.spark.read.parquet(
+                        f"{self.index_dir}/shingles"
+                    ).select(F.col(id_col)),
+                    id_col,
+                    "left_semi",
+                )
+                .limit(1)
+                .collect()
+            )
+            if overlap:
+                raise ValueError(
+                    f"batch id {overlap[0][0]!r} is already indexed at "
+                    f"{self.index_dir} — batch ids must be disjoint from "
+                    "indexed ids (query-then-add, never re-query added rows)"
+                )
         new_banded, new_sets = _banded_and_sets(
             batch,
             text_col,
@@ -204,7 +242,9 @@ class MinHashDiskIndex:
             m["k"],
             m["hash_family"],
         )
-        stored = self.spark.read.parquet(f"{self.index_dir}/bands")
+        stored = self.spark.read.parquet(f"{self.index_dir}/bands").select(
+            id_col, "band", "bh"
+        )
         if max_bucket_size is not None:
             from pyspark.sql import Window
 
@@ -225,7 +265,9 @@ class MinHashDiskIndex:
             .select("new_id", "old_id")
             .dropDuplicates(["new_id", "old_id"])
         )
-        old_sets = self.spark.read.parquet(f"{self.index_dir}/shingles")
+        old_sets = self.spark.read.parquet(
+            f"{self.index_dir}/shingles"
+        ).select(id_col, "__set")
         return verify_jaccard_pairs(
             cand, new_sets, old_sets, id_col, threshold
         )
@@ -236,14 +278,30 @@ def minhash_index_load(spark: SparkSession, index_dir: str) -> MinHashDiskIndex:
 
 
 def minhash_index_add(
-    batch: DataFrame, index_dir: str, *, new_corpus_tag: str
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    new_corpus_tag: str,
+    batch_id: str | None = None,
 ) -> None:
-    """Append a batch's LSH state (bands + shingle sets) to the store —
+    """Add a batch's LSH state (bands + shingle sets) to the store —
     the accept-into-corpus half of the CDC loop (query first, then add
-    the survivors). Re-keys the corpus tag; no existing file is
-    rewritten."""
+    the survivors). Re-keys the corpus tag; no earlier batch's file is
+    rewritten.
+
+    IDEMPOTENT per ``batch_id`` (defaults to ``new_corpus_tag``): the
+    batch's rows land in ``__batch={batch_id}`` partitions via dynamic
+    partition overwrite, so replaying an add — after a crash, or from
+    an at-least-once delivery (the streaming foreachBatch path in
+    streaming/corpus.py) — REPLACES that batch's partitions instead of
+    duplicating band/shingle rows. Meta (the corpus re-key) is written
+    last: a crash mid-add leaves the previous tag over a partial
+    batch, and the replay the delivery contract owes heals the data
+    before the tag advances. Distinct batches must use distinct batch
+    ids; reusing one overwrites the earlier batch."""
     spark = batch.sparkSession
     meta = _read_mh_meta(spark, index_dir)
+    tag = batch_id if batch_id is not None else new_corpus_tag
     banded, sets_ = _banded_and_sets(
         batch,
         meta["text_col"],
@@ -256,11 +314,19 @@ def minhash_index_add(
     (
         banded.repartition("band")
         .sortWithinPartitions("bh")
-        .write.mode("append")
-        .partitionBy("band")
+        .withColumn("__batch", F.lit(tag))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "__batch")
         .parquet(f"{index_dir}/bands")
     )
-    sets_.write.mode("append").parquet(f"{index_dir}/shingles")
+    (
+        sets_.withColumn("__batch", F.lit(tag))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(f"{index_dir}/shingles")
+    )
     spark.createDataFrame(
         [{**meta, "corpus_tag": new_corpus_tag}], _MH_META_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")

@@ -58,20 +58,33 @@ def normalize_numeric_string(c: ColumnOrName) -> Column:
     """Whole-value normalization of integral-looking strings.
 
     Reference: the per-cell ``int(float(x))`` lambda at
-    etl_payroll_pipeline_demo.py:673-682 — ``" 123.00 "`` → ``"123"``,
-    anything non-integral just trimmed. Vectorized, no UDF.
+    etl_payroll_pipeline_demo.py:673-682 — gate is pandas'
+    isdigit-after-removing-one-dot test plus ``float(x).is_integer()``,
+    then ``int(float(x))`` canonicalizes: ``" 123.00 "`` → ``"123"``,
+    ``"00123.0"`` → ``"123"``, ``"123."`` → ``"123"``, ``"0123"`` →
+    ``"123"``, ``".0"`` → ``"0"``; anything non-integral just trimmed.
+    Mirrored here string-side (gate = unsigned digits with one
+    optional dot followed only by zeros; canonical form = integer part
+    with leading zeros stripped, empty → "0"), so values with >15
+    digits stay EXACT where the reference's float round-trip would
+    round them — the one deliberate divergence. Vectorized, no UDF.
     """
     t = F.trim(_col(c).cast("string"))
-    return F.when(
-        t.rlike(r"^\d+(\.0+)?$"), F.regexp_replace(t, r"\.0+$", "")
-    ).otherwise(t)
+    int_part = F.regexp_extract(t, r"^(\d*)", 1)
+    canon = F.coalesce(
+        F.nullif(F.regexp_replace(int_part, r"^0+", ""), F.lit("")),
+        F.lit("0"),
+    )
+    return F.when(t.rlike(r"^(\d+(\.0*)?|\.0+)$"), canon).otherwise(t)
 
 
 def normalize_cell(c: ColumnOrName) -> Column:
     """Full-fidelity port of the reference's per-column cleanup chain
     at etl_payroll_pipeline_demo.py:673-682: the ``int(float(x))``
     coercion for integral digit-strings (:func:`normalize_numeric_string`
-    — pandas' ``isdigit`` gate excludes signs, so negatives skip it),
+    — pandas' ``isdigit`` gate excludes signs, so negatives skip it;
+    leading-zero and trailing-dot integrals canonicalize exactly as
+    ``int(float(x))`` does),
     THEN the unconditional trailing-``.0`` strip pandas applies to
     EVERY cell (``.str.replace(r'\\.0$', '')``: ``'-123.0'``→``'-123'``,
     ``'v1.0'``→``'v1'``).

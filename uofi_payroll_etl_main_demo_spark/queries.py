@@ -1935,8 +1935,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         r"regexp_replace(trim('  ' || l_partkey || '.0  '), '\.0$', '') "
         r"AS code_clean, "
         r"CASE WHEN regexp_matches(trim(' ' || l_quantity || ' '), "
-        r"'^\d+(\.0+)?$') THEN regexp_replace(trim(' ' || l_quantity || ' '), "
-        r"'\.0+$', '') ELSE trim(' ' || l_quantity || ' ') END AS qty_clean, "
+        r"'^(\d+(\.0*)?|\.0+)$') THEN coalesce(nullif(regexp_replace("
+        r"regexp_extract(trim(' ' || l_quantity || ' '), '^(\d*)', 1), "
+        r"'^0+', ''), ''), '0') ELSE trim(' ' || l_quantity || ' ') END "
+        r"AS qty_clean, "
         r"l_returnflag || '-' || nullif(l_linestatus, 'F') AS flag_key "
         r"FROM lineitem WHERE l_orderkey < 100",
     ),
