@@ -1312,10 +1312,11 @@ def image_dhash(
     dHash is the standard cheap near-dup fingerprint of image-corpus
     curation: invariant to bytewise re-encodes and uniform channel
     shifts (luminance-preserving), sensitive to structural edits.
-    Block means are exact float64 (integer sums / divisions), so the
-    DuckDB oracle reproduces each bit decision bit-for-bit from the
-    generation law — the whole decode→downscale→hash path is
-    value-checked, not just row-counted.
+    Each bit decision is EXACT integer arithmetic (the block-mean
+    comparison cross-multiplies int64 channel-sum blocks, so no float
+    rounding exists anywhere on the path), and the DuckDB oracle
+    reproduces it bit-for-bit from the generation law — the whole
+    decode→downscale→hash path is value-checked, not just row-counted.
 
     ``on_error="skip"`` drops undecodable payloads (truncated/corrupt
     bytes AND null payloads) instead of failing the task — at corpus
@@ -1340,25 +1341,47 @@ def image_dhash(
                         continue
                     raise ValueError(f"null payload for media_id={mid}")
                 try:
-                    px = decode_image(bytes(payload)).astype(np.float64)
+                    px = decode_image(bytes(payload))
                 except Exception:
                     if on_error == "skip":
                         continue
                     raise
-                gray = px.mean(axis=2)
-                rb = np.array_split(np.arange(gray.shape[0]), grid_rows)
-                cb = np.array_split(np.arange(gray.shape[1]), grid_cols)
-                m = np.array(
-                    [
-                        [gray[np.ix_(rr, cc)].mean() for cc in cb]
-                        for rr in rb
-                    ]
+                # Vectorized block-mean grid (the old per-block Python
+                # loop was the measured ~5× slower shape vs whash's
+                # matmul — BASELINE WHT probe). EXACT integer math: the
+                # bit decision  mean(b2) > mean(b1)  with equal row
+                # extent reduces to  sum(b2)·n1 > sum(b1)·n2  over
+                # int64 channel sums — no float rounding anywhere, so
+                # hashes are bit-identical to the closed-form oracle by
+                # construction (grayscale = channel mean shares the /3
+                # across both sides and cancels).
+                G = px.sum(axis=2, dtype=np.int64)
+                h_, w_ = G.shape
+                r_sizes = np.full(grid_rows, h_ // grid_rows, dtype=np.int64)
+                r_sizes[: h_ % grid_rows] += 1
+                c_sizes = np.full(grid_cols, w_ // grid_cols, dtype=np.int64)
+                c_sizes[: w_ % grid_cols] += 1
+                r_off = np.zeros(grid_rows, dtype=np.int64)
+                np.cumsum(r_sizes[:-1], out=r_off[1:])
+                c_off = np.zeros(grid_cols, dtype=np.int64)
+                np.cumsum(c_sizes[:-1], out=c_off[1:])
+                B = np.add.reduceat(
+                    np.add.reduceat(G, r_off, axis=0), c_off, axis=1
                 )
-                hv = 0
-                for r in range(grid_rows):
-                    for c in range(grid_cols - 1):
-                        if m[r, c + 1] > m[r, c]:
-                            hv |= 1 << (r * (grid_cols - 1) + c)
+                # empty blocks (image smaller than the grid) had NaN
+                # means before — every comparison involving one is False
+                nonempty = (r_sizes[:, None] > 0) & (c_sizes[None, :] > 0)
+                bits = (B[:, 1:] * c_sizes[:-1]) > (B[:, :-1] * c_sizes[1:])
+                bits &= nonempty[:, 1:] & nonempty[:, :-1]
+                weights = np.left_shift(
+                    np.uint64(1),
+                    np.arange(grid_rows * (grid_cols - 1), dtype=np.uint64),
+                )
+                hv = int(
+                    np.bitwise_or.reduce(
+                        weights[bits.ravel()], initial=np.uint64(0)
+                    )
+                )
                 if hv >= 1 << 63:
                     hv -= 1 << 64
                 out.append((mid, hv))
