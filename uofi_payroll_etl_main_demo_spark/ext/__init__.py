@@ -39,6 +39,13 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     pq_index_build,
     pq_index_load,
 )
+from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (  # noqa: F401
+    CdcDiskIndex,
+    cdc_index_add,
+    cdc_index_build,
+    cdc_index_load,
+    ensure_cdc_index,
+)
 from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
     MinHashDiskIndex,
     ensure_minhash_index,

@@ -45,6 +45,7 @@ __all__ = [
     "cdc_chunks",
     "cdc_chunk_spans",
     "cdc_containment",
+    "containment_scores",
     "poly_gram_hashes",
     "substring_dedup_spans",
 ]
@@ -194,7 +195,9 @@ def cdc_containment(
     Incremental by construction: per-batch cost is the batch's chunk
     pass + one hash join against DISTINCT corpus hashes (integers +
     md5 strings — chunk text never shuffles); the corpus side is the
-    reusable build artifact.
+    reusable build artifact — persisted as exactly that by
+    :mod:`~uofi_payroll_etl_main_demo_spark.ext.cdc_index`, which
+    serves this same metric without re-chunking the corpus per batch.
 
     Returns (doc_id, n_chunks, n_seen, containment) for EVERY batch
     doc — a NULL/empty-text document produces no chunks and reports
@@ -204,17 +207,31 @@ def cdc_containment(
         cdc_chunks(corpus, id_col, text_col, window, divisor)
         .select("chunk_hash")
         .distinct()
-        .withColumn("__seen", F.lit(1))
     )
     new = cdc_chunks(batch, id_col, text_col, window, divisor)
-    marked = new.join(old, "chunk_hash", "left")
+    return containment_scores(
+        new, old, batch.select(F.col(id_col).alias("doc_id")).distinct()
+    )
+
+
+def containment_scores(
+    new_chunks: DataFrame, old_hashes: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """The ONE containment-arithmetic tail shared by the inline
+    operator above and the persisted-index serving path
+    (ext/cdc_index.py) — both must score with identical math or their
+    pinned equivalence silently breaks (the same shared-law contract
+    as dedup.verify_jaccard_pairs). ``old_hashes`` must be a DISTINCT
+    (chunk_hash) frame; ``batch_ids`` a distinct (doc_id) frame."""
+    marked = new_chunks.join(
+        old_hashes.withColumn("__seen", F.lit(1)), "chunk_hash", "left"
+    )
     scored = marked.groupBy(F.col("doc_id")).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count("__seen").alias("n_seen"),
     )
-    all_ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
     return (
-        all_ids.join(scored, "doc_id", "left")
+        batch_ids.join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),

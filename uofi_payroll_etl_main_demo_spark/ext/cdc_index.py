@@ -1,0 +1,238 @@
+"""Persisted CDC chunk index: build → load → query → add.
+
+The containment twin of :mod:`~uofi_payroll_etl_main_demo_spark.ext.dedup_index`
+— the in-query operator (``ext/cdc.py cdc_containment``) re-chunks and
+re-distincts the ENTIRE corpus on every batch query; a daily
+crawl-triage job at 100 TB should pay for the batch, not the corpus.
+This module materializes the corpus' distinct chunk-hash set once:
+
+    {index_dir}/chunks/  (chunk_hash) PARTITIONED BY __batch —
+                         GLOBALLY DISTINCT by construction (adds
+                         anti-join against the stored set before
+                         appending), so the serving join needs no
+                         re-distinct; ~33 B per distinct chunk
+    {index_dir}/meta/    one row: format version, params, corpus_tag
+
+Query cost is one chunk pass over the NEW batch plus a hash join of
+its chunk hashes against the stored set — corpus text is never read,
+never re-chunked. ``add`` lands a batch's previously-unseen hashes in
+that batch's own ``__batch`` partition via dynamic partition
+overwrite, so replaying an add (crash recovery, at-least-once
+delivery) replaces instead of duplicating; meta (the corpus re-key)
+is written last, same contract as the MinHash/ANN stores.
+
+Index-vs-inline EQUIVALENCE is the correctness contract: built and
+queried with the same parameters, ``CdcDiskIndex.query`` must return
+exactly ``cdc_containment(corpus, batch, ...)`` — both run the shared
+``containment_scores`` tail, pinned in tests and by the registry
+oracle (the same SQL twin verifies both).
+
+No reference parity: the reference pipeline has no dedup surface;
+extension scope (SURVEY.md §2.9 dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+    INDEX_FORMAT_VERSION,
+    _fs_exists,
+    _invalidate_meta,
+)
+from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+    cdc_chunks,
+    containment_scores,
+)
+
+_CDC_META_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("id_col", T.StringType(), False),
+        T.StructField("text_col", T.StringType(), False),
+        T.StructField("window", T.IntegerType(), False),
+        T.StructField("divisor", T.IntegerType(), False),
+        T.StructField("corpus_tag", T.StringType(), False),
+    ]
+)
+
+
+def cdc_index_build(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+    corpus_tag: str = "",
+) -> None:
+    """Chunk the corpus ONCE, persist its distinct chunk-hash set.
+    Meta invalidated first / written last — same crash contract as the
+    other index builds."""
+    spark = corpus.sparkSession
+    _invalidate_meta(spark, index_dir)
+    (
+        cdc_chunks(corpus, id_col, text_col, window, divisor)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("__batch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(f"{index_dir}/chunks")
+    )
+    spark.createDataFrame(
+        [
+            {
+                "version": INDEX_FORMAT_VERSION,
+                "kind": "cdc",
+                "id_col": id_col,
+                "text_col": text_col,
+                "window": window,
+                "divisor": divisor,
+                "corpus_tag": corpus_tag,
+            }
+        ],
+        _CDC_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def _read_cdc_meta(spark: SparkSession, index_dir: str) -> dict:
+    rows = spark.read.parquet(f"{index_dir}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt index meta at {index_dir}: {len(rows)} rows")
+    meta = rows[0].asDict()
+    if meta["version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format v{meta['version']} at {index_dir}; "
+            f"this build reads v{INDEX_FORMAT_VERSION}"
+        )
+    if meta["kind"] != "cdc":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not cdc")
+    return meta
+
+
+class CdcDiskIndex:
+    """Loaded handle: params on the driver, the chunk table lazy."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta: dict):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+
+    def stored_hashes(self) -> DataFrame:
+        """The corpus' distinct (chunk_hash) set — globally distinct by
+        the build/add construction, so no re-distinct is needed."""
+        return self.spark.read.parquet(f"{self.index_dir}/chunks").select(
+            "chunk_hash"
+        )
+
+    def query(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, n_chunks, n_seen, containment) for every batch doc
+        — exactly ``cdc_containment(corpus, batch)``, but the corpus
+        contributes only its STORED hash set (never re-read, never
+        re-chunked): per-query cost is the batch chunk pass + one
+        integer/md5 hash join."""
+        m = self.meta
+        new = cdc_chunks(
+            batch, m["id_col"], m["text_col"], m["window"], m["divisor"]
+        )
+        batch_ids = batch.select(
+            F.col(m["id_col"]).alias("doc_id")
+        ).distinct()
+        return containment_scores(new, self.stored_hashes(), batch_ids)
+
+
+def cdc_index_load(spark: SparkSession, index_dir: str) -> CdcDiskIndex:
+    return CdcDiskIndex(spark, index_dir, _read_cdc_meta(spark, index_dir))
+
+
+def cdc_index_add(
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    new_corpus_tag: str,
+    batch_id: str | None = None,
+) -> None:
+    """Accept a batch into the corpus: chunk it and add its
+    PREVIOUSLY-UNSEEN distinct hashes (anti-join against the stored
+    set) to the store, keeping the table globally distinct.
+
+    IDEMPOTENT per ``batch_id`` (defaults to ``new_corpus_tag``): the
+    new hashes land in ``__batch={batch_id}`` partitions via dynamic
+    partition overwrite, and the anti-join reference EXCLUDES the
+    batch's own partition — so a replay (after a crash, or from an
+    at-least-once delivery) recomputes the same rows and replaces
+    them. Meta is written last; distinct batches must use distinct
+    batch ids."""
+    spark = batch.sparkSession
+    meta = _read_cdc_meta(spark, index_dir)
+    tag = batch_id if batch_id is not None else new_corpus_tag
+    stored_other = (
+        spark.read.parquet(f"{index_dir}/chunks")
+        .filter(F.col("__batch") != tag)  # partition filter: replay-safe
+        .select("chunk_hash")
+    )
+    fresh = (
+        cdc_chunks(
+            batch,
+            meta["id_col"],
+            meta["text_col"],
+            meta["window"],
+            meta["divisor"],
+        )
+        .select("chunk_hash")
+        .distinct()
+        .join(stored_other, "chunk_hash", "left_anti")
+    )
+    (
+        fresh.withColumn("__batch", F.lit(tag))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(f"{index_dir}/chunks")
+    )
+    spark.createDataFrame(
+        [{**meta, "corpus_tag": new_corpus_tag}], _CDC_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def ensure_cdc_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    corpus_tag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> CdcDiskIndex:
+    """Load-or-build keyed by params + corpus_tag (see ann_index)."""
+    spark = corpus.sparkSession
+    if _fs_exists(spark, f"{index_dir}/meta"):
+        try:
+            meta = _read_cdc_meta(spark, index_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["corpus_tag"] == corpus_tag
+            and meta["window"] == window
+            and meta["divisor"] == divisor
+            and meta["id_col"] == id_col
+            and meta["text_col"] == text_col
+        ):
+            return CdcDiskIndex(spark, index_dir, meta)
+    cdc_index_build(
+        corpus,
+        index_dir,
+        id_col=id_col,
+        text_col=text_col,
+        window=window,
+        divisor=divisor,
+        corpus_tag=corpus_tag,
+    )
+    return cdc_index_load(spark, index_dir)

@@ -9509,9 +9509,7 @@ def q_cdc_containment(spark, sf_dir):
     )
 
 
-REGISTRY["ext_cdc_containment"] = (
-    q_cdc_containment,
-    f"""WITH {_sql_cdc_chunk_table(
+_SQL_CDC_CONTAINMENT = f"""WITH {_sql_cdc_chunk_table(
         where="WHERE doc_id % 4 != 0", p="co_")},
 {_sql_cdc_chunk_table(where="WHERE doc_id % 4 = 0", p="ba_")},
 old AS (SELECT DISTINCT chunk_hash FROM co_chunk_table),
@@ -9531,7 +9529,49 @@ SELECT base.doc_id,
        CASE WHEN coalesce(s.n_chunks, 0) = 0 THEN NULL
             ELSE round(s.n_seen * 1.0 / s.n_chunks, 6) END AS containment
 FROM base LEFT JOIN scored s USING (doc_id)
-""",
+"""
+
+REGISTRY["ext_cdc_containment"] = (q_cdc_containment, _SQL_CDC_CONTAINMENT)
+
+
+def q_cdc_containment_index(spark, sf_dir):
+    """Persisted-CDC-chunk-index SERVING path (build→save→load→query
+    lifecycle, ext/cdc_index.py): the corpus' distinct chunk-hash set
+    for this snapshot is ensure-built ONCE (keyed by a corpus
+    fingerprint — repeat queries load, never re-chunk) and the
+    containment answer comes from the batch chunk pass + one hash
+    join against the STORED set. Same split and params as
+    ext_cdc_containment, so the index serves EXACTLY the inline
+    operator's result and shares its SQL twin — the whole
+    build→persist→load→serve path is value-checked."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        ensure_cdc_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"cdc{_CDC_W}x{_CDC_D}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index = ensure_cdc_index(
+        corpus,
+        idx_dir,
+        corpus_tag=f"mod4!=0:{corpus_fingerprint(doc_path)}",
+        window=_CDC_W,
+        divisor=_CDC_D,
+    )
+    return index.query(batch)
+
+
+REGISTRY["ext_cdc_containment_index"] = (
+    q_cdc_containment_index,
+    _SQL_CDC_CONTAINMENT,
 )
 
 
