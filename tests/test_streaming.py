@@ -375,6 +375,162 @@ def test_sliding_counts_stream_matches_batch(spark, events_dir, events_batch):
     assert want.count() > 1.8 * tumbling
 
 
+def test_ingest_dedup_stream_indexed_maintains_index(spark, tmp_path):
+    """The streaming ingester that composes with the persisted MinHash
+    index: after the stream drains, (a) the corpus is near-dup-free and
+    matches what the index-free ingester would accept, and (b) the
+    INDEX state answers queries exactly like an index freshly built
+    from the final corpus — the exactly-once maintenance contract."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        minhash_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_dedup_stream_indexed,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 7 == 3)
+    feed = docs.filter(F.col("doc_id") % 7 != 3)
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "mh_index")
+    q = ingest_dedup_stream_indexed(
+        stream, corpus_path, index_dir, str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert corpus.select("__batch_id").distinct().count() == 3
+    # (a) corpus is near-dup-free at the threshold
+    assert (
+        minhash_near_dup_pairs(
+            corpus, k=3, threshold=0.2, hash_family="portable"
+        ).count()
+        == 0
+    )
+    # (b) index state ≡ fresh build from the final corpus: a held-out
+    # probe batch gets identical near-dup verdicts from the streamed
+    # index and from the inline operator over the corpus parquet
+    streamed = minhash_index_load(spark, index_dir)
+    got = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in streamed.query(probe, threshold=0.2).collect()
+    )
+    want = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in incremental_near_dup_pairs(
+            corpus.select("doc_id", "text"),
+            probe,
+            threshold=0.2,
+            k=3,
+            hash_family="portable",
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_ingest_dedup_stream_indexed_replay_heals(spark, tmp_path):
+    """Crash-replay: re-running a batch's sink (at-least-once delivery)
+    over index state that already contains that batch — including the
+    half-written case — reproduces identical corpus AND index state
+    instead of duplicating or self-matching."""
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        minhash_index_add,
+        minhash_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_dedup_stream_indexed,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    feed = docs.filter(F.col("doc_id") % 7 != 3)
+    src = str(tmp_path / "src")
+    feed.repartition(2).write.parquet(src)
+    batch = spark.read.parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "mh_index")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = ingest_dedup_stream_indexed(
+        stream, corpus_path, index_dir, str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination(300)
+
+    def snapshot():
+        c = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(corpus_path).collect()
+        )
+        b = spark.read.parquet(f"{index_dir}/bands").count()
+        s = spark.read.parquet(f"{index_dir}/shingles").count()
+        return c, b, s
+
+    before = snapshot()
+    # simulate the crashed-then-replayed LAST batch: its rows are
+    # already in corpus+index; poison its index partition with a
+    # half-written extra row first, then re-run the sink body exactly
+    # as foreachBatch would
+    last_id = spark.read.parquet(corpus_path).agg(
+        F.max("__batch_id")
+    ).collect()[0][0]
+    last_tag = f"b{last_id:020d}"
+    last_batch = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("__batch_id") == last_id)
+        .select("doc_id", "text")
+    )
+    poison = last_batch.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    minhash_index_add(
+        poison.unionByName(last_batch),
+        index_dir,
+        new_corpus_tag="crashed-attempt",
+        batch_id=last_tag,
+    )
+    assert snapshot() != before  # the poison is visible pre-replay
+    # replay the batch exactly as the sink body does (the engine
+    # re-invokes foreachBatch with the same batch_id): query excluding
+    # the batch's own tag, dynamic-overwrite corpus, idempotent add
+    index = minhash_index_load(spark, index_dir)
+    hits = (
+        index.query(
+            last_batch, threshold=0.2, exclude_batch=last_tag
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = last_batch.join(hits, "doc_id", "left_anti")
+    (
+        survivors.withColumn("__batch_id", F.lit(last_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(corpus_path)
+    )
+    minhash_index_add(
+        survivors.select("doc_id", "text"),
+        index_dir,
+        new_corpus_tag=last_tag,
+        batch_id=last_tag,
+    )
+    assert snapshot() == before  # replay healed the poisoned state
+
+
 def test_ingest_media_dedup_stream(spark, tmp_path):
     """Streaming media ingestion: images arrive over micro-batches
     (twins split ACROSS batches); the accumulated signature corpus must

@@ -121,28 +121,32 @@ def minhash_index_build(
     k: int = 4,
     hash_family: str = "portable",
     corpus_tag: str = "",
+    batch_tag: str = "base",
 ) -> None:
     """Shingle + signature + band the corpus ONCE, persist the LSH
     state. Meta invalidated first / written last — same crash contract
-    as the ANN builds."""
+    as the ANN builds. ``batch_tag`` names the build's own ``__batch``
+    partition (the streaming ingester builds from its FIRST micro-batch
+    and must be able to exclude/overwrite it on replay like any other
+    batch)."""
     spark = corpus.sparkSession
     _invalidate_meta(spark, index_dir)
     banded, sets_ = _banded_and_sets(
         corpus, text_col, id_col, num_hashes, bands, k, hash_family
     )
-    # __batch is the idempotence unit for minhash_index_add; the
-    # build's rows all land in one "base" batch. band stays the first
-    # partition level, so the candidate join's layout is unchanged.
+    # __batch is the idempotence unit for minhash_index_add. band stays
+    # the first partition level, so the candidate join's layout is
+    # unchanged.
     (
         banded.repartition("band")
         .sortWithinPartitions("bh")
-        .withColumn("__batch", F.lit("base"))
+        .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("band", "__batch")
         .parquet(f"{index_dir}/bands")
     )
     (
-        sets_.withColumn("__batch", F.lit("base"))
+        sets_.withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("__batch")
         .parquet(f"{index_dir}/shingles")
@@ -190,12 +194,20 @@ class MinHashDiskIndex:
         self.index_dir = index_dir
         self.meta = meta
 
+    def _stored(self, table: str, exclude_batch: str | None) -> DataFrame:
+        df = self.spark.read.parquet(f"{self.index_dir}/{table}")
+        if exclude_batch is not None:
+            # partition filter — metadata-only prune, no data read
+            df = df.filter(F.col("__batch") != exclude_batch)
+        return df
+
     def query(
         self,
         batch: DataFrame,
         threshold: float = 0.5,
         max_bucket_size: int | None = None,
         check_disjoint: bool = True,
+        exclude_batch: str | None = None,
     ) -> DataFrame:
         """(new_id, old_id, jaccard ≥ threshold): which batch documents
         near-duplicate the INDEXED corpus. One signature pass over the
@@ -211,16 +223,22 @@ class MinHashDiskIndex:
         ``check_disjoint`` (default on) raises loudly on overlap at
         the cost of one id-only semi-join against the stored shingle
         ids (a column-pruned scan; pass ``False`` on hot serving paths
-        where the caller guarantees disjointness)."""
+        where the caller guarantees disjointness).
+
+        ``exclude_batch`` drops one stored ``__batch`` partition from
+        the corpus side (a metadata-only partition prune) — the replay
+        hook for at-least-once ingestion: a crashed attempt's own
+        half-written partition must never act as "the corpus" when its
+        batch re-runs."""
         m = self.meta
         id_col, text_col = m["id_col"], m["text_col"]
         if check_disjoint:
             overlap = (
                 batch.select(F.col(id_col))
                 .join(
-                    self.spark.read.parquet(
-                        f"{self.index_dir}/shingles"
-                    ).select(F.col(id_col)),
+                    self._stored("shingles", exclude_batch).select(
+                        F.col(id_col)
+                    ),
                     id_col,
                     "left_semi",
                 )
@@ -242,7 +260,7 @@ class MinHashDiskIndex:
             m["k"],
             m["hash_family"],
         )
-        stored = self.spark.read.parquet(f"{self.index_dir}/bands").select(
+        stored = self._stored("bands", exclude_batch).select(
             id_col, "band", "bh"
         )
         if max_bucket_size is not None:
@@ -265,9 +283,9 @@ class MinHashDiskIndex:
             .select("new_id", "old_id")
             .dropDuplicates(["new_id", "old_id"])
         )
-        old_sets = self.spark.read.parquet(
-            f"{self.index_dir}/shingles"
-        ).select(id_col, "__set")
+        old_sets = self._stored("shingles", exclude_batch).select(
+            id_col, "__set"
+        )
         return verify_jaccard_pairs(
             cand, new_sets, old_sets, id_col, threshold
         )

@@ -11,6 +11,7 @@ core guarantee.
 from uofi_payroll_etl_main_demo_spark.streaming.corpus import (  # noqa: F401
     ingest_constrained_stream,
     ingest_dedup_stream,
+    ingest_dedup_stream_indexed,
 )
 from uofi_payroll_etl_main_demo_spark.streaming.events import (  # noqa: F401
     correlate_streams,

@@ -121,6 +121,133 @@ def ingest_dedup_stream(
     )
 
 
+def ingest_dedup_stream_indexed(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.2,
+    hash_family: str = "portable",
+):
+    """:func:`ingest_dedup_stream` with the cross-batch filter served
+    by the PERSISTED MinHash index (ext/dedup_index.py) instead of
+    re-shingling the corpus parquet every micro-batch — the composition
+    the two features exist for: per-batch cost is the batch's own
+    signature pass + band joins against stored state, constant in the
+    corpus size, and accepted survivors are ``minhash_index_add``-ed so
+    the index IS the corpus' LSH state at every commit point.
+
+    Exactly-once end to end, all three writes idempotent per batch:
+
+    * corpus rows land under ``__batch_id`` dynamic-overwrite
+      partitions (the module's standard pattern);
+    * index bands/shingles land under a ``__batch={tag}`` partition via
+      ``minhash_index_add``'s dynamic overwrite;
+    * the index QUERY excludes the batch's own ``__batch`` partition
+      (metadata-only prune), so a replayed batch never dedups against
+      its crashed attempt's half-written index rows.
+
+    Crash anywhere between the first write and the checkpoint commit →
+    Structured Streaming replays the batch → every write recomputes
+    the same rows and overwrites its own partitions. The first batch
+    BUILDS the index (meta absent) under its own batch tag; a
+    pre-seeded index (built from a historical corpus, any other batch
+    tag) composes unchanged. Returns the StreamingQuery.
+    """
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import _fs_exists
+    from uofi_payroll_etl_main_demo_spark.ext.clusters import dedup_survivors
+    from uofi_payroll_etl_main_demo_spark.ext.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        minhash_index_add,
+        minhash_index_build,
+        minhash_index_load,
+    )
+
+    kw = dict(num_hashes=num_hashes, bands=bands, k=k, hash_family=hash_family)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"b{batch_id:020d}"
+        batch_df = batch_df.persist()
+        try:
+            # within-batch dedup first (same contract as the inline
+            # ingester: min-id survivor per near-dup component)
+            pairs = minhash_near_dup_pairs(
+                batch_df, text_col=text_col, id_col=id_col,
+                threshold=threshold, **kw,
+            ).select("id_a", "id_b")
+            survivors = dedup_survivors(
+                batch_df, pairs, id_col=id_col, src="id_a", dst="id_b"
+            )
+            if _fs_exists(spark, f"{index_dir}/meta"):
+                index = minhash_index_load(spark, index_dir)
+                hits = (
+                    index.query(
+                        survivors,
+                        threshold=threshold,
+                        # ids genuinely colliding with PRIOR batches
+                        # must still fail loudly; only this batch's own
+                        # (possibly half-written) partition is excused
+                        check_disjoint=True,
+                        exclude_batch=tag,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(hits, id_col, "left_anti")
+                (
+                    survivors.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(corpus_path)
+                )
+                minhash_index_add(
+                    survivors.select(id_col, text_col),
+                    index_dir,
+                    new_corpus_tag=tag,
+                    batch_id=tag,
+                )
+            else:
+                # first batch owns the build; batch_tag=tag keeps the
+                # replay story uniform (build crash → meta absent →
+                # replay rebuilds; post-build crash → replay takes the
+                # query path, excludes tag, sees an empty corpus, and
+                # minhash_index_add overwrites the same partitions)
+                (
+                    survivors.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(corpus_path)
+                )
+                minhash_index_build(
+                    survivors.select(id_col, text_col),
+                    index_dir,
+                    text_col=text_col,
+                    id_col=id_col,
+                    corpus_tag=tag,
+                    batch_tag=tag,
+                    **kw,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ingest_media_dedup_stream(
     stream_media: DataFrame,
     corpus_path: str,
