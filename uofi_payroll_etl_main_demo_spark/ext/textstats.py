@@ -294,6 +294,11 @@ def max_tumbling_chunk_bytes(text_col: str, size: int):
     )
 
 
+# Session-bounded persist pool for the rewrite's exploded chunk frame
+# — see cache.swap_pooled for the lifetime contract.
+_CHUNK_POOL: list = []
+
+
 def chunk_dedup_rewrite(
     df: DataFrame,
     text_col: str = "text",
@@ -319,10 +324,12 @@ def chunk_dedup_rewrite(
     corpora concentrate popular hashes) carries 48-byte rows at any
     document size; per-doc winner lists (int arrays) then join back
     (one id-partitioned exchange, the only one carrying chunk text,
-    and the reassembly groupBy reuses its partitioning). The chunk
-    explode is computed twice (keys + rebuild) — recompute-narrow is
-    the right trade against shuffling text through the window at
-    100 TB. No pair expansion anywhere.
+    and the reassembly groupBy reuses its partitioning). The exploded
+    chunk frame feeds both consumers (keys + rebuild) through ONE
+    pooled persist (``cache.swap_pooled``) — the key exchange stays
+    narrow because InMemoryTableScan column-prunes to (id, idx, md5)
+    before the shuffle, plan-pinned — so the explode computes once
+    where the r6 shape paid for it twice. No pair expansion anywhere.
 
     ``max_chunk_bytes`` is the hostile-input valve (same posture as
     the LSH ``max_bucket_size``): a multi-MB single-line document
@@ -335,6 +342,8 @@ def chunk_dedup_rewrite(
     """
     from pyspark.sql import Window
 
+    from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
+
     base = df
     if max_chunk_bytes is not None:
         # ONE narrow filter, no join, chunk text never built (see
@@ -345,8 +354,11 @@ def chunk_dedup_rewrite(
         base = base.filter(
             F.coalesce(max_bytes <= F.lit(int(max_chunk_bytes)), F.lit(True))
         )
-    chunks = chunk_documents(
-        base, text_col=text_col, id_col=id_col, size=size, stride=size
+    chunks = swap_pooled(
+        _CHUNK_POOL,
+        chunk_documents(
+            base, text_col=text_col, id_col=id_col, size=size, stride=size
+        ),
     )
     keys = chunks.select(
         F.col(id_col), "chunk_idx", F.md5("chunk_text").alias("__h")
