@@ -81,6 +81,65 @@ def test_ivf_serving_plan_reads_only_index_tables(spark, sf_dir, tmp_path):
     assert "centroid" in plan[lo : lo + 200]
 
 
+def test_ivf_filtered_search_exact_and_pruned(spark, sf_dir, tmp_path):
+    """Filtered serving: full probe + filter_ids == brute force over
+    the filtered corpus, and the plan keeps BOTH the partition pruning
+    (centroid) and the pre-score semi-join."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t1")
+    loaded = ivf_index_load(spark, idx)
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    out = loaded.search(QV, k=10, nprobe=4, filter_ids=allowed)
+    got = [(r["vec_id"], round(r["score"], 9)) for r in out.collect()]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(
+            emb.filter(F.col("label") == 2), QV, k=10
+        ).collect()
+    ]
+    assert got == want and got
+    # pruning survives the filter: a PARTIAL probe still shows
+    # PartitionFilters on centroid with the semi-join applied
+    plan = formatted_plan(
+        loaded.search(QV, k=10, nprobe=2, filter_ids=allowed)
+    )
+    assert "PartitionFilters" in plan
+    lo = plan.index("PartitionFilters")
+    assert "centroid" in plan[lo : lo + 200]
+    assert "LeftSemi" in plan
+
+
+def test_ivf_filtered_auto_widen_reaches_k(spark, sf_dir, tmp_path):
+    """A selective predicate can exhaust the nearest lists; auto_widen
+    doubles nprobe until k survivors exist (or every list is probed),
+    and at the full-probe backstop the result is exactly the filtered
+    brute force."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t1")
+    loaded = ivf_index_load(spark, idx)
+    # ~1/25 of the corpus, and k = ALL of it: any legal stop point of
+    # the widening loop must then have collected every allowed vector,
+    # so the result equals the filtered brute force regardless of the
+    # nprobe it stopped at — a crisp invariant for a data-adaptive loop
+    allowed = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    k = allowed.count()
+    assert k >= 8
+    narrow = loaded.search(QV, k=k, nprobe=1, filter_ids=allowed).collect()
+    assert len(narrow) < k  # one list genuinely can't satisfy k
+    widened = loaded.search(
+        QV, k=k, nprobe=1, filter_ids=allowed, auto_widen=True
+    ).collect()
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(
+            emb.join(allowed, "vec_id", "left_semi"), QV, k=k
+        ).collect()
+    ]
+    assert [(r["vec_id"], round(r["score"], 9)) for r in widened] == want
+
+
 def test_ensure_ivf_loads_without_rebuilding(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")
     emb = _emb(spark, sf_dir)

@@ -236,25 +236,58 @@ class IVFDiskIndex:
         return rank_centroids(self.centroids, query_vec, nprobe)
 
     def search(
-        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        filter_ids: DataFrame | None = None,
+        auto_widen: bool = False,
     ) -> DataFrame:
         """Top-k over the nprobe nearest inverted lists — the plan
         reads ONLY the index's partitioned parquet (training never
         re-runs), and the ``centroid isin`` predicate is a PARTITION
-        filter, so only the probed lists' files are scanned."""
-        probe = self.nearest_centroids(query_vec, nprobe)
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
-        lists = self.spark.read.parquet(f"{self.index_dir}/assigned")
+        filter, so only the probed lists' files are scanned.
+
+        FILTERED serving (the first thing a RAG user does: top-k WITH
+        a metadata predicate): ``filter_ids`` — an id frame from any
+        metadata filter — semi-joins the probed lists BEFORE scoring,
+        so excluded vectors never reach the cosine, and the partition
+        pruning survives (the semi-join sits above the pruned scan,
+        pinned in tests). With ``auto_widen``, a probe that returns
+        fewer than ``k`` survivors doubles nprobe and retries until k
+        are found or every list has been probed (the standard
+        filtered-ANN recall backstop — a selective predicate can
+        exhaust the nearest lists); the per-try cost is one k-row
+        take, and nprobe = #lists degrades gracefully to the exact
+        filtered brute force."""
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
-        return (
-            lists.filter(F.col("centroid").isin(*probe))
-            .select(
-                F.col(id_col),
-                cosine_similarity(F.col(vec_col), q).alias("score"),
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
+        while True:
+            probe = self.nearest_centroids(query_vec, nprobe)
+            lists = self.spark.read.parquet(
+                f"{self.index_dir}/assigned"
+            ).filter(F.col("centroid").isin(*probe))
+            if filter_ids is not None:
+                lists = lists.join(
+                    filter_ids.select(F.col(id_col)), id_col, "left_semi"
+                )
+            out = (
+                lists.select(
+                    F.col(id_col),
+                    cosine_similarity(F.col(vec_col), q).alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc(id_col))
+                .limit(k)
             )
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
-        )
+            if (
+                not auto_widen
+                or nprobe >= n_lists
+                or len(out.take(k)) >= k
+            ):
+                return out
+            nprobe = min(nprobe * 2, n_lists)
 
 
 def ivf_index_load(spark: SparkSession, index_dir: str) -> IVFDiskIndex:

@@ -2378,12 +2378,12 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
 """
 
 
-def _sql_topk_cosine(k: int = 10) -> str:
+def _sql_topk_cosine(k: int = 10, where: str = "") -> str:
     return (
         "SELECT vec_id, round(score, 6) AS score FROM ("
         "SELECT vec_id, list_cosine_similarity("
         f"CAST(embedding AS DOUBLE[]), CAST({_QV_SQL} AS DOUBLE[])) AS score "
-        f"FROM embeddings) ORDER BY score DESC, vec_id LIMIT {k}"
+        f"FROM embeddings {where}) ORDER BY score DESC, vec_id LIMIT {k}"
     )
 
 
@@ -2538,8 +2538,29 @@ def q_pq_index_query(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_ivf_filtered_query(spark, sf_dir):
+    """FILTERED ANN serving over the persisted IVF index (the RAG
+    pattern: top-k WITH a metadata predicate). The allowed-id set —
+    here ``label = 2`` from the corpus metadata — semi-joins the
+    probed inverted lists BEFORE any cosine is computed, and the
+    centroid partition pruning survives the filter (pinned in
+    tests/test_ann_index.py). Full probe makes the answer exactly the
+    filtered brute-force top-k, so the whole filtered serving path is
+    value-oracled; the selective-predicate auto-widen backstop is
+    pytest-pinned (data-adaptive, so not a registry row)."""
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    out = index.search(QUERY_VEC, k=10, nprobe=8, filter_ids=allowed)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 REGISTRY["ext_ivf_index_query"] = (q_ivf_index_query, _sql_topk_cosine())
 REGISTRY["ext_ivf_index_query_probe"] = (q_ivf_index_query_probe, None)
+REGISTRY["ext_ivf_filtered_query"] = (
+    q_ivf_filtered_query,
+    _sql_topk_cosine(where="WHERE label = 2"),
+)
 REGISTRY["ext_pq_index_query"] = (q_pq_index_query, _sql_topk_cosine())
 
 
