@@ -1811,27 +1811,73 @@ def synthetic_scene_videos(
     Measured on the default geometry: within-scene dHash distance 0,
     scene-boundary distance 22–36 — any threshold in (0, 22) detects
     exactly the scene starts."""
-    import numpy as np
-
     rows = []
-    r_idx = np.arange(height).reshape(-1, 1)
-    c_idx = np.arange(width).reshape(1, -1)
     for vid in range(n_videos):
-        g = vid // 2
         for f in range(scenes * scene_len):
-            sc = f // scene_len
-            v = 3 + (g * 37 + sc * 53 + c_idx * c_idx * 11 + r_idx * 7) % 237
-            px = np.zeros((height, width, 3), dtype=np.uint8)
-            if vid % 2 == 0:
-                px[:, :, :] = v[:, :, None]
-            else:
-                px[:, :, 0] = v + 3
-                px[:, :, 1] = v
-                px[:, :, 2] = v - 3
+            px = _scene_frame_pixels(vid, f, scene_len, width, height)
             rows.append((vid, f, ppm_bytes(px)))
     return spark.createDataFrame(
         rows, "video_id bigint, frame_idx int, payload binary"
     )
+
+
+def _scene_frame_pixels(
+    vid: int, f: int, scene_len: int, width: int, height: int
+):
+    """The ONE scene-video pixel law (shared by the PPM frame-table
+    fixture above and the AVI container fixture below, so the two
+    cannot drift): pattern ``g = vid // 2`` jumps at scene boundaries;
+    odd ids are the channel-shifted luminance twin."""
+    import numpy as np
+
+    g = vid // 2
+    sc = f // scene_len
+    r_idx = np.arange(height).reshape(-1, 1)
+    c_idx = np.arange(width).reshape(1, -1)
+    v = 3 + (g * 37 + sc * 53 + c_idx * c_idx * 11 + r_idx * 7) % 237
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    if vid % 2 == 0:
+        px[:, :, :] = v[:, :, None]
+    else:
+        px[:, :, 0] = v + 3
+        px[:, :, 1] = v
+        px[:, :, 2] = v - 3
+    return px
+
+
+def synthetic_scene_videos_avi(
+    spark,
+    n_videos: int = 8,
+    scenes: int = 4,
+    scene_len: int = 4,
+    width: int = 18,
+    height: int = 16,
+    quality: int = 95,
+) -> "DataFrame":
+    """The CONTAINER form of :func:`synthetic_scene_videos`: one row
+    per video, payload = a REAL MJPEG AVI (RIFF headers + one baseline
+    JPEG per frame, ext/avi.py) over the same scene pixel law. Lossy
+    like the JPEG image twin, but the KEYFRAME SET stays exact:
+    within-scene frames have identical pixels → identical JPEG bytes →
+    Hamming 0, and scene-boundary distances (22–36 lossless) move ≤2
+    bits per side at q=95 (the pinned JPEG stability bound), so any
+    threshold in [5, 18] still detects exactly the scene starts.
+
+    Output: (video_id, payload)."""
+    from uofi_payroll_etl_main_demo_spark.ext.avi import avi_mjpeg_bytes
+    from uofi_payroll_etl_main_demo_spark.ext.jpeg import jpeg_bytes
+
+    rows = []
+    for vid in range(n_videos):
+        frames = [
+            jpeg_bytes(
+                _scene_frame_pixels(vid, f, scene_len, width, height),
+                quality=quality,
+            )
+            for f in range(scenes * scene_len)
+        ]
+        rows.append((vid, avi_mjpeg_bytes(frames, width, height)))
+    return spark.createDataFrame(rows, "video_id bigint, payload binary")
 
 
 def _pack_video_frames(frames: "DataFrame") -> "DataFrame":

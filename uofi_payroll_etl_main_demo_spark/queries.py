@@ -7803,6 +7803,41 @@ REGISTRY["ext_video_keyframes"] = (
 )
 
 
+def q_video_keyframes_avi(spark, sf_dir):
+    """Shot-boundary detection END-TO-END FROM CONTAINER BYTES: each
+    row of the fixture is a real MJPEG AVI (RIFF demux, ext/avi.py →
+    per-frame baseline-JPEG decode, ext/jpeg.py → dHash → per-video
+    lag window). JPEG is lossy, but the KEYFRAME SET is exact by
+    margin arithmetic: within-scene frames share identical bytes
+    (Hamming 0) and scene boundaries sit 22–36 bits apart losslessly
+    with ≤2 bits of q=95 quantization drift per side — so threshold 8
+    detects exactly the scene starts, and the oracle is their closed
+    form. hamming_prev itself is quantization-dependent and is
+    deliberately NOT in the output contract (the lossless twin
+    ext_video_keyframes value-checks every bit)."""
+    from uofi_payroll_etl_main_demo_spark.ext.avi import (
+        video_frames_from_avi,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        synthetic_scene_videos_avi,
+        video_keyframes,
+    )
+
+    avis = synthetic_scene_videos_avi(spark, n_videos=8)
+    frames = video_frames_from_avi(avis)
+    return video_keyframes(frames, min_hamming=8).select(
+        "video_id", "frame_idx"
+    )
+
+
+REGISTRY["ext_video_keyframes_avi"] = (
+    q_video_keyframes_avi,
+    # scene starts, closed form: frame_idx = scene * scene_len
+    "SELECT v AS video_id, CAST(s * 4 AS INTEGER) AS frame_idx "
+    "FROM range(0, 8) t(v), range(0, 4) u(s)",
+)
+
+
 def q_image_dhash_png_pairs(spark, sf_dir):
     """Perceptual-hash image dedup over REAL COMPRESSED PNG payloads:
     stdlib-zlib PNG decode (chunk CRCs verified, all five scanline
