@@ -260,6 +260,51 @@ def main() -> None:
     run("minhash_index_build", _mh_build)
     run("minhash_index_query_fixed_batch", _mh_query)
 
+    # persisted CDC chunk index (round 7): the containment twin —
+    # build materializes the corpus' distinct chunk hashes once;
+    # querying a FIXED 500-doc batch should stay near-flat across
+    # factors while the inline operator re-chunks the whole corpus
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_containment
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        cdc_index_load,
+        ensure_cdc_index,
+    )
+
+    cdc_dir = f"/tmp/scale_probe_cdc_{factor}x"
+
+    def _cdc_batch():
+        return (
+            spark.read.parquet(f"{BASE}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
+            )
+        )
+
+    run(
+        "cdc_index_build",
+        lambda: (
+            ensure_cdc_index(docs, cdc_dir, corpus_tag=f"probe{factor}"),
+            spark.read.parquet(f"{cdc_dir}/chunks"),
+        )[1],
+    )
+    # the filter on a JOIN-derived column defeats Catalyst's outer-join
+    # elimination — a bare count() of the containment frame would drop
+    # the whole corpus side (unique-key left join) and time nothing
+    run(
+        "cdc_index_query_fixed_batch",
+        lambda: cdc_index_load(spark, cdc_dir)
+        .query(_cdc_batch())
+        .filter(F.col("n_seen") >= 0),
+    )
+    run(
+        "cdc_containment_inline_fixed_batch",
+        lambda: cdc_containment(docs, _cdc_batch()).filter(
+            F.col("n_seen") >= 0
+        ),
+    )
+
     # multimodal dedup at scale (round 5): images render EXECUTOR-SIDE
     # (mapInPandas over an id range — no driver materialization), then
     # real PPM decode -> dHash -> pigeonhole Hamming pairs; every even
