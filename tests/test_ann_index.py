@@ -267,6 +267,84 @@ def test_ivf_index_add_grows_lists_without_retrain(spark, sf_dir, tmp_path):
         assert r["centroid"] == int(d2.argmin())
 
 
+def test_pq_index_add_grows_codes_without_retrain(spark, sf_dir, tmp_path):
+    """Build on half the corpus, pq_index_add the other half: codebooks
+    unchanged (no retrain), added vectors encode through the SAME
+    shared encoder, and a full-margin reranked search over the grown
+    index equals brute force over the whole corpus. Replay with the
+    same batch_id replaces instead of duplicating."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import pq_index_add
+
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    pq_index_build(old, idx, m=8, n_centroids=16, corpus_tag="half")
+    cbs_before = sorted(
+        (r["j"], r["c"], tuple(r["cvec"]))
+        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+    )
+    pq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+    assert (
+        sorted(
+            (r["j"], r["c"], tuple(r["cvec"]))
+            for r in spark.read.parquet(f"{idx}/codebooks").collect()
+        )
+        == cbs_before
+    )
+    n = spark.read.parquet(f"{idx}/codes").count()
+    assert n == emb.count()
+    pq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
+    assert spark.read.parquet(f"{idx}/codes").count() == n
+    loaded = pq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, candidates=1_000_000, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+    # a dimension mismatch refuses before touching the store
+    import pytest as _pytest
+
+    bad = new.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 8).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dimension"):
+        pq_index_add(bad, idx, new_corpus_tag="x", batch_id="b2")
+
+
+def test_pq_filtered_search_exact(spark, sf_dir, tmp_path):
+    """filter_ids semi-joins the codes before the ADC scan; at full
+    candidate margin the reranked answer equals filtered brute force."""
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t")
+    loaded = pq_index_load(spark, idx)
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV,
+            k=10,
+            candidates=1_000_000,
+            rerank_corpus=emb,
+            filter_ids=allowed,
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(
+            emb.filter(F.col("label") == 2), QV, k=10
+        ).collect()
+    ]
+    assert got == want and got
+
+
 def test_index_kind_and_meta_guards(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")
     ivf_index_build(_emb(spark, sf_dir), idx, n_centroids=4, corpus_tag="t")

@@ -488,10 +488,15 @@ def test_ingest_dedup_stream_indexed_replay_heals(spark, tmp_path):
         F.max("__batch_id")
     ).collect()[0][0]
     last_tag = f"b{last_id:020d}"
-    last_batch = (
+    # materialize: the real sink reads the batch from the STREAM
+    # source; a lazy read of the very corpus partition the replay
+    # dynamic-overwrites would race its own write
+    last_batch = spark.createDataFrame(
         spark.read.parquet(corpus_path)
         .filter(F.col("__batch_id") == last_id)
         .select("doc_id", "text")
+        .collect(),
+        "doc_id bigint, text string",
     )
     poison = last_batch.limit(1).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
@@ -529,6 +534,207 @@ def test_ingest_dedup_stream_indexed_replay_heals(spark, tmp_path):
         batch_id=last_tag,
     )
     assert snapshot() == before  # replay healed the poisoned state
+
+
+def test_ingest_containment_stream_gates_and_maintains_index(
+    spark, tmp_path
+):
+    """Containment-gated crawl triage: after the stream drains, (a) the
+    corpus equals a sequential batch-mode simulation of the same gate
+    (accept iff containment vs the EARLIER corpus ≤ threshold), (b) the
+    index holds exactly the final corpus' distinct chunk hashes, and
+    (c) the gate genuinely rejected something."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+        cdc_chunks,
+        cdc_containment,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        cdc_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_containment_stream,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    # make cross-batch containment certain: append exact-content clones
+    # of low-id docs under fresh ids (they chunk identically wherever
+    # the stream's file split lands them)
+    clones = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    feed = docs.unionByName(clones)
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "cdc_index")
+    q = ingest_containment_stream(
+        stream,
+        corpus_path,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        max_containment=0.5,
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    batch_ids = sorted(
+        r["__batch_id"]
+        for r in corpus.select("__batch_id").distinct().collect()
+    )
+    assert batch_ids == [0, 1, 2]
+    # (a) sequential batch-mode simulation of the same gate, in the
+    # ORDER the stream actually processed the files (recovered from
+    # the corpus: batch b's accepted ids are a subset of exactly one
+    # source file's ids — no assumption about the file source's
+    # mtime/path ordering)
+    import os as _os
+
+    src_files = sorted(
+        f for f in _os.listdir(src) if f.endswith(".parquet")
+    )
+    file_docs = {
+        f: {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{src}/{f}")
+            .select("doc_id")
+            .collect()
+        }
+        for f in src_files
+    }
+    ordered_files = []
+    for b_id in batch_ids:
+        acc_b = {
+            r["doc_id"]
+            for r in corpus.filter(F.col("__batch_id") == b_id)
+            .select("doc_id")
+            .collect()
+        }
+        matches = [f for f, s in file_docs.items() if acc_b and acc_b <= s]
+        assert len(matches) == 1, (b_id, len(acc_b), matches)
+        ordered_files.append(matches[0])
+    accepted_ids: set = set()
+    sim_corpus = None
+    for fname in ordered_files:
+        b = spark.read.parquet(f"{src}/{fname}")
+        if sim_corpus is None:
+            acc = b
+        else:
+            scores = cdc_containment(sim_corpus, b)
+            rej = scores.filter(F.col("containment") > 0.5).select(
+                F.col("doc_id")
+            )
+            acc = b.join(rej, "doc_id", "left_anti")
+        accepted_ids |= {r["doc_id"] for r in acc.select("doc_id").collect()}
+        sim_corpus = acc if sim_corpus is None else sim_corpus.unionByName(acc)
+    got_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert got_ids == accepted_ids
+    # (c) the clones were genuinely gated out
+    assert len(got_ids) < feed.count()
+    # (b) index ≡ distinct chunk hashes of the final corpus
+    stored = {
+        r["chunk_hash"]
+        for r in cdc_index_load(spark, index_dir).stored_hashes().collect()
+    }
+    want = {
+        r["chunk_hash"]
+        for r in cdc_chunks(corpus.select("doc_id", "text"))
+        .select("chunk_hash")
+        .distinct()
+        .collect()
+    }
+    assert stored == want
+
+
+def test_ingest_containment_stream_replay_heals(spark, tmp_path):
+    """Replaying the last batch over index state poisoned by a crashed
+    attempt reproduces identical corpus and index state."""
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        cdc_index_add,
+        cdc_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_containment_stream,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    batch = spark.read.parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "cdc_index")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = ingest_containment_stream(
+        stream, corpus_path, index_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    def snapshot():
+        c = sorted(
+            r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+        )
+        h = sorted(
+            r["chunk_hash"]
+            for r in spark.read.parquet(f"{index_dir}/chunks").collect()
+        )
+        return c, h
+
+    before = snapshot()
+    last_id = spark.read.parquet(corpus_path).agg(
+        F.max("__batch_id")
+    ).collect()[0][0]
+    tag = f"b{last_id:020d}"
+    # materialize: the real sink reads the batch from the STREAM
+    # source; a lazy read of the very corpus partition the replay
+    # dynamic-overwrites would race its own write
+    last_batch = spark.createDataFrame(
+        spark.read.parquet(corpus_path)
+        .filter(F.col("__batch_id") == last_id)
+        .select("doc_id", "text")
+        .collect(),
+        "doc_id bigint, text string",
+    )
+    # poison: a crashed attempt wrote extra hashes into the batch's
+    # own partition
+    poison = last_batch.limit(1).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" poisoned tail")).alias("text"),
+    )
+    cdc_index_add(
+        poison.unionByName(last_batch),
+        index_dir,
+        new_corpus_tag="crashed",
+        batch_id=tag,
+    )
+    assert snapshot() != before
+    # replay the sink body for the last batch
+    index = cdc_index_load(spark, index_dir)
+    scores = index.query(last_batch, exclude_batch=tag)
+    rejected = scores.filter(F.col("containment") > 0.5).select("doc_id")
+    survivors = last_batch.join(rejected, "doc_id", "left_anti")
+    (
+        survivors.withColumn("__batch_id", F.lit(last_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(corpus_path)
+    )
+    cdc_index_add(
+        survivors.select("doc_id", "text"),
+        index_dir,
+        new_corpus_tag=tag,
+        batch_id=tag,
+    )
+    assert snapshot() == before
 
 
 def test_ingest_media_dedup_stream(spark, tmp_path):

@@ -36,6 +36,7 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     ivf_index_add,
     ivf_index_build,
     ivf_index_load,
+    pq_index_add,
     pq_index_build,
     pq_index_load,
 )

@@ -49,7 +49,10 @@ from uofi_payroll_etl_main_demo_spark.functions.vectors import (
     cosine_similarity,
 )
 
-INDEX_FORMAT_VERSION = 1
+# v2 (round 7): every data table gained a __batch partition level (the
+# idempotent-add unit). A v1 store must rebuild, not mis-read — the
+# version check turns it into an ensure-path rebuild.
+INDEX_FORMAT_VERSION = 2
 
 _META_SCHEMA = T.StructType(
     [
@@ -422,6 +425,49 @@ def ivf_index_add(
 # ------------------------------------------------------------------- PQ --
 
 
+def _pq_encode(
+    embeddings: DataFrame, codebooks, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, codes) via Arrow-batched nearest-sub-centroid assignment —
+    the ONE encoder shared by the build and the incremental add, so a
+    vector encodes identically whichever path stored it."""
+    import numpy as np
+
+    m, _n_centroids, sub = codebooks.shape
+    cb_bc = codebooks  # closed over; shipped once per task via pickle
+    codes_schema = T.StructType(
+        [
+            T.StructField("vec_id_out", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                X = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((X[:, None, :] - cb_bc[None, j, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id_out": pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(encode, codes_schema)
+        .withColumnRenamed("vec_id_out", id_col)
+    )
+
+
 def pq_index_build(
     embeddings: DataFrame,
     index_dir: str,
@@ -469,38 +515,11 @@ def pq_index_build(
         cb_rows, "j int, c int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
-    cb_bc = codebooks  # closed over; shipped once per task via pickle
-    codes_schema = T.StructType(
-        [
-            T.StructField("vec_id_out", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(mat), m), dtype=np.int64)
-            for j in range(m):
-                X = mat[:, j * sub : (j + 1) * sub]
-                d2 = ((X[:, None, :] - cb_bc[None, j, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id_out": pdf[id_col].to_numpy(),
-                    "codes": list(codes.astype("int32")),
-                }
-            )
-
     (
-        embeddings.select(id_col, vec_col)
-        .mapInPandas(encode, codes_schema)
-        .withColumnRenamed("vec_id_out", id_col)
+        _pq_encode(embeddings, codebooks, id_col, vec_col)
+        .withColumn("__batch", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("__batch")
         .parquet(f"{index_dir}/codes")
     )
     _write_meta(
@@ -545,6 +564,7 @@ class PQDiskIndex:
         k: int = 10,
         candidates: int = 100,
         rerank_corpus: DataFrame | None = None,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ADC scan over the persisted codes (no corpus touch, no
         training): ``adc[v] = Σ_j lut[j, codes[v][j]]`` with the lookup
@@ -552,7 +572,11 @@ class PQDiskIndex:
         ``rerank_corpus`` (the id-addressable row store), the top
         ``candidates`` are exact-reranked by true cosine — the standard
         two-stage serving path; without it, returns the raw ADC scores
-        (pure index-only query).
+        (pure index-only query). ``filter_ids`` (an id frame from any
+        metadata filter) semi-joins the codes BEFORE the ADC scan, so
+        excluded vectors never consume lookup work and the candidate
+        budget is spent entirely inside the allowed set — the filtered
+        twin of ``IVFDiskIndex.search``.
         """
         import numpy as np
 
@@ -587,6 +611,10 @@ class PQDiskIndex:
                 )
 
         codes_df = self.spark.read.parquet(f"{self.index_dir}/codes")
+        if filter_ids is not None:
+            codes_df = codes_df.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
         cand = (
             codes_df.mapInPandas(scan, schema)
             .orderBy(F.desc("adc"), F.asc("vec_id_out"))
@@ -614,6 +642,51 @@ def pq_index_load(spark: SparkSession, index_dir: str) -> PQDiskIndex:
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
     return PQDiskIndex(spark, index_dir, meta)
+
+
+def pq_index_add(
+    embeddings_new: DataFrame,
+    index_dir: str,
+    *,
+    new_corpus_tag: str,
+    batch_id: str | None = None,
+) -> None:
+    """Incremental PQ maintenance — the add the IVF/MinHash/CDC stores
+    already have: encode NEW vectors with the EXISTING codebooks (no
+    retrain — the standard PQ add; quantization error drifts only as
+    far as the data does) and land their codes in a ``__batch``
+    partition via dynamic partition overwrite, so replays are
+    idempotent. Encoding is the same Arrow-batched mapInPandas as the
+    build (shared ``_pq_encode``), meta re-key last — the uniform
+    lifecycle contract across every index family in this package."""
+    import numpy as np
+
+    spark = embeddings_new.sparkSession
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if head and int(head[0][0]) != meta["dim"]:
+        raise ValueError(
+            f"batch dimension {int(head[0][0])} != index dim {meta['dim']}"
+            " — a mismatched add would silently mis-encode every vector"
+        )
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    sub = meta["dim"] // m
+    codebooks = np.empty((m, n_centroids, sub))
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        codebooks[r["j"], r["c"]] = r["cvec"]
+    tag = batch_id if batch_id is not None else new_corpus_tag
+    (
+        _pq_encode(embeddings_new, codebooks, id_col, vec_col)
+        .withColumn("__batch", F.lit(tag))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(f"{index_dir}/codes")
+    )
+    _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
 
 
 def ensure_pq_index(

@@ -69,17 +69,20 @@ def cdc_index_build(
     window: int = 8,
     divisor: int = 64,
     corpus_tag: str = "",
+    batch_tag: str = "base",
 ) -> None:
     """Chunk the corpus ONCE, persist its distinct chunk-hash set.
     Meta invalidated first / written last — same crash contract as the
-    other index builds."""
+    other index builds. ``batch_tag`` names the build's own ``__batch``
+    partition (the streaming ingester builds from its first micro-batch
+    and must exclude/overwrite it on replay like any other batch)."""
     spark = corpus.sparkSession
     _invalidate_meta(spark, index_dir)
     (
         cdc_chunks(corpus, id_col, text_col, window, divisor)
         .select("chunk_hash")
         .distinct()
-        .withColumn("__batch", F.lit("base"))
+        .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("__batch")
         .parquet(f"{index_dir}/chunks")
@@ -123,14 +126,20 @@ class CdcDiskIndex:
         self.index_dir = index_dir
         self.meta = meta
 
-    def stored_hashes(self) -> DataFrame:
+    def stored_hashes(self, exclude_batch: str | None = None) -> DataFrame:
         """The corpus' distinct (chunk_hash) set — globally distinct by
-        the build/add construction, so no re-distinct is needed."""
-        return self.spark.read.parquet(f"{self.index_dir}/chunks").select(
-            "chunk_hash"
-        )
+        the build/add construction, so no re-distinct is needed.
+        ``exclude_batch`` drops one ``__batch`` partition (metadata-only
+        prune) — the replay hook: a crashed attempt's half-written
+        partition must not act as "the corpus" when its batch re-runs."""
+        df = self.spark.read.parquet(f"{self.index_dir}/chunks")
+        if exclude_batch is not None:
+            df = df.filter(F.col("__batch") != exclude_batch)
+        return df.select("chunk_hash")
 
-    def query(self, batch: DataFrame) -> DataFrame:
+    def query(
+        self, batch: DataFrame, exclude_batch: str | None = None
+    ) -> DataFrame:
         """(doc_id, n_chunks, n_seen, containment) for every batch doc
         — exactly ``cdc_containment(corpus, batch)``, but the corpus
         contributes only its STORED hash set (never re-read, never
@@ -143,7 +152,9 @@ class CdcDiskIndex:
         batch_ids = batch.select(
             F.col(m["id_col"]).alias("doc_id")
         ).distinct()
-        return containment_scores(new, self.stored_hashes(), batch_ids)
+        return containment_scores(
+            new, self.stored_hashes(exclude_batch), batch_ids
+        )
 
 
 def cdc_index_load(spark: SparkSession, index_dir: str) -> CdcDiskIndex:

@@ -2564,6 +2564,48 @@ REGISTRY["ext_ivf_filtered_query"] = (
 REGISTRY["ext_pq_index_query"] = (q_pq_index_query, _sql_topk_cosine())
 
 
+def q_pq_filtered_query(spark, sf_dir):
+    """Filtered two-stage PQ serving: the allowed-id set (label = 2)
+    semi-joins the persisted CODES before the ADC scan — excluded
+    vectors consume no lookup work and the candidate budget is spent
+    entirely inside the allowed set — then the survivors exact-rerank
+    from the row store. Full candidate margin makes the answer exactly
+    the filtered brute-force top-k (same SQL twin as the IVF filtered
+    row: one law, two index engines)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+        ensure_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"pq8x16_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index = ensure_pq_index(
+        emb,
+        idx_dir,
+        corpus_tag=corpus_fingerprint(emb_path),
+        m=8,
+        n_centroids=16,
+    )
+    out = index.search(
+        QUERY_VEC,
+        k=10,
+        candidates=1_000_000,
+        rerank_corpus=emb,
+        filter_ids=emb.filter(F.col("label") == 2).select("vec_id"),
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_pq_filtered_query"] = (
+    q_pq_filtered_query,
+    _sql_topk_cosine(where="WHERE label = 2"),
+)
+
+
 def _sql_dedup_clusters() -> str:
     """Transitive closure of the ngram pair graph; component = min
     reachable id (exactly what min-label propagation converges to)."""

@@ -10,6 +10,7 @@ core guarantee.
 
 from uofi_payroll_etl_main_demo_spark.streaming.corpus import (  # noqa: F401
     ingest_constrained_stream,
+    ingest_containment_stream,
     ingest_dedup_stream,
     ingest_dedup_stream_indexed,
 )

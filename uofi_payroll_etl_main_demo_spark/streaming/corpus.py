@@ -248,6 +248,100 @@ def ingest_dedup_stream_indexed(
     )
 
 
+def ingest_containment_stream(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+    max_containment: float = 0.5,
+):
+    """Crawl-triage as a stream: each micro-batch is scored for
+    chunk-level CONTAINMENT against the persisted CDC index
+    (ext/cdc_index.py — "how much of this document is content we
+    already have"); documents at or below ``max_containment`` (and
+    chunkless documents, whose containment is undefined) are accepted
+    into the corpus, and the accepted documents' previously-unseen
+    chunk hashes are ``cdc_index_add``-ed — the index IS the corpus'
+    chunk state at every checkpoint commit. Near-dup rejection
+    (:func:`ingest_dedup_stream_indexed`) drops whole documents that
+    LOOK like existing ones; this gate drops documents largely
+    ASSEMBLED from existing content, the metric CDC chunking exists
+    for (moved-but-unchanged passages still match under edits).
+
+    Exactly-once by the module's uniform pattern: corpus rows under
+    ``__batch_id`` dynamic-overwrite partitions, index chunks under a
+    ``__batch={tag}`` partition (``cdc_index_add`` is replay-
+    idempotent and its anti-join excludes the batch's own partition),
+    and the containment QUERY excludes the batch's own partition, so
+    a replayed batch never scores against its crashed attempt's
+    half-written hashes. First batch builds the index under its own
+    tag; a pre-seeded index composes unchanged. Returns the
+    StreamingQuery."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import _fs_exists
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        cdc_index_add,
+        cdc_index_build,
+        cdc_index_load,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"b{batch_id:020d}"
+        batch_df = batch_df.persist()
+        try:
+            if _fs_exists(spark, f"{index_dir}/meta"):
+                index = cdc_index_load(spark, index_dir)
+                scores = index.query(batch_df, exclude_batch=tag)
+                rejected = scores.filter(
+                    F.col("containment") > max_containment
+                ).select(F.col("doc_id").alias(id_col))
+                survivors = batch_df.join(rejected, id_col, "left_anti")
+                (
+                    survivors.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(corpus_path)
+                )
+                cdc_index_add(
+                    survivors.select(id_col, text_col),
+                    index_dir,
+                    new_corpus_tag=tag,
+                    batch_id=tag,
+                )
+            else:
+                (
+                    batch_df.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(corpus_path)
+                )
+                cdc_index_build(
+                    batch_df.select(id_col, text_col),
+                    index_dir,
+                    id_col=id_col,
+                    text_col=text_col,
+                    window=window,
+                    divisor=divisor,
+                    corpus_tag=tag,
+                    batch_tag=tag,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ingest_media_dedup_stream(
     stream_media: DataFrame,
     corpus_path: str,
