@@ -136,6 +136,15 @@ HEADLINE = [
     "ext_skew_report",
     "ext_data_constraints",
     "ext_cdc_containment",
+    # round 7: the serving rows a production deployment actually runs —
+    # persisted-CDC-index containment (batch pays for the batch, not
+    # the corpus), filtered ANN over both persisted index engines, and
+    # the AVI-container video path (demux + JPEG decode + dHash +
+    # keyframe window, end-to-end from bytes)
+    "ext_cdc_containment_index",
+    "ext_ivf_filtered_query",
+    "ext_pq_filtered_query",
+    "ext_video_keyframes_avi",
 ]
 
 

@@ -9770,106 +9770,81 @@ HAVING count(DISTINCT doc_id) >= 2
 # Rows green in r1-r3 and untouched this round remain covered by
 # scripts/check_oracle.py + pytest.
 _WINDOW_50 = [
-    # Round-6 rotation (max staleness policy: every SQL-twinned query
-    # re-driven within ~2 rounds). Carries (a) all 24 queries NEW this
-    # round — the index/codec/semantic-dedup block plus the 19-query
-    # TPC-H-shape completion (rel_*), (b) queries whose implementation
-    # CHANGED this round (rewrite narrow-window + byte-cap, persist
-    # pooling, density-adaptive CC — output-identical by design, so a
-    # driver row re-proves it), and (c) the stalest cohort: the
-    # r1-latest rows plus the r2-latest LSH/similarity + streaming +
-    # temporal-join block the r5 verdict called out. Deferred to r7
-    # (all pytest-covered, full-sweep-green at HEAD, latest driver row
-    # r2 — unless noted r5): scd2_history, ext_mixture_take,
-    # ext_shard_assign, a9_approx_distinct, ext_dataset_card,
-    # ext_pii_redact, ext_quality_classifier, a14_quantiles,
-    # ext_chunk_documents, ext_decontaminate, ext_dedup_best_of_cluster,
-    # ext_doc_stats, ext_embedding_pairs_bucketed, ext_exact_dedup,
-    # ext_hard_negatives, ext_language_id, ext_repetition_stats,
-    # ext_winnow_containment, ext_winnow_fingerprints, ext_zscore,
-    # samp_hash_sample, plus the two r5-green rows whose r6 diff is
-    # runtime-only persist hygiene (pipeline_curation,
-    # ext_video_dhash_pairs). Several r1-era names were consolidated
-    # since r1 (json_struct/json_extract → json_struct_and_path;
-    # p3/p4/p5 → p3_p4_p5_filters; u2/u3/u4 → u2_u3_u4_setops); the
-    # consolidated forms carry those slots.
-    # -- new this round: index/codec/semantic-dedup block --
-    "ext_passage_topk",
+    # Round-7 rotation (max staleness policy: never-checked rows
+    # ALWAYS outrank re-verification — VERDICT r6 #1). Carries (a) all
+    # 14 SQL-twinned queries that have NEVER had a driver row (the 13
+    # rel_* TPC-H shapes deferred in r6 + ext_rewrite_quarantine_report),
+    # (b) the 4 queries NEW this round (persisted-CDC-index serving,
+    # filtered IVF/PQ serving, AVI-container keyframes), (c) queries
+    # whose implementation CHANGED this round — normalize law
+    # (f_cleanse_normalize + its pipeline consumer), index layout v2 +
+    # guards (the three persisted-index serving rows), the vectorized
+    # dHash (its two direct pair rows), the pooled rewrite pair, and
+    # the containment refactor — output-identical by design, so a
+    # driver row re-proves it, and (d) the stalest cohort: both
+    # r1-latest rows and 20 of the 22 r2-latest rows, including the
+    # trio the r6 comment promised (scd2_history, ext_mixture_take,
+    # ext_shard_assign). Deferred to r8 with reasons (both pytest-
+    # covered and full-sweep-green at HEAD, latest driver row r2):
+    # ext_topk_cosine_gemm (shares ext_topk_cosine's SQL law; GEMM-vs-
+    # column-path parity is pytest-pinned) and ext_chunk_documents
+    # (its chunk law is re-driven through ext_chunk_dedup_rewrite in
+    # this very window, which consumes chunk_documents directly).
+    # -- never driver-checked (13 rel_* + quarantine report) --
+    "rel_min_price_supplier",
+    "rel_priority_late_orders",
+    "rel_forecast_revenue",
+    "rel_part_type_revenue",
+    "rel_returned_item_report",
+    "rel_important_parts",
+    "rel_promo_revenue",
+    "rel_top_supplier",
+    "rel_parts_supplier_count",
+    "rel_small_qty_revenue",
+    "rel_brand_size_discount",
+    "rel_promo_part_suppliers",
+    "rel_waiting_suppliers",
+    "ext_rewrite_quarantine_report",
+    # -- new this round --
+    "ext_cdc_containment_index",
+    "ext_ivf_filtered_query",
+    "ext_pq_filtered_query",
+    "ext_video_keyframes_avi",
+    # -- changed this round --
+    "f_cleanse_normalize",
+    "pipeline_cpa_shape",
+    "ext_minhash_index_query",
     "ext_ivf_index_query",
     "ext_pq_index_query",
-    "ext_image_dhash_png_pairs",
-    "ext_semantic_dedup_docs",
-    "ext_minhash_index_query",
-    # -- new this round: TPC-H-shape completion (8 representative
-    #    shapes; the other 11 structurally-similar rel_* aggregates
-    #    yielded their slots to the late-round operator families
-    #    below — all full-sweep-green at HEAD, r7 takes them:
-    #    rel_promo_revenue, rel_small_qty_revenue,
-    #    rel_waiting_suppliers, rel_brand_size_discount,
-    #    rel_promo_part_suppliers, rel_top_supplier,
-    #    rel_parts_supplier_count, rel_forecast_revenue,
-    #    rel_important_parts, rel_min_price_supplier,
-    #    rel_part_type_revenue, rel_priority_late_orders,
-    #    rel_returned_item_report) --
-    "rel_volume_shipping",
-    "rel_market_share",
-    "rel_priority_shipping",
-    "rel_customer_distribution",
-    "rel_large_orders",
-    "rel_sales_opportunity",
-    # -- new this round: compressed-media codecs (mu-law/A-law/ADPCM
-    #    WAV, GIF) + the WHT hash family, keyframes, consensus --
-    "ext_audio_mulaw_hash_pairs",
-    "ext_audio_alaw_hash_pairs",
-    "ext_audio_adpcm_hash_pairs",
-    "ext_image_dhash_gif_pairs",
-    "ext_image_whash_pairs",
-    "ext_audio_spectral_hash_pairs",
-    "ext_video_keyframes",
-    "ext_image_consensus_pairs",
-    # -- new this round: z-order layout + content-defined chunking
-    #    + substring dedup + skew diagnostic --
-    "ext_zorder_key",
-    "ext_zorder_layout_stats",
-    "ext_cdc_chunks",
-    "ext_cdc_chunk_dedup",
-    "ext_cdc_containment",
-    "ext_substring_dedup_spans",
-    "ext_skew_report",
-    "ext_data_constraints",
-    # -- changed this round --
+    "ext_image_dhash_pairs",
+    "ext_video_dhash_pairs",
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
-    "ext_semantic_dedup",
-    "ext_dedup_clusters",
-    "ext_dedup_clusters_star",
-    "ext_leakage_split",
-    # -- stalest: the r1-latest cohort (consolidated names carry the
-    #    slots of their r1-era constituents) --
-    #    (f_try_cast and f_regexp_extract yield their slots to the new
-    #    GIF and A-law rows — scalar-function probes, pytest-covered
-    #    and full-sweep-green; r7 takes them)
-    "ext_fuzzy_name_pairs",
-    "f_date_trunc",
-    "json_struct_and_path",
-    "json_map_explode",
-    "json_variant",
-    "p3_p4_p5_filters",
-    "u2_u3_u4_setops",
-    "w6_range_frame",
-    "w7_locf_fill",
-    # -- stalest: the r2-latest LSH/similarity + streaming + temporal
-    #    block (r5 verdict next-round #1) --
-    #    (ext_topk_cosine_gemm yields its slot to the new mu-law row:
-    #    it shares ext_topk_cosine's SQL law and stays pinned by the
-    #    pytest GEMM-vs-column-path parity test + full sweep)
-    "ext_lsh_topk",
-    "ext_sq_rerank_topk",
-    "ext_topk_cosine",
-    "stream_dedup",
-    "stream_interval_join",
-    "tj_asof_join",
-    "tj_range_join",
+    "ext_cdc_containment",
+    # -- stalest: the r1-latest pair --
+    "f_try_cast",
+    "f_regexp_extract",
+    # -- stalest: the r2-latest cohort (20 of 22) --
+    "scd2_history",
+    "ext_mixture_take",
+    "ext_shard_assign",
+    "a9_approx_distinct",
+    "a14_quantiles",
+    "ext_dataset_card",
+    "ext_pii_redact",
+    "ext_quality_classifier",
+    "ext_decontaminate",
+    "ext_dedup_best_of_cluster",
+    "ext_doc_stats",
+    "ext_embedding_pairs_bucketed",
+    "ext_exact_dedup",
+    "ext_hard_negatives",
+    "ext_language_id",
+    "ext_repetition_stats",
+    "ext_winnow_containment",
+    "ext_winnow_fingerprints",
+    "ext_zscore",
+    "samp_hash_sample",
 ]
 
 
