@@ -91,6 +91,79 @@ def test_demux_guards_raise_loudly():
         demux_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
 
 
+def test_demux_ignores_audio_stream_strf():
+    """A second (audio) strl must not clobber the VIDEO codec check:
+    its strf is a WAVEFORMATEX, whose bytes 16:20 are not 'MJPG'."""
+    frames = _jpeg_frames(2)
+    avi = avi_mjpeg_bytes(frames, 18, 16)
+    # splice an 'auds' strl (strh fccType='auds', strf=WAVEFORMATEX-
+    # shaped 30 bytes) after the vids strl inside hdrl
+    def ck(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, 8000, 0, 100, 0, -1, 1)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    auds_strl = ck(
+        b"LIST", b"strl" + ck(b"strh", auds_strh) + ck(b"strf", b"\x55" * 30)
+    )
+    # rebuild: insert the auds strl right before hdrl's end
+    hdrl_at = avi.index(b"LIST", 12)
+    (hdrl_size,) = struct.unpack("<I", avi[hdrl_at + 4 : hdrl_at + 8])
+    hdrl_body = avi[hdrl_at + 8 : hdrl_at + 8 + hdrl_size]
+    new_body = hdrl_body + auds_strl
+    rebuilt = (
+        avi[:hdrl_at]
+        + b"LIST"
+        + struct.pack("<I", len(new_body))
+        + new_body
+        + avi[hdrl_at + 8 + hdrl_size :]
+    )
+    riff_body_len = len(rebuilt) - 8
+    rebuilt = rebuilt[:4] + struct.pack("<I", riff_body_len) + rebuilt[8:]
+    assert demux_avi_mjpeg(rebuilt) == frames
+
+
+def test_demux_reads_rec_grouped_movi():
+    """Interleaving muxers wrap movi chunks in 'LIST rec ' groups —
+    the demuxer must read through one level of grouping."""
+    f0, f1, f2 = b"\xff\xd8A\xff\xd9", b"\xff\xd8BB\xff\xd9", b"\xff\xd8C\xff\xd9"
+
+    def ck(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, 5, 0, 3, 64, -1, 0)
+        + struct.pack("<4H", 0, 0, 18, 16)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 18, 16, 1, 24, b"MJPG", 18 * 16 * 3, 0, 0, 0, 0
+    )
+    hdrl = ck(
+        b"LIST",
+        b"hdrl"
+        + ck(b"avih", struct.pack("<14I", *([100000, 0, 0, 0x10, 3, 0, 1,
+                                             64, 18, 16, 0, 0, 0, 0])))
+        + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)),
+    )
+    movi = ck(
+        b"LIST",
+        b"movi"
+        + ck(b"LIST", b"rec " + ck(b"00dc", f0) + ck(b"00dc", f1))
+        + ck(b"00dc", f2),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi_mjpeg(avi) == [f0, f1, f2]
+
+
 def test_video_frames_from_avi_distributed(spark):
     """The Spark bridge reproduces every (video_id, frame_idx, payload)
     row exactly; skip mode quarantines corrupt containers + nulls."""

@@ -1023,6 +1023,60 @@ def test_image_dhash_twin_invariance(spark):
         assert pairs[(2 * g, 2 * g + 1)] == 0
 
 
+def test_image_dhash_smaller_than_grid_matches_nan_law(spark):
+    """Images SMALLER than the 8×9 grid must hash, not crash (the
+    reduceat offsets clamp exactly), and every bit touching an empty
+    block is False — the old NaN-mean semantics. Oracle: the per-block
+    float loop, recomputed in-test."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        image_dhash,
+        ppm_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    geoms = [(4, 9), (8, 5), (3, 4), (1, 1), (16, 18)]
+    pixels = [
+        rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for h, w in geoms
+    ]
+    rows = [(i, ppm_bytes(px)) for i, px in enumerate(pixels)]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+
+    def oracle(px):
+        gray = px.astype(np.float64).mean(axis=2)
+        rb = np.array_split(np.arange(gray.shape[0]), 8)
+        cb = np.array_split(np.arange(gray.shape[1]), 9)
+        with np.errstate(invalid="ignore"):
+            m = np.array(
+                [
+                    [
+                        gray[np.ix_(rr, cc)].mean() if len(rr) and len(cc)
+                        else np.nan
+                        for cc in cb
+                    ]
+                    for rr in rb
+                ]
+            )
+        hv = 0
+        for r in range(8):
+            for c in range(8):
+                a, b = m[r, c], m[r, c + 1]
+                if not np.isnan(a) and not np.isnan(b) and b > a:
+                    hv |= 1 << (r * 8 + c)
+        return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+    for i, px in enumerate(pixels):
+        assert got[i] == oracle(px), (i, geoms[i])
+    # an over-64-bit grid refuses loudly instead of aliasing bits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64"):
+        image_dhash(media, grid_rows=16)
+
+
 def test_image_whash_invariances(spark):
     """The WHT hash's contracts: (a) channel-sum-identical twins hash
     identically; (b) GLOBAL BRIGHTNESS SCALING is invariant (every

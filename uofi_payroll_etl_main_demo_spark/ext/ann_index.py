@@ -284,12 +284,15 @@ class IVFDiskIndex:
                 .orderBy(F.desc("score"), F.asc(id_col))
                 .limit(k)
             )
-            if (
-                not auto_widen
-                or nprobe >= n_lists
-                or len(out.take(k)) >= k
-            ):
+            if not auto_widen:
                 return out
+            # materialize the probe ONCE: take(k) already ran the full
+            # scored scan, so hand the (≤ k-row) result back as a local
+            # frame instead of a lazy plan the caller's action would
+            # recompute
+            rows = out.take(k)
+            if len(rows) >= k or nprobe >= n_lists:
+                return self.spark.createDataFrame(rows, out.schema)
             nprobe = min(nprobe * 2, n_lists)
 
 

@@ -181,20 +181,33 @@ def demux_avi_mjpeg(payload: bytes) -> "list[bytes]":
         if kind == b"hdrl":
             for t2, p2, s2 in _avi_chunks(payload, p + 4, p + size):
                 if t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    # scope strh AND strf to THIS strl: a later audio
+                    # stream's strf must not clobber the video codec
+                    is_vids, strl_strf = False, None
                     for t3, p3, s3 in _avi_chunks(
                         payload, p2 + 4, p2 + s2
                     ):
                         if t3 == b"strh" and s3 >= 8:
                             if payload[p3 : p3 + 4] == b"vids":
+                                is_vids = True
                                 handler = payload[p3 + 4 : p3 + 8]
                         elif t3 == b"strf" and s3 >= 20:
-                            compression = payload[p3 + 16 : p3 + 20]
+                            strl_strf = payload[p3 + 16 : p3 + 20]
+                    if is_vids and strl_strf is not None:
+                        compression = strl_strf
         elif kind == b"movi":
             for t2, p2, s2 in _avi_chunks(payload, p + 4, p + size):
                 # 00dc = compressed video, 00db = uncompressed naming
-                # some muxers still use for MJPEG
+                # some muxers still use for MJPEG; interleaving muxers
+                # wrap runs of chunks in one level of 'LIST rec '
                 if t2 in (b"00dc", b"00db"):
                     frames.append(payload[p2 : p2 + s2])
+                elif t2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
+                    for t3, p3, s3 in _avi_chunks(
+                        payload, p2 + 4, p2 + s2
+                    ):
+                        if t3 in (b"00dc", b"00db"):
+                            frames.append(payload[p3 : p3 + s3])
     if handler is None or compression is None:
         raise ValueError("no video stream header (strh/strf) found")
     if handler != b"MJPG" or compression != b"MJPG":

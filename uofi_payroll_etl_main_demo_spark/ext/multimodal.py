@@ -1328,6 +1328,14 @@ def image_dhash(
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
+    if grid_rows * (grid_cols - 1) > 64:
+        # the packed hash is a single int64; a larger grid would wrap
+        # uint64 shifts silently (numpy shift-by->=64 is undefined) —
+        # fail loudly like the old Python-int path did at schema time
+        raise ValueError(
+            f"grid {grid_rows}x{grid_cols} needs "
+            f"{grid_rows * (grid_cols - 1)} bits; the hash holds 64"
+        )
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -1365,11 +1373,20 @@ def image_dhash(
                 np.cumsum(r_sizes[:-1], out=r_off[1:])
                 c_off = np.zeros(grid_cols, dtype=np.int64)
                 np.cumsum(c_sizes[:-1], out=c_off[1:])
+                # images SMALLER than the grid: trailing offsets equal
+                # the array length, which reduceat rejects. Clamping is
+                # EXACT here: empty segments only exist when every
+                # non-empty segment is a singleton (size pattern
+                # 1,…,1,0,…,0), so the clamped equal-offset reduceat
+                # returns precisely those singletons, and the empty
+                # blocks' garbage reads are masked out of the bits
+                # below (the old NaN-mean semantics: any comparison
+                # touching an empty block is False).
+                r_off = np.minimum(r_off, h_ - 1)
+                c_off = np.minimum(c_off, w_ - 1)
                 B = np.add.reduceat(
                     np.add.reduceat(G, r_off, axis=0), c_off, axis=1
                 )
-                # empty blocks (image smaller than the grid) had NaN
-                # means before — every comparison involving one is False
                 nonempty = (r_sizes[:, None] > 0) & (c_sizes[None, :] > 0)
                 bits = (B[:, 1:] * c_sizes[:-1]) > (B[:, :-1] * c_sizes[1:])
                 bits &= nonempty[:, 1:] & nonempty[:, :-1]

@@ -65,9 +65,14 @@ def normalize_numeric_string(c: ColumnOrName) -> Column:
     ``"123"``, ``".0"`` → ``"0"``; anything non-integral just trimmed.
     Mirrored here string-side (gate = unsigned digits with one
     optional dot followed only by zeros; canonical form = integer part
-    with leading zeros stripped, empty → "0"), so values with >15
-    digits stay EXACT where the reference's float round-trip would
-    round them — the one deliberate divergence. Vectorized, no UDF.
+    with leading zeros stripped, empty → "0"). Two deliberate
+    divergences, both where the reference's FLOAT round-trip loses
+    information the string still has: (1) >15-digit integrals stay
+    exact where ``int(float(x))`` would round them; (2) a non-zero
+    fraction that float-rounds to an integer (``"1.9999999999999999"``
+    → reference ``"2"``) fails the string gate and passes through
+    trimmed — the string-side law never invents digits the input
+    doesn't contain. Vectorized, no UDF.
     """
     t = F.trim(_col(c).cast("string"))
     int_part = F.regexp_extract(t, r"^(\d*)", 1)

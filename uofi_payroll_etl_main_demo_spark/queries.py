@@ -2481,6 +2481,31 @@ def _ensure_sf_ivf_index(spark, sf_dir, n_centroids: int = 8):
     )
 
 
+def _ensure_sf_pq_index(spark, sf_dir):
+    """One ensure per (sf_dir) for BOTH PQ registry rows — a param
+    tweak applied to one row cannot silently fork two differently-
+    built indexes under the same dir name (the _ensure_sf_ivf_index
+    pattern)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+        ensure_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"pq8x16_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return ensure_pq_index(
+        emb,
+        idx_dir,
+        corpus_tag=corpus_fingerprint(emb_path),
+        m=8,
+        n_centroids=16,
+    )
+
+
 def q_ivf_index_query(spark, sf_dir):
     """Persisted-ANN-index SERVING path (build→save→load→query
     lifecycle, ext/ann_index.py): the IVF-Flat index for this corpus
@@ -2516,24 +2541,8 @@ def q_pq_index_query(spark, sf_dir):
     the result exactly the brute-force top-k (value oracle for the
     whole encode→persist→load→ADC→rerank path; the bounded-margin
     latency trade stays benched via the rows-only ext_pq_topk)."""
-    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
-        corpus_fingerprint,
-        ensure_pq_index,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    idx_dir = os.path.join(
-        _ann_index_root(),
-        f"pq8x16_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    index = ensure_pq_index(
-        emb,
-        idx_dir,
-        corpus_tag=corpus_fingerprint(emb_path),
-        m=8,
-        n_centroids=16,
-    )
+    index = _ensure_sf_pq_index(spark, sf_dir)
     out = index.search(QUERY_VEC, k=10, candidates=1_000_000, rerank_corpus=emb)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
@@ -2572,24 +2581,8 @@ def q_pq_filtered_query(spark, sf_dir):
     from the row store. Full candidate margin makes the answer exactly
     the filtered brute-force top-k (same SQL twin as the IVF filtered
     row: one law, two index engines)."""
-    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
-        corpus_fingerprint,
-        ensure_pq_index,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    idx_dir = os.path.join(
-        _ann_index_root(),
-        f"pq8x16_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    index = ensure_pq_index(
-        emb,
-        idx_dir,
-        corpus_tag=corpus_fingerprint(emb_path),
-        m=8,
-        n_centroids=16,
-    )
+    index = _ensure_sf_pq_index(spark, sf_dir)
     out = index.search(
         QUERY_VEC,
         k=10,

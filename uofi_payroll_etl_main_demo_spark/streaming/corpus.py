@@ -176,6 +176,7 @@ def ingest_dedup_stream_indexed(
         spark = batch_df.sparkSession
         tag = f"b{batch_id:020d}"
         batch_df = batch_df.persist()
+        pinned: list[DataFrame] = []
         try:
             # within-batch dedup first (same contract as the inline
             # ingester: min-id survivor per near-dup component)
@@ -183,9 +184,14 @@ def ingest_dedup_stream_indexed(
                 batch_df, text_col=text_col, id_col=id_col,
                 threshold=threshold, **kw,
             ).select("id_a", "id_b")
+            # persist: the survivor lineage (shingle + band + CC) feeds
+            # several actions below (guard collect, corpus write, bands
+            # write, shingles write) — unpinned it would recompute per
+            # action
             survivors = dedup_survivors(
                 batch_df, pairs, id_col=id_col, src="id_a", dst="id_b"
-            )
+            ).persist()
+            pinned.append(survivors)
             if _fs_exists(spark, f"{index_dir}/meta"):
                 index = minhash_index_load(spark, index_dir)
                 hits = (
@@ -201,7 +207,10 @@ def ingest_dedup_stream_indexed(
                     .select(F.col("new_id").alias(id_col))
                     .distinct()
                 )
-                survivors = survivors.join(hits, id_col, "left_anti")
+                survivors = survivors.join(
+                    hits, id_col, "left_anti"
+                ).persist()
+                pinned.append(survivors)
                 (
                     survivors.withColumn("__batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
@@ -238,6 +247,8 @@ def ingest_dedup_stream_indexed(
                     **kw,
                 )
         finally:
+            for df in pinned:
+                df.unpersist()
             batch_df.unpersist()
 
     return (
@@ -292,6 +303,7 @@ def ingest_containment_stream(
         spark = batch_df.sparkSession
         tag = f"b{batch_id:020d}"
         batch_df = batch_df.persist()
+        pinned: list[DataFrame] = []
         try:
             if _fs_exists(spark, f"{index_dir}/meta"):
                 index = cdc_index_load(spark, index_dir)
@@ -299,7 +311,13 @@ def ingest_containment_stream(
                 rejected = scores.filter(
                     F.col("containment") > max_containment
                 ).select(F.col("doc_id").alias(id_col))
-                survivors = batch_df.join(rejected, id_col, "left_anti")
+                # persist: the gated survivor lineage (batch chunk pass
+                # + stored-hash join) feeds both the corpus write and
+                # the index add — unpinned it would re-chunk per action
+                survivors = batch_df.join(
+                    rejected, id_col, "left_anti"
+                ).persist()
+                pinned.append(survivors)
                 (
                     survivors.withColumn("__batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
@@ -332,6 +350,8 @@ def ingest_containment_stream(
                     batch_tag=tag,
                 )
         finally:
+            for df in pinned:
+                df.unpersist()
             batch_df.unpersist()
 
     return (
