@@ -35,15 +35,18 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     ensure_pq_index,
     ivf_index_add,
     ivf_index_build,
+    ivf_index_compact,
     ivf_index_load,
     pq_index_add,
     pq_index_build,
+    pq_index_compact,
     pq_index_load,
 )
 from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (  # noqa: F401
     CdcDiskIndex,
     cdc_index_add,
     cdc_index_build,
+    cdc_index_compact,
     cdc_index_load,
     ensure_cdc_index,
 )
@@ -52,6 +55,7 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (  # noqa: F401
     ensure_minhash_index,
     minhash_index_add,
     minhash_index_build,
+    minhash_index_compact,
     minhash_index_load,
 )
 from uofi_payroll_etl_main_demo_spark.ext.layout import (  # noqa: F401

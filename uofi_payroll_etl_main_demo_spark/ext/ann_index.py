@@ -124,6 +124,66 @@ def _invalidate_meta(spark: SparkSession, index_dir: str) -> None:
         fs.delete(hpath, True)
 
 
+def _compact_swap(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    partition_cols: "list[str]",
+    prepare=None,
+) -> None:
+    """Fold a table's accumulated ``__batch`` partitions back into one
+    ``base`` partition — the maintenance pass the add-forever lifecycle
+    needs: every incremental add lands its own partition (that is what
+    makes replays idempotent), so a year of daily batches is ~365
+    partitions of small files, and at 100 TB the file listing itself
+    becomes the scan bottleneck. Compaction rewrites the table ONCE
+    (optionally through ``prepare`` to restore the layout contract,
+    e.g. the bands table's repartition+sort) into a sibling tmp dir,
+    then swaps it in via filesystem rename — the table is never read
+    and overwritten in place. Callers must invalidate meta FIRST and
+    rewrite it LAST: a crash between the delete and the rename leaves
+    a missing table under an absent meta, which ``ensure_*`` treats as
+    "rebuild from the corpus" (indexes are derived data — the crash
+    story is always recoverable)."""
+    src = spark.read.parquet(f"{index_dir}/{table}").drop("__batch")
+    out = src.withColumn("__batch", F.lit("base"))
+    if prepare is not None:
+        out = prepare(out)
+    tmp = f"{index_dir}/{table}__compact"
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    dst_path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{table}")
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst_path.getFileSystem(conf)
+    fs.delete(dst_path, True)
+    if not fs.rename(tmp_path, dst_path):
+        raise IOError(f"compaction rename failed: {tmp} -> {index_dir}/{table}")
+
+
+def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold every add's ``__batch`` partition of the inverted lists
+    into ``base``. Query results are unchanged (serving never reads
+    ``__batch``); centroid stays the first partition level, so probe
+    pruning is unchanged too."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    _invalidate_meta(spark, index_dir)
+    _compact_swap(spark, index_dir, "assigned", ["centroid", "__batch"])
+    _write_meta(spark, index_dir, meta)
+
+
+def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold the codes table's add partitions into ``base``."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    _invalidate_meta(spark, index_dir)
+    _compact_swap(spark, index_dir, "codes", ["__batch"])
+    _write_meta(spark, index_dir, meta)
+
+
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
     spark.createDataFrame([row], _META_SCHEMA).coalesce(1).write.mode(
         "overwrite"

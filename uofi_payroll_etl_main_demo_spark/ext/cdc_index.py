@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
+    _compact_swap,
     _fs_exists,
     _invalidate_meta,
 )
@@ -209,6 +210,19 @@ def cdc_index_add(
     spark.createDataFrame(
         [{**meta, "corpus_tag": new_corpus_tag}], _CDC_META_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold every add's ``__batch`` partition of the chunk table into
+    ``base`` (see ann_index._compact_swap for the crash contract).
+    The stored set is globally distinct across batches by the add
+    construction, so the fold is a pure re-layout — no re-distinct."""
+    meta = _read_cdc_meta(spark, index_dir)
+    _invalidate_meta(spark, index_dir)
+    _compact_swap(spark, index_dir, "chunks", ["__batch"])
+    spark.createDataFrame([meta], _CDC_META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
 
 
 def ensure_cdc_index(

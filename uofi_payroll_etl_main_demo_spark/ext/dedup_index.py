@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
+    _compact_swap,
     _fs_exists,
     _invalidate_meta,
 )
@@ -348,6 +349,28 @@ def minhash_index_add(
     spark.createDataFrame(
         [{**meta, "corpus_tag": new_corpus_tag}], _MH_META_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold every add's ``__batch`` partition (bands + shingles) into
+    ``base`` — the small-file maintenance pass of the add-forever
+    lifecycle (see ann_index._compact_swap for the crash contract).
+    The bands table's layout contract (partitioned by band, sorted by
+    bh within partitions) is restored during the rewrite; query
+    results are unchanged."""
+    meta = _read_mh_meta(spark, index_dir)
+    _invalidate_meta(spark, index_dir)
+    _compact_swap(
+        spark,
+        index_dir,
+        "bands",
+        ["band", "__batch"],
+        prepare=lambda df: df.repartition("band").sortWithinPartitions("bh"),
+    )
+    _compact_swap(spark, index_dir, "shingles", ["__batch"])
+    spark.createDataFrame([meta], _MH_META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
 
 
 def ensure_minhash_index(
