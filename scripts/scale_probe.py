@@ -289,6 +289,68 @@ def main() -> None:
             spark.read.parquet(f"{cdc_dir}/chunks"),
         )[1],
     )
+    # compaction probe (round 7): build, then 16 incremental adds (one
+    # __batch partition each — a fortnight of daily batches), measure
+    # the fixed-batch query and the store's file count before/after
+    # minhash_index_compact. The claim under test: adds degrade query
+    # latency through file-count growth, compaction restores it with
+    # results identical.
+    def _mh_compact_probe():
+        import glob
+        import shutil
+        import time as _t
+
+        from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+            minhash_index_build,
+            minhash_index_add,
+            minhash_index_compact,
+            minhash_index_load,
+        )
+
+        d = f"/tmp/scale_probe_mhc_{factor}x"
+        shutil.rmtree(d, ignore_errors=True)
+        minhash_index_build(
+            docs.filter(F.col("doc_id") % 17 == 0), d,
+            corpus_tag="c0", **mh_params,
+        )
+        for i in range(1, 17):
+            minhash_index_add(
+                docs.filter(F.col("doc_id") % 17 == i), d,
+                new_corpus_tag=f"c{i}", batch_id=f"b{i:03d}",
+            )
+        def files():
+            return len(glob.glob(f"{d}/*/**/*.parquet", recursive=True))
+        def q():
+            t0 = _t.perf_counter()
+            n = minhash_index_load(spark, d).query(
+                _mh_batch(), threshold=0.2
+            ).count()
+            return round(_t.perf_counter() - t0, 2), n
+        pre_files = files(); pre_t, pre_n = q()
+        minhash_index_compact(spark, d)
+        post_files = files(); post_t, post_n = q()
+        assert pre_n == post_n, (pre_n, post_n)
+        print(json.dumps({
+            "op": "minhash_index_compact_probe", "factor": factor,
+            "files_pre": pre_files, "files_post": post_files,
+            "query_pre_sec": pre_t, "query_post_sec": post_t,
+            "pairs": pre_n,
+        }))
+        return docs.limit(0)
+
+    def _mh_batch():
+        return (
+            spark.read.parquet(f"{BASE}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
+            )
+        )
+
+    if not only or "minhash_index_compact_probe" in only:
+        _mh_compact_probe()
+
     # the filter on a JOIN-derived column defeats Catalyst's outer-join
     # elimination — a bare count() of the containment frame would drop
     # the whole corpus side (unique-key left join) and time nothing
