@@ -142,6 +142,7 @@ HEADLINE = [
     # the AVI-container video path (demux + JPEG decode + dHash +
     # keyframe window, end-to-end from bytes)
     "ext_cdc_containment_index",
+    "ext_dedup_method_agreement",
     "ext_ivf_filtered_query",
     "ext_pq_filtered_query",
     "ext_video_keyframes_avi",

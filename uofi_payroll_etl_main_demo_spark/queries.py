@@ -2738,6 +2738,53 @@ REGISTRY["ext_minhash_pairs"] = (q_minhash_pairs, _sql_minhash_pairs())
 REGISTRY["ext_simhash_pairs"] = (q_simhash_pairs, _sql_simhash_pairs())
 
 
+def q_dedup_method_agreement(spark, sf_dir):
+    """Detector-choice audit: which near-dup pairs MinHash (shingle
+    Jaccard ≥ 0.2) and SimHash (token-balance Hamming ≤ 3) agree on —
+    the comparison a curation team runs before committing a 100 TB
+    corpus to one detector. Full-outer join of the two pair sets on
+    (id_a, id_b): pairs only one method flags surface with the other
+    side NULL. Both laws are the engine-portable families, so the
+    oracle reproduces BOTH pipelines and the join — disagreement rows
+    are value-checked, not sampled. Cost: the two existing pair
+    passes + one pair-key join (pairs, not corpus, scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    mh = minhash_near_dup_pairs(
+        docs, num_hashes=32, bands=16, k=3, threshold=0.2,
+        hash_family="portable",
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+        F.lit(True).alias("__mh"),
+    )
+    sh = simhash_near_dup_pairs(
+        docs, max_hamming=3, hash_family="portable"
+    ).select("id_a", "id_b", "hamming", F.lit(True).alias("__sh"))
+    return mh.join(sh, ["id_a", "id_b"], "full").select(
+        "id_a",
+        "id_b",
+        F.coalesce("__mh", F.lit(False)).alias("in_minhash"),
+        F.coalesce("__sh", F.lit(False)).alias("in_simhash"),
+        "jaccard",
+        "hamming",
+    )
+
+
+REGISTRY["ext_dedup_method_agreement"] = (
+    q_dedup_method_agreement,
+    f"""
+SELECT coalesce(m.id_a, s.id_a) AS id_a,
+       coalesce(m.id_b, s.id_b) AS id_b,
+       m.id_a IS NOT NULL AS in_minhash,
+       s.id_a IS NOT NULL AS in_simhash,
+       m.jaccard AS jaccard,
+       s.hamming AS hamming
+FROM ({_sql_minhash_pairs()}) m
+FULL JOIN ({_sql_simhash_pairs()}) s
+  ON m.id_a = s.id_a AND m.id_b = s.id_b
+""",
+)
+
+
 def _sql_winnow(k: int = 5, w: int = 4) -> str:
     return rf"""
 WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
@@ -9775,14 +9822,17 @@ _WINDOW_50 = [
     # dHash (its two direct pair rows), the pooled rewrite pair, and
     # the containment refactor — output-identical by design, so a
     # driver row re-proves it, and (d) the stalest cohort: both
-    # r1-latest rows and 20 of the 22 r2-latest rows, including the
+    # r1-latest rows and 19 of the 22 r2-latest rows, including the
     # trio the r6 comment promised (scd2_history, ext_mixture_take,
-    # ext_shard_assign). Deferred to r8 with reasons (both pytest-
+    # ext_shard_assign). Deferred to r8 with reasons (all pytest-
     # covered and full-sweep-green at HEAD, latest driver row r2):
     # ext_topk_cosine_gemm (shares ext_topk_cosine's SQL law; GEMM-vs-
-    # column-path parity is pytest-pinned) and ext_chunk_documents
+    # column-path parity is pytest-pinned), ext_chunk_documents
     # (its chunk law is re-driven through ext_chunk_dedup_rewrite in
-    # this very window, which consumes chunk_documents directly).
+    # this very window, which consumes chunk_documents directly), and
+    # ext_doc_stats (single-scan stats, yielded its slot to the new
+    # never-checked ext_dedup_method_agreement, whose two composed
+    # laws — minhash + simhash pairs — were both driver-green in r6).
     # -- never driver-checked (13 rel_* + quarantine report) --
     "rel_min_price_supplier",
     "rel_priority_late_orders",
@@ -9799,6 +9849,7 @@ _WINDOW_50 = [
     "rel_waiting_suppliers",
     "ext_rewrite_quarantine_report",
     # -- new this round --
+    "ext_dedup_method_agreement",
     "ext_cdc_containment_index",
     "ext_ivf_filtered_query",
     "ext_pq_filtered_query",
@@ -9828,7 +9879,6 @@ _WINDOW_50 = [
     "ext_quality_classifier",
     "ext_decontaminate",
     "ext_dedup_best_of_cluster",
-    "ext_doc_stats",
     "ext_embedding_pairs_bucketed",
     "ext_exact_dedup",
     "ext_hard_negatives",
