@@ -238,16 +238,11 @@ def main() -> None:
     mh_dir = f"/tmp/scale_probe_mh_{factor}x"
     mh_params = dict(num_hashes=32, bands=16, k=3, hash_family="xxhash64")
 
-    def _mh_build():
-        ensure_minhash_index(
-            docs, mh_dir, corpus_tag=f"probe{factor}", **mh_params
-        )
-        return docs.sparkSession.read.parquet(f"{mh_dir}/bands")
-
-    def _mh_query():
-        # fixed-size batch: 500 fresh near-dup variants of originals,
-        # ids disjoint from every replica id
-        batch = (
+    def _probe_batch():
+        # THE fixed-size probe batch, shared by every index probe: 500
+        # fresh near-dup variants of originals, ids disjoint from every
+        # replica id (one builder so the probes can't drift apart)
+        return (
             spark.read.parquet(f"{BASE}/documents.parquet")
             .filter(F.col("doc_id") < 500)
             .select(
@@ -255,7 +250,17 @@ def main() -> None:
                 F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
             )
         )
-        return minhash_index_load(spark, mh_dir).query(batch, threshold=0.2)
+
+    def _mh_build():
+        ensure_minhash_index(
+            docs, mh_dir, corpus_tag=f"probe{factor}", **mh_params
+        )
+        return docs.sparkSession.read.parquet(f"{mh_dir}/bands")
+
+    def _mh_query():
+        return minhash_index_load(spark, mh_dir).query(
+            _probe_batch(), threshold=0.2
+        )
 
     run("minhash_index_build", _mh_build)
     run("minhash_index_query_fixed_batch", _mh_query)
@@ -271,16 +276,6 @@ def main() -> None:
     )
 
     cdc_dir = f"/tmp/scale_probe_cdc_{factor}x"
-
-    def _cdc_batch():
-        return (
-            spark.read.parquet(f"{BASE}/documents.parquet")
-            .filter(F.col("doc_id") < 500)
-            .select(
-                (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
-            )
-        )
 
     run(
         "cdc_index_build",
@@ -322,14 +317,20 @@ def main() -> None:
             return len(glob.glob(f"{d}/*/**/*.parquet", recursive=True))
         def q():
             t0 = _t.perf_counter()
-            n = minhash_index_load(spark, d).query(
-                _mh_batch(), threshold=0.2
-            ).count()
-            return round(_t.perf_counter() - t0, 2), n
-        pre_files = files(); pre_t, pre_n = q()
+            pairs = sorted(
+                (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+                for r in minhash_index_load(spark, d)
+                .query(_probe_batch(), threshold=0.2)
+                .collect()
+            )
+            return round(_t.perf_counter() - t0, 2), pairs
+        pre_files = files(); pre_t, pre_pairs = q()
         minhash_index_compact(spark, d)
-        post_files = files(); post_t, post_n = q()
-        assert pre_n == post_n, (pre_n, post_n)
+        post_files = files(); post_t, post_pairs = q()
+        # VALUE identity, not just count — a fold that dropped one true
+        # pair and admitted one spurious pair must fail here
+        assert pre_pairs == post_pairs, (len(pre_pairs), len(post_pairs))
+        pre_n = len(pre_pairs)
         print(json.dumps({
             "op": "minhash_index_compact_probe", "factor": factor,
             "files_pre": pre_files, "files_post": post_files,
@@ -337,16 +338,6 @@ def main() -> None:
             "pairs": pre_n,
         }))
         return docs.limit(0)
-
-    def _mh_batch():
-        return (
-            spark.read.parquet(f"{BASE}/documents.parquet")
-            .filter(F.col("doc_id") < 500)
-            .select(
-                (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
-            )
-        )
 
     if not only or "minhash_index_compact_probe" in only:
         _mh_compact_probe()
@@ -357,12 +348,12 @@ def main() -> None:
     run(
         "cdc_index_query_fixed_batch",
         lambda: cdc_index_load(spark, cdc_dir)
-        .query(_cdc_batch())
+        .query(_probe_batch())
         .filter(F.col("n_seen") >= 0),
     )
     run(
         "cdc_containment_inline_fixed_batch",
-        lambda: cdc_containment(docs, _cdc_batch()).filter(
+        lambda: cdc_containment(docs, _probe_batch()).filter(
             F.col("n_seen") >= 0
         ),
     )

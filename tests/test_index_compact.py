@@ -142,6 +142,117 @@ def test_minhash_compact(spark, sf_dir, tmp_path):
     assert any(d_.startswith("band=") for d_ in os.listdir(f"{idx}/bands"))
 
 
+def test_compaction_replay_guards_fail_loudly(spark, sf_dir, tmp_path):
+    """A compaction folds batch partitions into base, so a REPLAY of a
+    folded batch can neither exclude its rows (query) nor idempotently
+    overwrite them (add) — both must raise via the compacted_through
+    watermark instead of silently self-matching/duplicating. Later
+    (higher-tagged) batches proceed normally."""
+    import pytest as _pytest
+
+    d = _docs(spark, sf_dir)
+    params = dict(num_hashes=32, bands=16, k=3, hash_family="portable")
+    idx = str(tmp_path / "mh")
+    minhash_index_build(
+        d.filter(F.col("doc_id") % 5 <= 1), idx,
+        corpus_tag="a", batch_tag="b00000000000000000000", **params,
+    )
+    minhash_index_add(
+        d.filter(F.col("doc_id") % 5 == 2), idx,
+        new_corpus_tag="ab", batch_id="b00000000000000000001",
+    )
+    minhash_index_compact(spark, idx)
+    loaded = minhash_index_load(spark, idx)
+    assert loaded.meta["compacted_through"] == "b00000000000000000001"
+    probe = d.filter(F.col("doc_id") % 5 == 4)
+    with _pytest.raises(ValueError, match="folded into base"):
+        loaded.query(
+            probe, threshold=0.2,
+            exclude_batch="b00000000000000000001",
+        ).collect()
+    with _pytest.raises(ValueError, match="folded into base"):
+        minhash_index_add(
+            d.filter(F.col("doc_id") % 5 == 2), idx,
+            new_corpus_tag="ab", batch_id="b00000000000000000001",
+        )
+    # a LATER batch is unaffected: query excluding it works, adding it
+    # works, and the watermark survives the add
+    assert loaded.query(
+        probe, threshold=0.2, exclude_batch="b00000000000000000002"
+    ).count()
+    minhash_index_add(
+        d.filter(F.col("doc_id") % 5 == 3), idx,
+        new_corpus_tag="abc", batch_id="b00000000000000000002",
+    )
+    assert (
+        minhash_index_load(spark, idx).meta["compacted_through"]
+        == "b00000000000000000001"
+    )
+    # CDC twin: the silent-self-containment case must also refuse
+    cdx = str(tmp_path / "cdc")
+    cdc_index_build(
+        d.filter(F.col("doc_id") % 4 == 1), cdx,
+        corpus_tag="a", batch_tag="b00000000000000000000",
+    )
+    cdc_index_add(
+        d.filter(F.col("doc_id") % 4 == 2), cdx,
+        new_corpus_tag="ab", batch_id="b00000000000000000001",
+    )
+    cdc_index_compact(spark, cdx)
+    with _pytest.raises(ValueError, match="folded into base"):
+        cdc_index_load(spark, cdx).query(
+            d.filter(F.col("doc_id") % 4 == 0),
+            exclude_batch="b00000000000000000001",
+        ).collect()
+
+
+def test_compact_failure_leaves_live_table_and_no_orphan_tmp(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A failure during the STAGE phase (tmp rewrite) must leave the
+    live table, meta, and query results fully intact, and must not
+    leak the tmp dir."""
+    import pytest as _pytest
+
+    import uofi_payroll_etl_main_demo_spark.ext.ann_index as ai
+
+    d = _docs(spark, sf_dir)
+    params = dict(num_hashes=32, bands=16, k=3, hash_family="portable")
+    idx = str(tmp_path / "mh")
+    minhash_index_build(
+        d.filter(F.col("doc_id") % 5 <= 2), idx, corpus_tag="a", **params
+    )
+    probe = d.filter(F.col("doc_id") % 5 == 4)
+    before = sorted(
+        (r["new_id"], r["old_id"])
+        for r in minhash_index_load(spark, idx)
+        .query(probe, threshold=0.2)
+        .collect()
+    )
+
+    real = ai._staged_compactions
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full (simulated)")
+
+    # fail the whole staging phase: nothing destructive may have run
+    monkeypatch.setattr(ai, "_staged_compactions", boom)
+    import uofi_payroll_etl_main_demo_spark.ext.dedup_index as di
+
+    monkeypatch.setattr(di, "_staged_compactions", boom)
+    with _pytest.raises(RuntimeError, match="disk full"):
+        minhash_index_compact(spark, idx)
+    monkeypatch.setattr(di, "_staged_compactions", real)
+    loaded = minhash_index_load(spark, idx)  # meta still valid
+    after = sorted(
+        (r["new_id"], r["old_id"])
+        for r in loaded.query(probe, threshold=0.2).collect()
+    )
+    assert after == before
+    assert not os.path.exists(f"{idx}/bands__compact")
+    assert not os.path.exists(f"{idx}/shingles__compact")
+
+
 def test_cdc_compact(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "cdc")
     d = _docs(spark, sf_dir)

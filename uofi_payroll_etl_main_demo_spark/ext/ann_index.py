@@ -71,6 +71,9 @@ _META_SCHEMA = T.StructType(
         T.StructField("train_sample", T.IntegerType(), True),
         T.StructField("lloyd_iters", T.IntegerType(), True),
         T.StructField("corpus_tag", T.StringType(), False),
+        # highest __batch tag a compaction folded into base (None if
+        # never compacted past the build) — the replay-safety watermark
+        T.StructField("compacted_through", T.StringType(), True),
     ]
 )
 
@@ -124,64 +127,158 @@ def _invalidate_meta(spark: SparkSession, index_dir: str) -> None:
         fs.delete(hpath, True)
 
 
+def _folded_watermark(spark: SparkSession, index_dir: str, table: str):
+    """Highest ``__batch`` tag a compaction would fold (excluding the
+    build's own ``base``) — recorded in meta as ``compacted_through``
+    so a post-compaction replay of a folded batch fails LOUDLY (its
+    rows are in base now; ``exclude_batch`` can no longer carve them
+    out) instead of silently matching against itself. Zero-padded
+    numeric tags make lexicographic order the batch order."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/{table}")
+        .select("__batch")
+        .distinct()
+        .collect()
+    )
+    tags = sorted(r["__batch"] for r in rows if r["__batch"] != "base")
+    return tags[-1] if tags else None
+
+
+def check_not_compacted_away(meta: dict, exclude_batch: "str | None") -> None:
+    """Raise if a replay wants to exclude a batch that a compaction
+    already folded into base — shared guard for every store's query
+    path. Run compactions only at quiescent points (all streaming
+    checkpoints committed); this guard is the loud backstop when that
+    discipline slips."""
+    wm = meta.get("compacted_through")
+    if exclude_batch is not None and wm is not None and exclude_batch <= wm:
+        raise ValueError(
+            f"batch {exclude_batch!r} was folded into base by a compaction "
+            f"(compacted_through={wm!r}); its rows can no longer be "
+            "excluded for replay — restart the pipeline from a fresh "
+            "checkpoint or rebuild the index"
+        )
+
+
 def _compact_swap(
     spark: SparkSession,
     index_dir: str,
     table: str,
     partition_cols: "list[str]",
     prepare=None,
-) -> None:
+) -> "tuple":
     """Fold a table's accumulated ``__batch`` partitions back into one
     ``base`` partition — the maintenance pass the add-forever lifecycle
     needs: every incremental add lands its own partition (that is what
     makes replays idempotent), so a year of daily batches is ~365
     partitions of small files, and at 100 TB the file listing itself
-    becomes the scan bottleneck. Compaction rewrites the table ONCE
-    (optionally through ``prepare`` to restore the layout contract,
-    e.g. the bands table's repartition+sort) into a sibling tmp dir,
-    then swaps it in via filesystem rename — the table is never read
-    and overwritten in place. Callers must invalidate meta FIRST and
-    rewrite it LAST: a crash between the delete and the rename leaves
-    a missing table under an absent meta, which ``ensure_*`` treats as
-    "rebuild from the corpus" (indexes are derived data — the crash
-    story is always recoverable)."""
-    src = spark.read.parquet(f"{index_dir}/{table}").drop("__batch")
-    out = src.withColumn("__batch", F.lit("base"))
-    if prepare is not None:
-        out = prepare(out)
-    tmp = f"{index_dir}/{table}__compact"
-    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    becomes the scan bottleneck. Two phases so the destructive window
+    is the swap, not the rewrite:
+
+    1. ``stage``: rewrite the table (optionally through ``prepare`` to
+       restore the layout contract, e.g. the bands table's
+       repartition+sort) into a sibling tmp dir. Stale tmp dirs from
+       earlier failed compactions are deleted on entry; a failure here
+       leaves the LIVE table and meta fully intact (the tmp is cleaned
+       up best-effort).
+    2. ``swap`` (caller invokes after invalidating meta): delete the
+       live table, rename the tmp in. A crash between delete and
+       rename leaves a missing table under an absent meta, which
+       ``ensure_*`` treats as "rebuild from the corpus" — indexes are
+       derived data, so the crash story is always recoverable, and the
+       meta-absent window is milliseconds, not the whole rewrite.
+
+    Single-writer assumption as documented on the index root: a
+    concurrent ensure-build racing the swap is not defended."""
     jvm = spark._jvm  # type: ignore[attr-defined]
     conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    tmp = f"{index_dir}/{table}__compact"
     dst_path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{table}")
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     fs = dst_path.getFileSystem(conf)
-    fs.delete(dst_path, True)
-    if not fs.rename(tmp_path, dst_path):
-        raise IOError(f"compaction rename failed: {tmp} -> {index_dir}/{table}")
+
+    def stage() -> None:
+        if fs.exists(tmp_path):  # leftover from an earlier failure
+            fs.delete(tmp_path, True)
+        src = spark.read.parquet(f"{index_dir}/{table}").drop("__batch")
+        out = src.withColumn("__batch", F.lit("base"))
+        if prepare is not None:
+            out = prepare(out)
+        try:
+            out.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                tmp
+            )
+        except Exception:
+            fs.delete(tmp_path, True)  # don't leak a partial table copy
+            raise
+
+    def swap() -> None:
+        fs.delete(dst_path, True)
+        if not fs.rename(tmp_path, dst_path):
+            raise IOError(
+                f"compaction rename failed: {tmp} -> {index_dir}/{table}"
+            )
+
+    return stage, swap
+
+
+def _staged_compactions(
+    spark: SparkSession, index_dir: str, tables: "list[tuple]"
+) -> "list":
+    """Stage every table's compacted rewrite (non-destructive), return
+    the swap callables to run after meta invalidation."""
+    swaps = []
+    for table, partition_cols, prepare in tables:
+        stage, swap = _compact_swap(
+            spark, index_dir, table, partition_cols, prepare
+        )
+        stage()
+        swaps.append(swap)
+    return swaps
 
 
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition of the inverted lists
     into ``base``. Query results are unchanged (serving never reads
     ``__batch``); centroid stays the first partition level, so probe
-    pruning is unchanged too."""
+    pruning is unchanged too. Records ``compacted_through`` so a
+    post-compaction replay of a folded batch fails loudly. Run at a
+    quiescent point only (no uncommitted streaming batch)."""
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    wm = _folded_watermark(spark, index_dir, "assigned")
+    swaps = _staged_compactions(
+        spark, index_dir, [("assigned", ["centroid", "__batch"], None)]
+    )
     _invalidate_meta(spark, index_dir)
-    _compact_swap(spark, index_dir, "assigned", ["centroid", "__batch"])
-    _write_meta(spark, index_dir, meta)
+    for swap in swaps:
+        swap()
+    _write_meta(
+        spark,
+        index_dir,
+        {**meta, "compacted_through": wm or meta.get("compacted_through")},
+    )
 
 
 def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
-    """Fold the codes table's add partitions into ``base``."""
+    """Fold the codes table's add partitions into ``base`` (same
+    contract as :func:`ivf_index_compact`)."""
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    wm = _folded_watermark(spark, index_dir, "codes")
+    swaps = _staged_compactions(
+        spark, index_dir, [("codes", ["__batch"], None)]
+    )
     _invalidate_meta(spark, index_dir)
-    _compact_swap(spark, index_dir, "codes", ["__batch"])
-    _write_meta(spark, index_dir, meta)
+    for swap in swaps:
+        swap()
+    _write_meta(
+        spark,
+        index_dir,
+        {**meta, "compacted_through": wm or meta.get("compacted_through")},
+    )
 
 
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
@@ -200,6 +297,8 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
             f"index format v{meta['version']} at {index_dir}; "
             f"this build reads v{INDEX_FORMAT_VERSION}"
         )
+    # metas written before the field existed read as never-compacted
+    meta.setdefault("compacted_through", None)
     return meta
 
 
@@ -273,6 +372,7 @@ def ivf_index_build(
             "train_sample": None,
             "lloyd_iters": None,
             "corpus_tag": corpus_tag,
+            "compacted_through": None,
         },
     )
 
@@ -435,6 +535,11 @@ def ivf_index_add(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    # a replayed add of a compaction-folded batch would duplicate its
+    # vectors (they live in base now): refuse loudly
+    check_not_compacted_away(
+        meta, batch_id if batch_id is not None else new_corpus_tag
+    )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
     if head and int(head[0][0]) != meta["dim"]:
@@ -601,6 +706,7 @@ def pq_index_build(
             "train_sample": train_sample,
             "lloyd_iters": lloyd_iters,
             "corpus_tag": corpus_tag,
+            "compacted_through": None,
         },
     )
 
@@ -728,6 +834,9 @@ def pq_index_add(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    check_not_compacted_away(
+        meta, batch_id if batch_id is not None else new_corpus_tag
+    )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
     if head and int(head[0][0]) != meta["dim"]:

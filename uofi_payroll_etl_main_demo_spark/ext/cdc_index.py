@@ -40,8 +40,11 @@ from pyspark.sql import types as T
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
     _compact_swap,
+    _folded_watermark,
     _fs_exists,
     _invalidate_meta,
+    _staged_compactions,
+    check_not_compacted_away,
 )
 from uofi_payroll_etl_main_demo_spark.ext.cdc import (
     cdc_chunks,
@@ -57,6 +60,9 @@ _CDC_META_SCHEMA = T.StructType(
         T.StructField("window", T.IntegerType(), False),
         T.StructField("divisor", T.IntegerType(), False),
         T.StructField("corpus_tag", T.StringType(), False),
+        # highest __batch tag a compaction folded into base (None if
+        # never compacted) — the replay-safety watermark
+        T.StructField("compacted_through", T.StringType(), True),
     ]
 )
 
@@ -98,6 +104,7 @@ def cdc_index_build(
                 "window": window,
                 "divisor": divisor,
                 "corpus_tag": corpus_tag,
+                "compacted_through": None,
             }
         ],
         _CDC_META_SCHEMA,
@@ -116,6 +123,7 @@ def _read_cdc_meta(spark: SparkSession, index_dir: str) -> dict:
         )
     if meta["kind"] != "cdc":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not cdc")
+    meta.setdefault("compacted_through", None)
     return meta
 
 
@@ -145,8 +153,11 @@ class CdcDiskIndex:
         — exactly ``cdc_containment(corpus, batch)``, but the corpus
         contributes only its STORED hash set (never re-read, never
         re-chunked): per-query cost is the batch chunk pass + one
-        integer/md5 hash join."""
+        integer/md5 hash join. A replay excluding a batch that a
+        compaction already folded raises (see
+        ann_index.check_not_compacted_away)."""
         m = self.meta
+        check_not_compacted_away(m, exclude_batch)
         new = cdc_chunks(
             batch, m["id_col"], m["text_col"], m["window"], m["divisor"]
         )
@@ -183,6 +194,9 @@ def cdc_index_add(
     spark = batch.sparkSession
     meta = _read_cdc_meta(spark, index_dir)
     tag = batch_id if batch_id is not None else new_corpus_tag
+    # a folded batch's hashes live in base: a replayed add would write
+    # an empty partition and re-key meta under a stale tag — refuse
+    check_not_compacted_away(meta, tag)
     stored_other = (
         spark.read.parquet(f"{index_dir}/chunks")
         .filter(F.col("__batch") != tag)  # partition filter: replay-safe
@@ -214,15 +228,26 @@ def cdc_index_add(
 
 def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition of the chunk table into
-    ``base`` (see ann_index._compact_swap for the crash contract).
-    The stored set is globally distinct across batches by the add
-    construction, so the fold is a pure re-layout — no re-distinct."""
+    ``base`` (see ann_index._compact_swap for the crash contract: the
+    rewrite stages non-destructively before meta is touched). The
+    stored set is globally distinct across batches by the add
+    construction, so the fold is a pure re-layout — no re-distinct.
+    Records ``compacted_through`` so a post-compaction replay of a
+    folded batch fails loudly instead of scoring against its own
+    chunks. Run at a quiescent point only (no uncommitted streaming
+    batch)."""
     meta = _read_cdc_meta(spark, index_dir)
+    wm = _folded_watermark(spark, index_dir, "chunks")
+    swaps = _staged_compactions(
+        spark, index_dir, [("chunks", ["__batch"], None)]
+    )
     _invalidate_meta(spark, index_dir)
-    _compact_swap(spark, index_dir, "chunks", ["__batch"])
-    spark.createDataFrame([meta], _CDC_META_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/meta")
+    for swap in swaps:
+        swap()
+    spark.createDataFrame(
+        [{**meta, "compacted_through": wm or meta.get("compacted_through")}],
+        _CDC_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
 def ensure_cdc_index(

@@ -43,8 +43,11 @@ from pyspark.sql import types as T
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
     _compact_swap,
+    _folded_watermark,
     _fs_exists,
     _invalidate_meta,
+    _staged_compactions,
+    check_not_compacted_away,
 )
 from uofi_payroll_etl_main_demo_spark.ext.dedup import (
     _min_sig_agg,
@@ -64,6 +67,9 @@ _MH_META_SCHEMA = T.StructType(
         T.StructField("k", T.IntegerType(), False),
         T.StructField("hash_family", T.StringType(), False),
         T.StructField("corpus_tag", T.StringType(), False),
+        # highest __batch tag a compaction folded into base (None if
+        # never compacted) — the replay-safety watermark
+        T.StructField("compacted_through", T.StringType(), True),
     ]
 )
 
@@ -164,6 +170,7 @@ def minhash_index_build(
                 "k": k,
                 "hash_family": hash_family,
                 "corpus_tag": corpus_tag,
+                "compacted_through": None,
             }
         ],
         _MH_META_SCHEMA,
@@ -184,6 +191,7 @@ def _read_mh_meta(spark: SparkSession, index_dir: str) -> dict:
         raise ValueError(
             f"{index_dir} holds a {meta['kind']!r} index, not minhash"
         )
+    meta.setdefault("compacted_through", None)
     return meta
 
 
@@ -230,8 +238,10 @@ class MinHashDiskIndex:
         the corpus side (a metadata-only partition prune) — the replay
         hook for at-least-once ingestion: a crashed attempt's own
         half-written partition must never act as "the corpus" when its
-        batch re-runs."""
+        batch re-runs. Excluding a batch a compaction already folded
+        raises (see ann_index.check_not_compacted_away)."""
         m = self.meta
+        check_not_compacted_away(m, exclude_batch)
         id_col, text_col = m["id_col"], m["text_col"]
         if check_disjoint:
             overlap = (
@@ -321,6 +331,9 @@ def minhash_index_add(
     spark = batch.sparkSession
     meta = _read_mh_meta(spark, index_dir)
     tag = batch_id if batch_id is not None else new_corpus_tag
+    # a replayed add of a batch a compaction already folded would
+    # duplicate its band/shingle rows (they live in base now): refuse
+    check_not_compacted_away(meta, tag)
     banded, sets_ = _banded_and_sets(
         batch,
         meta["text_col"],
@@ -354,23 +367,35 @@ def minhash_index_add(
 def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition (bands + shingles) into
     ``base`` — the small-file maintenance pass of the add-forever
-    lifecycle (see ann_index._compact_swap for the crash contract).
+    lifecycle (see ann_index._compact_swap for the crash contract:
+    both rewrites stage non-destructively before meta is touched).
     The bands table's layout contract (partitioned by band, sorted by
     bh within partitions) is restored during the rewrite; query
-    results are unchanged."""
+    results are unchanged. Records ``compacted_through`` so a
+    post-compaction replay of a folded batch fails loudly instead of
+    self-matching. Run at a quiescent point only (no uncommitted
+    streaming batch)."""
     meta = _read_mh_meta(spark, index_dir)
-    _invalidate_meta(spark, index_dir)
-    _compact_swap(
+    wm = _folded_watermark(spark, index_dir, "shingles")
+    swaps = _staged_compactions(
         spark,
         index_dir,
-        "bands",
-        ["band", "__batch"],
-        prepare=lambda df: df.repartition("band").sortWithinPartitions("bh"),
+        [
+            (
+                "bands",
+                ["band", "__batch"],
+                lambda df: df.repartition("band").sortWithinPartitions("bh"),
+            ),
+            ("shingles", ["__batch"], None),
+        ],
     )
-    _compact_swap(spark, index_dir, "shingles", ["__batch"])
-    spark.createDataFrame([meta], _MH_META_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/meta")
+    _invalidate_meta(spark, index_dir)
+    for swap in swaps:
+        swap()
+    spark.createDataFrame(
+        [{**meta, "compacted_through": wm or meta.get("compacted_through")}],
+        _MH_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
 def ensure_minhash_index(
