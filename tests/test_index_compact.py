@@ -285,3 +285,32 @@ def test_cdc_compact(spark, sf_dir, tmp_path):
         for r, _dd, fs in os.walk(idx)
         for f in fs
     }
+
+
+def test_ivf_index_stats_tracks_lists_and_batches(spark, sf_dir, tmp_path):
+    """Stats = per-list (n_vectors, n_batches): vectors sum to the
+    corpus, batch counts reflect adds, and compaction folds every
+    list's batches to one without changing vector counts."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_stats,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=4,
+        corpus_tag="half",
+    )
+    ivf_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1), idx,
+        new_corpus_tag="full", batch_id="b1",
+    )
+    rows = ivf_index_stats(spark, idx).collect()
+    assert len(rows) == 4
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    assert max(r["n_batches"] for r in rows) == 2  # base + b1
+    before = {r["centroid"]: r["n_vectors"] for r in rows}
+    ivf_index_compact(spark, idx)
+    after_rows = ivf_index_stats(spark, idx).collect()
+    assert {r["centroid"]: r["n_vectors"] for r in after_rows} == before
+    assert all(r["n_batches"] == 1 for r in after_rows)

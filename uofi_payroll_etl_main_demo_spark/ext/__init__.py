@@ -37,6 +37,7 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     ivf_index_build,
     ivf_index_compact,
     ivf_index_load,
+    ivf_index_stats,
     pq_index_add,
     pq_index_build,
     pq_index_compact,

@@ -237,6 +237,30 @@ def _staged_compactions(
     return swaps
 
 
+def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-inverted-list health panel: (centroid, n_vectors, n_batches)
+    — the observability an add-forever IVF store needs, because adds
+    assign to FROZEN centroids and data drift concentrates new vectors
+    in few lists: a skewed list makes every probe that touches it pay
+    its full scan. One distributed aggregate over the assigned table
+    (ids/batch tags only — embeddings are never read thanks to column
+    pruning); compare ``max(n_vectors)`` against the mean to decide
+    when a retrain-rebuild is due, and ``n_batches`` against the
+    compaction cadence."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    return (
+        spark.read.parquet(f"{index_dir}/assigned")
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__batch").alias("n_batches"),
+        )
+        .orderBy("centroid")
+    )
+
+
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition of the inverted lists
     into ``base``. Query results are unchanged (serving never reads
