@@ -128,6 +128,55 @@ def test_demux_ignores_audio_stream_strf():
     assert demux_avi_mjpeg(rebuilt) == frames
 
 
+def test_demux_audio_first_avi_reads_01dc_frames():
+    """An AVI that declares the AUDIO stream first numbers the video
+    chunks '01dc' (stream number = strl position). The demuxer must
+    return THOSE frames — matching '00dc' blindly would pass the codec
+    check and silently return an empty list — and must not pick up the
+    audio stream's '00wb' chunks."""
+    f0, f1 = b"\xff\xd8AA\xff\xd9", b"\xff\xd8BBB\xff\xd9"
+
+    def ck(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, 8000, 0, 100, 0, -1, 1)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    vids_strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, 5, 0, 2, 64, -1, 0)
+        + struct.pack("<4H", 0, 0, 18, 16)
+    )
+    vids_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 18, 16, 1, 24, b"MJPG", 18 * 16 * 3, 0, 0, 0, 0
+    )
+    hdrl = ck(
+        b"LIST",
+        b"hdrl"
+        + ck(b"avih", struct.pack("<14I", *([100000, 0, 0, 0x10, 2, 0, 2,
+                                             64, 18, 16, 0, 0, 0, 0])))
+        + ck(b"LIST", b"strl" + ck(b"strh", auds_strh)
+             + ck(b"strf", b"\x55" * 30))
+        + ck(b"LIST", b"strl" + ck(b"strh", vids_strh)
+             + ck(b"strf", vids_strf)),
+    )
+    movi = ck(
+        b"LIST",
+        b"movi"
+        + ck(b"00wb", b"\x80" * 10)  # audio samples, stream 0
+        + ck(b"01dc", f0)
+        + ck(b"00wb", b"\x80" * 10)
+        + ck(b"01db", f1),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi_mjpeg(avi) == [f0, f1]
+
+
 def test_demux_reads_rec_grouped_movi():
     """Interleaving muxers wrap movi chunks in 'LIST rec ' groups —
     the demuxer must read through one level of grouping."""

@@ -145,9 +145,11 @@ def test_minhash_compact(spark, sf_dir, tmp_path):
 def test_compaction_replay_guards_fail_loudly(spark, sf_dir, tmp_path):
     """A compaction folds batch partitions into base, so a REPLAY of a
     folded batch can neither exclude its rows (query) nor idempotently
-    overwrite them (add) — both must raise via the compacted_through
-    watermark instead of silently self-matching/duplicating. Later
-    (higher-tagged) batches proceed normally."""
+    overwrite them (add) — both must raise via the folded_batches SET
+    instead of silently self-matching/duplicating. FRESH tags proceed
+    normally regardless of sort order (the guard is membership, not a
+    lexicographic watermark — default md5 tags are unordered, and
+    ~half of them sort below any given tag)."""
     import pytest as _pytest
 
     d = _docs(spark, sf_dir)
@@ -163,7 +165,12 @@ def test_compaction_replay_guards_fail_loudly(spark, sf_dir, tmp_path):
     )
     minhash_index_compact(spark, idx)
     loaded = minhash_index_load(spark, idx)
-    assert loaded.meta["compacted_through"] == "b00000000000000000001"
+    # the build's own non-"base" tag folds too (streaming builds from
+    # a first micro-batch; its replay must also refuse post-compaction)
+    assert (
+        loaded.meta["folded_batches"]
+        == "b00000000000000000000,b00000000000000000001"
+    )
     probe = d.filter(F.col("doc_id") % 5 == 4)
     with _pytest.raises(ValueError, match="folded into base"):
         loaded.query(
@@ -175,19 +182,32 @@ def test_compaction_replay_guards_fail_loudly(spark, sf_dir, tmp_path):
             d.filter(F.col("doc_id") % 5 == 2), idx,
             new_corpus_tag="ab", batch_id="b00000000000000000001",
         )
-    # a LATER batch is unaffected: query excluding it works, adding it
-    # works, and the watermark survives the add
+    # any FRESH batch is unaffected — including one whose tag sorts
+    # BELOW the folded tag (the md5-default-tag case the v2 watermark
+    # spuriously condemned): query excluding it works, adding it
+    # works, and the folded set survives the add
     assert loaded.query(
-        probe, threshold=0.2, exclude_batch="b00000000000000000002"
+        probe, threshold=0.2, exclude_batch="0affc0ffee42"
     ).count()
     minhash_index_add(
         d.filter(F.col("doc_id") % 5 == 3), idx,
-        new_corpus_tag="abc", batch_id="b00000000000000000002",
+        new_corpus_tag="abc", batch_id="0affc0ffee42",
     )
     assert (
-        minhash_index_load(spark, idx).meta["compacted_through"]
-        == "b00000000000000000001"
+        minhash_index_load(spark, idx).meta["folded_batches"]
+        == "b00000000000000000000,b00000000000000000001"
     )
+    # a SECOND compaction unions the new tag into the folded set; the
+    # first fold's tags stay condemned
+    minhash_index_compact(spark, idx)
+    assert minhash_index_load(spark, idx).meta["folded_batches"] == (
+        "0affc0ffee42,b00000000000000000000,b00000000000000000001"
+    )
+    with _pytest.raises(ValueError, match="folded into base"):
+        minhash_index_add(
+            d.filter(F.col("doc_id") % 5 == 3), idx,
+            new_corpus_tag="abc", batch_id="0affc0ffee42",
+        )
     # CDC twin: the silent-self-containment case must also refuse
     cdx = str(tmp_path / "cdc")
     cdc_index_build(

@@ -541,12 +541,13 @@ def test_ingest_containment_stream_gates_and_maintains_index(
 ):
     """Containment-gated crawl triage: after the stream drains, (a) the
     corpus equals a sequential batch-mode simulation of the same gate
-    (accept iff containment vs the EARLIER corpus ≤ threshold), (b) the
-    index holds exactly the final corpus' distinct chunk hashes, and
-    (c) the gate genuinely rejected something."""
+    (accept iff gated containment vs the EARLIER corpus ≤ threshold,
+    within-batch law included), (b) the index holds exactly the final
+    corpus' distinct chunk hashes, and (c) the gate genuinely rejected
+    something."""
     from uofi_payroll_etl_main_demo_spark.ext.cdc import (
         cdc_chunks,
-        cdc_containment,
+        containment_scores_within,
     )
     from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
         cdc_index_load,
@@ -622,14 +623,18 @@ def test_ingest_containment_stream_gates_and_maintains_index(
     sim_corpus = None
     for fname in ordered_files:
         b = spark.read.parquet(f"{src}/{fname}")
-        if sim_corpus is None:
-            acc = b
-        else:
-            scores = cdc_containment(sim_corpus, b)
-            rej = scores.filter(F.col("containment") > 0.5).select(
-                F.col("doc_id")
-            )
-            acc = b.join(rej, "doc_id", "left_anti")
+        old = (
+            cdc_chunks(sim_corpus).select("chunk_hash").distinct()
+            if sim_corpus is not None
+            else spark.createDataFrame([], "chunk_hash string")
+        )
+        scores = containment_scores_within(
+            cdc_chunks(b), old, b.select("doc_id").distinct()
+        )
+        rej = scores.filter(F.col("containment") > 0.5).select(
+            F.col("doc_id")
+        )
+        acc = b.join(rej, "doc_id", "left_anti")
         accepted_ids |= {r["doc_id"] for r in acc.select("doc_id").collect()}
         sim_corpus = acc if sim_corpus is None else sim_corpus.unionByName(acc)
     got_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
@@ -649,6 +654,46 @@ def test_ingest_containment_stream_gates_and_maintains_index(
         .collect()
     }
     assert stored == want
+
+
+def test_ingest_containment_stream_gates_within_batch(spark, tmp_path):
+    """A document assembled from other documents in the SAME micro-batch
+    is rejected — including on the very first batch, when no index
+    exists yet (the cross-batch-only gap: the first batch used to be
+    accepted wholesale). Source docs (smaller ids) and fresh content
+    are accepted."""
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_containment_stream,
+    )
+
+    text_a = " ".join(f"alpha{(i * 7) % 997}" for i in range(120))
+    text_b = " ".join(f"bravo{(i * 13) % 991}" for i in range(120))
+    fresh = " ".join(f"charlie{(i * 17) % 983}" for i in range(120))
+    rows = [
+        (1, text_a),
+        (2, text_b),
+        (3, text_a + " " + text_b),  # assembled from batch-mates
+        (4, fresh),
+    ]
+    feed = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)  # ONE file -> ONE micro-batch
+    stream = spark.readStream.schema(feed.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    q = ingest_containment_stream(
+        stream,
+        corpus_path,
+        str(tmp_path / "cdc_index"),
+        str(tmp_path / "ckpt"),
+        max_containment=0.5,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert got == {1, 2, 4}
 
 
 def test_ingest_containment_stream_replay_heals(spark, tmp_path):
@@ -718,7 +763,7 @@ def test_ingest_containment_stream_replay_heals(spark, tmp_path):
     assert snapshot() != before
     # replay the sink body for the last batch
     index = cdc_index_load(spark, index_dir)
-    scores = index.query(last_batch, exclude_batch=tag)
+    scores = index.query_gated(last_batch, exclude_batch=tag)
     rejected = scores.filter(F.col("containment") > 0.5).select("doc_id")
     survivors = last_batch.join(rejected, "doc_id", "left_anti")
     (

@@ -52,7 +52,13 @@ from uofi_payroll_etl_main_demo_spark.functions.vectors import (
 # v2 (round 7): every data table gained a __batch partition level (the
 # idempotent-add unit). A v1 store must rebuild, not mis-read — the
 # version check turns it into an ensure-path rebuild.
-INDEX_FORMAT_VERSION = 2
+# v3 (round 8): the compaction replay guard records the SET of folded
+# batch tags (``folded_batches``), replacing the v2 ``compacted_through``
+# lexicographic watermark — md5 default tags have no order, so ~half of
+# all fresh tags sorted below the watermark and spuriously raised
+# "folded into base". A v2 meta's watermark can't be widened into a set
+# (the tags it covered are gone), so v2 stores rebuild.
+INDEX_FORMAT_VERSION = 3
 
 _META_SCHEMA = T.StructType(
     [
@@ -71,9 +77,11 @@ _META_SCHEMA = T.StructType(
         T.StructField("train_sample", T.IntegerType(), True),
         T.StructField("lloyd_iters", T.IntegerType(), True),
         T.StructField("corpus_tag", T.StringType(), False),
-        # highest __batch tag a compaction folded into base (None if
-        # never compacted past the build) — the replay-safety watermark
-        T.StructField("compacted_through", T.StringType(), True),
+        # comma-joined sorted SET of __batch tags compactions folded
+        # into base (None if never compacted past the build) — the
+        # replay-safety record; membership, not ordering, because the
+        # default corpus-fingerprint tags are unordered hex
+        T.StructField("folded_batches", T.StringType(), True),
     ]
 )
 
@@ -127,34 +135,54 @@ def _invalidate_meta(spark: SparkSession, index_dir: str) -> None:
         fs.delete(hpath, True)
 
 
-def _folded_watermark(spark: SparkSession, index_dir: str, table: str):
-    """Highest ``__batch`` tag a compaction would fold (excluding the
-    build's own ``base``) — recorded in meta as ``compacted_through``
-    so a post-compaction replay of a folded batch fails LOUDLY (its
-    rows are in base now; ``exclude_batch`` can no longer carve them
-    out) instead of silently matching against itself. Zero-padded
-    numeric tags make lexicographic order the batch order."""
+def _folded_tags(spark: SparkSession, index_dir: str, table: str):
+    """The ``__batch`` tags a compaction is about to fold (every tag
+    except the build's own ``base``) — recorded in meta as
+    ``folded_batches`` so a post-compaction replay of a folded batch
+    fails LOUDLY (its rows are in base now; ``exclude_batch`` can no
+    longer carve them out) instead of silently matching against
+    itself. A SET, not a high-watermark: the default batch tags are
+    md5 corpus fingerprints with no lexicographic order, so ordering
+    comparisons would spuriously condemn ~half of all fresh tags."""
     rows = (
         spark.read.parquet(f"{index_dir}/{table}")
         .select("__batch")
         .distinct()
         .collect()
     )
-    tags = sorted(r["__batch"] for r in rows if r["__batch"] != "base")
-    return tags[-1] if tags else None
+    return sorted(r["__batch"] for r in rows if r["__batch"] != "base")
+
+
+def _merge_folded(meta: dict, new_tags: "list[str]") -> "str | None":
+    """Union the tags this compaction folds into the meta's existing
+    folded set (compactions compose — an earlier fold's tags stay
+    condemned forever). Comma-joined sorted string; commas can't occur
+    in tags (fingerprint hex or ``b{n:020d}`` stream tags). Growth is
+    bounded by the number of batches ever added — tens of bytes per
+    add, dwarfed by the add's own parquet footprint."""
+    prior = meta.get("folded_batches")
+    tags = set(new_tags)
+    if prior:
+        tags.update(prior.split(","))
+    return ",".join(sorted(tags)) if tags else None
 
 
 def check_not_compacted_away(meta: dict, exclude_batch: "str | None") -> None:
-    """Raise if a replay wants to exclude a batch that a compaction
-    already folded into base — shared guard for every store's query
-    path. Run compactions only at quiescent points (all streaming
-    checkpoints committed); this guard is the loud backstop when that
-    discipline slips."""
-    wm = meta.get("compacted_through")
-    if exclude_batch is not None and wm is not None and exclude_batch <= wm:
+    """Raise if a replay wants to exclude (or re-add) a batch that a
+    compaction already folded into base — shared guard for every
+    store's query and add path. Membership in the recorded folded SET,
+    so fresh unordered tags never spuriously trip it. Run compactions
+    only at quiescent points (all streaming checkpoints committed);
+    this guard is the loud backstop when that discipline slips."""
+    folded = meta.get("folded_batches")
+    if (
+        exclude_batch is not None
+        and folded is not None
+        and exclude_batch in folded.split(",")
+    ):
         raise ValueError(
             f"batch {exclude_batch!r} was folded into base by a compaction "
-            f"(compacted_through={wm!r}); its rows can no longer be "
+            f"(folded_batches={folded!r}); its rows can no longer be "
             "excluded for replay — restart the pipeline from a fresh "
             "checkpoint or rebuild the index"
         )
@@ -265,24 +293,20 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition of the inverted lists
     into ``base``. Query results are unchanged (serving never reads
     ``__batch``); centroid stays the first partition level, so probe
-    pruning is unchanged too. Records ``compacted_through`` so a
+    pruning is unchanged too. Records the folded batch set so a
     post-compaction replay of a folded batch fails loudly. Run at a
     quiescent point only (no uncommitted streaming batch)."""
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
-    wm = _folded_watermark(spark, index_dir, "assigned")
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "assigned"))
     swaps = _staged_compactions(
         spark, index_dir, [("assigned", ["centroid", "__batch"], None)]
     )
     _invalidate_meta(spark, index_dir)
     for swap in swaps:
         swap()
-    _write_meta(
-        spark,
-        index_dir,
-        {**meta, "compacted_through": wm or meta.get("compacted_through")},
-    )
+    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
 
 
 def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
@@ -291,18 +315,14 @@ def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
-    wm = _folded_watermark(spark, index_dir, "codes")
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
     swaps = _staged_compactions(
         spark, index_dir, [("codes", ["__batch"], None)]
     )
     _invalidate_meta(spark, index_dir)
     for swap in swaps:
         swap()
-    _write_meta(
-        spark,
-        index_dir,
-        {**meta, "compacted_through": wm or meta.get("compacted_through")},
-    )
+    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
 
 
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
@@ -322,7 +342,7 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
             f"this build reads v{INDEX_FORMAT_VERSION}"
         )
     # metas written before the field existed read as never-compacted
-    meta.setdefault("compacted_through", None)
+    meta.setdefault("folded_batches", None)
     return meta
 
 
@@ -396,7 +416,7 @@ def ivf_index_build(
             "train_sample": None,
             "lloyd_iters": None,
             "corpus_tag": corpus_tag,
-            "compacted_through": None,
+            "folded_batches": None,
         },
     )
 
@@ -730,7 +750,7 @@ def pq_index_build(
             "train_sample": train_sample,
             "lloyd_iters": lloyd_iters,
             "corpus_tag": corpus_tag,
-            "compacted_through": None,
+            "folded_batches": None,
         },
     )
 

@@ -172,8 +172,18 @@ def demux_avi_mjpeg(payload: bytes) -> "list[bytes]":
         raise ValueError("not a RIFF/AVI stream")
     (riff_size,) = struct.unpack("<I", payload[4:8])
     end = min(8 + riff_size, len(payload))
-    handler = compression = None
-    frames: list[bytes] = []
+    handler = compression = vids_stream = None
+    # (stream_no, bytes) for every video-ish movi chunk; the vids
+    # stream's NUMBER is its strl position within hdrl, so an AVI that
+    # declares audio first tags video chunks '01dc' — matching '00dc'
+    # blindly would silently return zero frames there
+    tagged: "list[tuple[int, bytes]]" = []
+
+    def _movi_chunk(t: bytes, body: bytes) -> None:
+        if t[2:4] in (b"dc", b"db") and t[:2].isdigit():
+            tagged.append((int(t[:2]), body))
+
+    stream_no = -1
     for tag, p, size in _avi_chunks(payload, 12, end):
         if tag != b"LIST":
             continue
@@ -181,41 +191,45 @@ def demux_avi_mjpeg(payload: bytes) -> "list[bytes]":
         if kind == b"hdrl":
             for t2, p2, s2 in _avi_chunks(payload, p + 4, p + size):
                 if t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    stream_no += 1
                     # scope strh AND strf to THIS strl: a later audio
                     # stream's strf must not clobber the video codec
-                    is_vids, strl_strf = False, None
+                    is_vids, strl_strf, strl_handler = False, None, None
                     for t3, p3, s3 in _avi_chunks(
                         payload, p2 + 4, p2 + s2
                     ):
                         if t3 == b"strh" and s3 >= 8:
                             if payload[p3 : p3 + 4] == b"vids":
                                 is_vids = True
-                                handler = payload[p3 + 4 : p3 + 8]
+                                strl_handler = payload[p3 + 4 : p3 + 8]
                         elif t3 == b"strf" and s3 >= 20:
                             strl_strf = payload[p3 + 16 : p3 + 20]
-                    if is_vids and strl_strf is not None:
+                    # first vids strl wins; its position is the stream
+                    # number its movi chunks carry
+                    if is_vids and vids_stream is None:
+                        vids_stream = stream_no
+                        handler = strl_handler
                         compression = strl_strf
         elif kind == b"movi":
             for t2, p2, s2 in _avi_chunks(payload, p + 4, p + size):
-                # 00dc = compressed video, 00db = uncompressed naming
+                # {nn}dc = compressed, {nn}db = uncompressed naming
                 # some muxers still use for MJPEG; interleaving muxers
                 # wrap runs of chunks in one level of 'LIST rec '
-                if t2 in (b"00dc", b"00db"):
-                    frames.append(payload[p2 : p2 + s2])
-                elif t2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
+                if t2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
                     for t3, p3, s3 in _avi_chunks(
                         payload, p2 + 4, p2 + s2
                     ):
-                        if t3 in (b"00dc", b"00db"):
-                            frames.append(payload[p3 : p3 + s3])
-    if handler is None or compression is None:
+                        _movi_chunk(t3, payload[p3 : p3 + s3])
+                else:
+                    _movi_chunk(t2, payload[p2 : p2 + s2])
+    if vids_stream is None or compression is None:
         raise ValueError("no video stream header (strh/strf) found")
     if handler != b"MJPG" or compression != b"MJPG":
         raise ValueError(
             f"unsupported video codec {handler!r}/{compression!r}; "
             "only MJPG streams decode here"
         )
-    return frames
+    return [body for no, body in tagged if no == vids_stream]
 
 
 FRAMES_SCHEMA = T.StructType(

@@ -226,6 +226,12 @@ def containment_scores(
     marked = new_chunks.join(
         old_hashes.withColumn("__seen", F.lit(1)), "chunk_hash", "left"
     )
+    return _score_marked_chunks(marked, batch_ids)
+
+
+def _score_marked_chunks(marked: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """Shared containment arithmetic over chunks whose ``__seen``
+    column is 1/NULL — the one place the n_seen/n_chunks math lives."""
     scored = marked.groupBy(F.col("doc_id")).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count("__seen").alias("n_seen"),
@@ -246,6 +252,45 @@ def containment_scores(
             ),
         )
     )
+
+
+def containment_scores_within(
+    new_chunks: DataFrame, old_hashes: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """:func:`containment_scores` plus WITHIN-BATCH awareness: a chunk
+    also counts as seen when a smaller-``doc_id`` document in the SAME
+    batch holds the same hash — so a document assembled from other
+    documents that arrived alongside it is caught, not just one
+    assembled from already-stored content. The extra cost is one
+    min-per-hash aggregate over the batch's own (hash, id) pairs —
+    batch-sized, never corpus-sized.
+
+    Deterministic and arrival-order-independent: "earlier" is the id
+    order, not row order. ONE-PASS by design — a smaller-id doc counts
+    as prior content even if the gate downstream rejects that doc too
+    (the sequential accept-only variant is inherently iterative per
+    doc). That makes this law slightly stricter than a sequential
+    replay in the corner where two docs overlap each other but neither
+    overlaps the store; the shared content is condemned either way,
+    which is the right triage posture."""
+    first_holder = new_chunks.groupBy("chunk_hash").agg(
+        F.min("doc_id").alias("__first_doc")
+    )
+    marked = (
+        new_chunks.join(
+            old_hashes.withColumn("__stored", F.lit(1)), "chunk_hash", "left"
+        )
+        .join(first_holder, "chunk_hash", "left")
+        .withColumn(
+            "__seen",
+            F.when(
+                (F.col("__stored") == 1)
+                | (F.col("__first_doc") < F.col("doc_id")),
+                F.lit(1),
+            ),
+        )
+    )
+    return _score_marked_chunks(marked, batch_ids)
 
 
 GRAM_SCHEMA = T.StructType(

@@ -40,7 +40,8 @@ from pyspark.sql import types as T
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
     _compact_swap,
-    _folded_watermark,
+    _folded_tags,
+    _merge_folded,
     _fs_exists,
     _invalidate_meta,
     _staged_compactions,
@@ -49,6 +50,7 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
 from uofi_payroll_etl_main_demo_spark.ext.cdc import (
     cdc_chunks,
     containment_scores,
+    containment_scores_within,
 )
 
 _CDC_META_SCHEMA = T.StructType(
@@ -60,9 +62,10 @@ _CDC_META_SCHEMA = T.StructType(
         T.StructField("window", T.IntegerType(), False),
         T.StructField("divisor", T.IntegerType(), False),
         T.StructField("corpus_tag", T.StringType(), False),
-        # highest __batch tag a compaction folded into base (None if
-        # never compacted) — the replay-safety watermark
-        T.StructField("compacted_through", T.StringType(), True),
+        # comma-joined sorted SET of __batch tags compactions folded
+        # into base (None if never compacted) — membership-tested, see
+        # ann_index._merge_folded
+        T.StructField("folded_batches", T.StringType(), True),
     ]
 )
 
@@ -104,7 +107,7 @@ def cdc_index_build(
                 "window": window,
                 "divisor": divisor,
                 "corpus_tag": corpus_tag,
-                "compacted_through": None,
+                "folded_batches": None,
             }
         ],
         _CDC_META_SCHEMA,
@@ -123,7 +126,7 @@ def _read_cdc_meta(spark: SparkSession, index_dir: str) -> dict:
         )
     if meta["kind"] != "cdc":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not cdc")
-    meta.setdefault("compacted_through", None)
+    meta.setdefault("folded_batches", None)
     return meta
 
 
@@ -165,6 +168,27 @@ class CdcDiskIndex:
             F.col(m["id_col"]).alias("doc_id")
         ).distinct()
         return containment_scores(
+            new, self.stored_hashes(exclude_batch), batch_ids
+        )
+
+    def query_gated(
+        self, batch: DataFrame, exclude_batch: str | None = None
+    ) -> DataFrame:
+        """:meth:`query` plus within-batch awareness (the ingestion
+        gate's scoring law): a chunk also counts as seen when a
+        smaller-id document in the SAME batch holds it, so documents
+        assembled from batch-mates are caught too — see
+        ``cdc.containment_scores_within`` for the exact (deterministic,
+        arrival-order-independent) semantics."""
+        m = self.meta
+        check_not_compacted_away(m, exclude_batch)
+        new = cdc_chunks(
+            batch, m["id_col"], m["text_col"], m["window"], m["divisor"]
+        )
+        batch_ids = batch.select(
+            F.col(m["id_col"]).alias("doc_id")
+        ).distinct()
+        return containment_scores_within(
             new, self.stored_hashes(exclude_batch), batch_ids
         )
 
@@ -232,12 +256,12 @@ def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
     rewrite stages non-destructively before meta is touched). The
     stored set is globally distinct across batches by the add
     construction, so the fold is a pure re-layout — no re-distinct.
-    Records ``compacted_through`` so a post-compaction replay of a
+    Records the folded batch set so a post-compaction replay of a
     folded batch fails loudly instead of scoring against its own
     chunks. Run at a quiescent point only (no uncommitted streaming
     batch)."""
     meta = _read_cdc_meta(spark, index_dir)
-    wm = _folded_watermark(spark, index_dir, "chunks")
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "chunks"))
     swaps = _staged_compactions(
         spark, index_dir, [("chunks", ["__batch"], None)]
     )
@@ -245,7 +269,7 @@ def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
     for swap in swaps:
         swap()
     spark.createDataFrame(
-        [{**meta, "compacted_through": wm or meta.get("compacted_through")}],
+        [{**meta, "folded_batches": folded}],
         _CDC_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 

@@ -43,7 +43,8 @@ from pyspark.sql import types as T
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
     _compact_swap,
-    _folded_watermark,
+    _folded_tags,
+    _merge_folded,
     _fs_exists,
     _invalidate_meta,
     _staged_compactions,
@@ -67,9 +68,10 @@ _MH_META_SCHEMA = T.StructType(
         T.StructField("k", T.IntegerType(), False),
         T.StructField("hash_family", T.StringType(), False),
         T.StructField("corpus_tag", T.StringType(), False),
-        # highest __batch tag a compaction folded into base (None if
-        # never compacted) — the replay-safety watermark
-        T.StructField("compacted_through", T.StringType(), True),
+        # comma-joined sorted SET of __batch tags compactions folded
+        # into base (None if never compacted) — membership-tested, see
+        # ann_index._merge_folded
+        T.StructField("folded_batches", T.StringType(), True),
     ]
 )
 
@@ -170,7 +172,7 @@ def minhash_index_build(
                 "k": k,
                 "hash_family": hash_family,
                 "corpus_tag": corpus_tag,
-                "compacted_through": None,
+                "folded_batches": None,
             }
         ],
         _MH_META_SCHEMA,
@@ -191,7 +193,7 @@ def _read_mh_meta(spark: SparkSession, index_dir: str) -> dict:
         raise ValueError(
             f"{index_dir} holds a {meta['kind']!r} index, not minhash"
         )
-    meta.setdefault("compacted_through", None)
+    meta.setdefault("folded_batches", None)
     return meta
 
 
@@ -371,12 +373,12 @@ def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     both rewrites stage non-destructively before meta is touched).
     The bands table's layout contract (partitioned by band, sorted by
     bh within partitions) is restored during the rewrite; query
-    results are unchanged. Records ``compacted_through`` so a
+    results are unchanged. Records the folded batch set so a
     post-compaction replay of a folded batch fails loudly instead of
     self-matching. Run at a quiescent point only (no uncommitted
     streaming batch)."""
     meta = _read_mh_meta(spark, index_dir)
-    wm = _folded_watermark(spark, index_dir, "shingles")
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "shingles"))
     swaps = _staged_compactions(
         spark,
         index_dir,
@@ -393,7 +395,7 @@ def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     for swap in swaps:
         swap()
     spark.createDataFrame(
-        [{**meta, "compacted_through": wm or meta.get("compacted_through")}],
+        [{**meta, "folded_batches": folded}],
         _MH_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 

@@ -283,6 +283,14 @@ def ingest_containment_stream(
     ASSEMBLED from existing content, the metric CDC chunking exists
     for (moved-but-unchanged passages still match under edits).
 
+    WITHIN-batch gating included: scoring uses the index's
+    ``query_gated`` law (``cdc.containment_scores_within``) — a chunk
+    counts as seen if it is stored OR held by a smaller-id document in
+    the same micro-batch, so a document assembled from batch-mates is
+    rejected even on the very first batch. Deterministic by id order,
+    independent of arrival order; see the law's docstring for the
+    one-pass-vs-sequential corner.
+
     Exactly-once by the module's uniform pattern: corpus rows under
     ``__batch_id`` dynamic-overwrite partitions, index chunks under a
     ``__batch={tag}`` partition (``cdc_index_add`` is replay-
@@ -293,6 +301,10 @@ def ingest_containment_stream(
     tag; a pre-seeded index composes unchanged. Returns the
     StreamingQuery."""
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import _fs_exists
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import (
+        cdc_chunks,
+        containment_scores_within,
+    )
     from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
         cdc_index_add,
         cdc_index_build,
@@ -305,26 +317,37 @@ def ingest_containment_stream(
         batch_df = batch_df.persist()
         pinned: list[DataFrame] = []
         try:
-            if _fs_exists(spark, f"{index_dir}/meta"):
+            have_index = _fs_exists(spark, f"{index_dir}/meta")
+            if have_index:
                 index = cdc_index_load(spark, index_dir)
-                scores = index.query(batch_df, exclude_batch=tag)
-                rejected = scores.filter(
-                    F.col("containment") > max_containment
-                ).select(F.col("doc_id").alias(id_col))
-                # persist: the gated survivor lineage (batch chunk pass
-                # + stored-hash join) feeds both the corpus write and
-                # the index add — unpinned it would re-chunk per action
-                survivors = batch_df.join(
-                    rejected, id_col, "left_anti"
-                ).persist()
-                pinned.append(survivors)
-                (
-                    survivors.withColumn("__batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("__batch_id")
-                    .parquet(corpus_path)
+                scores = index.query_gated(batch_df, exclude_batch=tag)
+            else:
+                # first batch: no stored chunks yet, but the
+                # within-batch law still applies (a doc assembled from
+                # batch-mates must not seed the corpus)
+                scores = containment_scores_within(
+                    cdc_chunks(batch_df, id_col, text_col, window, divisor),
+                    spark.createDataFrame([], "chunk_hash string"),
+                    batch_df.select(
+                        F.col(id_col).alias("doc_id")
+                    ).distinct(),
                 )
+            rejected = scores.filter(
+                F.col("containment") > max_containment
+            ).select(F.col("doc_id").alias(id_col))
+            # persist: the gated survivor lineage (batch chunk pass
+            # + stored-hash join) feeds both the corpus write and
+            # the index add — unpinned it would re-chunk per action
+            survivors = batch_df.join(rejected, id_col, "left_anti").persist()
+            pinned.append(survivors)
+            (
+                survivors.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(corpus_path)
+            )
+            if have_index:
                 cdc_index_add(
                     survivors.select(id_col, text_col),
                     index_dir,
@@ -332,15 +355,8 @@ def ingest_containment_stream(
                     batch_id=tag,
                 )
             else:
-                (
-                    batch_df.withColumn("__batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("__batch_id")
-                    .parquet(corpus_path)
-                )
                 cdc_index_build(
-                    batch_df.select(id_col, text_col),
+                    survivors.select(id_col, text_col),
                     index_dir,
                     id_col=id_col,
                     text_col=text_col,
