@@ -392,3 +392,118 @@ def test_ivf_index_add_replay_is_idempotent(spark, sf_dir, tmp_path):
     ivf_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
     assert spark.read.parquet(f"{idx}/assigned").count() == n
     assert n == emb.count()
+
+
+def _skew_batch(spark, emb, n=400):
+    """A deterministic add batch of near-identical vectors (tiny
+    per-row jitter on the first element of vec 0's embedding) — every
+    row lands in the same inverted list, the adds-forever drift case."""
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    v0 = [float(x) for x in base[0][0]]
+    return spark.range(n).select(
+        (F.col("id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(v0[0]) + F.col("id").cast("double") * 1e-5),
+            F.array(*[F.lit(x) for x in v0[1:]]),
+        )
+        # match the store's element type (float) so the exact-oracle
+        # comparison scores the same bits the index serves
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+
+def test_ivf_rebalance_splits_skewed_list_and_preserves_recall(
+    spark, sf_dir, tmp_path
+):
+    """Skewed adds concentrate in one frozen list; rebalance must (a)
+    detect it via the needs_rebalance law, (b) split it into
+    sub-lists so the max/mean ratio recovers, (c) keep EVERY stored
+    vector (full-probe search stays the exact brute force over the
+    union corpus), and (d) refuse pre-rebalance batch replays."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_add,
+        ivf_index_rebalance,
+        ivf_index_stats,
+        needs_rebalance,
+    )
+    from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="base")
+    skew = _skew_batch(spark, emb, n=400)
+    ivf_index_add(skew, idx, new_corpus_tag="skewed", batch_id="b1")
+    stats = ivf_index_stats(spark, idx).collect()
+    hot = needs_rebalance(stats, max_ratio=2.0)
+    assert len(hot) == 1  # the law sees the drift
+    before_max = max(r["n_vectors"] for r in stats)
+    split = ivf_index_rebalance(spark, idx, max_ratio=2.0)
+    assert split == hot
+    loaded = ivf_index_load(spark, idx)
+    n_lists = len(loaded.centroids)
+    assert n_lists > 4  # sub-lists appended, ids stay 0..N-1
+    after = {
+        r["centroid"]: r["n_vectors"]
+        for r in ivf_index_stats(spark, idx).collect()
+    }
+    assert set(after) <= set(range(n_lists))
+    assert max(after.values()) < before_max  # the hot list shrank
+    # every vector kept, none duplicated
+    assert sum(after.values()) == emb.count() + 400
+    # full probe == exact brute force over the union corpus
+    union = emb.select("vec_id", "embedding").unionByName(skew)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(QV, k=10, nprobe=n_lists).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in union.select(
+            "vec_id",
+            cosine_similarity(
+                "embedding", F.lit(QV).cast("array<double>")
+            ).alias("score"),
+        ).orderBy(F.desc("score"), "vec_id").limit(10).collect()
+    ]
+    assert got == want
+    # pre-rebalance replay must refuse (rows were folded to base)
+    with pytest.raises(ValueError, match="folded into base"):
+        ivf_index_add(skew, idx, new_corpus_tag="again", batch_id="b1")
+    # a FRESH add still works and assigns over the grown centroid set
+    more = _skew_batch(spark, emb, n=10).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_add(more, idx, new_corpus_tag="more", batch_id="b2")
+    assert spark.read.parquet(f"{idx}/assigned").count() == (
+        emb.count() + 410
+    )
+    # ensure with the ORIGINAL build params still LOADS (rebalance
+    # keeps the training identity; a rebuild would reset the list
+    # count and silently undo the maintenance)
+    again = ensure_ivf_index(
+        emb, str(tmp_path / "ivf"), corpus_tag="more", n_centroids=4
+    )
+    assert len(again.centroids) == n_lists
+
+
+def test_ivf_rebalance_noop_on_healthy_index(spark, sf_dir, tmp_path):
+    """A balanced index is untouched: empty return, same files."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_rebalance,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(_emb(spark, sf_dir), idx, n_centroids=4,
+                    corpus_tag="base")
+    mtimes = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _d, fs in os.walk(idx) for f in fs
+    }
+    assert ivf_index_rebalance(spark, idx, max_ratio=4.0) == []
+    assert mtimes == {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _d, fs in os.walk(idx) for f in fs
+    }

@@ -1,0 +1,299 @@
+"""Index DELETE (takedown / right-to-erasure) on all four persisted
+stores. The contract pinned here: ``delete(ids)`` → query ≡
+rebuild-without-those-ids → query (result identity), the serving
+layout survives, and a pre-delete batch replay raises via the
+folded-batch guard (a replayed add must not resurrect erased rows).
+CDC additionally pins the SHARED-chunk law: a hash leaves the store
+only when no surviving document still holds it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+    ivf_index_add,
+    ivf_index_build,
+    ivf_index_delete,
+    ivf_index_load,
+    pq_index_add,
+    pq_index_build,
+    pq_index_delete,
+    pq_index_load,
+)
+from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+    cdc_index_add,
+    cdc_index_build,
+    cdc_index_delete,
+    cdc_index_load,
+)
+from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+    minhash_index_add,
+    minhash_index_build,
+    minhash_index_delete,
+    minhash_index_load,
+)
+
+QV = [0.1] * 64
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_ivf_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dead = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 7 == 3)
+            .select("vec_id").collect()]
+    # deleted store: build half, add the rest, then delete
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=4,
+        corpus_tag="half", seed=7,
+    )
+    ivf_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1), idx,
+        new_corpus_tag="full", batch_id="b1",
+    )
+    ivf_index_delete(spark, idx, dead, new_corpus_tag="post")
+    loaded = ivf_index_load(spark, idx)
+    assert loaded.meta["corpus_tag"] == "post"
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(QV, k=10, nprobe=4).collect()
+    ]
+    # identity 1: the lists == a never-deleted twin's lists minus the
+    # dead rows (same build input + seed -> identical centroids)
+    ref = str(tmp_path / "ivf_ref")
+    ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), ref, n_centroids=4,
+        corpus_tag="half", seed=7,
+    )
+    ivf_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1), ref,
+        new_corpus_tag="full", batch_id="b1",
+    )
+    got_lists = {
+        (r["vec_id"], r["centroid"])
+        for r in spark.read.parquet(f"{idx}/assigned")
+        .select("vec_id", "centroid").collect()
+    }
+    want_lists = {
+        (r["vec_id"], r["centroid"])
+        for r in spark.read.parquet(f"{ref}/assigned")
+        .select("vec_id", "centroid").collect()
+        if r["vec_id"] not in set(dead)
+    }
+    assert got_lists == want_lists
+    # identity 2: full-probe search == exact cosine top-k over the
+    # surviving vectors (nprobe = all lists -> exhaustive)
+    alive = emb.filter(F.col("vec_id") % 7 != 3)
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in alive.select(
+            "vec_id",
+            cosine_similarity(
+                "embedding", F.lit(QV).cast("array<double>")
+            ).alias("score"),
+        ).orderBy(F.desc("score"), "vec_id").limit(10).collect()
+    ]
+    assert got == want
+    # layout: centroid stays the first partition level, all base
+    assert any(d.startswith("centroid=") for d in os.listdir(f"{idx}/assigned"))
+    batches = {
+        r["__batch"]
+        for r in spark.read.parquet(f"{idx}/assigned")
+        .select("__batch").distinct().collect()
+    }
+    assert batches == {"base"}
+    # pre-delete batch replay must refuse
+    with pytest.raises(ValueError, match="folded into base"):
+        ivf_index_add(
+            emb.filter(F.col("vec_id") % 2 == 1), idx,
+            new_corpus_tag="zzz", batch_id="b1",
+        )
+
+
+def test_pq_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    # dead ids are ODD only -> never in the codebook training sample
+    # (PQ trains on the id-sorted head of the EVEN build input), so a
+    # rebuild-without trains byte-identical codebooks and the
+    # delete-vs-rebuild query comparison is exact
+    dead = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 10 == 7)
+            .select("vec_id").collect()]
+    alive = emb.filter(F.col("vec_id") % 10 != 7)
+    idx = str(tmp_path / "pq")
+    pq_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, n_centroids=16,
+        corpus_tag="half",
+    )
+    pq_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1), idx,
+        new_corpus_tag="full", batch_id="b1",
+    )
+    pq_index_delete(spark, idx, dead, new_corpus_tag="post")
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq_index_load(spark, idx)
+        .search(QV, k=10, candidates=1_000_000, rerank_corpus=alive)
+        .collect()
+    ]
+    # rebuild-without: same build input, add only the surviving odds
+    ref = str(tmp_path / "pq_ref")
+    pq_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), ref, m=8, n_centroids=16,
+        corpus_tag="half",
+    )
+    pq_index_add(
+        alive.filter(F.col("vec_id") % 2 == 1), ref,
+        new_corpus_tag="post", batch_id="b1",
+    )
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq_index_load(spark, ref)
+        .search(QV, k=10, candidates=1_000_000, rerank_corpus=alive)
+        .collect()
+    ]
+    assert got == want and len(got) == 10
+    assert not ({v for v, _ in got} & set(dead))
+    # codes table == the twin's codes minus nothing (dead rows gone)
+    got_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{idx}/codes")
+        .select("vec_id", "codes").collect()
+    }
+    want_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{ref}/codes")
+        .select("vec_id", "codes").collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_minhash_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    d = _docs(spark, sf_dir)
+    params = dict(num_hashes=32, bands=16, k=3, hash_family="portable")
+    corpus = d.filter(F.col("doc_id") % 5 <= 2)
+    dead = [r["doc_id"] for r in corpus.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id").collect()]
+    probe = d.filter(F.col("doc_id") % 5 == 4)
+
+    idx = str(tmp_path / "mh")
+    minhash_index_build(
+        d.filter(F.col("doc_id") % 5 <= 1), idx, corpus_tag="a", **params
+    )
+    minhash_index_add(
+        d.filter(F.col("doc_id") % 5 == 2), idx,
+        new_corpus_tag="ab", batch_id="b1",
+    )
+    minhash_index_delete(spark, idx, dead, new_corpus_tag="post")
+    got = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in minhash_index_load(spark, idx)
+        .query(probe, threshold=0.2).collect()
+    )
+    # rebuild from the corpus minus the dead docs
+    ref = str(tmp_path / "mh_ref")
+    minhash_index_build(
+        corpus.filter(~F.col("doc_id").isin(dead)), ref,
+        corpus_tag="post", **params,
+    )
+    want = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in minhash_index_load(spark, ref)
+        .query(probe, threshold=0.2).collect()
+    )
+    assert got == want and want  # identity, and non-vacuous
+    assert not ({o for _, o, _ in got} & set(dead))
+    # bands layout contract survives the rewrite
+    assert any(x.startswith("band=") for x in os.listdir(f"{idx}/bands"))
+
+
+def test_cdc_delete_shared_chunk_exactness(spark, tmp_path):
+    """doc 1 and doc 2 share a passage; doc 2 also has unique content.
+    Deleting doc 2 must keep the shared hashes (doc 1 still holds
+    them) and drop doc 2's unique hashes — so a re-submission of doc 1
+    still scores containment 1.0 and a re-submission of doc 2 scores
+    strictly between 0 and 1."""
+    shared = " ".join(f"common{(i * 7) % 997}" for i in range(120))
+    unique = " ".join(f"only{(i * 13) % 991}" for i in range(120))
+    corpus = spark.createDataFrame(
+        [(1, shared), (2, shared + " " + unique)],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "cdc")
+    cdc_index_build(corpus, idx, corpus_tag="a")
+    cdc_index_delete(spark, idx, [2], new_corpus_tag="post")
+    index = cdc_index_load(spark, idx)
+    assert index.meta["corpus_tag"] == "post"
+    resub = spark.createDataFrame(
+        [(101, shared), (102, shared + " " + unique)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in index.query(resub).collect()}
+    assert rows[101]["containment"] == 1.0  # survivor's content intact
+    assert 0.0 < rows[102]["containment"] < 1.0  # unique part erased
+    # result identity vs rebuild-without
+    ref = str(tmp_path / "cdc_ref")
+    cdc_index_build(
+        corpus.filter(F.col("doc_id") != 2), ref, corpus_tag="post"
+    )
+    want = sorted(
+        (r["doc_id"], r["n_chunks"], r["n_seen"])
+        for r in cdc_index_load(spark, ref).query(resub).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_chunks"], r["n_seen"])
+        for r in index.query(resub).collect()
+    )
+    assert got == want
+    # owners pruned with the doc
+    owners = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/owners")
+        .select("doc_id").distinct().collect()
+    }
+    assert owners == {1}
+
+
+def test_cdc_delete_then_add_and_replay_guard(spark, sf_dir, tmp_path):
+    """Lifecycle composition: build + add + delete + fresh add all
+    compose; a replay of the PRE-delete add raises (it could resurrect
+    erased hashes); querying with a fresh unordered tag still works."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = str(tmp_path / "cdc")
+    cdc_index_build(d.filter(F.col("doc_id") % 4 == 1), idx, corpus_tag="a")
+    cdc_index_add(
+        d.filter(F.col("doc_id") % 4 == 2), idx,
+        new_corpus_tag="ab", batch_id="b1",
+    )
+    dead = [r["doc_id"] for r in d.filter(
+        (F.col("doc_id") % 4 == 2) & (F.col("doc_id") % 8 == 2))
+        .select("doc_id").collect()]
+    cdc_index_delete(spark, idx, dead, new_corpus_tag="post")
+    with pytest.raises(ValueError, match="folded into base"):
+        cdc_index_add(
+            d.filter(F.col("doc_id") % 4 == 2), idx,
+            new_corpus_tag="ab", batch_id="b1",
+        )
+    # fresh add + query with a fresh md5-ish tag proceed normally
+    cdc_index_add(
+        d.filter(F.col("doc_id") % 4 == 3), idx,
+        new_corpus_tag="abc", batch_id="0ddba11cafe",
+    )
+    probe = d.filter(F.col("doc_id") % 4 == 0)
+    assert cdc_index_load(spark, idx).query(
+        probe, exclude_batch="00000000dead"
+    ).count() == probe.count()

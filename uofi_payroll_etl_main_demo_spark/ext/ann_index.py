@@ -58,7 +58,10 @@ from uofi_payroll_etl_main_demo_spark.functions.vectors import (
 # all fresh tags sorted below the watermark and spuriously raised
 # "folded into base". A v2 meta's watermark can't be widened into a set
 # (the tags it covered are gone), so v2 stores rebuild.
-INDEX_FORMAT_VERSION = 3
+# v4 (round 8): the CDC store gains an owners provenance table (the
+# exact-erasure support for cdc_index_delete); a store without it
+# cannot serve deletes, so pre-owners stores rebuild.
+INDEX_FORMAT_VERSION = 4
 
 _META_SCHEMA = T.StructType(
     [
@@ -289,6 +292,128 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def needs_rebalance(stats_rows, max_ratio: float = 4.0) -> "list[int]":
+    """The drift-threshold LAW acting on :func:`ivf_index_stats`
+    output: a list is oversized when its vector count exceeds
+    ``max_ratio ×`` the mean list size. Returns the oversized centroid
+    ids (empty = healthy). Driver-side over ≤ #lists rows — the check
+    a maintenance scheduler runs after every add cycle; the 4× default
+    is where the probe-time regression became measurable in the
+    recorded skew probe (BASELINE.md round-8)."""
+    rows = list(stats_rows)
+    if not rows:
+        return []
+    total = sum(r["n_vectors"] for r in rows)
+    mean = total / len(rows)
+    return [r["centroid"] for r in rows if r["n_vectors"] > max_ratio * mean]
+
+
+def ivf_index_rebalance(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_ratio: float = 4.0,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> "list[int]":
+    """Act on the drift :func:`ivf_index_stats` reports: SPLIT every
+    oversized inverted list (vector count > ``max_ratio ×`` mean —
+    the :func:`needs_rebalance` law) by training sub-centroids on that
+    list's own vectors and reassigning globally. Adds-forever skews
+    lists because adds assign to FROZEN centroids; a skewed list makes
+    every probe that touches it pay its full scan, so serving latency
+    decays silently — this is the maintenance op that recovers it
+    WITHOUT retraining the whole index (split lists retrain on their
+    own vectors only; a partition-pruned scan per split).
+
+    Mechanics: each oversized list c gets ``ceil(n_c / mean)``
+    sub-centroids (k-means over the list's vectors, deterministic
+    seed); sub-centroid 0 reuses id c, the rest append contiguous new
+    ids (the centroid table stays 0..N-1, the contract the driver-side
+    probe ranking relies on). The whole assigned table is then
+    re-assigned under the ONE shared law (``_nearest_centroid_expr``)
+    and rewritten via the staged swap, folding batches to base —
+    pre-rebalance replays raise via ``folded_batches``, the same
+    contract as delete/compact. Meta's ``n_centroids`` keeps the BUILD
+    param (the training identity ensure-loads key on); the live list
+    count is the centroid table's row count. Quiescent-point op.
+
+    Returns the centroid ids that were split (empty = healthy no-op,
+    nothing touched). Recall is preserved by construction — every
+    vector stays in the store, full probe stays the exact brute force
+    (pinned in tests/test_ann_index.py)."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    stats = (
+        spark.read.parquet(f"{index_dir}/assigned")
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .collect()
+    )
+    split_ids = needs_rebalance(stats, max_ratio)
+    if not split_ids:
+        return []
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec_col = meta["vec_col"]
+    counts = {r["centroid"]: r["n_vectors"] for r in stats}
+    mean = sum(counts.values()) / len(counts)
+    centroids = [
+        list(r["cvec"])
+        for r in spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("centroid")
+        .collect()
+    ]
+    assigned = spark.read.parquet(f"{index_dir}/assigned")
+    next_id = len(centroids)
+    for c in split_ids:
+        k_c = max(2, int(-(-counts[c] // max(mean, 1.0))))  # ceil
+        feats = (
+            assigned.filter(F.col("centroid") == c)  # partition-pruned
+            .select(vec_col)
+            .withColumn(
+                "__feat",
+                array_to_vector(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ),
+            )
+        )
+        model = KMeans(
+            k=k_c,
+            seed=seed + c,
+            maxIter=max_iter,
+            featuresCol="__feat",
+            predictionCol="__sub",
+        ).fit(feats)
+        subs = [list(cc) for cc in model.clusterCenters()]
+        centroids[c] = subs[0]
+        centroids.extend(subs[1:])
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "assigned"))
+    reassign = _nearest_centroid_expr(centroids, vec_col)
+    swaps = _staged_compactions(
+        spark,
+        index_dir,
+        [
+            (
+                "assigned",
+                ["centroid", "__batch"],
+                lambda df: df.withColumn("centroid", reassign),
+            )
+        ],
+    )
+    _invalidate_meta(spark, index_dir)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    for swap in swaps:
+        swap()
+    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+    return split_ids
+
+
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     """Fold every add's ``__batch`` partition of the inverted lists
     into ``base``. Query results are unchanged (serving never reads
@@ -323,6 +448,105 @@ def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
     for swap in swaps:
         swap()
     _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+
+
+def _ids_frame(spark: SparkSession, ids, col: str) -> DataFrame:
+    """Normalize a delete request into a one-column distinct id frame.
+    Accepts a DataFrame (its ``col`` column, or its only column) or any
+    iterable of ids — takedown lists are usually small, but a
+    DataFrame input scales the op to bulk erasure."""
+    if isinstance(ids, DataFrame):
+        src = ids if col in ids.columns else ids.select(
+            F.col(ids.columns[0]).alias(col)
+        )
+        return src.select(col).distinct()
+    rows = [(i,) for i in ids]
+    if not rows:
+        raise ValueError("empty id set: nothing to delete")
+    return spark.createDataFrame(rows, f"{col} bigint").distinct()
+
+
+def _staged_delete(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    data_table: str,
+    tables: "list[tuple]",
+    meta_update: dict,
+    write_meta,
+) -> None:
+    """Shared delete tail: record the folded-batch set (a delete folds
+    every ``__batch`` partition to base while rewriting, so any replay
+    of a pre-delete batch raises via the existing compaction guard
+    instead of resurrecting deleted rows), stage all rewrites
+    non-destructively, then swap + re-key meta. Same crash contract as
+    compaction; quiescent-point op (single writer, no uncommitted
+    streaming batch)."""
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, data_table))
+    swaps = _staged_compactions(spark, index_dir, tables)
+    _invalidate_meta(spark, index_dir)
+    for swap in swaps:
+        swap()
+    write_meta({**meta, "folded_batches": folded, **meta_update})
+
+
+def ivf_index_delete(
+    spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
+) -> None:
+    """Remove vectors by id from the IVF store — the takedown /
+    right-to-erasure op the add-forever lifecycle needs. A staged
+    rewrite of the inverted lists minus the ids (anti-join; layout and
+    probe pruning unchanged, centroids stay frozen — delete never
+    retrains), folding batches to base so pre-delete replays raise via
+    ``folded_batches``. ``new_corpus_tag`` is REQUIRED: the logical
+    corpus changed, and an ensure-load keyed to the old tag must
+    rebuild rather than serve rows the caller believes deleted."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
+    dead = _ids_frame(spark, ids, meta["id_col"])
+    _staged_delete(
+        spark,
+        index_dir,
+        meta,
+        "assigned",
+        [
+            (
+                "assigned",
+                ["centroid", "__batch"],
+                lambda df: df.join(dead, meta["id_col"], "left_anti"),
+            )
+        ],
+        {"corpus_tag": new_corpus_tag},
+        lambda row: _write_meta(spark, index_dir, row),
+    )
+
+
+def pq_index_delete(
+    spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
+) -> None:
+    """Remove vectors by id from the PQ store (codes rows; codebooks
+    stay frozen — delete never retrains). Same contract as
+    :func:`ivf_index_delete`."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    dead = _ids_frame(spark, ids, meta["id_col"])
+    _staged_delete(
+        spark,
+        index_dir,
+        meta,
+        "codes",
+        [
+            (
+                "codes",
+                ["__batch"],
+                lambda df: df.join(dead, meta["id_col"], "left_anti"),
+            )
+        ],
+        {"corpus_tag": new_corpus_tag},
+        lambda row: _write_meta(spark, index_dir, row),
+    )
 
 
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
@@ -551,6 +775,33 @@ def ensure_ivf_index(
     return ivf_index_load(spark, index_dir)
 
 
+def _nearest_centroid_expr(centroids: "list[list[float]]", vec_col: str):
+    """Argmin over per-centroid SQUARED EUCLIDEAN distance — the same
+    metric the build's KMeans assignment used (assigning by cosine
+    would file vectors into different lists than a rebuild would).
+    array_min on (d2, idx) structs: lexicographic min takes the
+    closest centroid, ties broken toward the lowest id. Pure JVM-side
+    expression (no Python boundary) — the ONE assignment law shared by
+    incremental adds and rebalance reassignment."""
+
+    def _d2(c: "list[float]"):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        diffs = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            clit,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = F.array(
+        *[
+            F.struct(_d2(c).alias("d2"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["i"].cast("int")
+
+
 def ivf_index_add(
     embeddings_new: DataFrame,
     index_dir: str,
@@ -597,30 +848,17 @@ def ivf_index_add(
         .orderBy("centroid")
         .collect()
     ]
-    # argmin over per-centroid SQUARED EUCLIDEAN distance — the same
-    # metric the build's KMeans assignment used (an add that assigned
-    # by cosine would file vectors into different lists than a rebuild
-    # would). array_min on (d2, idx) structs: lexicographic min takes
-    # the closest centroid, ties broken toward the lowest id.
-    def _d2(c: list[float]):
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        diffs = F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            clit,
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-    scored = F.array(
-        *[
-            F.struct(_d2(c).alias("d2"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
+    # cast to the STORE's element type (one footer read): a batch
+    # whose array element type differs (double vs float) would write
+    # mixed-typed partitions and make the whole table unreadable —
+    # scoring always runs in double either way
+    stored_vec_type = (
+        spark.read.parquet(f"{index_dir}/assigned").schema[vec_col].dataType
     )
     assigned = embeddings_new.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.array_min(scored)["i"].cast("int").alias("centroid"),
+        F.col(vec_col).cast(stored_vec_type).alias(vec_col),
+        _nearest_centroid_expr(centroids, vec_col).alias("centroid"),
         F.lit(batch_id if batch_id is not None else new_corpus_tag).alias(
             "__batch"
         ),

@@ -11,6 +11,13 @@ This module materializes the corpus' distinct chunk-hash set once:
                          anti-join against the stored set before
                          appending), so the serving join needs no
                          re-distinct; ~33 B per distinct chunk
+    {index_dir}/owners/  (doc_id, chunk_hash) provenance pairs,
+                         PARTITIONED BY __batch — which documents hold
+                         which chunks. NEVER read by the serving path;
+                         it exists so ``cdc_index_delete`` can erase a
+                         document EXACTLY: a chunk hash leaves the
+                         store only when no surviving document still
+                         holds it (a bare hash set cannot answer that)
     {index_dir}/meta/    one row: format version, params, corpus_tag
 
 Query cost is one chunk pass over the NEW batch plus a hash join of
@@ -88,15 +95,31 @@ def cdc_index_build(
     and must exclude/overwrite it on replay like any other batch)."""
     spark = corpus.sparkSession
     _invalidate_meta(spark, index_dir)
-    (
+    # one chunk pass feeds both tables: pin the distinct pairs so the
+    # owners write does not re-chunk the corpus
+    pairs = (
         cdc_chunks(corpus, id_col, text_col, window, divisor)
-        .select("chunk_hash")
+        .select("doc_id", "chunk_hash")
         .distinct()
-        .withColumn("__batch", F.lit(batch_tag))
-        .write.mode("overwrite")
-        .partitionBy("__batch")
-        .parquet(f"{index_dir}/chunks")
+        .persist()
     )
+    try:
+        (
+            pairs.select("chunk_hash")
+            .distinct()
+            .withColumn("__batch", F.lit(batch_tag))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(f"{index_dir}/chunks")
+        )
+        (
+            pairs.withColumn("__batch", F.lit(batch_tag))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(f"{index_dir}/owners")
+        )
+    finally:
+        pairs.unpersist()
     spark.createDataFrame(
         [
             {
@@ -226,7 +249,7 @@ def cdc_index_add(
         .filter(F.col("__batch") != tag)  # partition filter: replay-safe
         .select("chunk_hash")
     )
-    fresh = (
+    pairs = (
         cdc_chunks(
             batch,
             meta["id_col"],
@@ -234,17 +257,34 @@ def cdc_index_add(
             meta["window"],
             meta["divisor"],
         )
-        .select("chunk_hash")
+        .select("doc_id", "chunk_hash")
         .distinct()
-        .join(stored_other, "chunk_hash", "left_anti")
+        .persist()  # feeds the fresh-hash write AND the owners write
     )
-    (
-        fresh.withColumn("__batch", F.lit(tag))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch")
-        .parquet(f"{index_dir}/chunks")
-    )
+    try:
+        fresh = (
+            pairs.select("chunk_hash")
+            .distinct()
+            .join(stored_other, "chunk_hash", "left_anti")
+        )
+        (
+            fresh.withColumn("__batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(f"{index_dir}/chunks")
+        )
+        # owners records ALL of the batch's pairs (not just fresh
+        # hashes): erasure refcounting needs every holder of a hash
+        (
+            pairs.withColumn("__batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(f"{index_dir}/owners")
+        )
+    finally:
+        pairs.unpersist()
     spark.createDataFrame(
         [{**meta, "corpus_tag": new_corpus_tag}], _CDC_META_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
@@ -263,7 +303,9 @@ def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
     meta = _read_cdc_meta(spark, index_dir)
     folded = _merge_folded(meta, _folded_tags(spark, index_dir, "chunks"))
     swaps = _staged_compactions(
-        spark, index_dir, [("chunks", ["__batch"], None)]
+        spark,
+        index_dir,
+        [("chunks", ["__batch"], None), ("owners", ["__batch"], None)],
     )
     _invalidate_meta(spark, index_dir)
     for swap in swaps:
@@ -272,6 +314,67 @@ def cdc_index_compact(spark: SparkSession, index_dir: str) -> None:
         [{**meta, "folded_batches": folded}],
         _CDC_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def cdc_index_delete(
+    spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
+) -> None:
+    """Erase documents by id from the CDC store — EXACTLY: a chunk
+    hash leaves the serving set only when NO surviving document still
+    holds it (the owners provenance table answers that; a bare hash
+    set cannot, which is why the table exists). Cost is one owners
+    scan + two hash joins — never a corpus re-chunk.
+
+    Staged rewrite of both tables minus the dead rows, folding batches
+    to base so a pre-delete replay raises via ``folded_batches`` (a
+    replayed add could otherwise resurrect erased hashes).
+    ``new_corpus_tag`` REQUIRED — the corpus changed. Quiescent-point
+    op, same as compaction."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _ids_frame,
+        _staged_delete,
+    )
+
+    meta = _read_cdc_meta(spark, index_dir)
+    dead_ids = _ids_frame(spark, ids, "doc_id")
+    owners = spark.read.parquet(f"{index_dir}/owners")
+    # hashes held by a dead doc AND by no surviving doc
+    dead_hashes = (
+        owners.join(dead_ids, "doc_id", "left_semi")
+        .select("chunk_hash")
+        .distinct()
+        .join(
+            owners.join(dead_ids, "doc_id", "left_anti").select("chunk_hash"),
+            "chunk_hash",
+            "left_anti",
+        )
+    )
+
+    def _write(row: dict) -> None:
+        spark.createDataFrame([row], _CDC_META_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/meta")
+
+    _staged_delete(
+        spark,
+        index_dir,
+        meta,
+        "chunks",
+        [
+            (
+                "chunks",
+                ["__batch"],
+                lambda df: df.join(dead_hashes, "chunk_hash", "left_anti"),
+            ),
+            (
+                "owners",
+                ["__batch"],
+                lambda df: df.join(dead_ids, "doc_id", "left_anti"),
+            ),
+        ],
+        {"corpus_tag": new_corpus_tag},
+        _write,
+    )
 
 
 def ensure_cdc_index(

@@ -400,6 +400,55 @@ def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
+def minhash_index_delete(
+    spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
+) -> None:
+    """Remove documents by id from the LSH store — band rows and
+    shingle sets both (a dangling band row would still surface the
+    deleted doc as a candidate; a dangling shingle set would verify
+    it). Staged rewrite minus the ids, folding batches to base so
+    pre-delete replays raise via ``folded_batches`` (see
+    ann_index._staged_delete); the bands table's layout contract
+    (partitioned by band, sorted by bh) is restored during the
+    rewrite. ``new_corpus_tag`` REQUIRED — the corpus changed."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _ids_frame,
+        _staged_delete,
+    )
+
+    meta = _read_mh_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    dead = _ids_frame(spark, ids, id_col)
+
+    def _write(row: dict) -> None:
+        spark.createDataFrame([row], _MH_META_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/meta")
+
+    _staged_delete(
+        spark,
+        index_dir,
+        meta,
+        "shingles",
+        [
+            (
+                "bands",
+                ["band", "__batch"],
+                lambda df: df.join(dead, id_col, "left_anti")
+                .repartition("band")
+                .sortWithinPartitions("bh"),
+            ),
+            (
+                "shingles",
+                ["__batch"],
+                lambda df: df.join(dead, id_col, "left_anti"),
+            ),
+        ],
+        {"corpus_tag": new_corpus_tag},
+        _write,
+    )
+
+
 def ensure_minhash_index(
     corpus: DataFrame,
     index_dir: str,

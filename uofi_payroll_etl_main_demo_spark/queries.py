@@ -2599,6 +2599,98 @@ REGISTRY["ext_pq_filtered_query"] = (
 )
 
 
+def _ensure_sf_ivf_postdelete_index(spark, sf_dir):
+    """IVF store with ``vec_id % 7 == 3`` ERASED via ivf_index_delete
+    — the takedown lifecycle's serving state. Idempotent per corpus
+    snapshot: when meta already carries the post-delete tag the store
+    loads (zero build/delete work on repeat queries); otherwise it
+    builds from the FULL corpus and deletes, so the row exercises the
+    real erase path, never a convenient build-without."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _fs_exists,
+        _read_meta,
+        corpus_fingerprint,
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_load,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fp = corpus_fingerprint(emb_path)
+    post_tag = f"{fp}:del-vec7m3"
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"ivf8del_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if _fs_exists(spark, f"{idx_dir}/meta"):
+        try:
+            meta = _read_meta(spark, idx_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["kind"] == "ivf"
+            and meta["corpus_tag"] == post_tag
+            and meta["n_centroids"] == 8
+        ):
+            return ivf_index_load(spark, idx_dir)
+    ivf_index_build(
+        emb, idx_dir, n_centroids=8, corpus_tag=f"{fp}:pre-delete"
+    )
+    ivf_index_delete(
+        spark,
+        idx_dir,
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+        new_corpus_tag=post_tag,
+    )
+    return ivf_index_load(spark, idx_dir)
+
+
+def q_ivf_postdelete_query(spark, sf_dir):
+    """Serving AFTER a takedown (ext/ann_index.py ivf_index_delete):
+    vectors with ``vec_id % 7 == 3`` were erased from the persisted
+    store (staged rewrite, batches folded, replay of pre-delete
+    batches refused), and full-probe top-k must now equal the exact
+    brute force over the SURVIVORS — the oracle proves deleted rows
+    are gone from the serving path, not merely filtered at query
+    time (the search runs with no filter_ids)."""
+    index = _ensure_sf_ivf_postdelete_index(spark, sf_dir)
+    out = index.search(QUERY_VEC, k=10, nprobe=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_ivf_postdelete_query"] = (
+    q_ivf_postdelete_query,
+    _sql_topk_cosine(where="WHERE vec_id % 7 != 3"),
+)
+
+
+def q_ivf_autowiden_query(spark, sf_dir):
+    """Filtered-ANN RECALL BACKSTOP under an extreme predicate
+    (``vec_id % 101 == 7`` keeps ~1% of ids): starting at nprobe=1,
+    ``auto_widen`` doubles the probe until k survivors exist or every
+    list is probed. With k above the match count the widening is
+    forced all the way to the exact filtered brute force, so the
+    oracle value-checks the whole degrade-gracefully path — the
+    serving-quality guarantee a RAG user asks about first
+    (intermediate-nprobe recall is data-adaptive and stays pinned in
+    tests/test_ann_index.py)."""
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    out = index.search(
+        QUERY_VEC, k=40, nprobe=1, filter_ids=allowed, auto_widen=True
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_ivf_autowiden_query"] = (
+    q_ivf_autowiden_query,
+    _sql_topk_cosine(k=40, where="WHERE vec_id % 101 = 7"),
+)
+
+
 def _sql_dedup_clusters() -> str:
     """Transitive closure of the ngram pair graph; component = min
     reachable id (exactly what min-label propagation converges to)."""
@@ -9710,6 +9802,96 @@ def q_cdc_containment_index(spark, sf_dir):
 REGISTRY["ext_cdc_containment_index"] = (
     q_cdc_containment_index,
     _SQL_CDC_CONTAINMENT,
+)
+
+
+def q_cdc_containment_postdelete(spark, sf_dir):
+    """Containment serving AFTER a takedown (ext/cdc_index.py
+    cdc_index_delete): corpus docs with ``doc_id % 8 == 1`` were
+    erased from the persisted chunk store, and the oracle recomputes
+    containment from the raw documents WITHOUT them — value-equality
+    proves the owners-table refcounting is EXACT: hashes shared with
+    surviving docs stayed, hashes only the erased docs held are gone
+    (a bare hash-set store cannot make that distinction). Idempotent
+    per corpus snapshot via the post-delete tag."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _fs_exists,
+        corpus_fingerprint,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        _read_cdc_meta,
+        cdc_index_build,
+        cdc_index_delete,
+        cdc_index_load,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = corpus_fingerprint(doc_path)
+    post_tag = f"mod4!=0-del8m1:{fp}"
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"cdcdel{_CDC_W}x{_CDC_D}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index = None
+    if _fs_exists(spark, f"{idx_dir}/meta"):
+        try:
+            meta = _read_cdc_meta(spark, idx_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["corpus_tag"] == post_tag
+            and meta["window"] == _CDC_W
+            and meta["divisor"] == _CDC_D
+        ):
+            index = cdc_index_load(spark, idx_dir)
+    if index is None:
+        cdc_index_build(
+            corpus,
+            idx_dir,
+            window=_CDC_W,
+            divisor=_CDC_D,
+            corpus_tag=f"mod4!=0:{fp}",
+        )
+        cdc_index_delete(
+            spark,
+            idx_dir,
+            corpus.filter(F.col("doc_id") % 8 == 1).select("doc_id"),
+            new_corpus_tag=post_tag,
+        )
+        index = cdc_index_load(spark, idx_dir)
+    return index.query(batch)
+
+
+_SQL_CDC_CONTAINMENT_POSTDELETE = f"""WITH {_sql_cdc_chunk_table(
+        where="WHERE doc_id % 4 != 0 AND doc_id % 8 != 1", p="co_")},
+{_sql_cdc_chunk_table(where="WHERE doc_id % 4 = 0", p="ba_")},
+old AS (SELECT DISTINCT chunk_hash FROM co_chunk_table),
+marked AS (
+  SELECT b.doc_id, b.chunk_hash,
+         CASE WHEN o.chunk_hash IS NOT NULL THEN 1 END AS seen
+  FROM ba_chunk_table b LEFT JOIN old o USING (chunk_hash)
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_chunks, count(seen) AS n_seen
+  FROM marked GROUP BY doc_id
+),
+base AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0)
+SELECT base.doc_id,
+       CAST(coalesce(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen,
+       CASE WHEN coalesce(s.n_chunks, 0) = 0 THEN NULL
+            ELSE round(s.n_seen * 1.0 / s.n_chunks, 6) END AS containment
+FROM base LEFT JOIN scored s USING (doc_id)
+"""
+
+REGISTRY["ext_cdc_containment_postdelete"] = (
+    q_cdc_containment_postdelete,
+    _SQL_CDC_CONTAINMENT_POSTDELETE,
 )
 
 
