@@ -146,6 +146,29 @@ HEADLINE = [
     "ext_ivf_filtered_query",
     "ext_pq_filtered_query",
     "ext_video_keyframes_avi",
+    # round 8: takedown-lifecycle serving (post-delete queries answer
+    # from stores the erase op rewrote) and the filtered-ANN recall
+    # backstop under an extreme predicate
+    "ext_ivf_postdelete_query",
+    "ext_cdc_containment_postdelete",
+    "ext_ivf_autowiden_query",
+]
+
+# Headline rows whose DuckDB oracle does NOT perform equivalent work
+# (closed-form SQL or an in-process scan of <=2k rows vs a real
+# distributed computation) — their per-query ratios measure the
+# local-mode job floor, not engine efficiency. Emitted in the bench
+# JSON so ratio readers can report the aggregate both ways
+# (BASELINE.md round-8 "headline-ratio split").
+CLOSED_FORM_ORACLE = [
+    "ext_ivf_index_query",
+    "ext_ivf_index_query_probe",
+    "ext_pq_index_query",
+    "ext_ivf_filtered_query",
+    "ext_pq_filtered_query",
+    "ext_ivf_postdelete_query",
+    "ext_ivf_autowiden_query",
+    "ext_video_keyframes_avi",
 ]
 
 
@@ -188,6 +211,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "closed_form_oracle": CLOSED_FORM_ORACLE,
                 "sf": sf_val,
             }
         )

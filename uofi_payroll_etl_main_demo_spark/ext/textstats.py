@@ -319,10 +319,11 @@ def chunk_dedup_rewrite(
     was seen before rewrite to ''; empty docs stay '' with 0 chunks.
 
     Shape: the global keep-first decision runs over a NARROW key frame
-    — the hash-partitioned window shuffles ``(md5, id, chunk_idx)``
-    only, never text, so the skew-prone exchange (duplicate-heavy
-    corpora concentrate popular hashes) carries 48-byte rows at any
-    document size; per-doc winner lists (int arrays) then join back
+    — a map-side-combined ``min(struct(id, idx))`` per md5, so the
+    exchange carries one 48-byte row per distinct hash per task, never
+    text, and duplicate-heavy corpora SHRINK the shuffle instead of
+    skewing it (the r6-r7 row_number window form shuffled and sorted
+    every chunk key); per-doc winner lists (int arrays) then join back
     (one id-partitioned exchange, the only one carrying chunk text,
     and the reassembly groupBy reuses its partitioning). The exploded
     chunk frame feeds both consumers (keys + rebuild) through ONE
@@ -340,8 +341,6 @@ def chunk_dedup_rewrite(
     by anti-joining ids against the output); ``None`` (default)
     preserves every document.
     """
-    from pyspark.sql import Window
-
     from uofi_payroll_etl_main_demo_spark.cache import swap_pooled
 
     base = df
@@ -363,12 +362,23 @@ def chunk_dedup_rewrite(
     keys = chunks.select(
         F.col(id_col), "chunk_idx", F.md5("chunk_text").alias("__h")
     )
-    w = Window.partitionBy("__h").orderBy(id_col, "chunk_idx")
+    # keep-first as min(struct(id, idx)) per hash: lexicographic
+    # struct-min IS "first occurrence by (id, idx)", and unlike the
+    # row_number window it PARTIAL-AGGREGATES — the map side combines
+    # duplicate hashes before the exchange, so the shuffle carries one
+    # row per distinct hash per task instead of every chunk row
+    # through a sort (duplicate-heavy corpora shrink the exchange
+    # instead of skewing it; sf0.1 wall parity with the window form —
+    # the win is the shuffle-volume law, see the 32x probe row)
     keep = (
-        keys.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("chunk_idx").alias("__keep"))
+        keys.groupBy("__h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("chunk_idx").alias("x"))
+            ).alias("__w")
+        )
+        .groupBy(F.col("__w.i").alias(id_col))
+        .agg(F.collect_list("__w.x").alias("__keep"))
     )
     flagged = chunks.join(keep, id_col, "left").select(
         F.col(id_col),
@@ -752,6 +762,17 @@ def bigram_surprisal(
     )
 
 
+def bow_bucket_expr(tok_col, dim: int):
+    """The ONE hashed-BOW bucket law (md5 head → bigint → mod dim),
+    shared by the corpus embedder below and the positional passage
+    scorer in queries.py — two spellings of this hash would embed the
+    same token into different buckets."""
+    return (
+        F.conv(F.substring(F.md5(tok_col), 1, 15), 16, 10).cast("bigint")
+        % F.lit(dim)
+    )
+
+
 def hashed_bow_embeddings(
     df: DataFrame,
     text_col: str = "text",
@@ -780,13 +801,7 @@ def hashed_bow_embeddings(
     tok = df.select(
         *[F.col(c) for c in id_cols],
         F.explode(tokenize_ws(text_col)).alias("__t"),
-    ).select(
-        *id_cols,
-        (
-            F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
-            .cast("bigint") % F.lit(dim)
-        ).alias("__bk"),
-    )
+    ).select(*id_cols, bow_bucket_expr("__t", dim).alias("__bk"))
     aggs = [
         F.sum(F.when(F.col("__bk") == j, 1).otherwise(0))
         .cast("double")

@@ -8745,23 +8745,45 @@ def q_passage_topk(spark, sf_dir):
     TakeOrderedAndProject. Swapping the closed-form embedder for a
     model column changes nothing downstream."""
     from uofi_payroll_etl_main_demo_spark.ext.textstats import (
-        chunk_documents,
-        hashed_bow_embeddings,
+        bow_bucket_expr,
     )
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, size=32, stride=32)
-    emb = hashed_bow_embeddings(
-        chunks, text_col="chunk_text", id_col=["doc_id", "chunk_idx"]
+    # POSITIONAL chunking (r8): tumbling windows mean a token's chunk
+    # is floor(pos / size) — so the chunk-text rebuild (slice →
+    # array_join → re-tokenize → re-md5 per token of a string we just
+    # assembled) is pure waste; explode tokens ONCE with positions and
+    # bucket them directly. Identical values by construction: tokens
+    # contain no whitespace, so the join/split round-trip the old path
+    # did was the identity, and the bucket law is the shared
+    # bow_bucket_expr. The score arithmetic replays the embedder's
+    # exact association ((c_j / norm) * q_j, left-to-right, 0.0 seed)
+    # so results stay bit-identical to the hashed_bow_embeddings form.
+    dim, size = 16, 32
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokenize_ws("text")).alias("__p", "__t"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("__p") / size).cast("int").alias("chunk_idx"),
+        bow_bucket_expr("__t", dim).alias("__bk"),
     )
-    qlit = F.array(*[F.lit(float(x)) for x in _PASSAGE_QV])
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), qlit, lambda a, b: a * b),
+    aggs = [
+        F.sum(F.when(F.col("__bk") == j, 1).otherwise(0))
+        .cast("double")
+        .alias(f"__c{j}")
+        for j in range(dim)
+    ]
+    g = tok.groupBy("doc_id", "chunk_idx").agg(*aggs)
+    cols = [F.col(f"__c{j}") for j in range(dim)]
+    norm = F.sqrt(sum((c * c for c in cols), F.lit(0.0)))
+    score = sum(
+        ((c / norm) * F.lit(float(q)) for c, q in zip(cols, _PASSAGE_QV)),
         F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     best = (
-        emb.select("doc_id", "chunk_idx", dot.alias("__s"))
+        g.select("doc_id", "chunk_idx", score.alias("__s"))
         .groupBy("doc_id")
         .agg(F.max(F.struct(F.col("__s"), (-F.col("chunk_idx")).alias("__ni"))).alias("__b"))
         .select(
