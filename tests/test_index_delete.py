@@ -297,3 +297,63 @@ def test_cdc_delete_then_add_and_replay_guard(spark, sf_dir, tmp_path):
     assert cdc_index_load(spark, idx).query(
         probe, exclude_batch="00000000dead"
     ).count() == probe.count()
+
+
+def test_store_stats_panels(spark, sf_dir, tmp_path):
+    """Observability parity across stores: every persisted store
+    reports size + batch-count (and its skew meter where one exists);
+    counts reconcile with the underlying tables and track adds."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        pq_index_build,
+        pq_index_stats,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (
+        cdc_index_stats,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
+        minhash_index_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+
+    mh = str(tmp_path / "mh")
+    minhash_index_build(
+        d.filter(F.col("doc_id") % 3 == 0), mh, corpus_tag="a",
+        num_hashes=32, bands=16, k=3, hash_family="portable",
+    )
+    minhash_index_add(
+        d.filter(F.col("doc_id") % 3 == 1), mh,
+        new_corpus_tag="ab", batch_id="b1",
+    )
+    rows = minhash_index_stats(spark, mh).collect()
+    assert [r["band"] for r in rows] == sorted(r["band"] for r in rows)
+    assert sum(r["n_rows"] for r in rows) == (
+        spark.read.parquet(f"{mh}/bands").count()
+    )
+    assert max(r["n_batches"] for r in rows) == 2
+    assert all(r["max_bucket_size"] >= 1 for r in rows)
+
+    cdx = str(tmp_path / "cdc")
+    cdc_index_build(d.filter(F.col("doc_id") % 3 == 0), cdx, corpus_tag="a")
+    cdc_index_add(
+        d.filter(F.col("doc_id") % 3 == 1), cdx,
+        new_corpus_tag="ab", batch_id="b1",
+    )
+    row = cdc_index_stats(spark, cdx).collect()[0]
+    assert row["n_hashes"] == spark.read.parquet(f"{cdx}/chunks").count()
+    assert row["n_batches"] == 2
+    assert row["n_owner_pairs"] >= row["n_hashes"]  # provenance >= set
+    from uofi_payroll_etl_main_demo_spark.ext.cdc import cdc_chunks
+
+    want_docs = (
+        cdc_chunks(d.filter(F.col("doc_id") % 3 <= 1))
+        .select("doc_id").distinct().count()
+    )
+    assert row["n_docs"] == want_docs
+
+    pq = str(tmp_path / "pq")
+    pq_index_build(emb, pq, m=8, n_centroids=16, corpus_tag="a")
+    row = pq_index_stats(spark, pq).collect()[0]
+    assert row["n_codes"] == emb.count()
+    assert row["n_batches"] == 1

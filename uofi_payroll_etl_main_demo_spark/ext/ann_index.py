@@ -292,6 +292,20 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def pq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row health panel: (n_codes, n_batches) — PQ has no lists to
+    skew (ADC scans all codes), so the only drift meters are store
+    size vs the codebooks' training snapshot (retrain cadence) and
+    batch count vs the compaction cadence."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    return spark.read.parquet(f"{index_dir}/codes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+        F.countDistinct("__batch").alias("n_batches"),
+    )
+
+
 def needs_rebalance(stats_rows, max_ratio: float = 4.0) -> "list[int]":
     """The drift-threshold LAW acting on :func:`ivf_index_stats`
     output: a list is oversized when its vector count exceeds

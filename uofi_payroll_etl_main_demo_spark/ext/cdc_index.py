@@ -377,6 +377,24 @@ def cdc_index_delete(
     )
 
 
+def cdc_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row health panel: (n_hashes, n_batches, n_owner_pairs,
+    n_docs) — stored-set size vs provenance size is the erasure-cost
+    meter (owners rows per distinct hash ≈ how much shared content the
+    corpus carries), and n_batches against the compaction cadence is
+    the small-file meter, same as the other stores."""
+    _read_cdc_meta(spark, index_dir)  # kind + version guard
+    chunks = spark.read.parquet(f"{index_dir}/chunks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.countDistinct("__batch").alias("n_batches"),
+    )
+    owners = spark.read.parquet(f"{index_dir}/owners").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_owner_pairs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return chunks.crossJoin(owners)
+
+
 def ensure_cdc_index(
     corpus: DataFrame,
     index_dir: str,

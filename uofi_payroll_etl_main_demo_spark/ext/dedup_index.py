@@ -400,6 +400,31 @@ def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
+def minhash_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-band health panel: (band, n_rows, n_batches,
+    max_bucket_size) — the observability the LSH store's mega-bucket
+    valve is tuned against: ``max_bucket_size`` approaching the
+    query-time cap means boilerplate is concentrating in buckets and
+    candidate work is about to get clipped (raise the cap, or clean
+    the corpus). One aggregate over band rows (ids/keys only; shingle
+    sets never read)."""
+    _read_mh_meta(spark, index_dir)  # kind + version guard
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    buckets = bands.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__batch").alias("__nb"),
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.max("__nb").alias("n_batches"),
+            F.max("__n").cast("bigint").alias("max_bucket_size"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_index_delete(
     spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
 ) -> None:

@@ -8844,8 +8844,6 @@ def q_chunk_dedup_stats(spark, sf_dir):
     (doc_id, chunk_idx)), report per-doc survival — the
     paragraph-granularity dedup public pipelines run after doc-level
     dedup. The dedup shuffles (hash, id, idx) — never chunk text."""
-    from pyspark.sql import Window
-
     from uofi_payroll_etl_main_demo_spark.ext.textstats import (
         chunk_documents,
     )
@@ -8853,18 +8851,29 @@ def q_chunk_dedup_stats(spark, sf_dir):
     chunks = chunk_documents(
         _t(spark, sf_dir, "documents"), size=32, stride=32
     )
-    w = Window.partitionBy("__h").orderBy("doc_id", "chunk_idx")
-    ranked = chunks.select(
+    # same keep-first law as chunk_dedup_rewrite (min struct per hash,
+    # map-side combinable — the window form sorted every chunk key);
+    # the stats only need COUNTS per doc, so winners aggregate straight
+    # to (doc_id, n_surviving) and join the per-doc chunk counts on
+    # already-aligned partitioning — no chunk-key join-back at all
+    keys = chunks.select(
         "doc_id", "chunk_idx", F.md5("chunk_text").alias("__h")
-    ).withColumn("__rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_surviving"),
-        )
+    )
+    surv = (
+        keys.groupBy("__h")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("__w"))
+        .groupBy(F.col("__w.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_surviving"))
+    )
+    per_doc = keys.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return per_doc.join(surv, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_surviving", F.lit(0)).cast("bigint").alias(
+            "n_surviving"
+        ),
     )
 
 
@@ -10014,84 +10023,76 @@ HAVING count(DISTINCT doc_id) >= 2
 # Rows green in r1-r3 and untouched this round remain covered by
 # scripts/check_oracle.py + pytest.
 _WINDOW_50 = [
-    # Round-7 rotation (max staleness policy: never-checked rows
-    # ALWAYS outrank re-verification — VERDICT r6 #1). Carries (a) all
-    # 14 SQL-twinned queries that have NEVER had a driver row (the 13
-    # rel_* TPC-H shapes deferred in r6 + ext_rewrite_quarantine_report),
-    # (b) the 4 queries NEW this round (persisted-CDC-index serving,
-    # filtered IVF/PQ serving, AVI-container keyframes), (c) queries
-    # whose implementation CHANGED this round — normalize law
-    # (f_cleanse_normalize + its pipeline consumer), index layout v2 +
-    # guards (the three persisted-index serving rows), the vectorized
-    # dHash (its two direct pair rows), the pooled rewrite pair, and
-    # the containment refactor — output-identical by design, so a
-    # driver row re-proves it, and (d) the stalest cohort: both
-    # r1-latest rows and 19 of the 22 r2-latest rows, including the
-    # trio the r6 comment promised (scd2_history, ext_mixture_take,
-    # ext_shard_assign). Deferred to r8 with reasons (all pytest-
-    # covered and full-sweep-green at HEAD, latest driver row r2):
-    # ext_topk_cosine_gemm (shares ext_topk_cosine's SQL law; GEMM-vs-
-    # column-path parity is pytest-pinned), ext_chunk_documents
-    # (its chunk law is re-driven through ext_chunk_dedup_rewrite in
-    # this very window, which consumes chunk_documents directly), and
-    # ext_doc_stats (single-scan stats, yielded its slot to the new
-    # never-checked ext_dedup_method_agreement, whose two composed
-    # laws — minhash + simhash pairs — were both driver-green in r6).
-    # -- never driver-checked (13 rel_* + quarantine report) --
-    "rel_min_price_supplier",
-    "rel_priority_late_orders",
-    "rel_forecast_revenue",
-    "rel_part_type_revenue",
-    "rel_returned_item_report",
-    "rel_important_parts",
-    "rel_promo_revenue",
-    "rel_top_supplier",
-    "rel_parts_supplier_count",
-    "rel_small_qty_revenue",
-    "rel_brand_size_discount",
-    "rel_promo_part_suppliers",
-    "rel_waiting_suppliers",
-    "ext_rewrite_quarantine_report",
-    # -- new this round --
-    "ext_dedup_method_agreement",
-    "ext_cdc_containment_index",
-    "ext_ivf_filtered_query",
-    "ext_pq_filtered_query",
-    "ext_video_keyframes_avi",
+    # Round-8 rotation (max staleness policy): the ENTIRE <=r3 cohort
+    # fits this round — 40 queries whose latest driver row is r2/r3
+    # (the r2 trio ext_doc_stats / ext_topk_cosine_gemm /
+    # ext_chunk_documents deferred twice with reasons leads) — so
+    # after r8 every previously-checked registry query's latest
+    # driver row is >= r4 (VERDICT r7 #1's done-condition). The other
+    # 10 slots: the 3 NEW oracled rows (post-delete serving on IVF +
+    # CDC, the filtered-ANN auto-widen audit), the 4 rows whose
+    # implementation CHANGED this round (positional passage scoring;
+    # min-struct keep-first inside the rewrite + its pipeline
+    # consumer; the CDC index build now also writing owners), and 3
+    # of the 7 never-driver-checked rows-only queries (VERDICT r7 #6:
+    # the driver records their weaker rows-only check, so they stop
+    # living entirely outside the driver's record; their exactness
+    # stays pytest-pinned).
+    # -- r2-latest trio --
+    "ext_doc_stats",
+    "ext_topk_cosine_gemm",
+    "ext_chunk_documents",
+    # -- r3-latest cohort (all 37) --
+    "a15_retention_cohorts",
+    "a16_approx_quantiles",
+    "a17_salted_agg",
+    "ext_audio_energy_profile",
+    "ext_bigram_surprisal",
+    "ext_corpus_diff",
+    "ext_corpus_shuffle",
+    "ext_curriculum_order",
+    "ext_dedup_cluster_sizes",
+    "ext_dedup_recall_report",
+    "ext_dup_ngram_stats",
+    "ext_event_funnel",
+    "ext_gopher_rules",
+    "ext_image_tile_means",
+    "ext_incremental_dedup",
+    "ext_length_bands_by_source",
+    "ext_mixture_temperature",
+    "ext_multimodal_features",
+    "ext_pack_sequences",
+    "ext_pagerank",
+    "ext_pagerank_dangling",
+    "ext_pair_threshold_histogram",
+    "ext_quality_agreement",
+    "ext_session_paths",
+    "ext_simhash_pairs",
+    "ext_source_quality_panel",
+    "ext_triangle_count",
+    "ext_unigram_surprisal",
+    "j11_full_outer_recon",
+    "j12_merge_upsert",
+    "pipeline_curation_v2",
+    "pipeline_training_data",
+    "stream_anomaly_windows",
+    "stream_session_stats",
+    "stream_sessionize",
+    "stream_sliding_counts",
+    "stream_window_counts",
+    # -- new this round (oracled) --
+    "ext_ivf_postdelete_query",
+    "ext_cdc_containment_postdelete",
+    "ext_ivf_autowiden_query",
     # -- changed this round --
-    "f_cleanse_normalize",
-    "pipeline_cpa_shape",
-    "ext_minhash_index_query",
-    "ext_ivf_index_query",
-    "ext_pq_index_query",
-    "ext_image_dhash_pairs",
-    "ext_video_dhash_pairs",
+    "ext_passage_topk",
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
-    "ext_cdc_containment",
-    # -- stalest: the r1-latest pair --
-    "f_try_cast",
-    "f_regexp_extract",
-    # -- stalest: the r2-latest cohort (20 of 22) --
-    "scd2_history",
-    "ext_mixture_take",
-    "ext_shard_assign",
-    "a9_approx_distinct",
-    "a14_quantiles",
-    "ext_dataset_card",
-    "ext_pii_redact",
-    "ext_quality_classifier",
-    "ext_decontaminate",
-    "ext_dedup_best_of_cluster",
-    "ext_embedding_pairs_bucketed",
-    "ext_exact_dedup",
-    "ext_hard_negatives",
-    "ext_language_id",
-    "ext_repetition_stats",
-    "ext_winnow_containment",
-    "ext_winnow_fingerprints",
-    "ext_zscore",
-    "samp_hash_sample",
+    "ext_cdc_containment_index",
+    # -- rows-only, never driver-checked (weaker rows-only record) --
+    "ext_ivf_index_query_probe",
+    "ext_ivf_topk",
+    "ext_pq_topk",
 ]
 
 
