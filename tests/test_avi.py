@@ -177,6 +177,40 @@ def test_demux_audio_first_avi_reads_01dc_frames():
     assert demux_avi_mjpeg(avi) == [f0, f1]
 
 
+def test_demux_skips_incomplete_vids_strl():
+    """A vids strl with strh but NO strf is undecodable — the demuxer
+    must fall through to a later COMPLETE vids stream (stream 1 here)
+    instead of latching the broken one and raising."""
+    f0 = b"\xff\xd8AA\xff\xd9"
+
+    def ck(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    broken_strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, 5, 0, 1, 64, -1, 0)
+        + struct.pack("<4H", 0, 0, 18, 16)
+    )
+    good_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 18, 16, 1, 24, b"MJPG", 18 * 16 * 3, 0, 0, 0, 0
+    )
+    hdrl = ck(
+        b"LIST",
+        b"hdrl"
+        + ck(b"avih", struct.pack("<14I", *([100000, 0, 0, 0x10, 1, 0, 2,
+                                             64, 18, 16, 0, 0, 0, 0])))
+        + ck(b"LIST", b"strl" + ck(b"strh", broken_strh))  # no strf
+        + ck(b"LIST", b"strl" + ck(b"strh", broken_strh)
+             + ck(b"strf", good_strf)),
+    )
+    movi = ck(b"LIST", b"movi" + ck(b"01dc", f0))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi_mjpeg(avi) == [f0]
+
+
 def test_demux_reads_rec_grouped_movi():
     """Interleaving muxers wrap movi chunks in 'LIST rec ' groups —
     the demuxer must read through one level of grouping."""

@@ -357,3 +357,64 @@ def test_store_stats_panels(spark, sf_dir, tmp_path):
     row = pq_index_stats(spark, pq).collect()[0]
     assert row["n_codes"] == emb.count()
     assert row["n_batches"] == 1
+
+
+def test_batch_tag_validation_and_empty_delete_guards(
+    spark, sf_dir, tmp_path
+):
+    """(a) A comma in a batch tag would round-trip through compaction
+    as TWO folded tags and defeat the replay guard — refused at write
+    time on every store. (b) An empty id set (list OR DataFrame)
+    refuses to delete: a no-op delete would still rewrite every
+    table, fold every batch, and re-key the corpus tag."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        check_batch_tag,
+    )
+
+    for bad in ("", "a,b", "base"):
+        with pytest.raises(ValueError, match="invalid batch tag"):
+            check_batch_tag(bad)
+    d = _docs(spark, sf_dir)
+    cdx = str(tmp_path / "cdc")
+    cdc_index_build(d.filter(F.col("doc_id") % 4 == 1), cdx, corpus_tag="a")
+    with pytest.raises(ValueError, match="invalid batch tag"):
+        cdc_index_add(
+            d.filter(F.col("doc_id") % 4 == 2), cdx,
+            new_corpus_tag="ab", batch_id="b1,b2",
+        )
+    with pytest.raises(ValueError, match="nothing to delete"):
+        cdc_index_delete(spark, cdx, [], new_corpus_tag="x")
+    with pytest.raises(ValueError, match="nothing to delete"):
+        cdc_index_delete(
+            spark, cdx,
+            d.filter(F.col("doc_id") < 0).select("doc_id"),
+            new_corpus_tag="x",
+        )
+    # store untouched by the refused deletes
+    assert cdc_index_load(spark, cdx).meta["corpus_tag"] == "a"
+
+
+def test_minhash_delete_by_list_on_string_keyed_store(spark, tmp_path):
+    """Delete-by-iterable must type the id frame from the STORE's
+    schema — a hardcoded bigint would break stores keyed by string
+    ids."""
+    rows = [
+        (f"doc-{i}", " ".join(f"tok{(i * 7 + j) % 23}" for j in range(40)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = str(tmp_path / "mh")
+    minhash_index_build(
+        docs, idx, corpus_tag="a",
+        num_hashes=16, bands=8, k=3, hash_family="portable",
+    )
+    minhash_index_delete(
+        spark, idx, ["doc-3", "doc-7"], new_corpus_tag="post"
+    )
+    left = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/shingles")
+        .select("doc_id").collect()
+    }
+    assert "doc-3" not in left and "doc-7" not in left
+    assert "doc-0" in left

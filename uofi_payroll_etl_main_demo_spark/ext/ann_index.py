@@ -381,7 +381,6 @@ def ivf_index_rebalance(
         .collect()
     ]
     assigned = spark.read.parquet(f"{index_dir}/assigned")
-    next_id = len(centroids)
     for c in split_ids:
         k_c = max(2, int(-(-counts[c] // max(mean, 1.0))))  # ceil
         feats = (
@@ -464,20 +463,48 @@ def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
     _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
 
 
-def _ids_frame(spark: SparkSession, ids, col: str) -> DataFrame:
-    """Normalize a delete request into a one-column distinct id frame.
-    Accepts a DataFrame (its ``col`` column, or its only column) or any
-    iterable of ids — takedown lists are usually small, but a
-    DataFrame input scales the op to bulk erasure."""
+def check_batch_tag(tag: str) -> str:
+    """Validate a batch tag at WRITE time (builds with a custom
+    ``batch_tag``, every add's ``batch_id``/default). Commas are the
+    ``folded_batches`` set separator — a tag containing one would
+    round-trip through compaction as TWO tags, silently defeating the
+    replay guard for the real tag and spuriously condemning its
+    fragments. Empty tags and the reserved ``base`` literal are
+    refused for the same reason (an add tagged ``base`` would
+    dynamic-overwrite the build's own partition)."""
+    if not tag or "," in tag or tag == "base":
+        raise ValueError(
+            f"invalid batch tag {tag!r}: must be non-empty, contain no "
+            "comma (the folded-batches separator), and not be the "
+            "reserved 'base'"
+        )
+    return tag
+
+
+def _ids_frame(spark: SparkSession, ids, col: str, table: str) -> DataFrame:
+    """Normalize a delete request into a one-column distinct id frame
+    typed like the STORE's id column (``table`` names the parquet dir
+    whose schema is authoritative — a hardcoded type would break
+    delete-by-list on stores keyed by strings). Accepts a DataFrame
+    (its ``col`` column, or its only column) or any iterable of ids —
+    takedown lists are usually small, but a DataFrame input scales the
+    op to bulk erasure. An EMPTY id set raises either way: a no-op
+    delete would still rewrite every table, fold every batch, and
+    re-key the corpus tag."""
+    id_type = spark.read.parquet(table).schema[col].dataType
     if isinstance(ids, DataFrame):
         src = ids if col in ids.columns else ids.select(
             F.col(ids.columns[0]).alias(col)
         )
-        return src.select(col).distinct()
+        out = src.select(F.col(col).cast(id_type).alias(col)).distinct()
+        if not out.limit(1).collect():
+            raise ValueError("empty id set: nothing to delete")
+        return out
     rows = [(i,) for i in ids]
     if not rows:
         raise ValueError("empty id set: nothing to delete")
-    return spark.createDataFrame(rows, f"{col} bigint").distinct()
+    schema = T.StructType([T.StructField(col, id_type)])
+    return spark.createDataFrame(rows, schema).distinct()
 
 
 def _staged_delete(
@@ -518,7 +545,7 @@ def ivf_index_delete(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
-    dead = _ids_frame(spark, ids, meta["id_col"])
+    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/assigned")
     _staged_delete(
         spark,
         index_dir,
@@ -545,7 +572,7 @@ def pq_index_delete(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
-    dead = _ids_frame(spark, ids, meta["id_col"])
+    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/codes")
     _staged_delete(
         spark,
         index_dir,
@@ -847,7 +874,8 @@ def ivf_index_add(
     # a replayed add of a compaction-folded batch would duplicate its
     # vectors (they live in base now): refuse loudly
     check_not_compacted_away(
-        meta, batch_id if batch_id is not None else new_corpus_tag
+        meta,
+        check_batch_tag(batch_id if batch_id is not None else new_corpus_tag),
     )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()

@@ -204,9 +204,16 @@ def demux_avi_mjpeg(payload: bytes) -> "list[bytes]":
                                 strl_handler = payload[p3 + 4 : p3 + 8]
                         elif t3 == b"strf" and s3 >= 20:
                             strl_strf = payload[p3 + 16 : p3 + 20]
-                    # first vids strl wins; its position is the stream
-                    # number its movi chunks carry
-                    if is_vids and vids_stream is None:
+                    # first COMPLETE vids strl (strh AND strf) wins;
+                    # its position is the stream number its movi
+                    # chunks carry. A vids strl missing its strf falls
+                    # through to a later complete video stream instead
+                    # of latching an undecodable one.
+                    if (
+                        is_vids
+                        and strl_strf is not None
+                        and vids_stream is None
+                    ):
                         vids_stream = stream_no
                         handler = strl_handler
                         compression = strl_strf

@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
+    check_batch_tag,
     _compact_swap,
     _folded_tags,
     _merge_folded,
@@ -94,6 +95,8 @@ def cdc_index_build(
     partition (the streaming ingester builds from its first micro-batch
     and must exclude/overwrite it on replay like any other batch)."""
     spark = corpus.sparkSession
+    if batch_tag != "base":
+        check_batch_tag(batch_tag)
     _invalidate_meta(spark, index_dir)
     # one chunk pass feeds both tables: pin the distinct pairs so the
     # owners write does not re-chunk the corpus
@@ -240,7 +243,9 @@ def cdc_index_add(
     batch ids."""
     spark = batch.sparkSession
     meta = _read_cdc_meta(spark, index_dir)
-    tag = batch_id if batch_id is not None else new_corpus_tag
+    tag = check_batch_tag(
+        batch_id if batch_id is not None else new_corpus_tag
+    )
     # a folded batch's hashes live in base: a replayed add would write
     # an empty partition and re-key meta under a stale tag — refuse
     check_not_compacted_away(meta, tag)
@@ -336,7 +341,7 @@ def cdc_index_delete(
     )
 
     meta = _read_cdc_meta(spark, index_dir)
-    dead_ids = _ids_frame(spark, ids, "doc_id")
+    dead_ids = _ids_frame(spark, ids, "doc_id", f"{index_dir}/owners")
     owners = spark.read.parquet(f"{index_dir}/owners")
     # hashes held by a dead doc AND by no surviving doc
     dead_hashes = (

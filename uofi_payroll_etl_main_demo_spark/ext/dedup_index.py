@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     INDEX_FORMAT_VERSION,
+    check_batch_tag,
     _compact_swap,
     _folded_tags,
     _merge_folded,
@@ -139,6 +140,8 @@ def minhash_index_build(
     and must be able to exclude/overwrite it on replay like any other
     batch)."""
     spark = corpus.sparkSession
+    if batch_tag != "base":
+        check_batch_tag(batch_tag)
     _invalidate_meta(spark, index_dir)
     banded, sets_ = _banded_and_sets(
         corpus, text_col, id_col, num_hashes, bands, k, hash_family
@@ -332,7 +335,9 @@ def minhash_index_add(
     ids; reusing one overwrites the earlier batch."""
     spark = batch.sparkSession
     meta = _read_mh_meta(spark, index_dir)
-    tag = batch_id if batch_id is not None else new_corpus_tag
+    tag = check_batch_tag(
+        batch_id if batch_id is not None else new_corpus_tag
+    )
     # a replayed add of a batch a compaction already folded would
     # duplicate its band/shingle rows (they live in base now): refuse
     check_not_compacted_away(meta, tag)
@@ -410,19 +415,22 @@ def minhash_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     sets never read)."""
     _read_mh_meta(spark, index_dir)  # kind + version guard
     bands = spark.read.parquet(f"{index_dir}/bands")
-    buckets = bands.groupBy("band", "bh").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.countDistinct("__batch").alias("__nb"),
+    # n_batches must be the BAND's distinct batch count (the
+    # small-file/compaction meter — 50 adds = 51 partition dirs per
+    # band even when every bucket holds one batch), so it aggregates
+    # from band rows directly; only max_bucket_size goes through the
+    # per-bucket sub-aggregate
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("band")
+        .agg(F.max("__n").cast("bigint").alias("max_bucket_size"))
     )
-    return (
-        buckets.groupBy("band")
-        .agg(
-            F.sum("__n").cast("bigint").alias("n_rows"),
-            F.max("__nb").alias("n_batches"),
-            F.max("__n").cast("bigint").alias("max_bucket_size"),
-        )
-        .orderBy("band")
+    per_band = bands.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("__batch").alias("n_batches"),
     )
+    return per_band.join(buckets, "band").orderBy("band")
 
 
 def minhash_index_delete(
@@ -443,7 +451,7 @@ def minhash_index_delete(
 
     meta = _read_mh_meta(spark, index_dir)
     id_col = meta["id_col"]
-    dead = _ids_frame(spark, ids, id_col)
+    dead = _ids_frame(spark, ids, id_col, f"{index_dir}/shingles")
 
     def _write(row: dict) -> None:
         spark.createDataFrame([row], _MH_META_SCHEMA).coalesce(1).write.mode(

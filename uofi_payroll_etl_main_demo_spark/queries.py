@@ -10084,11 +10084,14 @@ _WINDOW_50 = [
     "ext_ivf_postdelete_query",
     "ext_cdc_containment_postdelete",
     "ext_ivf_autowiden_query",
-    # -- changed this round --
+    # -- changed this round (ext_cdc_containment_index's only change,
+    # the owners-table build side, is value-proved by the windowed
+    # ext_cdc_containment_postdelete, so its slot goes to
+    # ext_chunk_dedup_stats, whose keep-first law was rewritten) --
     "ext_passage_topk",
     "ext_chunk_dedup_rewrite",
     "pipeline_rewrite_curation",
-    "ext_cdc_containment_index",
+    "ext_chunk_dedup_stats",
     # -- rows-only, never driver-checked (weaker rows-only record) --
     "ext_ivf_index_query_probe",
     "ext_ivf_topk",
