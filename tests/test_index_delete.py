@@ -418,3 +418,79 @@ def test_minhash_delete_by_list_on_string_keyed_store(spark, tmp_path):
     }
     assert "doc-3" not in left and "doc-7" not in left
     assert "doc-0" in left
+
+
+def test_update_is_delete_then_add(spark, tmp_path):
+    """The UPDATE/upsert composition a corpus service runs when a
+    document's content changes: delete(ids) then add(new content).
+    Result identity vs a rebuild over the updated corpus, on both the
+    MinHash and CDC stores (signatures and chunk hashes are
+    deterministic, so the lifecycle route must land byte-equal
+    state)."""
+    old2 = " ".join(f"old{(i * 7) % 97}" for i in range(80))
+    new2 = " ".join(f"new{(i * 11) % 89}" for i in range(80))
+    others = [
+        (i, " ".join(f"doc{i}tok{(i * 13 + j) % 101}" for j in range(60)))
+        for i in (1, 3, 4, 5)
+    ]
+    corpus_v1 = spark.createDataFrame(
+        others + [(2, old2)], "doc_id bigint, text string"
+    )
+    corpus_v2 = spark.createDataFrame(
+        others + [(2, new2)], "doc_id bigint, text string"
+    )
+    updated2 = spark.createDataFrame(
+        [(2, new2)], "doc_id bigint, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100, new2), (101, old2)], "doc_id bigint, text string"
+    )
+    params = dict(num_hashes=16, bands=8, k=3, hash_family="portable")
+
+    # MinHash: delete + add == rebuild(v2)
+    mh = str(tmp_path / "mh")
+    minhash_index_build(corpus_v1, mh, corpus_tag="v1", **params)
+    minhash_index_delete(spark, mh, [2], new_corpus_tag="v1-del2")
+    minhash_index_add(updated2, mh, new_corpus_tag="v2", batch_id="u2")
+    got = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in minhash_index_load(spark, mh)
+        .query(probe, threshold=0.2).collect()
+    )
+    ref = str(tmp_path / "mh_ref")
+    minhash_index_build(corpus_v2, ref, corpus_tag="v2", **params)
+    want = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in minhash_index_load(spark, ref)
+        .query(probe, threshold=0.2).collect()
+    )
+    assert got == want
+    # the new content matches, the old content no longer does
+    assert any(n == 100 and o == 2 for n, o, _ in got)
+    assert not any(n == 101 and o == 2 for n, o, _ in got)
+
+    # CDC: delete + add == rebuild(v2), shared chunks respected
+    cdx = str(tmp_path / "cdc")
+    cdc_index_build(corpus_v1, cdx, corpus_tag="v1")
+    cdc_index_delete(spark, cdx, [2], new_corpus_tag="v1-del2")
+    cdc_index_add(updated2, cdx, new_corpus_tag="v2", batch_id="u2")
+    got = sorted(
+        (r["doc_id"], r["n_chunks"], r["n_seen"])
+        for r in cdc_index_load(spark, cdx).query(probe).collect()
+    )
+    cref = str(tmp_path / "cdc_ref")
+    cdc_index_build(corpus_v2, cref, corpus_tag="v2")
+    want = sorted(
+        (r["doc_id"], r["n_chunks"], r["n_seen"])
+        for r in cdc_index_load(spark, cref).query(probe).collect()
+    )
+    assert got == want
+    stored = {
+        r["chunk_hash"]
+        for r in cdc_index_load(spark, cdx).stored_hashes().collect()
+    }
+    want_stored = {
+        r["chunk_hash"]
+        for r in cdc_index_load(spark, cref).stored_hashes().collect()
+    }
+    assert stored == want_stored  # byte-equal stored state
