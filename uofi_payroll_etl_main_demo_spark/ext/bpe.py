@@ -22,12 +22,14 @@ N rounds cost N small aggregations, not N corpus scans:
 - the vocab frame is eagerly checkpointed per round (iterative
   lineage truncation) under ``session.iterative_conf``.
 
-Not SQL-expressible: the greedy non-overlapping merge inside an array
-has no DuckDB equivalent (``replace`` scans differently on runs, and
-list folds cannot build list accumulators), so the registry entry is
-rows-only; exactness is pinned in pytest against a pure-Python
-reference implementation of the same algorithm
-(tests/test_text_ext.py).
+SQL-twinned (round 8): the greedy non-overlapping merge IS
+expressible once each symbol is bracket-wrapped (chr30+sym+chr31) —
+string ``replace`` then consumes whole symbols and scans greedily
+left-to-right exactly like the fold, and the training loop runs as a
+DuckDB recursive CTE whose recursive term aggregates pair counts over
+the working table (queries.py _sql_bpe_training_cte). Exactness is
+ALSO pinned in pytest against a pure-Python reference implementation
+(tests/test_text_ext.py) — two independent oracles for the same law.
 """
 
 from __future__ import annotations

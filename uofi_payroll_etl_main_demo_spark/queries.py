@@ -5938,22 +5938,90 @@ REGISTRY["ext_dataset_card"] = (q_dataset_card, _SQL_DATASET_CARD)
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training: learn BPE merges from the documents corpus
     (Sennrich word-level formulation — one corpus pass, then N rounds
-    over the vocab frame). Rows-only: the greedy in-array merge has no
-    SQL equivalent; exactness is pinned against a pure-Python reference
-    in tests/test_text_ext.py::test_bpe_merges_match_python_reference."""
+    over the vocab frame). SQL-twinned since r8: the greedy
+    left-to-right in-array merge IS expressible once symbols are
+    encoded as a bracket-wrapped string (chr30+sym+chr31 per symbol) —
+    ``replace`` then consumes whole symbols only and scans greedily
+    non-overlapping exactly like the fold — and the training loop runs
+    as a recursive CTE whose recursive term aggregates pair counts
+    over the working table. Exactness additionally pinned against a
+    pure-Python reference in tests/test_text_ext.py."""
     from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_merges
 
     return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
-REGISTRY["ext_bpe_merges"] = (q_bpe_merges, None)  # rows-only (see docstring)
+def _sql_bpe_training_cte(n_merges: int = 8, min_pair_freq: int = 2) -> str:
+    """The shared recursive-CTE BPE trainer (see q_bpe_merges): state
+    rows are (iteration, chosen merge, bracket-encoded word, freq); the
+    recursive term picks the top pair (freq desc, then lexicographic —
+    the law bpe_merges pins) via a scalar subquery over the working
+    table and rewrites every word with one greedy ``replace`` pass.
+    One pass per rank is COMPLETE: a merge can only create pairs
+    involving its new symbol, which no earlier/equal rank names."""
+    return f"""
+tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+         ELSE {_TOKS} END AS toks FROM documents),
+w0 AS (SELECT lower(unnest(toks)) AS w FROM tk),
+vocab0 AS (SELECT regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g')
+             AS s, count(*) AS freq
+           FROM w0 GROUP BY w),
+v AS (
+  SELECT 0 AS it,
+         NULL::STRUCT(l VARCHAR, r VARCHAR, f BIGINT) AS chosen,
+         s, freq
+  FROM vocab0
+  UNION ALL
+  SELECT it + 1,
+         ch,
+         CASE WHEN ch IS NULL THEN s
+              ELSE replace(s,
+                     chr(30) || ch.l || chr(31) || chr(30) || ch.r || chr(31),
+                     chr(30) || ch.l || ch.r || chr(31))
+         END,
+         freq
+  FROM v,
+       (SELECT (SELECT struct_pack(l := pl, r := pr, f := pf) FROM (
+          SELECT z[1] AS pl, z[2] AS pr, sum(freq) AS pf
+          FROM (SELECT regexp_extract_all(s,
+                  chr(30) || '([^' || chr(30) || chr(31) || ']*)' || chr(31),
+                  1) AS syms, freq FROM v) q,
+               unnest(list_zip(q.syms[:-2], q.syms[2:])) u(z)
+          WHERE z[2] IS NOT NULL
+          GROUP BY 1, 2
+          HAVING sum(freq) >= {min_pair_freq}
+          ORDER BY pf DESC, pl, pr LIMIT 1)) AS ch)
+  WHERE it < {n_merges}
+),
+bpe_merge_table AS (
+  SELECT it AS rank, chosen.l AS "left", chosen.r AS "right",
+         chosen.l || chosen.r AS merged, chosen.f AS pair_freq
+  FROM (SELECT DISTINCT it, chosen FROM v
+        WHERE it >= 1 AND chosen IS NOT NULL)
+)"""
+
+
+_SQL_BPE_MERGES = (
+    "WITH RECURSIVE "
+    + _sql_bpe_training_cte()
+    + "\nSELECT rank, \"left\", \"right\", merged, pair_freq "
+    "FROM bpe_merge_table ORDER BY rank"
+)
+
+REGISTRY["ext_bpe_merges"] = (q_bpe_merges, _SQL_BPE_MERGES)
 
 
 def q_bpe_encode(spark, sf_dir):
     """Tokenizer apply: learn 8 merges, then encode the corpus with the
-    merge table (Arrow-batched mapInPandas — the encode loop is
-    imperative by nature). Returns per-doc token counts; rows-only,
-    exactness pinned vs the Python reference in tests."""
+    merge table (Arrow-batched mapInPandas — the per-word lowest-rank
+    merge loop). Returns per-doc token counts. SQL-twinned since r8:
+    the lowest-rank loop is provably equivalent to applying merges in
+    rank order with one greedy pass each (a merge's new symbol never
+    forms a pair an earlier/equal rank names), so the oracle chains
+    n_merges data-derived ``replace`` calls over the bracket-encoded
+    word and counts the symbol markers; the merge table itself comes
+    from the same recursive-CTE trainer, making the twin fully
+    self-contained. Python-reference pin stays in tests."""
     from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_encode, bpe_merges
 
     d = _t(spark, sf_dir, "documents")
@@ -5964,7 +6032,41 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(d, merges).select("doc_id", "n_tokens")
 
 
-REGISTRY["ext_bpe_encode"] = (q_bpe_encode, None)  # rows-only (see docstring)
+def _sql_bpe_encode(n_merges: int = 8) -> str:
+    # per-rank scalar pattern/replacement pairs; a missing rank (early
+    # stop) degrades to replace(s, chr(1), chr(1)) — the identity even
+    # if a pathological document contains chr(1) itself
+    pats = ",\n   ".join(
+        f'coalesce((SELECT chr(30) || "left" || chr(31) || chr(30) || '
+        f'"right" || chr(31) FROM bpe_merge_table WHERE rank = {i}), '
+        f"chr(1)) AS p{i},"
+        f"\n   coalesce((SELECT chr(30) || merged || chr(31)"
+        f" FROM bpe_merge_table WHERE rank = {i}), chr(1)) AS q{i}"
+        for i in range(1, n_merges + 1)
+    )
+    enc = "regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g')"
+    for i in range(1, n_merges + 1):
+        enc = f"replace({enc}, p{i}, q{i})"
+    return (
+        "WITH RECURSIVE "
+        + _sql_bpe_training_cte(n_merges)
+        + f""",
+pats AS (SELECT
+   {pats}),
+dw AS (SELECT doc_id, lower(unnest(toks)) AS w FROM tk),
+doc_words AS (SELECT doc_id, w, count(*) AS k FROM dw GROUP BY doc_id, w),
+uniq AS (SELECT DISTINCT w FROM dw),
+enc AS (SELECT w, {enc} AS e FROM uniq, pats),
+wt AS (SELECT w, length(e) - length(replace(e, chr(30), '')) AS ntok
+       FROM enc),
+per_doc AS (SELECT doc_id, sum(k * ntok) AS n
+            FROM doc_words JOIN wt USING (w) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per_doc.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)"""
+    )
+
+
+REGISTRY["ext_bpe_encode"] = (q_bpe_encode, _sql_bpe_encode())
 
 
 def q_hard_negatives(spark, sf_dir):
@@ -10087,14 +10189,20 @@ _WINDOW_50 = [
     # -- changed this round (ext_cdc_containment_index's only change,
     # the owners-table build side, is value-proved by the windowed
     # ext_cdc_containment_postdelete, so its slot goes to
-    # ext_chunk_dedup_stats, whose keep-first law was rewritten) --
+    # ext_chunk_dedup_stats, whose keep-first law was rewritten;
+    # pipeline_rewrite_curation's only change IS that same law, which
+    # ext_chunk_dedup_rewrite + ext_chunk_dedup_stats re-prove here,
+    # so its slot and ext_ivf_topk's go to the two BPE rows, which
+    # gained full SQL twins this round — a VALUE check beats both a
+    # third re-proof of one law and a rows-only record whose exactness
+    # ext_ivf_postdelete_query already value-proves at full probe) --
     "ext_passage_topk",
     "ext_chunk_dedup_rewrite",
-    "pipeline_rewrite_curation",
     "ext_chunk_dedup_stats",
+    "ext_bpe_merges",
+    "ext_bpe_encode",
     # -- rows-only, never driver-checked (weaker rows-only record) --
     "ext_ivf_index_query_probe",
-    "ext_ivf_topk",
     "ext_pq_topk",
 ]
 
