@@ -6069,6 +6069,81 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 REGISTRY["ext_bpe_encode"] = (q_bpe_encode, _sql_bpe_encode())
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY panel per source — the corpus-card metric a
+    tokenizer review reads first: BPE tokens per whitespace word
+    (fertility; high = the vocabulary fragments that source's text)
+    and characters per BPE token (compression). Composes the trained
+    tokenizer (8 merges, same trainer as ext_bpe_merges) over the
+    corpus and aggregates per source; decimal-summed ratios so the
+    per-source means are partition-order exact."""
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_encode, bpe_merges
+    from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, n_merges=8).orderBy("rank").collect()
+    ]
+    enc = bpe_encode(d, merges).select("doc_id", "n_tokens")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_ws("text")).cast("bigint").alias("__nw"),
+        # raw-text length: engines' Unicode lower() can change string
+        # LENGTH on exotic codepoints, and the metric doesn't need it
+        F.length("text").cast("bigint").alias("__nc"),
+    )
+    return (
+        base.join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("__nw").cast("bigint").alias("n_words"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("__nw"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("__nc").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _sql_bpe_fertility() -> str:
+    base = _sql_bpe_encode()
+    out = (
+        base
+        .replace(
+            "SELECT d.doc_id, CAST(coalesce(per_doc.n, 0) AS BIGINT) "
+            "AS n_tokens\nFROM documents d LEFT JOIN per_doc USING (doc_id)",
+            """,
+per_doc2 AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(per_doc.n, 0) AS BIGINT) AS n_tokens,
+         len(CASE WHEN trim(d.text) = '' THEN []
+             ELSE """
+            + _TOKS.replace("text", "d.text")
+            + """ END) AS nw,
+         length(d.text) AS nc
+  FROM documents d LEFT JOIN per_doc USING (doc_id))
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       round(sum(n_tokens) * 1.0 / sum(nw), 6) AS fertility,
+       round(sum(nc) * 1.0 / sum(n_tokens), 6) AS chars_per_token
+FROM per_doc2 GROUP BY source""",
+        )
+    )
+    # the splice must actually rewrite the tail — a drifted
+    # _sql_bpe_encode would otherwise ship the WRONG oracle silently
+    assert out != base, "bpe fertility splice anchor drifted"
+    return out
+
+
+REGISTRY["ext_bpe_fertility"] = (q_bpe_fertility, _sql_bpe_fertility())
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive training data: per vector, the top-3 most-similar
     DIFFERENT-label neighbors (LSH-bucketed, label filter before the
