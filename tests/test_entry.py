@@ -64,8 +64,9 @@ def test_contract_shape():
         # lossy codec: quantization noise has no closed form; the codec
         # is value-pinned against hand-built spec streams in test_jpeg
         "ext_image_dhash_jpeg_pairs",
-        "ext_bpe_merges",  # greedy in-array merge not SQL-expressible
-        "ext_bpe_encode",  # ditto; both pinned vs Python reference
+        # ext_bpe_merges / ext_bpe_encode are NOT here since round 8:
+        # bracket-encoded symbols + a recursive-CTE trainer made the
+        # greedy merge SQL-expressible after all
         # ext_minhash_pairs_prod is NOT here since round 4: the exact
         # n-gram Jaccard SQL is its value oracle (full-recall pin in
         # test_text_ext.py covers every fixture sf the driver can run)

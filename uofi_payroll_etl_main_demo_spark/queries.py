@@ -10206,15 +10206,16 @@ _WINDOW_50 = [
     # ext_chunk_documents deferred twice with reasons leads) — so
     # after r8 every previously-checked registry query's latest
     # driver row is >= r4 (VERDICT r7 #1's done-condition). The other
-    # 10 slots: the 3 NEW oracled rows (post-delete serving on IVF +
-    # CDC, the filtered-ANN auto-widen audit), the 4 rows whose
-    # implementation CHANGED this round (positional passage scoring;
-    # min-struct keep-first inside the rewrite + its pipeline
-    # consumer; the CDC index build now also writing owners), and 3
-    # of the 7 never-driver-checked rows-only queries (VERDICT r7 #6:
-    # the driver records their weaker rows-only check, so they stop
-    # living entirely outside the driver's record; their exactness
-    # stays pytest-pinned).
+    # 10 slots: the 3 NEW oracled serving rows (post-delete IVF + CDC,
+    # the filtered-ANN auto-widen audit), 3 rows whose implementation
+    # CHANGED this round (positional passage scoring; the min-struct
+    # keep-first law via both its query shapes), the 2 BPE rows that
+    # gained full SQL twins this round (a first VALUE check for the
+    # previously rows-only tokenizer family — VERDICT r7 #6), and 2 of
+    # the remaining never-driver-checked rows-only queries (the driver
+    # records their weaker rows-only check; their exactness stays
+    # pytest-pinned, and windowed full-probe oracles value-prove the
+    # same serving paths).
     # -- r2-latest trio --
     "ext_doc_stats",
     "ext_topk_cosine_gemm",
