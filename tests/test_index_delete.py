@@ -494,3 +494,36 @@ def test_update_is_delete_then_add(spark, tmp_path):
         for r in cdc_index_load(spark, cref).stored_hashes().collect()
     }
     assert stored == want_stored  # byte-equal stored state
+
+
+def test_delete_refuses_uncastable_and_ambiguous_id_frames(
+    spark, sf_dir, tmp_path
+):
+    """(a) Ids that cast to NULL against the store's id type must
+    raise — the anti-joins would match nothing and a 'successful'
+    erasure would have erased nothing. (b) A multi-column id frame
+    without the id column refuses to guess. (c) pq_index_add
+    validates batch tags like every other write site."""
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="a")
+    bad = spark.createDataFrame([("doc-3",), ("doc-7",)], "vec_id string")
+    with pytest.raises(ValueError, match="NULL"):
+        ivf_index_delete(spark, idx, bad, new_corpus_tag="x")
+    # multi-column frame WITHOUT the id column: no columns[0] guessing
+    ambiguous = emb.select("label", "embedding")
+    with pytest.raises(ValueError, match="refusing to guess"):
+        ivf_index_delete(spark, idx, ambiguous, new_corpus_tag="x")
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_load,
+    )
+    assert ivf_index_load(spark, idx).meta["corpus_tag"] == "a"  # untouched
+    pq = str(tmp_path / "pq")
+    pq_index_build(emb, pq, m=8, n_centroids=16, corpus_tag="a")
+    with pytest.raises(ValueError, match="invalid batch tag"):
+        pq_index_add(
+            emb.limit(1).select(
+                (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+            ),
+            pq, new_corpus_tag="b", batch_id="base",
+        )

@@ -2250,3 +2250,18 @@ def test_chunk_dedup_rewrite_matches_python_mirror_on_hostile_text(spark):
         assert got == mirror(rows, 4)
 
     check()
+
+
+def test_bpe_encode_splits_on_portable_whitespace_only(spark):
+    """bpe_encode must split words with the SAME explicit whitespace
+    class as tokenize_ws / the SQL twin — Python str.split() also
+    breaks on NBSP/U+2028, which would diverge from the trainer's
+    vocabulary on exotic-whitespace documents."""
+    from uofi_payroll_etl_main_demo_spark.ext.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id bigint, text string"
+    )
+    out = bpe_encode(df, []).collect()[0]
+    # NBSP and LINE SEPARATOR stay INSIDE tokens; only the space splits
+    assert out["n_tokens"] == len("a b") + len("c d") + 1

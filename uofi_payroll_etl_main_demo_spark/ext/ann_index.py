@@ -493,18 +493,43 @@ def _ids_frame(spark: SparkSession, ids, col: str, table: str) -> DataFrame:
     re-key the corpus tag."""
     id_type = spark.read.parquet(table).schema[col].dataType
     if isinstance(ids, DataFrame):
-        src = ids if col in ids.columns else ids.select(
-            F.col(ids.columns[0]).alias(col)
-        )
-        out = src.select(F.col(col).cast(id_type).alias(col)).distinct()
-        if not out.limit(1).collect():
+        if col in ids.columns:
+            src = ids
+        elif len(ids.columns) == 1:
+            src = ids.select(F.col(ids.columns[0]).alias(col))
+        else:
+            raise ValueError(
+                f"id frame has no {col!r} column and is not single-column "
+                f"(columns: {ids.columns}) — refusing to guess which one "
+                "names the ids to erase"
+            )
+        # try_cast: under ANSI a plain cast raises a bare
+        # NumberFormatException mid-job; NULL + the guard below turns
+        # it into the actionable wrong-id-type error either way
+        out = src.select(
+            F.col(col).try_cast(id_type).alias(col)
+        ).distinct()
+    else:
+        rows = [(i,) for i in ids]
+        if not rows:
             raise ValueError("empty id set: nothing to delete")
-        return out
-    rows = [(i,) for i in ids]
-    if not rows:
+        schema = T.StructType([T.StructField(col, id_type)])
+        out = spark.createDataFrame(rows, schema).distinct()
+    # materialize ONCE (the delete's staged rewrites consume this frame
+    # once per table; an expensive upstream lineage must not recompute
+    # per rewrite) and refuse garbage: an id that casts to NULL would
+    # anti-join nothing, and the "successful" delete would have erased
+    # nothing while still rewriting the store and re-keying its tag
+    out = out.localCheckpoint(eager=True)
+    if out.filter(F.col(col).isNull()).limit(1).collect():
+        raise ValueError(
+            f"id set contains NULLs after casting to {id_type.simpleString()}"
+            " — wrong id type for this store (or null input ids); a silent"
+            " no-op erasure would be reported as success"
+        )
+    if not out.limit(1).collect():
         raise ValueError("empty id set: nothing to delete")
-    schema = T.StructType([T.StructField(col, id_type)])
-    return spark.createDataFrame(rows, schema).distinct()
+    return out
 
 
 def _staged_delete(
@@ -1159,7 +1184,8 @@ def pq_index_add(
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
     check_not_compacted_away(
-        meta, batch_id if batch_id is not None else new_corpus_tag
+        meta,
+        check_batch_tag(batch_id if batch_id is not None else new_corpus_tag),
     )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()

@@ -149,9 +149,18 @@ def bpe_encode(
     Exactness is pinned against the same pure-Python reference as
     :func:`bpe_merges`.
     """
-    import pandas as pd
+    import re
     from typing import Iterator
 
+    import pandas as pd
+
+    from uofi_payroll_etl_main_demo_spark.functions.text import _WS_RE
+
+    # split with the SAME explicit whitespace class as tokenize_ws —
+    # Python str.split() also breaks on NBSP/U+2028/etc., which would
+    # diverge from the trainer's vocabulary AND the SQL twin on any
+    # document carrying exotic whitespace
+    ws_split = re.compile(_WS_RE + "+")
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(w: str, cache: dict) -> list[str]:
@@ -189,7 +198,9 @@ def bpe_encode(
             for t in pdf[text_col]:
                 t = (t or "").lower() if lowercase else (t or "")
                 enc: list[str] = []
-                for w in t.split():
+                for w in ws_split.split(t):
+                    if not w:
+                        continue
                     enc.extend(encode_word(w, cache))
                 toks.append(enc)
             yield pd.DataFrame(

@@ -2287,11 +2287,19 @@ from uofi_payroll_etl_main_demo_spark.functions.text import STOPWORDS  # noqa: E
 # raw-character whitespace class (\s differs across engines: Java
 # includes U+000B, RE2 does not), drop the phantom '' elements a regex
 # split emits at the ends — see the tokenize_ws docstring.
-_TOKS = (
-    "list_filter(string_split_regex(text, '"
-    + _WS_CLASS
-    + "+'), __t -> __t <> '')"
-)
+def _toks_sql(col: str = "text") -> str:
+    """The ONE portable whitespace tokenization, parameterized over the
+    column reference — string-surgery on the rendered expression (the
+    old `.replace("text", ...)` trick) would silently corrupt the SQL
+    the moment the expression ever contains the substring elsewhere."""
+    return (
+        "list_filter(string_split_regex(" + col + ", '"
+        + _WS_CLASS
+        + "+'), __t -> __t <> '')"
+    )
+
+
+_TOKS = _toks_sql()
 
 # Portable punct class — twin of functions/text.py _PUNCT_RE: the
 # whitespace chars are spelled out (Java \s includes U+000B, RE2 does
@@ -6123,7 +6131,7 @@ per_doc2 AS (
          CAST(coalesce(per_doc.n, 0) AS BIGINT) AS n_tokens,
          len(CASE WHEN trim(d.text) = '' THEN []
              ELSE """
-            + _TOKS.replace("text", "d.text")
+            + _toks_sql("d.text")
             + """ END) AS nw,
          length(d.text) AS nc
   FROM documents d LEFT JOIN per_doc USING (doc_id))
@@ -10277,9 +10285,13 @@ _WINDOW_50 = [
     "ext_chunk_dedup_stats",
     "ext_bpe_merges",
     "ext_bpe_encode",
-    # -- rows-only, never driver-checked (weaker rows-only record) --
+    # -- rows-only, never driver-checked (weaker rows-only record;
+    # ext_pq_topk yielded its slot to the brand-new oracled
+    # ext_bpe_fertility — a never-checked VALUE row outranks a
+    # rows-only record whose serving path the windowed full-margin
+    # ext_pq_index_query already value-proves) --
     "ext_ivf_index_query_probe",
-    "ext_pq_topk",
+    "ext_bpe_fertility",
 ]
 
 
