@@ -507,3 +507,31 @@ def test_ivf_rebalance_noop_on_healthy_index(spark, sf_dir, tmp_path):
         os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
         for r, _d, fs in os.walk(idx) for f in fs
     }
+
+
+def test_assign_centroids_join_path_matches_literal(spark, sf_dir, monkeypatch):
+    """The broadcast-join assignment strategy (large centroid counts,
+    where the enumerated-literal expression's per-row cost and codegen
+    size grow linearly) must file every vector into EXACTLY the list
+    the literal law picks — one assignment law, two physical plans."""
+    import uofi_payroll_etl_main_demo_spark.ext.ann_index as ai
+
+    emb = _emb(spark, sf_dir).limit(200)
+    centroids = [
+        [((i * 13 + j * 7) % 17 - 8) / 10.0 for j in range(64)]
+        for i in range(6)
+    ]
+    lit = {
+        r["vec_id"]: r["centroid"]
+        for r in ai._assign_centroids(
+            emb, centroids, "embedding", "vec_id"
+        ).collect()
+    }
+    monkeypatch.setattr(ai, "_LITERAL_ASSIGN_MAX", 2)
+    joined = {
+        r["vec_id"]: r["centroid"]
+        for r in ai._assign_centroids(
+            emb, centroids, "embedding", "vec_id"
+        ).collect()
+    }
+    assert lit == joined and len(lit) == 200

@@ -404,7 +404,7 @@ def ivf_index_rebalance(
         centroids[c] = subs[0]
         centroids.extend(subs[1:])
     folded = _merge_folded(meta, _folded_tags(spark, index_dir, "assigned"))
-    reassign = _nearest_centroid_expr(centroids, vec_col)
+    id_col = meta["id_col"]
     swaps = _staged_compactions(
         spark,
         index_dir,
@@ -412,7 +412,13 @@ def ivf_index_rebalance(
             (
                 "assigned",
                 ["centroid", "__batch"],
-                lambda df: df.withColumn("centroid", reassign),
+                # strategy picked by POST-split centroid count — the
+                # enumerated literal stops being the right plan as
+                # repeated rebalances grow the table past
+                # _LITERAL_ASSIGN_MAX (see _assign_centroids)
+                lambda df: _assign_centroids(
+                    df.drop("centroid"), centroids, vec_col, id_col
+                ),
             )
         ],
     )
@@ -519,16 +525,27 @@ def _ids_frame(spark: SparkSession, ids, col: str, table: str) -> DataFrame:
     # once per table; an expensive upstream lineage must not recompute
     # per rewrite) and refuse garbage: an id that casts to NULL would
     # anti-join nothing, and the "successful" delete would have erased
-    # nothing while still rewriting the store and re-keying its tag
-    out = out.localCheckpoint(eager=True)
-    if out.filter(F.col(col).isNull()).limit(1).collect():
-        raise ValueError(
-            f"id set contains NULLs after casting to {id_type.simpleString()}"
-            " — wrong id type for this store (or null input ids); a silent"
-            " no-op erasure would be reported as success"
-        )
-    if not out.limit(1).collect():
-        raise ValueError("empty id set: nothing to delete")
+    # nothing while still rewriting the store and re-keying its tag.
+    # persist + count, NOT localCheckpoint: checkpoint blocks live
+    # outside the cache manager, so DataFrame.unpersist (the
+    # _staged_delete cleanup) could never release them — and an
+    # evicted persist block recomputes from lineage where an evicted
+    # checkpoint block is a hard error
+    out = out.persist()
+    try:
+        n = out.count()
+        if out.filter(F.col(col).isNull()).limit(1).collect():
+            raise ValueError(
+                f"id set contains NULLs after casting to "
+                f"{id_type.simpleString()} — wrong id type for this store "
+                "(or null input ids); a silent no-op erasure would be "
+                "reported as success"
+            )
+        if n == 0:
+            raise ValueError("empty id set: nothing to delete")
+    except Exception:
+        out.unpersist()  # a refused delete must not leak cached blocks
+        raise
     return out
 
 
@@ -540,6 +557,7 @@ def _staged_delete(
     tables: "list[tuple]",
     meta_update: dict,
     write_meta,
+    cleanup_frames=(),
 ) -> None:
     """Shared delete tail: record the folded-batch set (a delete folds
     every ``__batch`` partition to base while rewriting, so any replay
@@ -547,13 +565,25 @@ def _staged_delete(
     instead of resurrecting deleted rows), stage all rewrites
     non-destructively, then swap + re-key meta. Same crash contract as
     compaction; quiescent-point op (single writer, no uncommitted
-    streaming batch)."""
-    folded = _merge_folded(meta, _folded_tags(spark, index_dir, data_table))
-    swaps = _staged_compactions(spark, index_dir, tables)
-    _invalidate_meta(spark, index_dir)
-    for swap in swaps:
-        swap()
-    write_meta({**meta, "folded_batches": folded, **meta_update})
+    streaming batch). ``cleanup_frames`` (the localCheckpointed id
+    frames from :func:`_ids_frame`) are unpersisted on the way out —
+    success or failure — so repeated deletes in a long-lived session
+    don't accumulate checkpointed blocks in executor storage."""
+    try:
+        folded = _merge_folded(
+            meta, _folded_tags(spark, index_dir, data_table)
+        )
+        swaps = _staged_compactions(spark, index_dir, tables)
+        _invalidate_meta(spark, index_dir)
+        for swap in swaps:
+            swap()
+        write_meta({**meta, "folded_batches": folded, **meta_update})
+    finally:
+        for f in cleanup_frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # cleanup must never mask the delete's own error
 
 
 def ivf_index_delete(
@@ -585,6 +615,7 @@ def ivf_index_delete(
         ],
         {"corpus_tag": new_corpus_tag},
         lambda row: _write_meta(spark, index_dir, row),
+        cleanup_frames=(dead,),
     )
 
 
@@ -612,6 +643,7 @@ def pq_index_delete(
         ],
         {"corpus_tag": new_corpus_tag},
         lambda row: _write_meta(spark, index_dir, row),
+        cleanup_frames=(dead,),
     )
 
 
@@ -868,6 +900,63 @@ def _nearest_centroid_expr(centroids: "list[list[float]]", vec_col: str):
     return F.array_min(scored)["i"].cast("int")
 
 
+# Above this many centroids the enumerated-literal assignment
+# expression stops being the right plan: per-row cost and generated
+# code size both grow linearly with the centroid count (repeated
+# rebalances can grow a store well past its build-time n_centroids),
+# so the assignment switches to a broadcast-joined centroid table.
+# 128 keeps the common store sizes (8-64 lists) on the zero-shuffle
+# literal path.
+_LITERAL_ASSIGN_MAX = 128
+
+
+def _assign_centroids(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Attach the nearest-centroid ``centroid`` column under the ONE
+    assignment law (squared euclidean, ties to the lowest id — see
+    :func:`_nearest_centroid_expr`), picking the physical strategy by
+    centroid count: ≤ ``_LITERAL_ASSIGN_MAX`` uses the enumerated
+    literal expression (pure JVM map, no shuffle); above it, a
+    broadcast crossJoin against the centroid table + map-side-combined
+    min aggregation (the exchange carries one (id, best) row per
+    vector, never the embedding × centroid blowup), joined back by id.
+    Requires unique ``id_col`` values (the store invariant every index
+    op already assumes — a duplicate id would duplicate rows on the
+    join-back path only, so it's an input contract, not a strategy
+    choice)."""
+    if len(centroids) <= _LITERAL_ASSIGN_MAX:
+        return df.withColumn(
+            "centroid", _nearest_centroid_expr(centroids, vec_col)
+        )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__cid int, __cvec array<double>",
+    )
+    diffs = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.col("__cvec"),
+        lambda a, b: (a - b) * (a - b),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    best = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.struct(d2.alias("d2"), F.col("__cid").alias("i")).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__b"))
+        .select(id_col, F.col("__b.i").cast("int").alias("centroid"))
+    )
+    return df.join(best, id_col)
+
+
 def ivf_index_add(
     embeddings_new: DataFrame,
     index_dir: str,
@@ -922,13 +1011,17 @@ def ivf_index_add(
     stored_vec_type = (
         spark.read.parquet(f"{index_dir}/assigned").schema[vec_col].dataType
     )
-    assigned = embeddings_new.select(
-        F.col(id_col),
-        F.col(vec_col).cast(stored_vec_type).alias(vec_col),
-        _nearest_centroid_expr(centroids, vec_col).alias("centroid"),
-        F.lit(batch_id if batch_id is not None else new_corpus_tag).alias(
-            "__batch"
+    assigned = _assign_centroids(
+        embeddings_new.select(
+            F.col(id_col),
+            F.col(vec_col).cast(stored_vec_type).alias(vec_col),
         ),
+        centroids,
+        vec_col,
+        id_col,
+    ).withColumn(
+        "__batch",
+        F.lit(batch_id if batch_id is not None else new_corpus_tag),
     )
     (
         assigned.write.mode("overwrite")

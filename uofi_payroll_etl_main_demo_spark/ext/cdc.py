@@ -267,12 +267,32 @@ def containment_scores_within(
 
     Deterministic and arrival-order-independent: "earlier" is the id
     order, not row order. ONE-PASS by design — a smaller-id doc counts
-    as prior content even if the gate downstream rejects that doc too
+    as prior content EVEN IF the gate downstream rejects that doc too
     (the sequential accept-only variant is inherently iterative per
     doc). That makes this law slightly stricter than a sequential
-    replay in the corner where two docs overlap each other but neither
-    overlaps the store; the shared content is condemned either way,
-    which is the right triage posture."""
+    replay in two corners, both recall-loss (over-rejection), never
+    false acceptance:
+
+    * two docs overlap each other but neither overlaps the store —
+      the larger id is charged for the shared content even though a
+      sequential gate that rejected the smaller one would not have
+      stored its chunks;
+    * a smaller-id batch-mate that is itself rejected FOR OVERLAPPING
+      THE STORE still condemns the chunks it shares with larger-id
+      batch-mates, so strongly correlated batches can reject more
+      than a sequential accept-only replay would.
+
+    The shared content is condemned either way, which is the right
+    triage posture for a dedup gate; callers for whom the correlated-
+    batch recall loss matters should ingest in smaller batches (the
+    corner shrinks with batch size and vanishes at batch=1, where the
+    law IS the sequential gate) or re-offer rejected docs in a later
+    batch, by which time the store state decides alone. An in-batch
+    accept-only fixpoint is deliberately NOT offered: acceptance of
+    doc B can depend on the rejection of doc A and vice versa, so the
+    "exact" variant is order-defined, not set-defined — it would make
+    containment scores depend on replay order, breaking the
+    determinism contract this function exists to provide."""
     first_holder = new_chunks.groupBy("chunk_hash").agg(
         F.min("doc_id").alias("__first_doc")
     )

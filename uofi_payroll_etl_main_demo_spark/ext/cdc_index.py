@@ -379,6 +379,7 @@ def cdc_index_delete(
         ],
         {"corpus_tag": new_corpus_tag},
         _write,
+        cleanup_frames=(dead_ids,),
     )
 
 

@@ -479,6 +479,7 @@ def minhash_index_delete(
         ],
         {"corpus_tag": new_corpus_tag},
         _write,
+        cleanup_frames=(dead,),
     )
 
 

@@ -5971,7 +5971,18 @@ def _sql_bpe_training_cte(n_merges: int = 8, min_pair_freq: int = 2) -> str:
 tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
          ELSE {_TOKS} END AS toks FROM documents),
 w0 AS (SELECT lower(unnest(toks)) AS w FROM tk),
-vocab0 AS (SELECT regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g')
+-- chr(30)/chr(31) are this oracle's reserved symbol-bracket markers
+-- (the chr(1) identity-replacement note covers the encode twin's
+-- third control char): a token CONTAINING one would corrupt the
+-- bracket encoding and silently diverge the oracle from the Spark
+-- fold, so such a token fails the oracle LOUDLY instead
+vocab0 AS (SELECT regexp_replace(
+             CASE WHEN w LIKE '%' || chr(30) || '%'
+                    OR w LIKE '%' || chr(31) || '%'
+                  THEN error('BPE oracle: token contains reserved '
+                             || 'chr(30)/chr(31) bracket markers')
+                  ELSE w END,
+             '(.)', chr(30) || '\\1' || chr(31), 'g')
              AS s, count(*) AS freq
            FROM w0 GROUP BY w),
 v AS (
