@@ -152,6 +152,13 @@ HEADLINE = [
     "ext_ivf_postdelete_query",
     "ext_cdc_containment_postdelete",
     "ext_ivf_autowiden_query",
+    # round 9: BATCHED ANN serving — one job answers the whole query
+    # frame (100 IVF / 40 PQ queries); unlike the single-query serving
+    # rows these are computation-equivalent to their oracles (the
+    # DuckDB twin crosses queries × corpus, Spark full-probes the same
+    # work), so they stay OUT of CLOSED_FORM_ORACLE
+    "ext_ivf_batch_query",
+    "ext_pq_batch_query",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -535,3 +535,127 @@ def test_assign_centroids_join_path_matches_literal(spark, sf_dir, monkeypatch):
         ).collect()
     }
     assert lit == joined and len(lit) == 200
+
+
+def _qframe(emb, n):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_ivf_search_batch_matches_single_query_loop(spark, sf_dir, tmp_path):
+    """Batched serving is the single-query law, vectorized: at the
+    SAME pruned nprobe, every query's batch rows equal its one-job
+    search() rows bit-for-bit (probe ranking shares the rank_centroids
+    arithmetic), including under a metadata filter."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    queries = _qframe(emb, 6)
+    got = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in index.search_batch(queries, k=5, nprobe=3).collect()
+    }
+    want = {}
+    for qr in queries.collect():
+        for r in index.search(list(qr["qvec"]), k=5, nprobe=3).collect():
+            want[(qr["query_id"], r["vec_id"])] = round(r["score"], 9)
+    assert got == want and len(got) == 30
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    gotf = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in index.search_batch(
+            queries, k=5, nprobe=8, filter_ids=allowed
+        ).collect()
+    }
+    wantf = {}
+    for qr in queries.collect():
+        for r in index.search(
+            list(qr["qvec"]), k=5, nprobe=8, filter_ids=allowed
+        ).collect():
+            wantf[(qr["query_id"], r["vec_id"])] = round(r["score"], 9)
+    assert gotf == wantf
+
+
+def test_pq_search_batch_matches_single_query_loop(spark, sf_dir, tmp_path):
+    """PQ batched ADC scan + batched rerank equal the per-query loop
+    (shared LUT arithmetic; per-query candidate budgets independent)."""
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t")
+    index = pq_index_load(spark, idx)
+    queries = _qframe(emb, 6)
+    qrows = queries.collect()
+    got = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in index.search_batch(queries, k=5, candidates=50).collect()
+    }
+    want = {}
+    for qr in qrows:
+        for r in index.search(list(qr["qvec"]), k=5, candidates=50).collect():
+            want[(qr["query_id"], r["vec_id"])] = round(r["score"], 9)
+    assert got == want and len(got) == 30
+    gotr = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in index.search_batch(
+            queries, k=5, candidates=10**6, rerank_corpus=emb
+        ).collect()
+    }
+    wantr = {}
+    for qr in qrows:
+        for r in index.search(
+            list(qr["qvec"]), k=5, candidates=10**6, rerank_corpus=emb
+        ).collect():
+            wantr[(qr["query_id"], r["vec_id"])] = round(r["score"], 9)
+    assert gotr == wantr
+
+
+def test_ivf_batch_one_plan_with_partition_pruning(spark, sf_dir, tmp_path):
+    """The batched serve is ONE action whose job count does NOT grow
+    with the query count (the whole point vs the per-query loop), and
+    the inverted-list scan carries a dynamic partition-pruning filter
+    fed by the broadcast probe pairs — the single-query path's
+    partition pruning, preserved under batching."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs(tag, df):
+        spark.sparkContext.setJobGroup(tag, tag)
+        try:
+            df.collect()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(tag))
+
+    n1 = njobs("bat1", index.search_batch(_qframe(emb, 1), k=5, nprobe=3))
+    n50 = njobs("bat50", index.search_batch(_qframe(emb, 50), k=5, nprobe=3))
+    assert n1 == n50, (n1, n50)
+    plan = formatted_plan(index.search_batch(_qframe(emb, 50), k=5, nprobe=3))
+    assert "dynamicpruning" in plan
+    # only the inverted lists and the query frame are scanned (the DPP
+    # subquery section re-lists the probe side, so pin locations, not
+    # node counts)
+    locs = {
+        line.split("[")[1].split("]")[0]
+        for line in plan.splitlines()
+        if line.startswith("Location:")
+    }
+    for loc in locs:
+        assert "assigned" in loc or "embeddings" in loc, loc
+
+
+def test_pq_search_batch_query_cap_and_empty_guards(spark, sf_dir, tmp_path):
+    """The driver-built LUT tensor is bounded by contract: an
+    over-cap batch and an empty batch both refuse loudly."""
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t")
+    index = pq_index_load(spark, idx)
+    with pytest.raises(ValueError, match="max_queries"):
+        index.search_batch(_qframe(emb, 10), k=2, max_queries=5)
+    with pytest.raises(ValueError, match="empty query batch"):
+        index.search_batch(_qframe(emb, 0), k=2)

@@ -743,6 +743,47 @@ def ivf_index_build(
     )
 
 
+def _probe_rank_expr(
+    centroids: "list[list[float]]", qvec_col: str, nprobe: int
+):
+    """Column expression ranking the ``nprobe`` nearest centroids for a
+    QUERY-VECTOR COLUMN — the batched twin of ``ext.ivf.rank_centroids``
+    under the SAME law (cosine descending, ties to the lowest centroid
+    id) and the same arithmetic (left-fold dot products, zero norms
+    replaced by 1.0), so a vector ranked by either path probes the
+    same lists bit-for-bit. Returns array<struct<nc,i>> of length
+    ``nprobe`` (``i`` is the centroid id). Interpreted HOF lambdas are
+    fine here: this runs over the QUERIES frame, the small side by
+    contract."""
+    import math
+
+    qarr = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    qn = F.sqrt(
+        F.aggregate(
+            F.zip_with(qarr, qarr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qden = F.when(qn != 0, qn).otherwise(F.lit(1.0))
+    entries = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(qarr, clit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(
+                (-(dot / (qden * F.lit(cn)))).alias("nc"),
+                F.lit(i).alias("i"),
+            )
+        )
+    return F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+
+
 class IVFDiskIndex:
     """Loaded handle: centroids on the driver (tiny), lists lazy."""
 
@@ -763,6 +804,75 @@ class IVFDiskIndex:
         from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
 
         return rank_centroids(self.centroids, query_vec, nprobe)
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        filter_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """BATCHED serving: one Spark job answers EVERY query in
+        ``queries`` — the shape a retrieval / hard-negative-mining
+        pipeline needs, where :meth:`search`'s one-job-per-vector loop
+        would schedule millions of jobs. Returns (query_id, id, score)
+        rows, the per-query top-k.
+
+        Plan shape (pinned in tests/test_ann_index.py): each query
+        ranks its ``nprobe`` nearest centroids JVM-side (the driver-held
+        centroid table as literals — same law as the single-query
+        path, bit-for-bit), explodes to (query, centroid) probe pairs,
+        and BROADCASTS onto the partitioned inverted lists; Spark's
+        dynamic partition pruning turns the broadcast keys into a
+        partition filter on the parquet scan, so only the UNION of
+        probed lists' files is read — the single-query path's pruning,
+        preserved under batching. Per-query top-k is one hash exchange
+        on query_id (row_number window), so the whole serve is:
+        pruned scan → broadcast join → one shuffle. Cost scales with
+        (queries × probed-list rows), never queries × jobs.
+
+        ``queries`` is the SMALL side by contract (it is broadcast,
+        replicated ×nprobe): serve multi-million-query workloads in
+        bounded chunks of this call. ``filter_ids`` semi-joins the
+        probed lists before any cosine, exactly like :meth:`search`.
+        """
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        from pyspark.sql import Window
+
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
+        ranked = _probe_rank_expr(self.centroids, query_vec_col, nprobe)
+        probes = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(ranked).alias("__p"),
+        ).select(
+            query_id_col,
+            query_vec_col,
+            F.col("__p.i").alias("centroid"),
+        )
+        lists = self.spark.read.parquet(f"{self.index_dir}/assigned")
+        if filter_ids is not None:
+            lists = lists.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        scored = lists.join(F.broadcast(probes), "centroid").select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
+                "score"
+            ),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
 
     def search(
         self,
@@ -1245,6 +1355,180 @@ class PQDiskIndex:
             )
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
+        )
+
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        candidates: int = 100,
+        rerank_corpus: DataFrame | None = None,
+        filter_ids: DataFrame | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        max_queries: int = 65536,
+    ) -> DataFrame:
+        """BATCHED two-stage PQ serving: ONE distributed ADC scan of
+        the codes table answers every query in ``queries`` (vs one job
+        per vector through :meth:`search`). Returns (query_id, id,
+        score) per-query top-k rows.
+
+        Plan shape: the query batch materializes driver-side (bounded
+        by ``max_queries`` — the same bounded-driver-state contract as
+        the codebooks themselves; chunk bigger workloads over this
+        call) into a PER-QUERY LUT TENSOR (nq × m × n_centroids
+        doubles — KBs per query), shipped once per task in the Arrow
+        closure. Each codes batch then scores ALL queries with one
+        gather+sum (`lut[:, j, codes]`), keeps the per-query
+        within-batch top ``candidates``, and one query_id exchange
+        picks the global per-query candidates; optional exact rerank
+        joins the candidate ids back to the row store and re-scores
+        with true cosine — the standard two-stage shape, batched.
+        ``filter_ids`` semi-joins the codes before the scan, so the
+        ADC work and candidate budget are spent inside the allowed
+        set, per query."""
+        import numpy as np
+
+        from pyspark.sql import Window
+
+        meta = self.meta
+        m = meta["m"]
+        sub = meta["dim"] // m
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        qrows = (
+            queries.select(query_id_col, query_vec_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"query batch exceeds max_queries={max_queries}; serve "
+                "larger workloads in bounded chunks of this call (the "
+                "per-query LUT tensor is driver-built by contract)"
+            )
+        if not qrows:
+            raise ValueError("empty query batch")
+        qids = [r[query_id_col] for r in qrows]
+        qmat = np.stack(
+            [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
+        )
+        if qmat.shape[1] != meta["dim"]:
+            raise ValueError(
+                f"query dimension {qmat.shape[1]} != index dim {meta['dim']}"
+            )
+        nq = len(qids)
+        # luts[q, j, c] = <q_sub_j, codebook[j, c]>; flattened so the
+        # scan's gather is one fancy-index over (j*n_centroids + code)
+        luts = np.einsum("qjd,jcd->qjc", qmat.reshape(nq, m, sub),
+                         self.codebooks)
+        n_centroids = meta["n_centroids"]
+        lut_flat = luts.reshape(nq, m * n_centroids)
+        offsets = (np.arange(m) * n_centroids).astype(np.int64)
+        take = min(candidates, 1 << 30)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("__qi", T.IntegerType()),
+                T.StructField("vec_id_out", T.LongType()),
+                T.StructField("adc", T.DoubleType()),
+            ]
+        )
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                flat = codes + offsets[None, :]  # (b, m)
+                adc = lut_flat[:, flat].sum(axis=2)  # (nq, b)
+                b = adc.shape[1]
+                t = min(take, b)
+                # per-query within-batch top-t (argpartition then sort
+                # is O(b + t log t) per query, not O(b log b))
+                part = np.argpartition(-adc, t - 1, axis=1)[:, :t]
+                rows_q = np.repeat(np.arange(nq), t)
+                rows_v = part.reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        "__qi": rows_q.astype("int32"),
+                        "vec_id_out": pdf[id_col].to_numpy()[rows_v],
+                        "adc": adc[rows_q, rows_v],
+                    }
+                )
+
+        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes")
+        if filter_ids is not None:
+            codes_df = codes_df.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        qid_frame = self.spark.createDataFrame(
+            [(int(i), qid) for i, qid in enumerate(qids)],
+            T.StructType(
+                [
+                    T.StructField("__qi", T.IntegerType()),
+                    T.StructField(
+                        query_id_col,
+                        queries.schema[query_id_col].dataType,
+                    ),
+                ]
+            ),
+        )
+        wq = Window.partitionBy("__qi").orderBy(
+            F.desc("adc"), F.asc("vec_id_out")
+        )
+        keep = candidates if rerank_corpus is not None else min(candidates, k)
+        cand = (
+            codes_df.mapInPandas(scan, out_schema)
+            .withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= keep)
+            .drop("__rn")
+        )
+        if rerank_corpus is None:
+            return cand.join(F.broadcast(qid_frame), "__qi").select(
+                F.col(query_id_col),
+                F.col("vec_id_out").alias(id_col),
+                F.col("adc").alias("score"),
+            )
+        # exact rerank: candidate ids fetch their raw vectors from the
+        # row store (semi-join keeps the store scan pruned to the
+        # candidate set), then true cosine against the query vector —
+        # the query vectors ride a broadcast (bounded batch)
+        qvec_frame = self.spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in qmat[i]])
+                for i in range(nq)
+            ],
+            T.StructType(
+                [
+                    T.StructField("__qi", T.IntegerType()),
+                    T.StructField("__qv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+        ids = cand.select("__qi", F.col("vec_id_out").alias(id_col))
+        fetched = rerank_corpus.join(
+            F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi"
+        ).select(id_col, vec_col)
+        wr = Window.partitionBy("__qi").orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        return (
+            ids.join(fetched, id_col)
+            .join(F.broadcast(qvec_frame), "__qi")
+            .select(
+                "__qi",
+                F.col(id_col),
+                cosine_similarity(F.col(vec_col), F.col("__qv")).alias(
+                    "score"
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= k)
+            .join(F.broadcast(qid_frame), "__qi")
+            .select(F.col(query_id_col), F.col(id_col), F.col("score"))
         )
 
 

@@ -2699,6 +2699,83 @@ REGISTRY["ext_ivf_autowiden_query"] = (
 )
 
 
+def _sql_batch_topk_cosine(k: int, n_queries: int) -> str:
+    """Per-query brute-force top-k (row_number window) — the exact
+    oracle for BATCHED ANN serving at full probe / full rerank margin;
+    tie-break (score DESC, vec_id) matches the engines' shared law."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS (SELECT q.query_id, e.vec_id,
+        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, score,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score FROM r WHERE rn <= {k}
+"""
+
+
+def q_ivf_batch_query(spark, sf_dir):
+    """BATCHED ANN serving (IVFDiskIndex.search_batch): ONE Spark job
+    answers 100 query vectors against the persisted IVF store — the
+    retrieval / hard-negative-mining shape, where the one-job-per-
+    vector loop would schedule 100 jobs (probe: scripts/
+    ann_batch_probe.py records the per-query cost collapse). Each
+    query ranks its probe lists JVM-side from the driver-held
+    centroids (same law as single-query serving, bit-for-bit),
+    explodes to (query, centroid) pairs, broadcasts onto the
+    partitioned lists — dynamic partition pruning keeps the scan to
+    the probed lists' union — and one query_id exchange takes each
+    top-k. Full probe makes every per-query answer exactly the brute
+    force, so the whole batched path is value-oracled (the pruned-
+    probe latency trade is pinned in tests + the probe script)."""
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = index.search_batch(queries, k=5, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+REGISTRY["ext_ivf_batch_query"] = (
+    q_ivf_batch_query,
+    _sql_batch_topk_cosine(k=5, n_queries=100),
+)
+
+
+def q_pq_batch_query(spark, sf_dir):
+    """Batched two-stage PQ serving (PQDiskIndex.search_batch): one
+    distributed ADC scan of the persisted codes scores ALL 40 queries
+    via a per-query LUT tensor shipped in the Arrow closure (driver
+    state bounded by max_queries — the codebook contract), then the
+    survivors exact-rerank from the row store per query. Full
+    candidate margin makes each answer exactly the brute-force top-k
+    — the same value-oracle law as the IVF batch row, second index
+    engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = index.search_batch(
+        queries, k=5, candidates=1_000_000, rerank_corpus=emb
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+REGISTRY["ext_pq_batch_query"] = (
+    q_pq_batch_query,
+    _sql_batch_topk_cosine(k=5, n_queries=40),
+)
+
+
 def _sql_dedup_clusters() -> str:
     """Transitive closure of the ngram pair graph; component = min
     reachable id (exactly what min-label propagation converges to)."""
