@@ -159,6 +159,9 @@ HEADLINE = [
     # work), so they stay OUT of CLOSED_FORM_ORACLE
     "ext_ivf_batch_query",
     "ext_pq_batch_query",
+    # round 9: serving after the full PQ maintenance lifecycle
+    # (build → add → delete → RETRAIN re-fit codebooks + re-encode)
+    "ext_pq_postretrain_query",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work
@@ -176,6 +179,7 @@ CLOSED_FORM_ORACLE = [
     "ext_ivf_postdelete_query",
     "ext_ivf_autowiden_query",
     "ext_video_keyframes_avi",
+    "ext_pq_postretrain_query",
 ]
 
 

@@ -659,3 +659,179 @@ def test_pq_search_batch_query_cap_and_empty_guards(spark, sf_dir, tmp_path):
         index.search_batch(_qframe(emb, 10), k=2, max_queries=5)
     with pytest.raises(ValueError, match="empty query batch"):
         index.search_batch(_qframe(emb, 0), k=2)
+
+
+def _drift_batch(spark, emb, scale=4.0, shift=3.0, offset=100_000):
+    """A deterministic OUT-OF-DISTRIBUTION add batch (affine-warped
+    copies of the corpus): every subvector lands far from any
+    build-time codebook centroid, the PQ drift case — where the IVF
+    drift fixture (_skew_batch) clones an in-distribution vector and
+    so would show NO quantization-error growth."""
+    return emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * F.lit(scale) + F.lit(shift),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+
+def test_pq_drift_stats_and_retrain_recover_adc_accuracy(
+    spark, sf_dir, tmp_path
+):
+    """Drifted adds encode against frozen codebooks; the lifecycle must
+    (a) see the drift in the per-(batch, subspace) error panel, (b)
+    fire the needs_retrain law, (c) recover ADC accuracy by retraining
+    on the current membership, resetting the baseline, and (d) refuse
+    pre-retrain batch replays — the codebook twin of the IVF rebalance
+    family."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        needs_retrain,
+        pq_index_add,
+        pq_index_drift_stats,
+        pq_index_retrain,
+    )
+
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    drift = _drift_batch(spark, emb)
+    union = emb.select("vec_id", "embedding").unionByName(drift)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="base")
+    pq_index_add(drift, idx, new_corpus_tag="drifted", batch_id="b1")
+
+    panel = pq_index_drift_stats(spark, idx, union).collect()
+    assert len(panel) == 2 * 8  # (base, b1) × m subspaces
+    mse = {}
+    for r in panel:
+        acc = mse.setdefault(r["batch"], [0.0, 0.0])
+        acc[0] += r["mse"]
+        acc[1] += 1
+    assert mse["b1"][0] / mse["b1"][1] > 2.0 * mse["base"][0] / mse["base"][1]
+    assert needs_retrain(panel, max_ratio=2.0) == ["b1"]
+
+    # ADC shortlist accuracy for a query in the DRIFTED region: how
+    # much of the exact INNER-PRODUCT top-10 (the metric ADC
+    # approximates — cosine needs the rerank stage) a 100-candidate
+    # shortlist recovers. Deterministic end-to-end (fixed data, fixed
+    # trainer), so the thresholds are exact replays, not tolerances.
+    import numpy as np
+
+    qd = [x * 4.0 + 3.0 for x in QV]
+    urows = union.collect()
+    uids = np.array([r["vec_id"] for r in urows])
+    umat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in urows]
+    )
+    ip = umat @ np.asarray(qd)
+    want = set(uids[np.argsort(-ip)[:10]].tolist())
+
+    def shortlist_recall():
+        got = {
+            r["vec_id"]
+            for r in pq_index_load(spark, idx)
+            .search(qd, k=100, candidates=100)
+            .collect()
+        }
+        return len(got & want) / 10.0
+
+    before = shortlist_recall()
+    pq_index_retrain(
+        spark, idx, union, new_corpus_tag="retrained", train_sample=1000
+    )
+    after = shortlist_recall()
+    assert before <= 0.3  # frozen codebooks can't resolve the region
+    assert after >= 0.5  # retrained codebooks cover it (measured 0.6)
+    # the retrained panel is ALL base (batches folded) and healthy
+    panel2 = pq_index_drift_stats(spark, idx, union).collect()
+    assert {r["batch"] for r in panel2} == {"base"}
+    # membership unchanged: full-margin rerank stays the exact brute
+    # force over the union corpus
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq_index_load(spark, idx)
+        .search(QV, k=10, candidates=10**6, rerank_corpus=union)
+        .collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(union, QV, k=10).collect()
+    ]
+    assert got == exact
+    # meta records the retrain's training identity
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert meta["corpus_tag"] == "retrained"
+    assert meta["train_sample"] == 1000
+    # pre-retrain replay must refuse (rows were folded to base)
+    with pytest.raises(ValueError, match="folded into base"):
+        pq_index_add(drift, idx, new_corpus_tag="again", batch_id="b1")
+
+
+def test_pq_retrain_preserves_deletes_and_coverage_guards(
+    spark, sf_dir, tmp_path
+):
+    """A retrain re-encodes EXACTLY the current membership: deleted ids
+    stay deleted (never resurrected from the corpus frame), an
+    under-covering corpus refuses (silent erasure), a duplicated-id
+    corpus refuses (two codes per id)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        pq_index_delete,
+        pq_index_retrain,
+    )
+
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t0")
+    pq_index_delete(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+        new_corpus_tag="t1",
+    )
+    survivors = emb.filter(F.col("vec_id") % 7 != 3)
+    n_surv = survivors.count()
+    # the corpus frame still holds the deleted rows — retrain must
+    # re-encode only the store's membership
+    pq_index_retrain(spark, idx, emb, new_corpus_tag="t2")
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/codes").select("vec_id").collect()
+    }
+    assert len(ids) == n_surv and all(v % 7 != 3 for v in ids)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq_index_load(spark, idx)
+        .search(QV, k=10, candidates=10**6, rerank_corpus=emb)
+        .collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(survivors, QV, k=10).collect()
+    ]
+    assert got == exact
+    with pytest.raises(ValueError, match="covers"):
+        pq_index_retrain(
+            spark,
+            idx,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            new_corpus_tag="t3",
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        pq_index_retrain(
+            spark, idx, emb.unionByName(emb), new_corpus_tag="t4"
+        )
+
+
+def test_needs_retrain_requires_base_reference(spark, sf_dir, tmp_path):
+    """After a compaction folds the training snapshot away, the law has
+    no calibration-free reference and must refuse rather than compare
+    drifted batches against each other."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import needs_retrain
+
+    rows = [
+        {"batch": "b1", "j": 0, "n_vectors": 10, "mse": 1.0},
+        {"batch": "b2", "j": 0, "n_vectors": 10, "mse": 9.0},
+    ]
+    with pytest.raises(ValueError, match="base"):
+        needs_retrain(rows)

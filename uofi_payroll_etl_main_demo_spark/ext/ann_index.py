@@ -306,6 +306,130 @@ def pq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def pq_index_drift_stats(
+    spark: SparkSession, index_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """Per-(batch, subspace) QUANTIZATION-ERROR panel — the drift meter
+    the add-forever PQ lifecycle needs: adds encode against FROZEN
+    codebooks, so distribution drift silently grows ADC error with no
+    query-time symptom (results stay plausible, just worse). One row
+    per (``batch``, ``j``): ``n_vectors`` and ``mse`` — the mean squared
+    distance between the stored code's reconstruction ``cb[j, code_j]``
+    and the TRUE subvector. Compare each add batch against ``base``
+    (the codebooks' own training snapshot) with :func:`needs_retrain`.
+
+    ``corpus`` is the id-addressable row store holding the raw vectors
+    (codes alone cannot yield error — they are only codebook indices);
+    it must cover the store's membership — rows whose raw vector is
+    missing are EXCLUDED from the panel, so check ``n_vectors`` against
+    :func:`pq_index_stats` if coverage is in doubt. Run BEFORE
+    compaction: folding batches into ``base`` blends the drifted adds
+    into the baseline and the contrast is gone.
+
+    Plan shape: codes ⋈ corpus on id (the one unavoidable shuffle),
+    then an Arrow pass emitting per-(batch, j) PARTIAL (n, Σerr) per
+    batch — the final exchange carries ~batches × m rows, never the
+    corpus."""
+    import numpy as np
+
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    sub = meta["dim"] // m
+    codebooks = np.empty((m, n_centroids, sub))
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        codebooks[r["j"], r["c"]] = r["cvec"]
+
+    part_schema = T.StructType(
+        [
+            T.StructField("batch", T.StringType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("__n", T.LongType()),
+            T.StructField("__se", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            # err[v, j] = ||x_sub_j - cb[j, codes[v, j]]||^2
+            recon = codebooks[np.arange(m)[None, :], codes]  # (b, m, sub)
+            err = ((mat.reshape(len(mat), m, sub) - recon) ** 2).sum(axis=2)
+            frame = pd.DataFrame(err, columns=range(m))
+            frame["batch"] = pdf["__batch"].to_numpy()
+            agg = frame.groupby("batch", sort=False).agg(["count", "sum"])
+            for j in range(m):
+                yield pd.DataFrame(
+                    {
+                        "batch": agg.index.to_numpy(),
+                        "j": np.int32(j),
+                        "__n": agg[(j, "count")].to_numpy().astype("int64"),
+                        "__se": agg[(j, "sum")].to_numpy(),
+                    }
+                )
+
+    joined = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select(id_col, "codes", "__batch")
+        .join(corpus.select(id_col, vec_col), id_col)
+    )
+    return (
+        joined.mapInPandas(partials, part_schema)
+        .groupBy("batch", "j")
+        .agg(
+            F.sum("__n").alias("n_vectors"),
+            (F.sum("__se") / F.sum("__n")).alias("mse"),
+        )
+        .orderBy("batch", "j")
+    )
+
+
+def needs_retrain(drift_rows, max_ratio: float = 2.0) -> "list[str]":
+    """The PQ drift-threshold LAW acting on
+    :func:`pq_index_drift_stats` output — the codebook twin of
+    :func:`needs_rebalance`: an add batch needs a retrain when its
+    per-vector quantization error (Σ_j mse_j, n-weighted) exceeds
+    ``max_ratio ×`` the ``base`` batch's — base IS the codebooks'
+    training snapshot, so it is the only calibration-free reference.
+    Returns the offending batch tags (empty = healthy); act with
+    :func:`pq_index_retrain`. Driver-side over ≤ batches × m rows.
+    Raises if ``base`` is absent from the panel (compaction folded it
+    — run drift stats before compacting, or retrain to reset the
+    baseline); the 2× default is where ADC recall degradation became
+    measurable in the recorded drift probe (BASELINE.md round-9)."""
+    totals: "dict[str, list[float]]" = {}
+    for r in drift_rows:
+        n, se = r["n_vectors"], r["mse"] * r["n_vectors"]
+        acc = totals.setdefault(r["batch"], [0.0, 0.0])
+        acc[0] += n
+        acc[1] += se
+    if "base" not in totals:
+        raise ValueError(
+            "drift panel has no 'base' batch to calibrate against "
+            "(compaction folded it); run pq_index_drift_stats before "
+            "compacting, or pq_index_retrain to reset the baseline"
+        )
+    # per-vector error = total squared error / n; n is summed per
+    # SUBSPACE row, so divide by m via the per-j accounting staying
+    # consistent between batches (the ratio is unaffected)
+    ref_n, ref_se = totals["base"]
+    ref = ref_se / ref_n if ref_n else 0.0
+    out = []
+    for tag, (n, se) in totals.items():
+        if tag == "base" or not n:
+            continue
+        if se / n > max_ratio * ref:
+            out.append(tag)
+    return sorted(out)
+
+
 def needs_rebalance(stats_rows, max_ratio: float = 4.0) -> "list[int]":
     """The drift-threshold LAW acting on :func:`ivf_index_stats`
     output: a list is oversized when its vector count exceeds
@@ -1586,6 +1710,144 @@ def pq_index_add(
         .parquet(f"{index_dir}/codes")
     )
     _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
+
+
+def pq_index_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    *,
+    new_corpus_tag: str,
+    train_sample: "int | None" = None,
+    lloyd_iters: "int | None" = None,
+) -> None:
+    """Act on the drift :func:`pq_index_drift_stats` reports — the
+    codebook twin of :func:`ivf_index_rebalance`: re-fit the codebooks
+    on a sample of the CURRENT membership and re-encode every stored
+    vector through them (staged swap), recovering the ADC accuracy
+    that drifted adds lost against build-time codebooks. ``corpus`` is
+    the id-addressable row store; only rows whose id is CURRENTLY in
+    the codes table are re-encoded — a retrain never resurrects
+    deleted ids and never admits new ones (use ``pq_index_add``), so
+    the serving answer set is bit-for-bit unchanged at full rerank
+    margin (pinned in tests/test_ann_index.py).
+
+    Refuses loudly when the corpus under- or over-covers the store's
+    membership: a missing raw vector would silently DROP a stored id
+    (erasure the caller never asked for), a duplicated id would store
+    two codes under one id. Training mirrors the build (id-sorted
+    bounded sample, deterministic Lloyd — same trainer); sample size /
+    iterations default to the build's own meta values and are recorded
+    back into meta (they are part of the index identity).
+
+    Batches fold to base during the rewrite, so pre-retrain replays
+    raise via ``folded_batches`` — and the panel's next ``base`` IS
+    the new training snapshot, resetting the :func:`needs_retrain`
+    baseline. ``new_corpus_tag`` is REQUIRED (ensure-loads keyed to
+    the old tag must rebuild, not serve re-encoded rows under a stale
+    key). Quiescent-point op, same crash contract as compaction: meta
+    absent between invalidate and the final write → ensure rebuilds."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        train_pq_codebooks,
+    )
+
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "pq":
+        raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    if train_sample is None:
+        train_sample = meta["train_sample"]
+    if lloyd_iters is None:
+        lloyd_iters = meta["lloyd_iters"]
+    ids = (
+        spark.read.parquet(f"{index_dir}/codes").select(id_col).distinct()
+    )
+    member = corpus.select(id_col, vec_col).join(ids, id_col, "left_semi")
+    member = member.persist()
+    try:
+        n_ids = ids.count()
+        n_member = member.count()
+        if n_member < n_ids:
+            raise ValueError(
+                f"corpus covers {n_member} of the store's {n_ids} ids — a "
+                "retrain over a partial corpus would silently erase the "
+                "uncovered vectors; pass the full row store"
+            )
+        if n_member > n_ids:
+            raise ValueError(
+                f"corpus holds duplicate ids ({n_member} rows for {n_ids} "
+                "store ids) — a retrain would store two codes per id"
+            )
+        head = member.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if head and int(head[0][0]) != meta["dim"]:
+            raise ValueError(
+                f"corpus dimension {int(head[0][0])} != index dim "
+                f"{meta['dim']} — a mismatched retrain would mis-encode "
+                "every vector"
+            )
+        # sample by deterministic id HASH, not the build's id-prefix
+        # law: a retrain exists BECAUSE the distribution drifted, and
+        # adds usually carry higher ids than the build corpus — an
+        # id-prefix sample would never see the drifted rows and the
+        # "retrain" would re-fit the old distribution (measured: the
+        # sf0.1 drift probe recovered 0.0 recall under the prefix law).
+        # Hash order covers every batch proportionally and is exactly
+        # reproducible (xxhash64 is a pure function of the id).
+        sample = (
+            member.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
+            .limit(train_sample)
+            .collect()
+        )
+        train = np.stack([r[0] for r in sample]).astype(np.float64)
+        codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
+        folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
+        swaps = _staged_compactions(
+            spark,
+            index_dir,
+            [
+                (
+                    "codes",
+                    ["__batch"],
+                    # the staged content is a FRESH encode of the
+                    # membership through the NEW codebooks, not a
+                    # rewrite of the old codes (which are unreadable
+                    # under the new codebooks by definition)
+                    lambda _old: _pq_encode(
+                        member, codebooks, id_col, vec_col
+                    ).withColumn("__batch", F.lit("base")),
+                )
+            ],
+        )
+        _invalidate_meta(spark, index_dir)
+        cb_rows = [
+            (j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(m)
+            for c in range(n_centroids)
+        ]
+        spark.createDataFrame(
+            cb_rows, "j int, c int, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/codebooks"
+        )
+        for swap in swaps:
+            swap()
+        _write_meta(
+            spark,
+            index_dir,
+            {
+                **meta,
+                "corpus_tag": new_corpus_tag,
+                "train_sample": train_sample,
+                "lloyd_iters": lloyd_iters,
+                "folded_batches": folded,
+            },
+        )
+    finally:
+        member.unpersist()
 
 
 def ensure_pq_index(

@@ -2776,6 +2776,95 @@ REGISTRY["ext_pq_batch_query"] = (
 )
 
 
+def _ensure_sf_pq_postretrain_index(spark, sf_dir):
+    """PQ store taken through the FULL maintenance lifecycle: build on
+    the even-id half, ``pq_index_add`` the odd half, ``pq_index_delete``
+    ``vec_id % 9 == 4``, then ``pq_index_retrain`` on the current
+    membership (codebooks re-fit, codes re-encoded, batches folded).
+    Idempotent per corpus snapshot via the post-retrain tag, same
+    pattern as the postdelete IVF helper — a repeat query loads, a
+    fresh snapshot replays the real add→delete→retrain path."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _fs_exists,
+        _read_meta,
+        corpus_fingerprint,
+        pq_index_add,
+        pq_index_build,
+        pq_index_delete,
+        pq_index_load,
+        pq_index_retrain,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fp = corpus_fingerprint(emb_path)
+    post_tag = f"{fp}:retrained-del9m4"
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"pq8x16rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if _fs_exists(spark, f"{idx_dir}/meta"):
+        try:
+            meta = _read_meta(spark, idx_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["kind"] == "pq"
+            and meta["corpus_tag"] == post_tag
+            and meta["m"] == 8
+            and meta["n_centroids"] == 16
+        ):
+            return pq_index_load(spark, idx_dir)
+    pq_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        idx_dir,
+        m=8,
+        n_centroids=16,
+        corpus_tag=f"{fp}:half",
+    )
+    pq_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        idx_dir,
+        new_corpus_tag=f"{fp}:full",
+        batch_id="odds",
+    )
+    pq_index_delete(
+        spark,
+        idx_dir,
+        emb.filter(F.col("vec_id") % 9 == 4).select("vec_id"),
+        new_corpus_tag=f"{fp}:del9m4",
+    )
+    pq_index_retrain(spark, idx_dir, emb, new_corpus_tag=post_tag)
+    return pq_index_load(spark, idx_dir)
+
+
+def q_pq_postretrain_query(spark, sf_dir):
+    """Serving AFTER the full PQ maintenance lifecycle (ext/
+    ann_index.py pq_index_retrain): build on half the corpus, add the
+    other half, delete ``vec_id % 9 == 4``, then RETRAIN — codebooks
+    re-fit on the current membership, every stored code re-encoded
+    through them, batches folded (pre-retrain replays refused). At
+    full rerank margin the answer must equal the exact brute force
+    over the SURVIVORS: the oracle proves the retrain re-encoded
+    exactly the membership — nothing lost, nothing duplicated, deleted
+    ids NOT resurrected from the corpus frame it trains on. The ADC
+    accuracy recovery itself is pinned in tests + the drift probe
+    (scripts/pq_drift_probe.py, BASELINE.md)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_pq_postretrain_index(spark, sf_dir)
+    out = index.search(
+        QUERY_VEC, k=10, candidates=1_000_000, rerank_corpus=emb
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_pq_postretrain_query"] = (
+    q_pq_postretrain_query,
+    _sql_topk_cosine(where="WHERE vec_id % 9 != 4"),
+)
+
+
 def _sql_dedup_clusters() -> str:
     """Transitive closure of the ngram pair graph; component = min
     reachable id (exactly what min-label propagation converges to)."""
