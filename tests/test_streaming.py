@@ -896,3 +896,149 @@ def test_ingest_constrained_stream_gates_and_reports(spark, tmp_path):
         ingest_constrained_stream(
             stream, corpus, quar, str(tmp_path / "ckpt2"), [unique("doc_id")]
         )
+
+
+def test_ingest_ann_stream_maintains_index(spark, tmp_path):
+    """Streaming IVF maintenance: vectors arrive in micro-batches, the
+    first builds the store, the rest ivf_index_add — after the drain
+    the index answers a full-probe query exactly like brute force over
+    the WHOLE streamed corpus (stream ≡ batch serving state), and the
+    store's membership is the corpus row for row."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_ann_stream,
+    )
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    feed = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "ivf_index")
+    q = ingest_ann_stream(
+        stream,
+        corpus_path,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        n_centroids=4,
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    assert corpus.select("__batch_id").distinct().count() == 3
+    assert corpus.count() == feed.count()
+    # index membership == corpus membership (every batch landed once)
+    assigned = spark.read.parquet(f"{index_dir}/assigned")
+    assert sorted(r["vec_id"] for r in assigned.select("vec_id").collect()) \
+        == sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    # first batch trained; later batches were adds (distinct tags)
+    assert assigned.select("__batch").distinct().count() == 3
+    # full-probe serving over the streamed store == brute force over
+    # the full streamed corpus
+    QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    index = ivf_index_load(spark, index_dir)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in index.search(QV, k=10, nprobe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(feed, QV, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ingest_ann_stream_replay_heals(spark, tmp_path):
+    """Crash-replay: re-running a batch's sink over index state
+    poisoned by a crashed attempt (extra half-written rows under the
+    batch's own tag) reproduces identical corpus AND index state —
+    the dynamic-overwrite idempotency contract, on the ANN store."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_add,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_ann_stream,
+    )
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    feed = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    feed.repartition(2).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "ivf_index")
+    q = ingest_ann_stream(
+        stream,
+        corpus_path,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        n_centroids=4,
+    )
+    q.awaitTermination(300)
+
+    def snapshot():
+        c = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(corpus_path).collect()
+        )
+        a = sorted(
+            (r["vec_id"], r["centroid"], r["__batch"])
+            for r in spark.read.parquet(f"{index_dir}/assigned")
+            .select("vec_id", "centroid", "__batch")
+            .collect()
+        )
+        return c, a
+
+    before = snapshot()
+    last_id = spark.read.parquet(corpus_path).agg(
+        F.max("__batch_id")
+    ).collect()[0][0]
+    last_tag = f"b{last_id:020d}"
+    # materialize: the real sink reads the batch from the STREAM
+    # source; a lazy read of the very corpus partition the replay
+    # dynamic-overwrites would race its own write
+    last_batch = spark.createDataFrame(
+        spark.read.parquet(corpus_path)
+        .filter(F.col("__batch_id") == last_id)
+        .select("vec_id", "embedding")
+        .collect(),
+        spark.read.parquet(corpus_path)
+        .select("vec_id", "embedding")
+        .schema,
+    )
+    # poison: a crashed attempt half-wrote EXTRA vectors under the
+    # batch's own tag
+    poison = last_batch.limit(1).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    ivf_index_add(
+        poison.unionByName(last_batch),
+        index_dir,
+        new_corpus_tag="crashed-attempt",
+        batch_id=last_tag,
+    )
+    assert snapshot() != before  # the poison is visible pre-replay
+    # replay the sink body exactly as foreachBatch would
+    (
+        last_batch.withColumn("__batch_id", F.lit(last_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(corpus_path)
+    )
+    ivf_index_add(
+        last_batch, index_dir, new_corpus_tag=last_tag, batch_id=last_tag
+    )
+    assert snapshot() == before  # replay healed the poisoned state

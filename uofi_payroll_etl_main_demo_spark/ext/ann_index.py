@@ -805,6 +805,7 @@ def ivf_index_build(
     seed: int = 42,
     max_iter: int = 20,
     corpus_tag: str = "",
+    batch_tag: str = "base",
 ) -> None:
     """Train the coarse quantizer ONCE and persist the whole index.
 
@@ -814,10 +815,18 @@ def ivf_index_build(
     filter prunes partitions at the scan. Meta is written LAST — a
     build that dies mid-write leaves no meta row, and
     :func:`ensure_ivf_index` treats the directory as absent.
+
+    ``batch_tag`` names the build's own ``__batch`` partition (default
+    ``base``) — a streaming ingester's FIRST batch builds under its
+    stream tag so a post-build crash-replay can take the add path and
+    dynamic-overwrite the same partitions instead of duplicating
+    (the minhash/CDC builds' contract).
     """
     from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
 
     spark = embeddings.sparkSession
+    if batch_tag != "base":
+        check_batch_tag(batch_tag)
     head = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not head:
         raise ValueError("cannot build an IVF index over an empty corpus")
@@ -841,7 +850,7 @@ def ivf_index_build(
     # probe filter prunes exactly as before.
     (
         index.assigned.select(id_col, vec_col, "centroid")
-        .withColumn("__batch", F.lit("base"))
+        .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("centroid", "__batch")
         .parquet(f"{index_dir}/assigned")

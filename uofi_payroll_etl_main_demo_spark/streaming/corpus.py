@@ -378,6 +378,95 @@ def ingest_containment_stream(
     )
 
 
+def ingest_ann_stream(
+    stream_vectors: DataFrame,
+    corpus_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Streaming maintenance for the persisted IVF store — the vector
+    twin of :func:`ingest_dedup_stream_indexed`: embedding pipelines
+    append vectors continuously (a crawler's encoder, a nightly
+    re-embedding job), and a serving index that only a batch rebuild
+    can refresh goes stale between rebuilds. Each micro-batch of
+    ``(id, vector)`` rows lands in the corpus row store AND is
+    ``ivf_index_add``-ed (assignment against the FROZEN centroids — a
+    narrow JVM map + partitioned write, per-batch cost tracks the
+    batch), so the index IS the corpus' ANN state at every checkpoint
+    commit; queries between commits see a consistent committed prefix.
+
+    Exactly-once by the module's uniform pattern, both writes
+    idempotent per batch:
+
+    * corpus rows land under ``__batch_id`` dynamic-overwrite
+      partitions (the row store the rerank/serving path reads);
+    * index rows land under ``centroid=*/__batch={tag}`` partitions
+      via ``ivf_index_add``'s dynamic overwrite — a replayed batch
+      re-assigns the SAME vectors to the same frozen centroids and
+      overwrites its own partitions, healing any half-written attempt.
+
+    The FIRST batch builds the index under its own batch tag (meta
+    absent), keeping the replay story uniform: a build crash leaves no
+    meta → the replay rebuilds; a post-build crash replays down the
+    add path and dynamic-overwrites the same partitions. A pre-seeded
+    index (built from a historical corpus) composes unchanged. Ids
+    must be unique across the stream (the store invariant every index
+    op assumes). Maintenance ops (compact / rebalance / retrain /
+    delete) remain QUIESCENT-POINT: run them only with the stream
+    stopped on a committed checkpoint — their batch-folding makes any
+    replay of a pre-maintenance batch refuse loudly via
+    ``folded_batches`` rather than corrupt the store (the guard every
+    store in this package shares). Returns the StreamingQuery."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _fs_exists,
+        ivf_index_add,
+        ivf_index_build,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"b{batch_id:020d}"
+        batch = batch_df.select(id_col, vec_col).persist()
+        try:
+            (
+                batch.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(corpus_path)
+            )
+            if _fs_exists(spark, f"{index_dir}/meta"):
+                ivf_index_add(
+                    batch, index_dir, new_corpus_tag=tag, batch_id=tag
+                )
+            else:
+                ivf_index_build(
+                    batch,
+                    index_dir,
+                    n_centroids=n_centroids,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    seed=seed,
+                    max_iter=max_iter,
+                    corpus_tag=tag,
+                    batch_tag=tag,
+                )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream_vectors.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ingest_media_dedup_stream(
     stream_media: DataFrame,
     corpus_path: str,
