@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -2265,3 +2266,31 @@ def test_bpe_encode_splits_on_portable_whitespace_only(spark):
     out = bpe_encode(df, []).collect()[0]
     # NBSP and LINE SEPARATOR stay INSIDE tokens; only the space splits
     assert out["n_tokens"] == len("a b") + len("c d") + 1
+
+
+def test_chunk_documents_tumbling_fast_path_matches_windowed(spark, sf_dir):
+    """The tumbling regex fast path (stride == size) and the general
+    token-array windowed form emit identical rows AND schema over the
+    real corpus plus the pathological fixtures — one chunking law, two
+    physical plans (the fast path is 5.5× cheaper; BASELINE.md r9)."""
+    from uofi_payroll_etl_main_demo_spark import queries as R
+    from uofi_payroll_etl_main_demo_spark.ext.textstats import (
+        _chunk_documents_windowed,
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text").unionByName(
+        spark.createDataFrame(R._PATHOLOGICAL_TEXTS, "doc_id long, text string")
+    )
+    fast = chunk_documents(docs, size=32, stride=32)
+    slow = _chunk_documents_windowed(docs, "text", "doc_id", 32, 32)
+    # names + types (the fast path's chunk_idx is non-nullable —
+    # posexplode's pos — which is strictly stronger, not a divergence)
+    assert [(f.name, f.dataType) for f in fast.schema] == [
+        (f.name, f.dataType) for f in slow.schema
+    ]
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )

@@ -212,7 +212,51 @@ def chunk_documents(
     rows. A narrow per-row map — chunking 100 TB is embarrassingly
     parallel, and the explode multiplies rows BEFORE any shuffle so
     downstream ops see ordinary narrow rows.
+
+    TUMBLING fast path (``stride == size`` — the rewrite/stats family):
+    tumbling chunks are non-overlapping runs of the whitespace-
+    NORMALIZED text, so successive greedy regex matches of
+    ``size``-token runs produce them in one codegen'd pass —
+    measured 5.5× faster than the general windowed form (52.5 → 9.5 s
+    at the 64× corpus), whose higher-order slice-per-window
+    expressions evaluate interpreted. Both paths emit identical rows
+    (equivalence pinned in tests); the overlapping case keeps the
+    token-array window slices (overlaps cannot be non-overlapping
+    regex matches).
     """
+    if stride == size:
+        # norm's ONLY whitespace is the ASCII space (tokenize_ws splits
+        # on the full explicit class), so `[^ ]+` is exactly one token
+        # and each greedy match consumes exactly `size` tokens (the
+        # final partial match takes the remainder)
+        norm = F.array_join(tokenize_ws(text_col), " ")
+        pat = r"[^ ]+( [^ ]+){0,%d}" % (size - 1)
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 0)).alias(
+                "chunk_idx", "chunk_text"
+            ),
+        ).select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            (
+                F.length("chunk_text")
+                - F.length(F.translate("chunk_text", " ", ""))
+                + 1
+            )
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    return _chunk_documents_windowed(df, text_col, id_col, size, stride)
+
+
+def _chunk_documents_windowed(
+    df: DataFrame, text_col: str, id_col: str, size: int, stride: int
+) -> DataFrame:
+    """The general windowed form (token-array slices per window) —
+    kept callable so the tumbling fast path's equivalence is pinnable
+    against it at ``stride == size``."""
     # Materialized token array (projection boundary): HOF lambdas
     # re-evaluate inline subexpressions per element — an inline tokenize
     # would re-split the document once per window slice.
