@@ -163,3 +163,65 @@ def test_data_constraints_fk_only_and_anchored_matches(spark):
     }
     # 'AB' fully matches; 'xxAByy' only CONTAINS a match -> violation
     assert rep2["matches(code, [A-Z]{2})"] == 1
+
+
+def test_data_constraints_fk_fold_one_job_and_big_dim_parity(spark):
+    """(a) With every fk dim broadcast-sized, the WHOLE gate is ONE
+    job whose plan carries only broadcast hash probes (no sort-merge
+    join, no second scan of the fact table); (b) forcing the big-dim
+    path (fk_broadcast_bytes=0) returns the identical report — one
+    law, two physical strategies."""
+    from uofi_payroll_etl_main_demo_spark.validate import (
+        check_data_constraints,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    fact = spark.range(1000).selectExpr(
+        "id", "id % 97 AS fk1", "id % 31 AS fk2", "id % 50 AS v"
+    )
+    dim1 = spark.range(90).selectExpr("id AS d1")  # 90..96 dangle
+    dim2 = spark.range(31).selectExpr("id AS d2")  # none dangle
+    rules = [
+        not_null("id"),
+        in_range("v", 0, 49),
+        unique("id"),
+        foreign_key("fk1", dim1, "d1"),
+        foreign_key("fk2", dim2, "d2"),
+    ]
+
+    folded = check_data_constraints(fact, rules).orderBy("rule")
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the FACT side is scanned exactly once (the probes feed the one
+    # shared aggregate); the anti-join path re-scans it per fk rule
+    assert plan.count("Range (0, 1000") == 1
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs(tag, df):
+        spark.sparkContext.setJobGroup(tag, tag)
+        try:
+            return df.collect(), len(tracker.getJobIdsForGroup(tag))
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+
+    got, jobs_folded = njobs("fkfold", folded)
+    anti = check_data_constraints(
+        fact, rules, fk_broadcast_bytes=0
+    ).orderBy("rule")
+    assert anti._jdf.queryExecution().executedPlan().toString().count(
+        "Range (0, 1000"
+    ) > 1
+    want, jobs_anti = njobs("fkanti", anti)
+    # fewer scheduler round-trips than the anti-join form (broadcast
+    # builds are their own jobs, so ==1 is not the right pin)
+    assert jobs_folded < jobs_anti
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    rep = {r["rule"]: r["n_violations"] for r in got}
+    # ids with id % 97 in 90..96: 90..96 + 187..193 ... per 97-block
+    dangling = sum(1 for i in range(1000) if i % 97 >= 90)
+    assert rep["foreign_key(fk1 -> d1)"] == dangling
+    assert rep["foreign_key(fk2 -> d2)"] == 0

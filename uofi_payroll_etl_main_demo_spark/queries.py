@@ -9906,12 +9906,14 @@ REGISTRY["ext_zorder_layout_stats"] = (
 def q_data_constraints(spark, sf_dir):
     """Data-quality constraint gate (validate/constraints.py — the
     Deequ/Great-Expectations shape): every row-predicate and
-    uniqueness rule folds into ONE aggregate scan; the foreign-key
-    rule adds one anti-join (+ a driver count-star for its total —
-    the 1-row-frame attach would be the BNLJ the plan lint bans).
-    The l_discount bound is DELIBERATELY violated (TPC-H discounts go
-    to 0.10) so the report's failed path is exercised, not just the
-    all-green one."""
+    uniqueness rule folds into ONE aggregate scan, and the
+    foreign-key rule folds into the SAME scan as a broadcast hash
+    probe (its dim is broadcast-sized by Catalyst's own stats) — the
+    fact table is scanned exactly once, no anti-join job; a genuinely
+    large dim would fall back to the anti-join path (both pinned in
+    tests/test_validate.py). The l_discount bound is DELIBERATELY
+    violated (TPC-H discounts go to 0.10) so the report's failed path
+    is exercised, not just the all-green one."""
     from uofi_payroll_etl_main_demo_spark.validate.constraints import (
         check_data_constraints,
         foreign_key,
