@@ -10374,103 +10374,78 @@ HAVING count(DISTINCT doc_id) >= 2
 )
 
 
-# Round-4 rotation: ALL 35 SQL-twinned registry rows that have never
-# had a driver-green CORRECTNESS entry (r1-r3 windows ∪ = 129 distinct
-# greens; these are the remainder), plus the 6 rows whose oracle or
-# implementation CHANGED this round (ext_minhash_pairs_prod — new
-# recall-audit oracle, the former only-red row; ext_ivf_topk_full /
-# ext_pq_topk_full — new full-probe exactness audits; ext_label_centroids
-# — decimal-sum means; ext_tfidf_top_terms / ext_bm25_search — single-
-# scan N), plus 9 re-verification anchors (the flagship, the pipeline
-# composites with the new reference-exact contracts, the md5 minhash
-# twin, and the knn_join family touched by the n_planes refactor).
-# Rows green in r1-r3 and untouched this round remain covered by
-# scripts/check_oracle.py + pytest.
+# Driver-window rotation: the driver checks the FIRST 50 registry
+# entries each round; _WINDOW_50 reorders the registry so the stalest
+# cohort plus this round's new/changed rows come first (max-staleness
+# policy, VERDICT r7+). History: r4 covered the never-checked
+# remainder; r8 cleared the <=r3 cohort; r9 clears the r4 cohort.
 _WINDOW_50 = [
-    # Round-8 rotation (max staleness policy): the ENTIRE <=r3 cohort
-    # fits this round — 40 queries whose latest driver row is r2/r3
-    # (the r2 trio ext_doc_stats / ext_topk_cosine_gemm /
-    # ext_chunk_documents deferred twice with reasons leads) — so
-    # after r8 every previously-checked registry query's latest
-    # driver row is >= r4 (VERDICT r7 #1's done-condition). The other
-    # 10 slots: the 3 NEW oracled serving rows (post-delete IVF + CDC,
-    # the filtered-ANN auto-widen audit), 3 rows whose implementation
-    # CHANGED this round (positional passage scoring; the min-struct
-    # keep-first law via both its query shapes), the 2 BPE rows that
-    # gained full SQL twins this round (a first VALUE check for the
-    # previously rows-only tokenizer family — VERDICT r7 #6), and 2 of
-    # the remaining never-driver-checked rows-only queries (the driver
-    # records their weaker rows-only check; their exactness stays
-    # pytest-pinned, and windowed full-probe oracles value-prove the
-    # same serving paths).
-    # -- r2-latest trio --
-    "ext_doc_stats",
-    "ext_topk_cosine_gemm",
-    "ext_chunk_documents",
-    # -- r3-latest cohort (all 37) --
-    "a15_retention_cohorts",
-    "a16_approx_quantiles",
-    "a17_salted_agg",
-    "ext_audio_energy_profile",
-    "ext_bigram_surprisal",
-    "ext_corpus_diff",
-    "ext_corpus_shuffle",
-    "ext_curriculum_order",
-    "ext_dedup_cluster_sizes",
-    "ext_dedup_recall_report",
-    "ext_dup_ngram_stats",
-    "ext_event_funnel",
-    "ext_gopher_rules",
-    "ext_image_tile_means",
-    "ext_incremental_dedup",
-    "ext_length_bands_by_source",
-    "ext_mixture_temperature",
-    "ext_multimodal_features",
-    "ext_pack_sequences",
-    "ext_pagerank",
-    "ext_pagerank_dangling",
-    "ext_pair_threshold_histogram",
-    "ext_quality_agreement",
-    "ext_session_paths",
-    "ext_simhash_pairs",
-    "ext_source_quality_panel",
-    "ext_triangle_count",
-    "ext_unigram_surprisal",
-    "j11_full_outer_recon",
-    "j12_merge_upsert",
-    "pipeline_curation_v2",
-    "pipeline_training_data",
-    "stream_anomaly_windows",
-    "stream_session_stats",
-    "stream_sessionize",
-    "stream_sliding_counts",
-    "stream_window_counts",
+    # Round-9 rotation (max staleness policy): the ENTIRE r4-latest
+    # cohort — all 42 queries whose latest driver row is r4 (the
+    # a10/a11/arr_*/ext relational-and-text block below) — so the
+    # stalest live cohort advances to r5 (VERDICT r8 #6; the 44
+    # r5-latest rows are next round's cohort). The other 8 slots are
+    # exactly this round's new/changed rows: the 2 BATCHED ANN serving
+    # rows and the PQ post-retrain lifecycle row (all brand-new
+    # oracles), the 4 rows whose physical plan changed with the
+    # tumbling-chunk fast path (one chunking law, new regex path —
+    # value-identical by the equivalence pin, re-proved by the driver
+    # here), and ext_data_constraints (fk rules now fold into the
+    # one-pass scan as broadcast probes). Untouched green rows remain
+    # covered by scripts/check_oracle.py + pytest.
+    # -- r4-latest cohort (all 42) --
+    "a10_cube",
+    "a11_stat_aggs",
+    "a13_histogram",
+    "a18_windowed_distinct_users",
+    "arr_collect_sorted",
+    "arr_explode_norms",
+    "ext_bm25_search",
+    "ext_boilerplate_passages",
+    "ext_boilerplate_stats",
+    "ext_cross_source_dup_matrix",
+    "ext_embedding_norm_stats",
+    "ext_embedding_outliers",
+    "ext_fingerprints",
+    "ext_frame_sample_plan",
+    "ext_heavy_hitters_cms",
+    "ext_incremental_simhash",
+    "ext_ivf_topk_full",
+    "ext_knn_join",
+    "ext_knn_join_multiprobe",
+    "ext_label_centroids",
+    "ext_leakage_split3",
+    "ext_minhash_estimate_audit",
+    "ext_minhash_pairs",
+    "ext_ngram_jaccard",
+    "ext_pathological_text_stats",
+    "ext_pq_topk_full",
+    "ext_tfidf_top_terms",
+    "ext_token_share_drift",
+    "ext_token_stats",
+    "ext_top_ngrams",
+    "ext_user_gap_stats",
+    "ext_weekly_trend",
+    "gen_date_series",
+    "j13_null_safe_join",
+    "pipeline_payroll_shape",
+    "pricing_summary",
+    "samp_stratified",
+    "sql_frontend_pricing",
+    "stream_rollup",
+    "stream_static_join",
+    "v_profile_table",
+    "w9_session_window_native",
     # -- new this round (oracled) --
-    "ext_ivf_postdelete_query",
-    "ext_cdc_containment_postdelete",
-    "ext_ivf_autowiden_query",
-    # -- changed this round (ext_cdc_containment_index's only change,
-    # the owners-table build side, is value-proved by the windowed
-    # ext_cdc_containment_postdelete, so its slot goes to
-    # ext_chunk_dedup_stats, whose keep-first law was rewritten;
-    # pipeline_rewrite_curation's only change IS that same law, which
-    # ext_chunk_dedup_rewrite + ext_chunk_dedup_stats re-prove here,
-    # so its slot and ext_ivf_topk's go to the two BPE rows, which
-    # gained full SQL twins this round — a VALUE check beats both a
-    # third re-proof of one law and a rows-only record whose exactness
-    # ext_ivf_postdelete_query already value-proves at full probe) --
-    "ext_passage_topk",
+    "ext_ivf_batch_query",
+    "ext_pq_batch_query",
+    "ext_pq_postretrain_query",
+    # -- changed this round (tumbling-chunk fast path; fk fold) --
     "ext_chunk_dedup_rewrite",
     "ext_chunk_dedup_stats",
-    "ext_bpe_merges",
-    "ext_bpe_encode",
-    # -- rows-only, never driver-checked (weaker rows-only record;
-    # ext_pq_topk yielded its slot to the brand-new oracled
-    # ext_bpe_fertility — a never-checked VALUE row outranks a
-    # rows-only record whose serving path the windowed full-margin
-    # ext_pq_index_query already value-proves) --
-    "ext_ivf_index_query_probe",
-    "ext_bpe_fertility",
+    "ext_passage_topk",
+    "pipeline_rewrite_curation",
+    "ext_data_constraints",
 ]
 
 
