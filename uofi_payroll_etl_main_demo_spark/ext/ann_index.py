@@ -1332,11 +1332,15 @@ def pq_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_tag: str = "",
+    batch_tag: str = "base",
 ) -> None:
     """Train PQ codebooks ONCE (deterministic Lloyd on the id-sorted
     sample — shared trainer with the in-query ``pq_top_k``), encode the
     corpus distributed (Arrow batches), persist codebooks + codes.
-    Meta last, same crash-safety contract as the IVF build."""
+    Meta last, same crash-safety contract as the IVF build.
+    ``batch_tag`` names the build's own ``__batch`` partition — the
+    streaming first-batch replay contract, see :func:`ivf_index_build`.
+    """
     import numpy as np
 
     from uofi_payroll_etl_main_demo_spark.ext.similarity import (
@@ -1344,6 +1348,8 @@ def pq_index_build(
     )
 
     spark = embeddings.sparkSession
+    if batch_tag != "base":
+        check_batch_tag(batch_tag)
     # validate BEFORE invalidating: a bad call (empty upstream frame)
     # must not destroy a previously valid serving index
     sample = (
@@ -1370,7 +1376,7 @@ def pq_index_build(
 
     (
         _pq_encode(embeddings, codebooks, id_col, vec_col)
-        .withColumn("__batch", F.lit("base"))
+        .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("__batch")
         .parquet(f"{index_dir}/codes")

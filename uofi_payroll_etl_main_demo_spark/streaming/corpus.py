@@ -385,9 +385,13 @@ def ingest_ann_stream(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kind: str = "ivf",
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    m: int = 8,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
 ):
     """Streaming maintenance for the persisted IVF store — the vector
     twin of :func:`ingest_dedup_stream_indexed`: embedding pipelines
@@ -395,10 +399,11 @@ def ingest_ann_stream(
     re-embedding job), and a serving index that only a batch rebuild
     can refresh goes stale between rebuilds. Each micro-batch of
     ``(id, vector)`` rows lands in the corpus row store AND is
-    ``ivf_index_add``-ed (assignment against the FROZEN centroids — a
-    narrow JVM map + partitioned write, per-batch cost tracks the
-    batch), so the index IS the corpus' ANN state at every checkpoint
-    commit; queries between commits see a consistent committed prefix.
+    index-added (``ivf_index_add``'s frozen-centroid assignment — a
+    narrow JVM map + partitioned write — or ``pq_index_add``'s Arrow
+    encode, per ``kind``; per-batch cost tracks the batch), so the
+    index IS the corpus' ANN state at every checkpoint commit;
+    queries between commits see a consistent committed prefix.
 
     Exactly-once by the module's uniform pattern, both writes
     idempotent per batch:
@@ -421,12 +426,25 @@ def ingest_ann_stream(
     stopped on a committed checkpoint — their batch-folding makes any
     replay of a pre-maintenance batch refuse loudly via
     ``folded_batches`` rather than corrupt the store (the guard every
-    store in this package shares). Returns the StreamingQuery."""
+    store in this package shares).
+
+    ``kind`` picks the store: ``"ivf"`` (inverted lists; first batch
+    trains the coarse quantizer, so it needs ≥ ``n_centroids``
+    vectors) or ``"pq"`` (codes; first batch trains the codebooks on
+    its id-sorted ``train_sample`` prefix). Either way the quantizer
+    is FROZEN after the first batch — drift under a shifting embedding
+    distribution is what the stats panels + rebalance/retrain ops
+    exist for (LIFECYCLE.md cadence). Returns the StreamingQuery."""
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
         _fs_exists,
         ivf_index_add,
         ivf_index_build,
+        pq_index_add,
+        pq_index_build,
     )
+
+    if kind not in ("ivf", "pq"):
+        raise ValueError(f"kind must be 'ivf' or 'pq', got {kind!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -441,10 +459,9 @@ def ingest_ann_stream(
                 .parquet(corpus_path)
             )
             if _fs_exists(spark, f"{index_dir}/meta"):
-                ivf_index_add(
-                    batch, index_dir, new_corpus_tag=tag, batch_id=tag
-                )
-            else:
+                add = ivf_index_add if kind == "ivf" else pq_index_add
+                add(batch, index_dir, new_corpus_tag=tag, batch_id=tag)
+            elif kind == "ivf":
                 ivf_index_build(
                     batch,
                     index_dir,
@@ -453,6 +470,19 @@ def ingest_ann_stream(
                     vec_col=vec_col,
                     seed=seed,
                     max_iter=max_iter,
+                    corpus_tag=tag,
+                    batch_tag=tag,
+                )
+            else:
+                pq_index_build(
+                    batch,
+                    index_dir,
+                    m=m,
+                    n_centroids=n_centroids,
+                    train_sample=train_sample,
+                    lloyd_iters=lloyd_iters,
+                    id_col=id_col,
+                    vec_col=vec_col,
                     corpus_tag=tag,
                     batch_tag=tag,
                 )
