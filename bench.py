@@ -160,8 +160,11 @@ HEADLINE = [
     "ext_ivf_batch_query",
     "ext_pq_batch_query",
     # round 9: serving after the full PQ maintenance lifecycle
-    # (build → add → delete → RETRAIN re-fit codebooks + re-encode)
+    # (build → add → delete → RETRAIN re-fit codebooks + re-encode),
+    # and hybrid keyword+dense retrieval fused by reciprocal rank
+    # (computation-equivalent: both engines run BM25 + cosine + fusion)
     "ext_pq_postretrain_query",
+    "ext_hybrid_rrf",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -541,3 +541,48 @@ def test_gopher_rules_property_vs_python_reference(spark):
                 assert got == pytest.approx(v, abs=2e-6), (k, text, got, v)
 
     check()
+
+
+def test_hybrid_rrf_fusion_law(spark):
+    """RRF on constructed lists: a doc in BOTH lists outranks docs in
+    one; absent-list legs contribute exactly zero; ties break to the
+    lowest id."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        hybrid_rrf_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark join"),  # strong keyword hit
+            (2, "spark join"),                    # weaker keyword hit
+            (3, "nothing relevant here"),         # keyword miss
+            (4, ""),                              # empty
+        ],
+        "doc_id long, text string",
+    )
+    # dense leg: doc 2 nearest, then 3; doc 1 far
+    emb = spark.createDataFrame(
+        [
+            (1, [-1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.8, 0.6]),
+            (4, [0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_search(
+        docs, emb, ["spark", "join", "window"], [1.0, 0.0], k=4,
+        top_n_each=2,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 2 is in both top-2 lists -> highest fused score
+    assert out[0]["doc_id"] == 2
+    assert rows[2]["in_bm25"] and rows[2]["in_dense"]
+    # doc 1: keyword-only; doc 3: dense-only; both present with one leg
+    assert rows[1]["in_bm25"] and not rows[1]["in_dense"]
+    assert rows[3]["in_dense"] and not rows[3]["in_bm25"]
+    # exact RRF values: rank arithmetic, no score mixing (doc 1 is
+    # BM25 rank 1 — more hits; doc 2 is BM25 rank 2, dense rank 1)
+    assert abs(rows[2]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(rows[1]["rrf"] - 1 / 61) < 1e-12
+    assert abs(rows[3]["rrf"] - 1 / 62) < 1e-12

@@ -382,6 +382,78 @@ def bm25_search(
     )
 
 
+def hybrid_rrf_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: "list[str]",
+    query_vec: "list[float]",
+    k: int = 10,
+    rrf_k: int = 60,
+    top_n_each: int = 20,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL-RANK FUSION (Cormack et al.,
+    SIGIR 2009 — the fusion default Elasticsearch/OpenSearch ship):
+    fuse the BM25 keyword top-``top_n_each`` and the dense-cosine
+    top-``top_n_each`` by ``Σ 1/(rrf_k + rank)``, so neither scorer's
+    scale matters (ranks fuse, scores don't) and a document strong in
+    either list surfaces. Output: (id, rrf, in_bm25, in_dense) — the
+    top-``k`` by fused score, ties to the lowest id.
+
+    Plan shape: each retriever is its own already-scale-shaped
+    pipeline (BM25's filtered postings; a dense top-k — brute-force
+    cosine here for the exact oracle, swap in an ANN index serving
+    call at corpus scale); the fusion itself joins two ≤``top_n_each``
+    row frames — driver-trivial, entirely rank-determined, so the
+    whole hybrid answer is exactly SQL-reproducible. Rank arithmetic
+    is two exact integer reciprocals summed in fixed order —
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    bm = bm25_search(
+        docs,
+        query_terms,
+        text_col=text_col,
+        id_col=doc_id_col,
+        top_n=top_n_each,
+    )
+    wb = Window.orderBy(F.desc("score_e6"), F.asc(doc_id_col))
+    br = bm.select(
+        F.col(doc_id_col).alias("__id"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dense = (
+        embeddings.select(
+            F.col(vec_id_col).alias("__id"),
+            cosine_similarity(F.col(vec_col), qlit).alias("__score"),
+        )
+        .orderBy(F.desc("__score"), F.asc("__id"))
+        .limit(top_n_each)
+    )
+    wd = Window.orderBy(F.desc("__score"), F.asc("__id"))
+    dr = dense.select(
+        F.col("__id"), F.row_number().over(wd).alias("__rd")
+    )
+    fused = br.join(dr, "__id", "full_outer").select(
+        F.col("__id").alias(doc_id_col),
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__rd")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("__rb").isNotNull().alias("in_bm25"),
+        F.col("__rd").isNotNull().alias("in_dense"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(doc_id_col)).limit(k)
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",

@@ -3363,6 +3363,57 @@ ORDER BY score_e6 DESC, doc_id LIMIT {top_n}
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (ext/curation.py hybrid_rrf_search): BM25
+    keyword top-20 and dense-cosine top-20 fused by reciprocal-rank
+    fusion ``Σ 1/(60 + rank)`` — the Elasticsearch/OpenSearch hybrid
+    default, and the first query a RAG stack runs when keyword and
+    vector retrieval disagree. Entirely rank-determined (scores never
+    mix scales), so the whole hybrid answer is value-oracled; the
+    dense leg is the exact cosine top-k here — at corpus scale it
+    swaps for an ANN index serving call with the same output shape."""
+    from uofi_payroll_etl_main_demo_spark.ext.curation import (
+        hybrid_rrf_search,
+    )
+
+    out = hybrid_rrf_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        QUERY_VEC,
+        k=10,
+    )
+    return out.select(
+        "doc_id", F.round("rrf", 6).alias("rrf"), "in_bm25", "in_dense"
+    )
+
+
+def _sql_hybrid_rrf(k: int = 10, rrf_k: int = 60, top_n: int = 20) -> str:
+    return f"""
+WITH b AS ({_sql_bm25(top_n=top_n)}),
+br AS (SELECT doc_id,
+         row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rb
+       FROM b),
+d AS (SELECT vec_id AS doc_id, list_cosine_similarity(
+         CAST(embedding AS DOUBLE[]), CAST({_QV_SQL} AS DOUBLE[])) AS s
+      FROM embeddings ORDER BY s DESC, vec_id LIMIT {top_n}),
+dr AS (SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rd
+       FROM d),
+f AS (SELECT COALESCE(br.doc_id, dr.doc_id) AS doc_id,
+        COALESCE(1.0/({rrf_k} + br.rb), 0.0)
+          + COALESCE(1.0/({rrf_k} + dr.rd), 0.0) AS rrf,
+        br.rb IS NOT NULL AS in_bm25,
+        dr.rd IS NOT NULL AS in_dense
+      FROM br FULL OUTER JOIN dr ON br.doc_id = dr.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf, in_bm25, in_dense
+FROM f ORDER BY rrf DESC, doc_id LIMIT {k}
+"""
+
+
+REGISTRY["ext_hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
+
+
 def q_knn_join(spark, sf_dir):
     """KNN self-join: approximate 3 nearest neighbors for EVERY vector
     via LSH-bucketed pair generation; in-bucket scoring is one numpy
