@@ -835,3 +835,48 @@ def test_needs_retrain_requires_base_reference(spark, sf_dir, tmp_path):
     ]
     with pytest.raises(ValueError, match="base"):
         needs_retrain(rows)
+
+
+def test_ivf_search_batch_auto_widen_matches_filtered_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """Batched recall backstop: under an extreme predicate with k above
+    the match count, widening is forced to full probe and every
+    query's rows equal the single-query auto-widen path (which the
+    oracle already proves equals the exact filtered brute force)."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    queries = _qframe(emb, 5)
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9))
+        for r in index.search_batch(
+            queries,
+            k=40,
+            nprobe=1,
+            filter_ids=allowed,
+            auto_widen=True,
+        ).collect()
+    )
+    want = []
+    for qr in queries.collect():
+        for r in index.search(
+            list(qr["qvec"]),
+            k=40,
+            nprobe=1,
+            filter_ids=allowed,
+            auto_widen=True,
+        ).collect():
+            want.append(
+                (qr["query_id"], r["vec_id"], round(r["score"], 9))
+            )
+    assert got == sorted(want) and got
+    # every allowed vector surfaced for every query (k > match count
+    # forces full probe)
+    n_allowed = allowed.count()
+    from collections import Counter
+
+    per_q = Counter(q for q, _v, _s in got)
+    assert all(c == n_allowed for c in per_q.values())

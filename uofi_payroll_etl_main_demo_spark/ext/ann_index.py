@@ -946,6 +946,7 @@ class IVFDiskIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
         filter_ids: DataFrame | None = None,
+        auto_widen: bool = False,
     ) -> DataFrame:
         """BATCHED serving: one Spark job answers EVERY query in
         ``queries`` — the shape a retrieval / hard-negative-mining
@@ -970,12 +971,59 @@ class IVFDiskIndex:
         replicated ×nprobe): serve multi-million-query workloads in
         bounded chunks of this call. ``filter_ids`` semi-joins the
         probed lists before any cosine, exactly like :meth:`search`.
-        """
+
+        ``auto_widen`` is the batched recall backstop (the filtered
+        twin of :meth:`search`'s): queries that return fewer than
+        ``k`` survivors re-run TOGETHER with doubled nprobe — one job
+        per widening round over ONLY the starved queries, at most
+        log2(#lists) rounds, degrading gracefully to the exact
+        filtered brute force at full probe. Results materialize
+        driver-side per round (bounded: ≤ batch × k rows, within the
+        same bounded-batch contract as the probe ranking) and return
+        as a local frame."""
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
         from pyspark.sql import Window
 
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)
+        if auto_widen:
+            spark = self.spark
+            done: "dict[object, list]" = {}
+            remaining = queries
+            while True:
+                out = self.search_batch(
+                    remaining,
+                    k=k,
+                    nprobe=nprobe,
+                    query_id_col=query_id_col,
+                    query_vec_col=query_vec_col,
+                    filter_ids=filter_ids,
+                )
+                rows = out.collect()
+                schema = out.schema
+                by_q: "dict[object, list]" = {}
+                for r in rows:
+                    by_q.setdefault(r[query_id_col], []).append(r)
+                qids = [
+                    r[query_id_col]
+                    for r in remaining.select(query_id_col).collect()
+                ]
+                starved = [
+                    q for q in qids if len(by_q.get(q, [])) < k
+                ]
+                for q in qids:
+                    if q not in starved:
+                        done[q] = by_q.get(q, [])
+                if not starved or nprobe >= n_lists:
+                    for q in starved:
+                        done[q] = by_q.get(q, [])
+                    break
+                nprobe = min(nprobe * 2, n_lists)
+                remaining = remaining.filter(
+                    F.col(query_id_col).isin(starved)
+                )
+            flat = [r for rs in done.values() for r in rs]
+            return spark.createDataFrame(flat, schema)
         ranked = _probe_rank_expr(self.centroids, query_vec_col, nprobe)
         probes = queries.select(
             F.col(query_id_col),
