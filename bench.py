@@ -165,6 +165,12 @@ HEADLINE = [
     # (computation-equivalent: both engines run BM25 + cosine + fusion)
     "ext_pq_postretrain_query",
     "ext_hybrid_rrf",
+    # round 9: index-backed hard-negative mining (per-query pair_filter
+    # inside the batched serve) and the recall@k eval panel (LSH approx
+    # vs exact ground truth) — both computation-equivalent to their
+    # oracles (full probe = the twin's brute force)
+    "ext_hard_negatives_ivf",
+    "ext_ann_recall_report",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

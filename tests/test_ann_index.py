@@ -880,3 +880,134 @@ def test_ivf_search_batch_auto_widen_matches_filtered_brute_force(
 
     per_q = Counter(q for q, _v, _s in got)
     assert all(c == n_allowed for c in per_q.values())
+
+
+def test_hard_negatives_index_full_probe_is_label_filtered_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """Index-backed hard-negative mining at full probe equals the
+    per-anchor label-filtered brute force bit-for-bit — the value law
+    the ext_hard_negatives_ivf oracle checks, pinned here against the
+    engine's own brute_force_top_k so the pin holds on any fixture."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        hard_negative_mining_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    anchors = emb.filter(F.col("vec_id") < 6)
+    got = sorted(
+        (
+            r["query_id"],
+            r["rank"],
+            r["neighbor_id"],
+            r["label"],
+            r["neighbor_label"],
+            round(r["cosine"], 6),
+        )
+        for r in hard_negative_mining_index(
+            index, anchors, emb.select("vec_id", "label"), k=3, nprobe=8
+        ).collect()
+    )
+    want = []
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    for qr in anchors.collect():
+        negatives = emb.filter(F.col("label") != qr["label"])
+        for rank, r in enumerate(
+            brute_force_top_k(
+                negatives, list(qr["embedding"]), k=3
+            ).collect(),
+            start=1,
+        ):
+            want.append(
+                (
+                    qr["vec_id"],
+                    rank,
+                    r["vec_id"],
+                    qr["label"],
+                    labels[r["vec_id"]],
+                    round(r["score"], 6),
+                )
+            )
+    assert got == sorted(want) and len(got) == 18
+
+
+def test_hard_negatives_index_pruned_probe_keeps_pruning_and_filter(
+    spark, sf_dir, tmp_path
+):
+    """Production mining at pruned nprobe: every returned pair still
+    satisfies the different-label predicate (the pair_filter runs
+    inside the serve, not as a post-hoc trim), at most k rows per
+    anchor, and the payload/pair_filter additions leave the batched
+    plan's dynamic partition pruning on the inverted-list scan intact."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        hard_negative_mining_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    anchors = emb.filter(F.col("vec_id") < 12)
+    out = hard_negative_mining_index(
+        index, anchors, emb.select("vec_id", "label"), k=3, nprobe=2
+    )
+    rows = out.collect()
+    assert rows
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(c <= 3 for c in per_q.values())
+    assert all(r["label"] != r["neighbor_label"] for r in rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    plan = formatted_plan(out)
+    assert "dynamicpruning" in plan
+    locs = {
+        line.split("[")[1].split("]")[0]
+        for line in plan.splitlines()
+        if line.startswith("Location:")
+    }
+    for loc in locs:
+        assert "assigned" in loc or "embeddings" in loc, loc
+
+
+def test_search_batch_pair_filter_composes_with_auto_widen(
+    spark, sf_dir, tmp_path
+):
+    """A starved per-pair predicate (sparse admitted set, k above the
+    per-list match count) widens to full probe and surfaces exactly
+    the admitted brute-force set — the recall backstop holds for
+    pair_filter just as it does for filter_ids."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    queries = _qframe(emb, 4)
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9))
+        for r in index.search_batch(
+            queries,
+            k=40,
+            nprobe=1,
+            pair_filter=F.col("vec_id") % 101 == 7,
+            auto_widen=True,
+        ).collect()
+    )
+    allowed = emb.filter(F.col("vec_id") % 101 == 7)
+    n_allowed = allowed.count()
+    want = []
+    for qr in queries.collect():
+        for r in brute_force_top_k(
+            allowed, list(qr["qvec"]), k=40
+        ).collect():
+            want.append((qr["query_id"], r["vec_id"], round(r["score"], 9)))
+    assert got == sorted(want) and got
+    from collections import Counter
+
+    per_q = Counter(q for q, _v, _s in got)
+    assert all(c == n_allowed for c in per_q.values())

@@ -947,6 +947,9 @@ class IVFDiskIndex:
         query_vec_col: str = "qvec",
         filter_ids: DataFrame | None = None,
         auto_widen: bool = False,
+        list_payload: DataFrame | None = None,
+        pair_filter=None,
+        carry_cols: tuple = (),
     ) -> DataFrame:
         """BATCHED serving: one Spark job answers EVERY query in
         ``queries`` — the shape a retrieval / hard-negative-mining
@@ -980,7 +983,22 @@ class IVFDiskIndex:
         filtered brute force at full probe. Results materialize
         driver-side per round (bounded: ≤ batch × k rows, within the
         same bounded-batch contract as the probe ranking) and return
-        as a local frame."""
+        as a local frame.
+
+        PER-QUERY predicates (the vector-DB filtered-search shape a
+        global ``filter_ids`` can't express — e.g. hard-negative
+        mining's "neighbor label differs from MY label"):
+        ``list_payload`` inner-joins extra per-vector attribute
+        columns onto the (already pruned + semi-filtered) lists by
+        the index id, and ``pair_filter`` — a boolean Column over the
+        joined (query × list-row) frame, which carries ALL query
+        columns — runs BEFORE any cosine and BEFORE the top-k window,
+        so ranks count only admitted pairs (exact semantics, no
+        over-fetch heuristics; the auto-widen backstop composes for
+        starved queries). ``carry_cols`` names pass-through columns
+        (either side) for the output. Callers must keep query/payload
+        column names disjoint from the index's (id, vec, centroid,
+        __batch) columns."""
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
         from pyspark.sql import Window
 
@@ -998,6 +1016,9 @@ class IVFDiskIndex:
                     query_id_col=query_id_col,
                     query_vec_col=query_vec_col,
                     filter_ids=filter_ids,
+                    list_payload=list_payload,
+                    pair_filter=pair_filter,
+                    carry_cols=carry_cols,
                 )
                 rows = out.collect()
                 schema = out.schema
@@ -1026,12 +1047,9 @@ class IVFDiskIndex:
             return spark.createDataFrame(flat, schema)
         ranked = _probe_rank_expr(self.centroids, query_vec_col, nprobe)
         probes = queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            F.explode(ranked).alias("__p"),
+            "*", F.explode(ranked).alias("__p")
         ).select(
-            query_id_col,
-            query_vec_col,
+            *queries.columns,
             F.col("__p.i").alias("centroid"),
         )
         lists = self.spark.read.parquet(f"{self.index_dir}/assigned")
@@ -1039,9 +1057,17 @@ class IVFDiskIndex:
             lists = lists.join(
                 filter_ids.select(F.col(id_col)), id_col, "left_semi"
             )
-        scored = lists.join(F.broadcast(probes), "centroid").select(
+        joined = lists.join(F.broadcast(probes), "centroid")
+        if list_payload is not None:
+            # above the probe join so the centroid partition pruning
+            # on the lists scan is untouched by the attribute join
+            joined = joined.join(list_payload, id_col)
+        if pair_filter is not None:
+            joined = joined.filter(pair_filter)
+        scored = joined.select(
             F.col(query_id_col),
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
                 "score"
             ),
@@ -1111,6 +1137,79 @@ class IVFDiskIndex:
             if len(rows) >= k or nprobe >= n_lists:
                 return self.spark.createDataFrame(rows, out.schema)
             nprobe = min(nprobe * 2, n_lists)
+
+
+def hard_negative_mining_index(
+    index: "IVFDiskIndex",
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    label_col: str = "label",
+    auto_widen: bool = False,
+) -> DataFrame:
+    """Hard-negative mining SERVED FROM the persisted IVF store — the
+    index-backed form of
+    :func:`~uofi_payroll_etl_main_demo_spark.ext.similarity.hard_negative_mining`
+    (which LSH-buckets the corpus inline on every call): a contrastive
+    trainer mining negatives for millions of anchors queries the store
+    it already maintains, paying only the probed lists per anchor, and
+    training never re-runs.
+
+    One Spark job serves the whole anchor frame
+    (:meth:`IVFDiskIndex.search_batch`): each anchor ranks its
+    ``nprobe`` lists JVM-side, the probe pairs broadcast onto the
+    partition-pruned lists, ``labels`` attributes the candidates, and
+    the different-label predicate runs as a ``pair_filter`` BEFORE the
+    cosine and the per-anchor top-k window — exact per-query filtered
+    semantics, no over-fetch heuristics. Full probe makes every answer
+    exactly the label-filtered brute force (the value-oracle law);
+    ``auto_widen=True`` adds the starved-anchor recall backstop at
+    production nprobe.
+
+    ``queries``: (id, vec, label) anchors — the SMALL broadcast side
+    by the batch-serving contract (chunk multi-million-anchor runs).
+    ``labels``: (index-id, label) for the INDEXED corpus (joined by the
+    index's id column — a co-keyed shuffle join, corpus-sized is fine).
+    Output: (query_id, label, neighbor_id, neighbor_label, cosine,
+    rank) — the inline miner's contract.
+    """
+    from pyspark.sql import Window
+
+    id_col = index.meta["id_col"]
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__q_label"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    payload = labels.select(
+        F.col(id_col), F.col(label_col).alias("__n_label")
+    )
+    out = index.search_batch(
+        q,
+        k=k,
+        nprobe=nprobe,
+        list_payload=payload,
+        pair_filter=F.col("__q_label") != F.col("__n_label"),
+        carry_cols=("__q_label", "__n_label"),
+        auto_widen=auto_widen,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("query_id"),
+            F.col("__q_label").alias("label"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__n_label").alias("neighbor_label"),
+            F.round("score", 6).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def ivf_index_load(spark: SparkSession, index_dir: str) -> IVFDiskIndex:

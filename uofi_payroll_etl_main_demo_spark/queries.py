@@ -2776,6 +2776,162 @@ REGISTRY["ext_pq_batch_query"] = (
 )
 
 
+def q_hard_negatives_ivf(spark, sf_dir):
+    """Hard-negative mining SERVED FROM the persisted IVF store
+    (ext/ann_index.py hard_negative_mining_index): 100 anchor vectors
+    mine their top-3 most-similar DIFFERENT-label neighbors in ONE
+    batched job — the different-label predicate runs as a per-query
+    ``pair_filter`` inside the serve, BEFORE the cosine and the top-k
+    window (exact filtered semantics a global filter_ids can't
+    express), and the store's lists are what get scanned, not the raw
+    corpus. Full probe makes every answer exactly the label-filtered
+    brute force, so the whole index-backed mining path is
+    value-oracled (production pruned-probe mining + auto-widen are
+    pinned in tests/test_ann_index.py)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        hard_negative_mining_index,
+    )
+
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining_index(
+        index,
+        emb.filter(F.col("vec_id") < 100),
+        emb.select("vec_id", "label"),
+        k=3,
+        nprobe=8,
+    )
+
+
+def _sql_hard_negatives_index(k: int = 3, n_queries: int = 100) -> str:
+    """Exact twin of index-backed hard-negative mining at full probe:
+    per anchor, the top-k different-label neighbors by cosine over the
+    whole corpus (rank on the unrounded score like the engines'
+    shared batch-serving law; round for output only)."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+        e.label AS neighbor_label,
+        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM q JOIN embeddings e ON e.label <> q.q_label),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, q_label AS label, neighbor_id, neighbor_label,
+       round(score, 6) AS cosine, rank
+FROM r WHERE rank <= {k}
+"""
+
+
+REGISTRY["ext_hard_negatives_ivf"] = (
+    q_hard_negatives_ivf,
+    _sql_hard_negatives_index(),
+)
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """ANN serving-quality EVAL panel — the first report any ANN
+    deployment publishes: recall@10 of the LSH-bucketed knn_join
+    (n_planes=4, the in-query approximate path) against exact ground
+    truth, per query over the WHOLE corpus, aggregated to
+    (n_queries, mean_recall, min_recall, frac_perfect). Ground truth
+    comes from the persisted IVF store at FULL probe with a
+    ``pair_filter`` excluding self — exactly the brute-force top-10
+    by the pinned serving law, computed as one batched job — so the
+    panel simultaneously exercises batched serving, per-pair
+    filtering, and the deterministic LSH path, and every number is
+    value-oracled (both sides are SQL-reproducible)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = index.search_batch(
+        queries,
+        k=10,
+        nprobe=8,
+        pair_filter=F.col("vec_id") != F.col("query_id"),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    approx = knn_join(emb, dim=64, k=10, n_planes=4).select(
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.lit(1).alias("__hit"),
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.count("__hit") / F.lit(10.0)).alias("recall"))
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.round(
+            F.avg((F.col("recall") == 1.0).cast("double")), 6
+        ).alias("frac_perfect"),
+    )
+
+
+def _sql_ann_recall_report(
+    k: int = 10, dim: int = 64, n_planes: int = 4, seed: int = 42
+) -> str:
+    """Twin of the recall@k eval: the approx leg reproduces knn_join's
+    deterministic buckets (rank on ROUNDED cosine, its law); the exact
+    leg is the brute-force top-k (rank on UNROUNDED score, the
+    batch-serving law); recall joins the two id sets."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for bit, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings),
+ap AS (SELECT a.vec_id AS query_id, x.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, x.v), 6) AS cosine
+       FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+approx AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ap) WHERE rn <= {k}),
+ex AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, x.v) AS score
+       FROM b q JOIN b x ON q.vec_id <> x.vec_id),
+exact AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rn
+    FROM ex) WHERE rn <= {k}),
+per_q AS (SELECT e.query_id,
+            count(a.neighbor_id) / {float(k)} AS recall
+          FROM exact e LEFT JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY e.query_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall), 6) AS mean_recall,
+       round(min(recall), 6) AS min_recall,
+       round(avg(CASE WHEN recall = 1.0 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_perfect
+FROM per_q
+"""
+
+
+REGISTRY["ext_ann_recall_report"] = (
+    q_ann_recall_report,
+    _sql_ann_recall_report(),
+)
+
+
 def _ensure_sf_pq_postretrain_index(spark, sf_dir):
     """PQ store taken through the FULL maintenance lifecycle: build on
     the even-id half, ``pq_index_add`` the odd half, ``pq_index_delete``
@@ -10436,14 +10592,17 @@ _WINDOW_50 = [
     # a10/a11/arr_*/ext relational-and-text block below) — so the
     # stalest live cohort advances to r5 (VERDICT r8 #6; the 44
     # r5-latest rows are next round's cohort). The other 8 slots are
-    # exactly this round's new/changed rows: the 2 BATCHED ANN serving
-    # rows and the PQ post-retrain lifecycle row (all brand-new
-    # oracles), the 4 rows whose physical plan changed with the
-    # tumbling-chunk fast path (one chunking law, new regex path —
-    # value-identical by the equivalence pin, re-proved by the driver
-    # here), and ext_data_constraints (fk rules now fold into the
-    # one-pass scan as broadcast probes). Untouched green rows remain
-    # covered by scripts/check_oracle.py + pytest.
+    # this round's SIX brand-new oracles (batched ANN serving ×2, PQ
+    # post-retrain, hybrid RRF retrieval, index-backed hard negatives,
+    # ANN recall panel — new oracles carry the most divergence risk,
+    # so every one gets a driver row in its landing round) plus 2
+    # representatives of the changed-plan rows: ext_chunk_dedup_rewrite
+    # for the tumbling-chunk fast path (one chunking law; the other
+    # three rows sharing it — chunk_dedup_stats, passage_topk,
+    # pipeline_rewrite_curation — are value-identical by the pinned
+    # windowed≡tumbling equivalence and stay covered by
+    # scripts/check_oracle.py + pytest) and ext_data_constraints (fk
+    # rules now fold into the one-pass scan as broadcast probes).
     # -- r4-latest cohort (all 42) --
     "a10_cube",
     "a11_stat_aggs",
@@ -10491,11 +10650,11 @@ _WINDOW_50 = [
     "ext_ivf_batch_query",
     "ext_pq_batch_query",
     "ext_pq_postretrain_query",
+    "ext_hybrid_rrf",
+    "ext_hard_negatives_ivf",
+    "ext_ann_recall_report",
     # -- changed this round (tumbling-chunk fast path; fk fold) --
     "ext_chunk_dedup_rewrite",
-    "ext_chunk_dedup_stats",
-    "ext_passage_topk",
-    "pipeline_rewrite_curation",
     "ext_data_constraints",
 ]
 
