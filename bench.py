@@ -153,10 +153,7 @@ HEADLINE = [
     "ext_cdc_containment_postdelete",
     "ext_ivf_autowiden_query",
     # round 9: BATCHED ANN serving — one job answers the whole query
-    # frame (100 IVF / 40 PQ queries); unlike the single-query serving
-    # rows these are computation-equivalent to their oracles (the
-    # DuckDB twin crosses queries × corpus, Spark full-probes the same
-    # work), so they stay OUT of CLOSED_FORM_ORACLE
+    # frame (100 IVF / 40 PQ queries)
     "ext_ivf_batch_query",
     "ext_pq_batch_query",
     # round 9: serving after the full PQ maintenance lifecycle
@@ -189,6 +186,17 @@ CLOSED_FORM_ORACLE = [
     "ext_ivf_autowiden_query",
     "ext_video_keyframes_avi",
     "ext_pq_postretrain_query",
+    # The batch-serving rows LOOK computation-equivalent (the twin
+    # crosses queries × corpus, Spark full-probes the same pairs) but
+    # at sf0.1 the twin is an in-process cross of <=2k-row tables
+    # (0.02-0.08 s of pure arithmetic) while Spark pays a persisted
+    # partitioned store's serving plan — the cohort's definitional
+    # case. The real batched-vs-loop and scale comparisons live in
+    # scripts/ann_batch_probe.py / hard_negatives_probe.py and
+    # BASELINE.md's probe tables.
+    "ext_ivf_batch_query",
+    "ext_pq_batch_query",
+    "ext_hard_negatives_ivf",
 ]
 
 

@@ -1011,3 +1011,80 @@ def test_search_batch_pair_filter_composes_with_auto_widen(
 
     per_q = Counter(q for q, _v, _s in got)
     assert all(c == n_allowed for c in per_q.values())
+
+
+def test_search_batch_gemm_full_probe_is_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """The BLAS batch path at full probe equals the brute force per
+    query (rounded-cosine compare — the GEMM rank law rounds before
+    ranking), and exclude_query_id drops exactly the self row."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    queries = _qframe(emb, 6)
+    got = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 6)
+        for r in index.search_batch_gemm(queries, k=5, nprobe=8).collect()
+    }
+    want = {}
+    for qr in queries.collect():
+        for r in brute_force_top_k(emb, list(qr["qvec"]), k=5).collect():
+            want[(qr["query_id"], r["vec_id"])] = round(r["score"], 6)
+    assert got == want and len(got) == 30
+    noself = index.search_batch_gemm(
+        queries, k=5, nprobe=8, exclude_query_id=True
+    ).collect()
+    assert all(r["vec_id"] != r["query_id"] for r in noself)
+    assert len(noself) == 30
+    # self (cosine 1.0, the top row) was replaced, not merely trimmed
+    per_q = {}
+    for r in noself:
+        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, ids in per_q.items():
+        assert q not in ids and len(ids) == 5
+
+
+def test_search_batch_gemm_matches_expression_path_pruned(
+    spark, sf_dir, tmp_path
+):
+    """Same probe rule, same lists: at the SAME pruned nprobe the GEMM
+    path selects the same (query, vector) pairs with the same rounded
+    scores as the expression path, including under filter_ids — the
+    two implementations are one serving law."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    queries = _qframe(emb, 8)
+    for kwargs in (
+        {},
+        {"filter_ids": emb.filter(F.col("label") == 2).select("vec_id")},
+    ):
+        got = {
+            (r["query_id"], r["vec_id"]): round(r["score"], 6)
+            for r in index.search_batch_gemm(
+                queries, k=5, nprobe=3, **kwargs
+            ).collect()
+        }
+        want = {
+            (r["query_id"], r["vec_id"]): round(r["score"], 6)
+            for r in index.search_batch(
+                queries, k=5, nprobe=3, **kwargs
+            ).collect()
+        }
+        assert got == want and got
+
+
+def test_search_batch_gemm_bounded_batch_guards(spark, sf_dir, tmp_path):
+    """The driver-held query matrix is bounded by contract: over-cap
+    and empty batches refuse loudly (the PQ LUT contract)."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    with pytest.raises(ValueError, match="max_queries"):
+        index.search_batch_gemm(_qframe(emb, 10), k=2, max_queries=5)
+    with pytest.raises(ValueError, match="empty query batch"):
+        index.search_batch_gemm(_qframe(emb, 0), k=2)

@@ -1081,6 +1081,163 @@ class IVFDiskIndex:
             .drop("__rn")
         )
 
+    def search_batch_gemm(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        filter_ids: DataFrame | None = None,
+        exclude_query_id: bool = False,
+        max_queries: int = 4096,
+    ) -> DataFrame:
+        """:meth:`search_batch`'s COMPUTE-BOUND twin — the scale path
+        when (queries × probed rows) is large enough that per-pair
+        higher-order-function cosines dominate (the same trade
+        knn_join_gemm makes vs knn_join). Two structural differences:
+
+        - SCORING IS BLAS: the bounded query batch collects to a
+          (q × dim) matrix shipped in the Arrow closure (the
+          :meth:`PQDiskIndex.search_batch` LUT contract — ``max_queries``
+          bounds driver state), each pruned list partition scores all
+          its probing queries as ONE unit-normalized GEMM, fused and
+          vectorized instead of 3 interpreted array passes per pair.
+        - PARTIAL TOP-K BEFORE THE SHUFFLE: each Arrow chunk emits only
+          its per-query top-k (exact: any global top-k row is top-k
+          within its chunk under the same total order), so the final
+          exchange carries O(chunks × q × k) rows — NOT the
+          O(probed rows × q) pair frame the expression path windows.
+          At 1000-executor scale this is the difference between
+          shuffling k rows per (query, partition) and shuffling every
+          scored pair.
+
+        Probe ranking runs driver-side through the SAME
+        ``rank_centroids`` rule as single-query serving, and the probe
+        union becomes a static ``centroid IN`` partition filter on the
+        list scan. RANK LAW: cosines are rounded to 6 decimals BEFORE
+        ranking (knn_join_gemm's law — float-sum order differs under
+        BLAS, so rounding, then (score DESC, id ASC), keeps ties and
+        therefore ranks engine-exact); :meth:`search_batch` ranks
+        unrounded — at full probe both select the same vectors, pinned
+        in tests. ``exclude_query_id`` drops the candidate whose index
+        id equals the query's id (self-exclusion for corpus-vs-itself
+        evals). Zero-norm corpus/query vectors have undefined cosine
+        and are dropped from scoring, matching the expression path's
+        null-then-filtered semantics. ``pair_filter``/``list_payload``
+        are expression-path features; this path trades that
+        generality for BLAS."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+
+        from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
+
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
+        qrows = queries.select(query_id_col, query_vec_col).limit(
+            max_queries + 1
+        ).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"query batch exceeds max_queries={max_queries}; serve "
+                "larger workloads in bounded chunks of this call"
+            )
+        if not qrows:
+            raise ValueError("empty query batch")
+        qids = [r[query_id_col] for r in qrows]
+        Q = np.array([list(r[query_vec_col]) for r in qrows], dtype=np.float64)
+        qnorms = np.linalg.norm(Q, axis=1)
+        live = qnorms != 0
+        Qn = np.where(live[:, None], Q / np.where(live, qnorms, 1.0)[:, None], 0.0)
+        # driver-side probe ranking: same rule as single-query serving
+        probes_by_centroid: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            if not live[qi]:
+                continue
+            for c in rank_centroids(self.centroids, list(Q[qi]), nprobe):
+                probes_by_centroid.setdefault(c, []).append(qi)
+        probe_union = sorted(probes_by_centroid)
+        lists = self.spark.read.parquet(f"{self.index_dir}/assigned").filter(
+            F.col("centroid").isin(probe_union)
+        )
+        if filter_ids is not None:
+            lists = lists.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        qid_arr = np.array(qids)
+        exclude = exclude_query_id
+
+        out_fields = [
+            queries.schema[query_id_col].dataType,
+            lists.schema[id_col].dataType,
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(query_id_col, out_fields[0]),
+                T.StructField(id_col, out_fields[1]),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+
+        def score_chunks(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                cents = pdf["centroid"].to_numpy()
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vnorms = np.linalg.norm(V, axis=1)
+                vlive = vnorms != 0
+                Vn = np.where(
+                    vlive[:, None],
+                    V / np.where(vlive, vnorms, 1.0)[:, None],
+                    0.0,
+                )
+                out_q, out_i, out_s = [], [], []
+                for c in np.unique(cents):
+                    q_idx = probes_by_centroid.get(int(c))
+                    if not q_idx:
+                        continue
+                    rmask = (cents == c) & vlive
+                    if not rmask.any():
+                        continue
+                    rids = ids[rmask]
+                    sims = np.round(Vn[rmask] @ Qn[q_idx].T, 6)
+                    for j, qi in enumerate(q_idx):
+                        col = sims[:, j]
+                        keep = np.ones(len(rids), dtype=bool)
+                        if exclude:
+                            keep = rids != qid_arr[qi]
+                        if not keep.any():
+                            continue
+                        # top-k by (score desc, id asc): stable lexsort
+                        order = np.lexsort((rids[keep], -col[keep]))[:k]
+                        out_q.extend([qid_arr[qi]] * len(order))
+                        out_i.extend(rids[keep][order])
+                        out_s.extend(col[keep][order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            query_id_col: out_q,
+                            id_col: out_i,
+                            "score": np.asarray(out_s, dtype=np.float64),
+                        }
+                    )
+
+        partial = lists.mapInPandas(score_chunks, schema)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        return (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search(
         self,
         query_vec: list[float],
@@ -1780,37 +1937,76 @@ class PQDiskIndex:
             )
         # exact rerank: candidate ids fetch their raw vectors from the
         # row store (semi-join keeps the store scan pruned to the
-        # candidate set), then true cosine against the query vector —
-        # the query vectors ride a broadcast (bounded batch)
-        qvec_frame = self.spark.createDataFrame(
-            [
-                (int(i), [float(x) for x in qmat[i]])
-                for i in range(nq)
-            ],
-            T.StructType(
-                [
-                    T.StructField("__qi", T.IntegerType()),
-                    T.StructField("__qv", T.ArrayType(T.DoubleType())),
-                ]
-            ),
-        )
+        # candidate set), then true cosine against the query vector.
+        # Scoring is an Arrow batch with the (bounded) query matrix in
+        # the closure — NOT the per-pair higher-order expression, which
+        # pays 3 interpreted 64-element folds per (query, candidate)
+        # and dominated the full-margin serve. Accumulation is a
+        # SEQUENTIAL left fold vectorized ACROSS rows (acc += v_d*q_d
+        # per dimension), which is bit-identical to the JVM
+        # zip_with/aggregate fold (strict IEEE add/mul, no FMA, same
+        # order), so scores — and therefore ranks, which stay on the
+        # unrounded value — match the single-query expression path
+        # exactly (pinned at 9 decimals in tests). Zero-norm
+        # candidates have undefined cosine and are dropped (the
+        # expression path NULLs them below every real score; they
+        # could differ only when a query has fewer than k real-scored
+        # candidates).
         ids = cand.select("__qi", F.col("vec_id_out").alias(id_col))
         fetched = rerank_corpus.join(
             F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi"
         ).select(id_col, vec_col)
+        rs_schema = T.StructType(
+            [
+                T.StructField("__qi", T.IntegerType()),
+                T.StructField(
+                    id_col, rerank_corpus.schema[id_col].dataType
+                ),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        Qm = qmat
+        dim = meta["dim"]
+
+        def rescore(batches):
+            import pandas as pd
+
+            qn = np.zeros(nq)
+            q2 = Qm * Qm
+            for d in range(dim):
+                qn += q2[:, d]
+            qn = np.sqrt(qn)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qi = pdf["__qi"].to_numpy()
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Qb = Qm[qi]
+                prods = V * Qb
+                v2 = V * V
+                dot = np.zeros(len(pdf))
+                na = np.zeros(len(pdf))
+                for d in range(dim):
+                    dot += prods[:, d]
+                    na += v2[:, d]
+                denom = np.sqrt(na) * qn[qi]
+                keep = denom != 0
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "__qi": qi[keep],
+                        id_col: pdf[id_col].to_numpy()[keep],
+                        "score": dot[keep] / denom[keep],
+                    }
+                )
+
         wr = Window.partitionBy("__qi").orderBy(
             F.desc("score"), F.asc(id_col)
         )
         return (
             ids.join(fetched, id_col)
-            .join(F.broadcast(qvec_frame), "__qi")
-            .select(
-                "__qi",
-                F.col(id_col),
-                cosine_similarity(F.col(vec_col), F.col("__qv")).alias(
-                    "score"
-                ),
-            )
+            .mapInPandas(rescore, rs_schema)
             .withColumn("__rn", F.row_number().over(wr))
             .filter(F.col("__rn") <= k)
             .join(F.broadcast(qid_frame), "__qi")

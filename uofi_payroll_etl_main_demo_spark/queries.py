@@ -2837,26 +2837,31 @@ def q_ann_recall_report(spark, sf_dir):
     (n_planes=4, the in-query approximate path) against exact ground
     truth, per query over the WHOLE corpus, aggregated to
     (n_queries, mean_recall, min_recall, frac_perfect). Ground truth
-    comes from the persisted IVF store at FULL probe with a
-    ``pair_filter`` excluding self — exactly the brute-force top-10
-    by the pinned serving law, computed as one batched job — so the
-    panel simultaneously exercises batched serving, per-pair
-    filtering, and the deterministic LSH path, and every number is
-    value-oracled (both sides are SQL-reproducible)."""
-    from uofi_payroll_etl_main_demo_spark.ext.similarity import knn_join
+    comes from the persisted IVF store at FULL probe through the GEMM
+    batch path (search_batch_gemm: BLAS scoring of the bounded query
+    matrix per pruned list partition, per-chunk partial top-k so the
+    exchange carries chunks × q × k rows, never the all-pairs frame —
+    the every-anchor-vs-itself eval is exactly the workload that path
+    exists for; self excluded in-scan) — so the panel simultaneously
+    exercises the compute-bound serving shape and the deterministic
+    LSH path, and every number is value-oracled (both sides are
+    SQL-reproducible)."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_gemm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
     queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    exact = index.search_batch(
+    exact = index.search_batch_gemm(
         queries,
         k=10,
         nprobe=8,
-        pair_filter=F.col("vec_id") != F.col("query_id"),
+        exclude_query_id=True,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    approx = knn_join(emb, dim=64, k=10, n_planes=4).select(
+    approx = knn_join_gemm(emb, dim=64, k=10, n_planes=4).select(
         F.col("vec_id").alias("query_id"),
         "neighbor_id",
         F.lit(1).alias("__hit"),
@@ -2881,8 +2886,9 @@ def _sql_ann_recall_report(
 ) -> str:
     """Twin of the recall@k eval: the approx leg reproduces knn_join's
     deterministic buckets (rank on ROUNDED cosine, its law); the exact
-    leg is the brute-force top-k (rank on UNROUNDED score, the
-    batch-serving law); recall joins the two id sets."""
+    leg is the brute-force top-k ranked on ROUNDED score (the GEMM
+    path's law — BLAS sum order differs, so rounding-then-ranking is
+    what keeps ties engine-exact); recall joins the two id sets."""
     from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
 
     terms = []
@@ -2905,7 +2911,7 @@ approx AS (SELECT query_id, neighbor_id FROM (
                               ORDER BY cosine DESC, neighbor_id) AS rn
     FROM ap) WHERE rn <= {k}),
 ex AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-         list_cosine_similarity(q.v, x.v) AS score
+         round(list_cosine_similarity(q.v, x.v), 6) AS score
        FROM b q JOIN b x ON q.vec_id <> x.vec_id),
 exact AS (SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
