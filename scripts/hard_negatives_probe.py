@@ -1,30 +1,35 @@
 """Index-backed hard-negative mining vs the inline LSH miner.
 
-A contrastive trainer mines negatives for EVERY anchor in its corpus,
-repeatedly (each epoch / each data refresh). The inline miner
-(ext/similarity.py hard_negative_mining) re-buckets and re-scores the
-whole corpus on every call; the index-backed miner
-(ext/ann_index.py hard_negative_mining_index) serves from the
-persisted IVF store the pipeline already maintains — each anchor pays
-only its probed lists, and the store amortizes across calls.
+A contrastive trainer mines negatives for a BATCH of anchors (this
+epoch's new/refreshed examples), repeatedly. The two costs scale
+differently, and that difference — not a single wall number — is what
+this probe records:
 
-This probe measures one full-corpus mining pass on both paths at
-FACTOR× the sf0.1 corpus (corpus replicated; labels preserved so the
-different-label predicate keeps its selectivity). Build time for the
-store is untimed — it is the lifecycle's amortized cost, and the
-trainer re-mines many times per build.
+- inline (ext/similarity.py hard_negative_mining): buckets and
+  pair-joins the WHOLE corpus on every call — cost ~ corpus²/buckets,
+  REGARDLESS of how many anchors the caller wants (the LSH join is
+  symmetric; mining for 1k anchors still pays the full pair volume).
+- index-backed (ext/ann_index.py hard_negative_mining_index): each
+  anchor scores only its nprobe probed lists from the persisted store
+  — cost ~ anchors × (nprobe/n_lists) × corpus, independent of the
+  corpus pair volume, and the store build amortizes across mining
+  calls (it is the same store the pipeline already serves from).
+
+The store is built with n_centroids ~ sqrt(corpus) (the standard IVF
+sizing; 8 minimum to match the registry fixture), build untimed.
 
 Usage:
-    python scripts/hard_negatives_probe.py [FACTOR] [NPROBE]
+    python scripts/hard_negatives_probe.py [FACTOR] [N_ANCHORS] [NPROBE]
 
-Defaults: factor 1, nprobe 3 (of 8 lists). Run serially on an idle
-machine; each path runs once warm (min-of-2 would double a long
-probe; the compared quantities differ by multiples, not percents).
+Defaults: factor 1, 1000 anchors, nprobe 3. Run serially on an idle
+machine; each path runs once warm (the compared quantities differ by
+multiples, not percents).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -56,7 +61,8 @@ def _timed(fn):
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    nprobe = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_anchors = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     spark = get_spark(app_name="hard_negatives_probe")
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
@@ -76,39 +82,53 @@ def main() -> None:
         )
         emb.count()
 
+    n = emb.count()
+    n_centroids = max(8, int(math.sqrt(n)))
     shutil.rmtree(ROOT, ignore_errors=True)
     ivf_dir = f"{ROOT}/ivf"
-    ivf_index_build(emb, ivf_dir, n_centroids=8, corpus_tag="probe")
+    ivf_index_build(emb, ivf_dir, n_centroids=n_centroids, corpus_tag="probe")
     index = ivf_index_load(spark, ivf_dir)
+    anchors = emb.filter(F.col("vec_id") < n_anchors)
 
-    out = {"factor": factor, "nprobe": nprobe, "base": BASE}
-    out["n_anchors"] = emb.count()
+    out = {
+        "factor": factor,
+        "corpus": n,
+        "n_anchors": n_anchors,
+        "n_centroids": n_centroids,
+        "nprobe": nprobe,
+        "base": BASE,
+    }
 
     # warm both paths (cold-JVM first-job bias — recorded bench hygiene)
-    hard_negative_mining(
-        emb.filter(F.col("vec_id") < 5), dim=64, k=3, n_planes=4
-    ).write.format("noop").mode("overwrite").save()
+    few = emb.filter(F.col("vec_id") < 5)
+    hard_negative_mining(few, dim=64, k=3, n_planes=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
     hard_negative_mining_index(
-        index,
-        emb.filter(F.col("vec_id") < 5),
-        emb.select("vec_id", "label"),
-        k=3,
-        nprobe=nprobe,
+        index, few, emb.select("vec_id", "label"), k=3, nprobe=nprobe
     ).write.format("noop").mode("overwrite").save()
 
     def inline_pass():
-        hard_negative_mining(emb, dim=64, k=3, n_planes=4).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        # the inline miner has no anchor-subset form: mining for the
+        # anchor batch pays the full symmetric pair join, then filters
+        hard_negative_mining(emb, dim=64, k=3, n_planes=4).filter(
+            F.col("vec_id") < n_anchors
+        ).write.format("noop").mode("overwrite").save()
 
     def index_pass():
         hard_negative_mining_index(
-            index, emb, emb.select("vec_id", "label"), k=3, nprobe=nprobe
+            index, anchors, emb.select("vec_id", "label"), k=3,
+            nprobe=nprobe,
         ).write.format("noop").mode("overwrite").save()
 
     out["inline_s"] = _timed(inline_pass)
     out["index_s"] = _timed(index_pass)
     out["speedup"] = round(out["inline_s"] / max(out["index_s"], 1e-9), 2)
+    # the structural quantities the walls follow
+    out["inline_pair_budget"] = int(n * n / 16)  # n_planes=4 → 16 buckets
+    out["index_pair_budget"] = int(
+        n_anchors * n * min(nprobe, n_centroids) / n_centroids
+    )
     print(json.dumps(out))
 
 

@@ -955,7 +955,12 @@ def test_hard_negatives_index_pruned_probe_keeps_pruning_and_filter(
     index = ivf_index_load(spark, idx)
     anchors = emb.filter(F.col("vec_id") < 12)
     out = hard_negative_mining_index(
-        index, anchors, emb.select("vec_id", "label"), k=3, nprobe=2
+        index,
+        anchors,
+        emb.select("vec_id", "label"),
+        k=3,
+        nprobe=2,
+        engine="expression",
     )
     rows = out.collect()
     assert rows
@@ -1088,3 +1093,47 @@ def test_search_batch_gemm_bounded_batch_guards(spark, sf_dir, tmp_path):
         index.search_batch_gemm(_qframe(emb, 10), k=2, max_queries=5)
     with pytest.raises(ValueError, match="empty query batch"):
         index.search_batch_gemm(_qframe(emb, 0), k=2)
+
+
+def test_hard_negatives_gemm_engine_matches_expression(
+    spark, sf_dir, tmp_path
+):
+    """One mining law, two engines: at the same pruned nprobe the GEMM
+    engine (neq_attr mask, BLAS partial top-k) selects the same
+    (anchor, neighbor) pairs with the same 6dp cosines as the
+    expression engine (pair_filter Column), labels included."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        hard_negative_mining_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    anchors = emb.filter(F.col("vec_id") < 12)
+    labels = emb.select("vec_id", "label")
+
+    def rows(engine):
+        return {
+            (
+                r["query_id"],
+                r["neighbor_id"],
+                r["label"],
+                r["neighbor_label"],
+                round(r["cosine"], 6),
+            )
+            for r in hard_negative_mining_index(
+                index, anchors, labels, k=3, nprobe=3, engine=engine
+            ).collect()
+        }
+
+    got_g, got_e = rows("gemm"), rows("expression")
+    assert got_g == got_e and got_g
+    with pytest.raises(ValueError, match="auto_widen"):
+        hard_negative_mining_index(
+            index, anchors, labels, k=3, nprobe=3, auto_widen=True
+        )
+    with pytest.raises(ValueError, match="list_payload"):
+        index.search_batch_gemm(
+            _qframe(emb, 3), k=2, neq_attr=("query_id", "label")
+        )

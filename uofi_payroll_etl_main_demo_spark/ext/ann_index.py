@@ -1091,6 +1091,8 @@ class IVFDiskIndex:
         filter_ids: DataFrame | None = None,
         exclude_query_id: bool = False,
         max_queries: int = 4096,
+        list_payload: DataFrame | None = None,
+        neq_attr: "tuple[str, str] | None" = None,
     ) -> DataFrame:
         """:meth:`search_batch`'s COMPUTE-BOUND twin — the scale path
         when (queries × probed rows) is large enough that per-pair
@@ -1124,22 +1126,35 @@ class IVFDiskIndex:
         id equals the query's id (self-exclusion for corpus-vs-itself
         evals). Zero-norm corpus/query vectors have undefined cosine
         and are dropped from scoring, matching the expression path's
-        null-then-filtered semantics. ``pair_filter``/``list_payload``
-        are expression-path features; this path trades that
-        generality for BLAS."""
+        null-then-filtered semantics.
+
+        PER-QUERY ATTRIBUTE EXCLUSION (the hard-negative shape,
+        BLAS-side): ``neq_attr=(query_col, list_col)`` drops every
+        candidate whose ``list_col`` value equals the query's
+        ``query_col`` value — the mask applies inside the Arrow chunk
+        BEFORE the partial top-k, so semantics equal the expression
+        path's ``pair_filter`` not-equal predicate. ``list_payload``
+        supplies ``list_col`` (joined onto the pruned lists by the
+        index id). Arbitrary ``pair_filter`` Columns remain an
+        expression-path feature; this path trades that generality for
+        BLAS. Probe ranking vectorizes the shared rank_centroids rule
+        (cosine DESC, centroid id ASC) as one (q × n_lists) GEMM —
+        float near-ties between centroids may rank probe lists
+        differently than the scalar rule's sum order; both are valid
+        nprobe prefixes of the same ordering law, and at full probe
+        the distinction vanishes."""
         import numpy as np
         import pandas as pd
         from pyspark.sql import Window
         from pyspark.sql import types as T
 
-        from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
-
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)
-        qrows = queries.select(query_id_col, query_vec_col).limit(
-            max_queries + 1
-        ).collect()
+        qcols = [query_id_col, query_vec_col]
+        if neq_attr is not None:
+            qcols.append(neq_attr[0])
+        qrows = queries.select(*qcols).limit(max_queries + 1).collect()
         if len(qrows) > max_queries:
             raise ValueError(
                 f"query batch exceeds max_queries={max_queries}; serve "
@@ -1152,13 +1167,25 @@ class IVFDiskIndex:
         qnorms = np.linalg.norm(Q, axis=1)
         live = qnorms != 0
         Qn = np.where(live[:, None], Q / np.where(live, qnorms, 1.0)[:, None], 0.0)
-        # driver-side probe ranking: same rule as single-query serving
+        qattrs = (
+            np.array([r[neq_attr[0]] for r in qrows])
+            if neq_attr is not None
+            else None
+        )
+        # driver-side probe ranking, vectorized: one (q × n_lists) GEMM
+        # applying the shared rank law (cosine DESC, centroid id ASC —
+        # stable argsort breaks ties by index)
+        C = np.asarray(self.centroids, dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        Cn = C / np.where(cn != 0, cn, 1.0)[:, None]
+        csims = Qn @ Cn.T  # (q, n_lists)
+        order = np.argsort(-csims, axis=1, kind="stable")[:, :nprobe]
         probes_by_centroid: dict[int, list[int]] = {}
         for qi in range(len(qids)):
             if not live[qi]:
                 continue
-            for c in rank_centroids(self.centroids, list(Q[qi]), nprobe):
-                probes_by_centroid.setdefault(c, []).append(qi)
+            for c in order[qi]:
+                probes_by_centroid.setdefault(int(c), []).append(qi)
         probe_union = sorted(probes_by_centroid)
         lists = self.spark.read.parquet(f"{self.index_dir}/assigned").filter(
             F.col("centroid").isin(probe_union)
@@ -1166,6 +1193,17 @@ class IVFDiskIndex:
         if filter_ids is not None:
             lists = lists.join(
                 filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        attr_col = None
+        if neq_attr is not None:
+            if list_payload is None:
+                raise ValueError(
+                    "neq_attr requires list_payload supplying the "
+                    "list-side attribute column"
+                )
+            attr_col = neq_attr[1]
+            lists = lists.join(
+                list_payload.select(F.col(id_col), F.col(attr_col)), id_col
             )
         qid_arr = np.array(qids)
         exclude = exclude_query_id
@@ -1197,6 +1235,9 @@ class IVFDiskIndex:
                     V / np.where(vlive, vnorms, 1.0)[:, None],
                     0.0,
                 )
+                attrs = (
+                    pdf[attr_col].to_numpy() if attr_col is not None else None
+                )
                 out_q, out_i, out_s = [], [], []
                 for c in np.unique(cents):
                     q_idx = probes_by_centroid.get(int(c))
@@ -1206,12 +1247,15 @@ class IVFDiskIndex:
                     if not rmask.any():
                         continue
                     rids = ids[rmask]
+                    rattrs = attrs[rmask] if attrs is not None else None
                     sims = np.round(Vn[rmask] @ Qn[q_idx].T, 6)
                     for j, qi in enumerate(q_idx):
                         col = sims[:, j]
                         keep = np.ones(len(rids), dtype=bool)
                         if exclude:
                             keep = rids != qid_arr[qi]
+                        if rattrs is not None:
+                            keep &= rattrs != qattrs[qi]
                         if not keep.any():
                             continue
                         # top-k by (score desc, id asc): stable lexsort
@@ -1306,6 +1350,7 @@ def hard_negative_mining_index(
     query_vec_col: str = "embedding",
     label_col: str = "label",
     auto_widen: bool = False,
+    engine: str = "gemm",
 ) -> DataFrame:
     """Hard-negative mining SERVED FROM the persisted IVF store — the
     index-backed form of
@@ -1332,6 +1377,13 @@ def hard_negative_mining_index(
     index's id column — a co-keyed shuffle join, corpus-sized is fine).
     Output: (query_id, label, neighbor_id, neighbor_label, cosine,
     rank) — the inline miner's contract.
+
+    ``engine``: ``"gemm"`` (default — the compute-bound scale path:
+    BLAS scoring, per-chunk partial top-k, the different-label
+    predicate as an in-chunk ``neq_attr`` mask; ranks follow the GEMM
+    rounded-cosine law, and the bounded-anchor-batch contract applies)
+    or ``"expression"`` (JVM Column path: unbounded anchor frame,
+    composes with ``auto_widen``, ranks on unrounded scores).
     """
     from pyspark.sql import Window
 
@@ -1344,15 +1396,33 @@ def hard_negative_mining_index(
     payload = labels.select(
         F.col(id_col), F.col(label_col).alias("__n_label")
     )
-    out = index.search_batch(
-        q,
-        k=k,
-        nprobe=nprobe,
-        list_payload=payload,
-        pair_filter=F.col("__q_label") != F.col("__n_label"),
-        carry_cols=("__q_label", "__n_label"),
-        auto_widen=auto_widen,
-    )
+    if engine == "gemm":
+        if auto_widen:
+            raise ValueError(
+                "auto_widen composes with engine='expression' only"
+            )
+        hits = index.search_batch_gemm(
+            q,
+            k=k,
+            nprobe=nprobe,
+            list_payload=payload,
+            neq_attr=("__q_label", "__n_label"),
+        )
+        out = hits.join(payload, id_col).join(
+            F.broadcast(q.select("query_id", "__q_label")), "query_id"
+        )
+    elif engine == "expression":
+        out = index.search_batch(
+            q,
+            k=k,
+            nprobe=nprobe,
+            list_payload=payload,
+            pair_filter=F.col("__q_label") != F.col("__n_label"),
+            carry_cols=("__q_label", "__n_label"),
+            auto_widen=auto_widen,
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )

@@ -2778,16 +2778,17 @@ REGISTRY["ext_pq_batch_query"] = (
 
 def q_hard_negatives_ivf(spark, sf_dir):
     """Hard-negative mining SERVED FROM the persisted IVF store
-    (ext/ann_index.py hard_negative_mining_index): 100 anchor vectors
-    mine their top-3 most-similar DIFFERENT-label neighbors in ONE
-    batched job — the different-label predicate runs as a per-query
-    ``pair_filter`` inside the serve, BEFORE the cosine and the top-k
-    window (exact filtered semantics a global filter_ids can't
-    express), and the store's lists are what get scanned, not the raw
-    corpus. Full probe makes every answer exactly the label-filtered
-    brute force, so the whole index-backed mining path is
-    value-oracled (production pruned-probe mining + auto-widen are
-    pinned in tests/test_ann_index.py)."""
+    (ext/ann_index.py hard_negative_mining_index, GEMM engine): 100
+    anchor vectors mine their top-3 most-similar DIFFERENT-label
+    neighbors in ONE batched job — BLAS scoring per pruned list
+    chunk, the different-label predicate as an in-chunk ``neq_attr``
+    mask BEFORE the partial top-k (exact per-query filtered
+    semantics), and the store's lists are what get scanned, not the
+    raw corpus. Full probe makes every answer exactly the
+    label-filtered brute force under the GEMM rank law (cosines
+    rounded to 6dp before ranking), so the whole index-backed mining
+    path is value-oracled (the expression engine, pruned-probe
+    mining, and auto-widen are pinned in tests/test_ann_index.py)."""
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
         hard_negative_mining_index,
     )
@@ -2806,21 +2807,23 @@ def q_hard_negatives_ivf(spark, sf_dir):
 def _sql_hard_negatives_index(k: int = 3, n_queries: int = 100) -> str:
     """Exact twin of index-backed hard-negative mining at full probe:
     per anchor, the top-k different-label neighbors by cosine over the
-    whole corpus (rank on the unrounded score like the engines'
-    shared batch-serving law; round for output only)."""
+    whole corpus (rank on the 6dp-ROUNDED score — the GEMM engine's
+    law, BLAS sum order differs so rounding-then-ranking keeps ties
+    engine-exact)."""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, label AS q_label,
              CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < {n_queries}),
 s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
         e.label AS neighbor_label,
-        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+              6) AS score
       FROM q JOIN embeddings e ON e.label <> q.q_label),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rank
       FROM s)
 SELECT query_id, q_label AS label, neighbor_id, neighbor_label,
-       round(score, 6) AS cosine, rank
+       score AS cosine, rank
 FROM r WHERE rank <= {k}
 """
 
