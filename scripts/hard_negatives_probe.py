@@ -5,10 +5,12 @@ epoch's new/refreshed examples), repeatedly. The two costs scale
 differently, and that difference — not a single wall number — is what
 this probe records:
 
-- inline (ext/similarity.py hard_negative_mining): buckets and
-  pair-joins the WHOLE corpus on every call — cost ~ corpus²/buckets,
-  REGARDLESS of how many anchors the caller wants (the LSH join is
-  symmetric; mining for 1k anchors still pays the full pair volume).
+- inline (ext/similarity.py hard_negative_mining_gemm — the STRONGEST
+  inline baseline: per-bucket BLAS, row-identical to the Column form):
+  buckets and pair-scores the WHOLE corpus on every call — cost ~
+  corpus²/buckets, REGARDLESS of how many anchors the caller wants
+  (the LSH join is symmetric; mining for 1k anchors still pays the
+  full pair volume).
 - index-backed (ext/ann_index.py hard_negative_mining_index): each
   anchor scores only its nprobe probed lists from the persisted store
   — cost ~ anchors × (nprobe/n_lists) × corpus, independent of the
@@ -45,7 +47,7 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
     ivf_index_load,
 )
 from uofi_payroll_etl_main_demo_spark.ext.similarity import (
-    hard_negative_mining,
+    hard_negative_mining_gemm,
 )
 from uofi_payroll_etl_main_demo_spark.session import get_spark
 
@@ -101,7 +103,7 @@ def main() -> None:
 
     # warm both paths (cold-JVM first-job bias — recorded bench hygiene)
     few = emb.filter(F.col("vec_id") < 5)
-    hard_negative_mining(few, dim=64, k=3, n_planes=4).write.format(
+    hard_negative_mining_gemm(few, dim=64, k=3, n_planes=4).write.format(
         "noop"
     ).mode("overwrite").save()
     hard_negative_mining_index(
@@ -111,7 +113,7 @@ def main() -> None:
     def inline_pass():
         # the inline miner has no anchor-subset form: mining for the
         # anchor batch pays the full symmetric pair join, then filters
-        hard_negative_mining(emb, dim=64, k=3, n_planes=4).filter(
+        hard_negative_mining_gemm(emb, dim=64, k=3, n_planes=4).filter(
             F.col("vec_id") < n_anchors
         ).write.format("noop").mode("overwrite").save()
 

@@ -586,3 +586,26 @@ def test_hybrid_rrf_fusion_law(spark):
     assert abs(rows[2]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
     assert abs(rows[1]["rrf"] - 1 / 61) < 1e-12
     assert abs(rows[3]["rrf"] - 1 / 62) < 1e-12
+
+
+def test_hard_negative_mining_gemm_parity(spark):
+    # the GEMM mining form must equal the Column reference form exactly
+    # (same buckets, label predicate before top-k, same round-6
+    # cosines, same tie-breaks — the Column form already ranks on
+    # rounded cosines, which IS the GEMM law)
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        hard_negative_mining,
+        hard_negative_mining_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        map(tuple, hard_negative_mining(emb, dim=64, k=3, n_planes=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            hard_negative_mining_gemm(emb, dim=64, k=3, n_planes=4).collect(),
+        )
+    )
+    assert a == b and a

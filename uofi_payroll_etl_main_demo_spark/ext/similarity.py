@@ -869,6 +869,94 @@ def hard_negative_mining(
     )
 
 
+def hard_negative_mining_gemm(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`hard_negative_mining` with in-bucket scoring as one numpy
+    GEMM per bucket — the compute-bound form (same bucket structure,
+    same output contract, same SQL oracle: the Column form already
+    ranks on 6dp-ROUNDED cosines, which is exactly the GEMM law, so
+    the two forms are row-identical including ranks).
+
+    The different-label mask applies per anchor row BEFORE its top-k
+    selection (`-inf` out same-label columns), so ranks count only
+    true negatives — the Column form's predicate-before-window
+    semantics, vectorized."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = random_hyperplane_buckets(embeddings, dim, n_planes, vec_col, seed)
+
+    id_t = embeddings.schema[id_col].dataType
+    lab_t = embeddings.schema[label_col].dataType
+    np_of = {"bigint": "int64", "int": "int32", "smallint": "int16"}
+    np_id = np_of[id_t.simpleString()]
+    np_lab = np_of[lab_t.simpleString()]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_t),
+            T.StructField(label_col, lab_t),
+            T.StructField("neighbor_id", id_t),
+            T.StructField("neighbor_label", lab_t),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    empty = {
+        id_col: np_id, label_col: np_lab, "neighbor_id": np_id,
+        "neighbor_label": np_lab, "cosine": "float64", "rank": "int32",
+    }
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {c: [] for c in empty}
+            ).astype(empty)
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms != 0, norms, 1.0)
+        sims = (mat / safe[:, None]) @ (mat / safe[:, None]).T
+        sims = np.where(
+            (norms[:, None] != 0) & (norms[None, :] != 0), sims, np.nan
+        )
+        sims = np.round(sims, 6)  # rank on rounded values like the oracle
+        out = {c: [] for c in empty}
+        for i in range(n):
+            row = sims[i].copy()
+            row[labels == labels[i]] = -np.inf  # only true negatives
+            row[np.isnan(row)] = -np.inf
+            cand = int((row > -np.inf).sum())
+            if not cand:
+                continue
+            order = np.lexsort((ids, -row))[: min(k, cand)]
+            out[id_col].extend([ids[i]] * len(order))
+            out[label_col].extend([labels[i]] * len(order))
+            out["neighbor_id"].extend(ids[order])
+            out["neighbor_label"].extend(labels[order])
+            out["cosine"].extend(row[order])
+            out["rank"].extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {c: np.asarray(v, dtype=empty[c]) for c, v in out.items()}
+        )
+
+    return (
+        b.select(F.col(id_col), F.col(label_col), F.col(vec_col), "bucket")
+        .groupBy("bucket")
+        .applyInPandas(score_bucket, schema)
+    )
+
+
 def knn_join_multiprobe(
     embeddings: DataFrame,
     dim: int,
