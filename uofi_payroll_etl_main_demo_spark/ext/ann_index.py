@@ -1208,14 +1208,12 @@ class IVFDiskIndex:
         qid_arr = np.array(qids)
         exclude = exclude_query_id
 
-        out_fields = [
-            queries.schema[query_id_col].dataType,
-            lists.schema[id_col].dataType,
-        ]
         schema = T.StructType(
             [
-                T.StructField(query_id_col, out_fields[0]),
-                T.StructField(id_col, out_fields[1]),
+                T.StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                T.StructField(id_col, lists.schema[id_col].dataType),
                 T.StructField("score", T.DoubleType()),
             ]
         )
