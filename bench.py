@@ -168,6 +168,8 @@ HEADLINE = [
     # oracles (full probe = the twin's brute force)
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
+    # round 9: JL sparse random projection — the pre-ANN reduction step
+    "ext_random_projection",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -609,3 +609,42 @@ def test_hard_negative_mining_gemm_parity(spark):
         )
     )
     assert a == b and a
+
+
+def test_random_projection_matrix_law_and_determinism(spark):
+    # Achlioptas law: entries in {0, +-sqrt(3/out_dim)}, ~1/3 nonzero;
+    # seeded matrix + Column projection => identical rows across calls
+    import math
+
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        _projection_matrix,
+        random_projection,
+    )
+
+    R = _projection_matrix(64, 16)
+    s = math.sqrt(3.0 / 16)
+    flat = [x for row in R for x in row]
+    assert set(map(abs, flat)) <= {0.0, s}
+    nz = sum(1 for x in flat if x != 0) / len(flat)
+    assert 0.2 < nz < 0.5  # E=1/3
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, random_projection(emb, dim=64, out_dim=16).collect()))
+    b = sorted(map(tuple, random_projection(emb, dim=64, out_dim=16).collect()))
+    assert a == b
+    n = emb.count()
+    assert len(a) == n * 16
+    # JL sanity on one pair: relative distance distortion bounded
+    # loosely (out_dim 16 is aggressive; Achlioptas eps here is wide)
+    import numpy as np
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(3).collect()}
+    ids = sorted(rows)[:2]
+    proj = {i: [0.0] * 16 for i in ids}
+    for vid, j, p in a:
+        if vid in proj:
+            proj[vid][j] = p
+    d_orig = np.linalg.norm(
+        np.array(rows[ids[0]], dtype=float) - np.array(rows[ids[1]], dtype=float)
+    )
+    d_proj = np.linalg.norm(np.array(proj[ids[0]]) - np.array(proj[ids[1]]))
+    assert d_orig > 0 and 0.3 < d_proj / d_orig < 1.9

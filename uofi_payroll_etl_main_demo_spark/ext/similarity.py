@@ -126,6 +126,70 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _projection_matrix(
+    dim: int, out_dim: int, seed: int = 7
+) -> "list[list[float]]":
+    """Deterministic Achlioptas sparse random-projection rows
+    (driver-side, broadcast as literals): entries √(3/out_dim) ×
+    {+1 w.p. 1/6, 0 w.p. 2/3, −1 w.p. 1/6}. Sparse entries make the
+    projection 3× cheaper than dense Gaussian at the same
+    Johnson–Lindenstrauss guarantee (Achlioptas 2003), and the seeded
+    driver-side construction keeps the whole op SQL-reproducible —
+    the same determinism contract as :func:`_hyperplanes`."""
+    rng = random.Random(seed)
+    scale = math.sqrt(3.0 / out_dim)
+    rows = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(dim):
+            u = rng.random()
+            row.append(scale if u < 1 / 6 else (-scale if u > 5 / 6 else 0.0))
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    embeddings: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction for the
+    embedding column — the standard pre-ANN step at corpus scale
+    (64→16 dims quarters every downstream pair cosine, LSH bucket,
+    and IVF list scan while approximately preserving pairwise
+    geometry).
+
+    One narrow projection per row (out_dim seeded sparse dot
+    products, JVM-side Column expressions — no shuffle, no UDF), and
+    the matrix is a driver-side deterministic constant, so the output
+    is engine-exact and SQL-twinnable. Output: one row per
+    (id, component): ``(id_col, j, proj)`` with ``proj`` rounded to
+    6dp — the exploded shape the oracle can reproduce with literal
+    plane lists (array-valued columns stringify engine-specifically).
+    """
+    R = _projection_matrix(dim, out_dim, seed)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for j, row in enumerate(R):
+        rlit = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(dbl, rlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.struct(
+                F.lit(j).alias("j"), F.round(dot, 6).alias("proj")
+            )
+        )
+    return embeddings.select(
+        F.col(id_col), F.explode(F.array(*comps)).alias("__c")
+    ).select(id_col, F.col("__c.j").alias("j"), F.col("__c.proj").alias("proj"))
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     dim: int,

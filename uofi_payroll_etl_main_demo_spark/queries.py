@@ -2941,6 +2941,51 @@ REGISTRY["ext_ann_recall_report"] = (
 )
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss reduction of the embedding column
+    (ext/similarity.py random_projection): 64 → 16 dims via a seeded
+    Achlioptas sparse ±√(3/16) matrix — the standard pre-ANN step at
+    corpus scale (quarters every downstream pair cosine / LSH bucket /
+    IVF scan while approximately preserving pairwise geometry). One
+    narrow JVM-side projection per row, no shuffle, no UDF; the
+    matrix is a driver-side deterministic constant, so the whole op
+    is value-oracled in the exploded (id, component) shape."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), dim=64, out_dim=16
+    )
+
+
+def _sql_random_projection(dim: int = 64, out_dim: int = 16) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        _projection_matrix,
+    )
+
+    rows = ", ".join(
+        "(" + str(j) + ", ["
+        + ", ".join(repr(x) for x in row)
+        + "])"
+        for j, row in enumerate(_projection_matrix(dim, out_dim))
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+r(j, plane) AS (VALUES {rows})
+SELECT b.vec_id, CAST(r.j AS INT) AS j,
+       round(list_dot_product(b.v, r.plane), 6) AS proj
+FROM b CROSS JOIN r
+"""
+
+
+REGISTRY["ext_random_projection"] = (
+    q_random_projection,
+    _sql_random_projection(),
+)
+
+
 def _ensure_sf_pq_postretrain_index(spark, sf_dir):
     """PQ store taken through the FULL maintenance lifecycle: build on
     the even-id half, ``pq_index_add`` the odd half, ``pq_index_delete``
@@ -10610,8 +10655,9 @@ _WINDOW_50 = [
     # three rows sharing it — chunk_dedup_stats, passage_topk,
     # pipeline_rewrite_curation — are value-identical by the pinned
     # windowed≡tumbling equivalence and stay covered by
-    # scripts/check_oracle.py + pytest) and ext_data_constraints (fk
-    # rules now fold into the one-pass scan as broadcast probes).
+    # scripts/check_oracle.py + pytest; ext_data_constraints' fk fold
+    # is likewise plan-only, plan-pinned, and sweep-covered — its slot
+    # went to the seventh new oracle, ext_random_projection).
     # -- r4-latest cohort (all 42) --
     "a10_cube",
     "a11_stat_aggs",
@@ -10662,9 +10708,9 @@ _WINDOW_50 = [
     "ext_hybrid_rrf",
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
-    # -- changed this round (tumbling-chunk fast path; fk fold) --
+    "ext_random_projection",
+    # -- changed this round (tumbling-chunk fast path) --
     "ext_chunk_dedup_rewrite",
-    "ext_data_constraints",
 ]
 
 
