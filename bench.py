@@ -169,7 +169,10 @@ HEADLINE = [
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
     # round 9: JL sparse random projection — the pre-ANN reduction step
+    # — and the two-stage retrieval that deploys it (coarse projected
+    # cosine cut, exact full-space rerank)
     "ext_random_projection",
+    "ext_projected_rerank_topk",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -648,3 +648,40 @@ def test_random_projection_matrix_law_and_determinism(spark):
     )
     d_proj = np.linalg.norm(np.array(proj[ids[0]]) - np.array(proj[ids[1]]))
     assert d_orig > 0 and 0.3 < d_proj / d_orig < 1.9
+
+
+def test_projected_rerank_topk_laws(spark):
+    # (1) degenerate coarse (>= corpus) makes the two-stage retrieval
+    # exactly the brute force; (2) at a real coarse cut every returned
+    # score is the TRUE full-space cosine (rerank is exact) and the
+    # deterministic fixture recall is substantial
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k,
+        projected_rerank_top_k,
+    )
+
+    QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    degenerate = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in projected_rerank_top_k(
+            emb, QV, dim=64, k=10, coarse=10_000
+        ).collect()
+    ]
+    assert degenerate == exact
+    staged = projected_rerank_top_k(emb, QV, dim=64, k=10, coarse=50).collect()
+    assert len(staged) == 10
+    all_scores = {
+        r["vec_id"]: round(r["score"], 6)
+        for r in brute_force_top_k(emb, QV, k=10_000).collect()
+    }
+    for r in staged:
+        assert round(r["score"], 6) == all_scores[r["vec_id"]]
+    recall = len(
+        {r["vec_id"] for r in staged} & {i for i, _ in exact}
+    ) / 10
+    assert recall >= 0.5, recall

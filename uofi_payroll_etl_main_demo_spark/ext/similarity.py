@@ -171,23 +171,101 @@ def random_projection(
     plane lists (array-valued columns stringify engine-specifically).
     """
     R = _projection_matrix(dim, out_dim, seed)
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    comps = []
-    for j, row in enumerate(R):
-        rlit = F.array(*[F.lit(float(x)) for x in row])
-        dot = F.aggregate(
-            F.zip_with(dbl, rlit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        comps.append(
-            F.struct(
-                F.lit(j).alias("j"), F.round(dot, 6).alias("proj")
-            )
-        )
+    comps = [
+        F.struct(F.lit(j).alias("j"), F.round(d, 6).alias("proj"))
+        for j, d in enumerate(_projection_dots(vec_col, R))
+    ]
     return embeddings.select(
         F.col(id_col), F.explode(F.array(*comps)).alias("__c")
     ).select(id_col, F.col("__c.j").alias("j"), F.col("__c.proj").alias("proj"))
+
+
+def _projection_dots(vec_col: str, R: "list[list[float]]"):
+    """One JVM-side fold per projection row — shared by the exploded
+    registry shape and the array-valued retrieval path."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = []
+    for row in R:
+        rlit = F.array(*[F.lit(float(x)) for x in row])
+        dots.append(
+            F.aggregate(
+                F.zip_with(dbl, rlit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return dots
+
+
+def projected_rerank_top_k(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    dim: int,
+    k: int = 10,
+    coarse: int = 50,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Two-stage retrieval THROUGH the JL projection — how a random
+    projection is actually deployed: rank the corpus by cosine in the
+    cheap ``out_dim``-dimensional projected space (coarse top
+    ``coarse``), then exact-rerank only those survivors in the full
+    space. Per row the coarse stage pays out_dim×dim (the projection)
+    + out_dim (the cosine) instead of dim — and a corpus that
+    MATERIALIZES its projection once (``random_projection``) pays
+    just the out_dim cosine per query thereafter.
+
+    Determinism contract: the projection matrix and the projected
+    query are driver-side constants; the coarse ranking is on
+    6dp-ROUNDED projected cosine (engines compute the projection with
+    different sum orders — rounding keeps the coarse cut
+    engine-exact, tie-break by id), the rerank ranks unrounded
+    full-space cosine like every exact top-k row. Fully
+    SQL-reproducible."""
+    import math as _math
+
+    R = _projection_matrix(dim, out_dim, seed)
+    qp = [
+        sum(float(v) * r for v, r in zip(query_vec, row)) for row in R
+    ]
+    qn = _math.sqrt(sum(x * x for x in qp))
+    dots = _projection_dots(vec_col, R)
+    pv = F.array(*dots)
+    pdot = None
+    for j, d in enumerate(dots):
+        term = d * F.lit(qp[j])
+        pdot = term if pdot is None else pdot + term
+    pnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(pv, pv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    denom = pnorm * F.lit(qn)
+    coarse_df = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(
+                F.when(denom != 0, pdot / denom), 6
+            ).alias("__pcos"),
+        )
+        .orderBy(F.desc_nulls_last("__pcos"), F.asc(id_col))
+        .limit(coarse)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        coarse_df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )
 
 
 def random_hyperplane_buckets(

@@ -2986,6 +2986,65 @@ REGISTRY["ext_random_projection"] = (
 )
 
 
+def q_projected_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval THROUGH the JL projection (ext/similarity.py
+    projected_rerank_top_k) — how the reduction is actually deployed:
+    coarse top-50 by cosine in the 16-dim projected space (per-row
+    cost out_dim, not dim, once the projection is materialized), then
+    exact rerank of only those survivors in the full 64-dim space.
+    Coarse cut ranks on 6dp-rounded projected cosine (engines project
+    with different sum orders; rounding keeps the cut engine-exact),
+    rerank ranks unrounded like every exact top-k row — fully
+    value-oracled end to end."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        projected_rerank_top_k,
+    )
+
+    return projected_rerank_top_k(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, dim=64, k=10,
+        coarse=50, out_dim=16,
+    )
+
+
+def _sql_projected_rerank_topk(
+    k: int = 10, coarse: int = 50, dim: int = 64, out_dim: int = 16
+) -> str:
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        _projection_matrix,
+    )
+
+    R = _projection_matrix(dim, out_dim)
+    qp = [
+        sum(float(v) * r for v, r in zip(QUERY_VEC, row)) for row in R
+    ]
+    pv = "[" + ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + "])"
+        for row in R
+    ) + "]"
+    qp_sql = "[" + ", ".join(repr(x) for x in qp) + "]"
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT vec_id, v,
+        round(list_cosine_similarity({pv},
+              CAST({qp_sql} AS DOUBLE[])), 6) AS pcos
+      FROM b
+      ORDER BY pcos DESC, vec_id LIMIT {coarse})
+SELECT vec_id, round(score, 6) AS score FROM (
+  SELECT vec_id, list_cosine_similarity(v,
+           CAST({_QV_SQL} AS DOUBLE[])) AS score
+  FROM c) ORDER BY score DESC, vec_id LIMIT {k}
+"""
+
+
+REGISTRY["ext_projected_rerank_topk"] = (
+    q_projected_rerank_topk,
+    _sql_projected_rerank_topk(),
+)
+
+
 def _ensure_sf_pq_postretrain_index(spark, sf_dir):
     """PQ store taken through the FULL maintenance lifecycle: build on
     the even-id half, ``pq_index_add`` the odd half, ``pq_index_delete``
