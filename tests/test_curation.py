@@ -685,3 +685,23 @@ def test_projected_rerank_topk_laws(spark):
         {r["vec_id"] for r in staged} & {i for i, _ in exact}
     ) / 10
     assert recall >= 0.5, recall
+
+
+def test_random_projection_gemm_matches_expression(spark):
+    # one projection law, two engines: BLAS GEMM rows equal the JVM
+    # Column fold rows at the 6dp contract
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, random_projection(emb, dim=64, out_dim=16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            random_projection(
+                emb, dim=64, out_dim=16, engine="expression"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == emb.count() * 16

@@ -155,6 +155,7 @@ def random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    engine: str = "gemm",
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction for the
     embedding column — the standard pre-ANN step at corpus scale
@@ -162,22 +163,61 @@ def random_projection(
     and IVF list scan while approximately preserving pairwise
     geometry).
 
-    One narrow projection per row (out_dim seeded sparse dot
-    products, JVM-side Column expressions — no shuffle, no UDF), and
-    the matrix is a driver-side deterministic constant, so the output
-    is engine-exact and SQL-twinnable. Output: one row per
-    (id, component): ``(id_col, j, proj)`` with ``proj`` rounded to
-    6dp — the exploded shape the oracle can reproduce with literal
-    plane lists (array-valued columns stringify engine-specifically).
+    One narrow projection per row — the whole batch is ONE BLAS GEMM
+    per Arrow chunk (``V @ Rᵀ``, no shuffle, no per-pair expressions;
+    ``engine="expression"`` keeps the JVM Column form for plan-fused
+    composition) — and the matrix is a driver-side deterministic
+    constant, so the output is engine-exact at the 6dp contract and
+    SQL-twinnable. Output: one row per (id, component):
+    ``(id_col, j, proj)`` with ``proj`` rounded to 6dp — the exploded
+    shape the oracle can reproduce with literal plane lists
+    (array-valued columns stringify engine-specifically; rounding
+    absorbs BLAS-vs-fold ulp differences, the GEMM-law precedent).
     """
     R = _projection_matrix(dim, out_dim, seed)
-    comps = [
-        F.struct(F.lit(j).alias("j"), F.round(d, 6).alias("proj"))
-        for j, d in enumerate(_projection_dots(vec_col, R))
-    ]
-    return embeddings.select(
-        F.col(id_col), F.explode(F.array(*comps)).alias("__c")
-    ).select(id_col, F.col("__c.j").alias("j"), F.col("__c.proj").alias("proj"))
+    if engine == "expression":
+        comps = [
+            F.struct(F.lit(j).alias("j"), F.round(d, 6).alias("proj"))
+            for j, d in enumerate(_projection_dots(vec_col, R))
+        ]
+        return embeddings.select(
+            F.col(id_col), F.explode(F.array(*comps)).alias("__c")
+        ).select(
+            id_col, F.col("__c.j").alias("j"), F.col("__c.proj").alias("proj")
+        )
+    if engine != "gemm":
+        raise ValueError(f"unknown engine {engine!r}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Rm = np.asarray(R, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, embeddings.schema[id_col].dataType),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("proj", T.DoubleType()),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = np.round(V @ Rm.T, 6)  # (n, out_dim)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), out_dim),
+                    "j": np.tile(
+                        np.arange(out_dim, dtype="int32"), n
+                    ),
+                    "proj": P.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(project, schema)
 
 
 def _projection_dots(vec_col: str, R: "list[list[float]]"):
