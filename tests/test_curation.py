@@ -705,3 +705,25 @@ def test_random_projection_gemm_matches_expression(spark):
         )
     )
     assert a == b and len(a) == emb.count() * 16
+
+
+def test_projected_rerank_engines_agree(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        projected_rerank_top_k,
+    )
+
+    QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in projected_rerank_top_k(
+            emb, QV, dim=64, k=10, coarse=50
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in projected_rerank_top_k(
+            emb, QV, dim=64, k=10, coarse=50, engine="expression"
+        ).collect()
+    ]
+    assert a == b and len(a) == 10

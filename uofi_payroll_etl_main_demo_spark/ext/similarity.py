@@ -247,6 +247,7 @@ def projected_rerank_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    engine: str = "gemm",
 ) -> DataFrame:
     """Two-stage retrieval THROUGH the JL projection — how a random
     projection is actually deployed: rank the corpus by cosine in the
@@ -263,7 +264,13 @@ def projected_rerank_top_k(
     different sum orders — rounding keeps the coarse cut
     engine-exact, tie-break by id), the rerank ranks unrounded
     full-space cosine like every exact top-k row. Fully
-    SQL-reproducible."""
+    SQL-reproducible.
+
+    ``engine="gemm"`` (default) runs the coarse stage as one
+    projection-GEMM + partial top-``coarse`` per Arrow chunk (global
+    sort sees ≤ chunks × coarse rows, never the corpus);
+    ``"expression"`` fuses the whole coarse stage into a single JVM
+    Column pipeline."""
     import math as _math
 
     R = _projection_matrix(dim, out_dim, seed)
@@ -271,31 +278,81 @@ def projected_rerank_top_k(
         sum(float(v) * r for v, r in zip(query_vec, row)) for row in R
     ]
     qn = _math.sqrt(sum(x * x for x in qp))
-    dots = _projection_dots(vec_col, R)
-    pv = F.array(*dots)
-    pdot = None
-    for j, d in enumerate(dots):
-        term = d * F.lit(qp[j])
-        pdot = term if pdot is None else pdot + term
-    pnorm = F.sqrt(
-        F.aggregate(
-            F.zip_with(pv, pv, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if engine == "gemm":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        Rm = np.asarray(R, dtype=np.float64)
+        qpn = np.asarray(qp, dtype=np.float64) / (qn or 1.0)
+        pschema = T.StructType(
+            [
+                T.StructField(
+                    id_col, embeddings.schema[id_col].dataType
+                ),
+                T.StructField("__pcos", T.DoubleType()),
+            ]
         )
-    )
-    denom = pnorm * F.lit(qn)
-    coarse_df = (
-        embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.round(
-                F.when(denom != 0, pdot / denom), 6
-            ).alias("__pcos"),
+
+        def coarse_chunk(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                P = V @ Rm.T
+                pn = np.linalg.norm(P, axis=1)
+                ok = pn != 0
+                if not ok.any():
+                    continue
+                pcos = np.round(
+                    (P[ok] @ qpn) / pn[ok], 6
+                )
+                t = min(coarse, int(ok.sum()))
+                sel = np.lexsort((ids[ok], -pcos))[:t]
+                yield pd.DataFrame(
+                    {id_col: ids[ok][sel], "__pcos": pcos[sel]}
+                )
+
+        coarse_ids = (
+            embeddings.select(id_col, vec_col)
+            .mapInPandas(coarse_chunk, pschema)
+            .orderBy(F.desc("__pcos"), F.asc(id_col))
+            .limit(coarse)
+            .select(id_col)
         )
-        .orderBy(F.desc_nulls_last("__pcos"), F.asc(id_col))
-        .limit(coarse)
-    )
+        coarse_df = embeddings.join(
+            F.broadcast(coarse_ids), id_col, "left_semi"
+        ).select(F.col(id_col), F.col(vec_col))
+    elif engine == "expression":
+        dots = _projection_dots(vec_col, R)
+        pv = F.array(*dots)
+        pdot = None
+        for j, d in enumerate(dots):
+            term = d * F.lit(qp[j])
+            pdot = term if pdot is None else pdot + term
+        pnorm = F.sqrt(
+            F.aggregate(
+                F.zip_with(pv, pv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        denom = pnorm * F.lit(qn)
+        coarse_df = (
+            embeddings.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.round(
+                    F.when(denom != 0, pdot / denom), 6
+                ).alias("__pcos"),
+            )
+            .orderBy(F.desc_nulls_last("__pcos"), F.asc(id_col))
+            .limit(coarse)
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         coarse_df.select(
