@@ -173,6 +173,10 @@ HEADLINE = [
     # cosine cut, exact full-space rerank)
     "ext_random_projection",
     "ext_projected_rerank_topk",
+    # round 9 (late): the COMPOSED IVF-PQ store — partition-pruned
+    # lists at PQ bytes-per-vector, residual ADC, batched serving
+    "ext_ivfpq_index_query",
+    "ext_ivfpq_batch_query",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work
@@ -202,6 +206,8 @@ CLOSED_FORM_ORACLE = [
     "ext_ivf_batch_query",
     "ext_pq_batch_query",
     "ext_hard_negatives_ivf",
+    "ext_ivfpq_index_query",
+    "ext_ivfpq_batch_query",
 ]
 
 

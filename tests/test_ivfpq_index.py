@@ -1,0 +1,350 @@
+"""Persisted IVF-PQ store: the COMPOSED billion-scale ANN layout
+(coarse inverted lists + PQ codes of the residuals).
+
+Pins the contracts the composition exists for:
+  1. EXACTNESS — full probe + full rerank margin served from disk is
+     the brute-force top-k bit-for-bit (single-query AND batched).
+  2. BOTH REDUCTIONS IN THE PLAN — the ADC scan reads ONLY the codes
+     table, with the probe filter applied as a PARTITION filter (the
+     IVF store's pruning at the PQ store's bytes-per-vector).
+  3. RESIDUALS EARN THEIR KEEP — at the same codebook budget, residual
+     codes reconstruct the corpus with lower squared error than flat
+     PQ codes (the reason IVF-PQ quantizes residuals at all).
+  4. LIFECYCLE — add (idempotent replay), delete (erased from serving,
+     pre-delete replays refused), compact (fold to base), ensure
+     (zero-work load on match, rebuild on tag/param change).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+    ensure_ivfpq_index,
+    ivfpq_index_add,
+    ivfpq_index_build,
+    ivfpq_index_compact,
+    ivfpq_index_delete,
+    ivfpq_index_load,
+    ivfpq_index_stats,
+    pq_index_build,
+)
+from uofi_payroll_etl_main_demo_spark.ext.similarity import brute_force_top_k
+from uofi_payroll_etl_main_demo_spark.plans.inspect import (
+    formatted_plan,
+    inspect_plan,
+)
+
+QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+FULL = 1_000_000  # rerank margin >= corpus: exact two-stage serving
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_mtimes(index_dir: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _build(emb, idx, **kw):
+    kw.setdefault("n_lists", 4)
+    kw.setdefault("m", 8)
+    kw.setdefault("n_centroids", 16)
+    kw.setdefault("corpus_tag", "t1")
+    ivfpq_index_build(emb, idx, **kw)
+
+
+def test_ivfpq_roundtrip_exact_at_full_probe_full_margin(
+    spark, sf_dir, tmp_path
+):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx)
+    loaded = ivfpq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_adc_plan_prunes_list_partitions_and_reads_only_codes(
+    spark, sf_dir, tmp_path
+):
+    """The ADC-only serve (no rerank) must touch NOTHING but the codes
+    table, and the probe filter must prune list PARTITIONS at the
+    parquet scan — the composed store's whole point: nprobe/n_lists of
+    the files, at m ints per vector."""
+    idx = str(tmp_path / "ivfpq")
+    _build(_emb(spark, sf_dir), idx)
+    out = ivfpq_index_load(spark, idx).search(QV, k=10, nprobe=2)
+    report = inspect_plan(out)
+    assert report.scans, "expected at least one parquet scan"
+    for s in report.scans:
+        assert idx in s["location"], f"non-index scan: {s['location']}"
+        assert "embeddings.parquet" not in s["location"]
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan
+    lo = plan.index("PartitionFilters")
+    assert "centroid" in plan[lo : lo + 200]
+
+
+def test_ivfpq_filtered_search_exact(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx)
+    loaded = ivfpq_index_load(spark, idx)
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV,
+            k=10,
+            nprobe=4,
+            candidates=FULL,
+            rerank_corpus=emb,
+            filter_ids=allowed,
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(
+            emb.filter(F.col("label") == 2), QV, k=10
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_ivfpq_batch_matches_single_query_loop(spark, sf_dir, tmp_path):
+    """The batched serve must equal the single-query loop per query at
+    matching full-probe/full-margin params (ranks live on the shared
+    unrounded exact-rerank score, so the paths are bit-identical)."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx)
+    loaded = ivfpq_index_load(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_batch(
+        queries, k=5, nprobe=4, candidates=FULL, rerank_corpus=emb
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    for qid, qv in qvecs.items():
+        single = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in loaded.search(
+                qv, k=5, nprobe=4, candidates=FULL, rerank_corpus=emb
+            ).collect()
+        ]
+        got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert got == single, f"query {qid} diverged"
+
+
+def test_ivfpq_batch_pruned_probe_partition_filter(spark, sf_dir, tmp_path):
+    """Partial-probe BATCHED serving (ADC only): the codes scan carries
+    the probe union as a static partition filter."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=8)
+    loaded = ivfpq_index_load(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = loaded.search_batch(queries, k=5, nprobe=2, candidates=50)
+    report = inspect_plan(out)
+    for s in report.scans:
+        assert idx in s["location"], f"non-index scan: {s['location']}"
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan
+    lo = plan.index("PartitionFilters")
+    assert "centroid" in plan[lo : lo + 200]
+
+
+def test_ivfpq_residual_codes_beat_flat_pq_reconstruction(
+    spark, sf_dir, tmp_path
+):
+    """The residual claim, measured: at the SAME codebook budget
+    (m=8 × 16 codewords, same trainer, same sample law), decoding the
+    IVF-PQ store (centroid + residual codeword) reconstructs the
+    corpus with LOWER mean squared error than decoding the flat PQ
+    store (codeword alone) — residuals concentrate near zero, so the
+    codebooks spend their codewords on a tighter distribution."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    ivfpq_dir = str(tmp_path / "ivfpq")
+    pq_dir = str(tmp_path / "pq")
+    _build(emb, ivfpq_dir)
+    pq_index_build(emb, pq_dir, m=8, n_centroids=16, corpus_tag="t1")
+
+    V = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def _codebooks(d):
+        cb = np.empty((8, 16, 8))
+        for r in spark.read.parquet(f"{d}/codebooks").collect():
+            cb[r["j"], r["c"]] = r["cvec"]
+        return cb
+
+    cb_r = _codebooks(ivfpq_dir)
+    cb_f = _codebooks(pq_dir)
+    C = np.stack(
+        [
+            np.asarray(r["cvec"])
+            for r in spark.read.parquet(f"{ivfpq_dir}/centroids")
+            .orderBy("centroid")
+            .collect()
+        ]
+    )
+
+    def _decode(codes, cb):
+        return np.concatenate([cb[j, codes[j]] for j in range(8)])
+
+    err_r = err_f = 0.0
+    rows_r = spark.read.parquet(f"{ivfpq_dir}/codes").collect()
+    rows_f = spark.read.parquet(f"{pq_dir}/codes").collect()
+    for r in rows_r:
+        rec = C[r["centroid"]] + _decode(r["codes"], cb_r)
+        err_r += float(((V[r["vec_id"]] - rec) ** 2).sum())
+    for r in rows_f:
+        rec = _decode(r["codes"], cb_f)
+        err_f += float(((V[r["vec_id"]] - rec) ** 2).sum())
+    assert len(rows_r) == len(rows_f) == len(V)
+    assert err_r < err_f, f"residual MSE {err_r} !< flat MSE {err_f}"
+
+
+def test_ivfpq_add_then_serve_exact_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Build on half the corpus, add the other half: membership is
+    complete, a replayed add replaces its batch partitions instead of
+    duplicating, and full-probe/full-margin serving is the exact brute
+    force over the UNION (the rerank stage guarantees exactness no
+    matter which quantizers stored a vector)."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    _build(old, idx, corpus_tag="half")
+    ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+    n = spark.read.parquet(f"{idx}/codes").count()
+    ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
+    assert spark.read.parquet(f"{idx}/codes").count() == n
+    assert n == emb.count()
+    loaded = ivfpq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_delete_erases_from_serving_and_refuses_replay(
+    spark, sf_dir, tmp_path
+):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    _build(old, idx, corpus_tag="half")
+    ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    ivfpq_index_delete(spark, idx, dead, new_corpus_tag="post-del")
+    survivors = emb.filter(F.col("vec_id") % 7 != 3)
+    assert (
+        spark.read.parquet(f"{idx}/codes").count() == survivors.count()
+    )
+    loaded = ivfpq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=survivors
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(survivors, QV, k=10).collect()
+    ]
+    assert got == want
+    # the delete folded batches to base: a pre-delete replay must
+    # refuse loudly instead of resurrecting deleted rows
+    with pytest.raises(ValueError, match="folded"):
+        ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+
+
+def test_ivfpq_compact_folds_batches_and_preserves_serving(
+    spark, sf_dir, tmp_path
+):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    _build(old, idx, corpus_tag="half")
+    ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
+    before = {
+        r["centroid"]: r["n_vectors"]
+        for r in ivfpq_index_stats(spark, idx).collect()
+    }
+    ivfpq_index_compact(spark, idx)
+    stats = ivfpq_index_stats(spark, idx).collect()
+    assert all(r["n_batches"] == 1 for r in stats)
+    assert {r["centroid"]: r["n_vectors"] for r in stats} == before
+    assert sum(before.values()) == emb.count()
+    with pytest.raises(ValueError, match="folded"):
+        ivfpq_index_add(new, idx, new_corpus_tag="again", batch_id="b1")
+
+
+def test_ivfpq_ensure_loads_without_rebuild_then_rebuilds_on_change(
+    spark, sf_dir, tmp_path
+):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    ensure_ivfpq_index(emb, idx, corpus_tag="t1", n_lists=4)
+    mt = _index_mtimes(idx)
+    loaded = ensure_ivfpq_index(emb, idx, corpus_tag="t1", n_lists=4)
+    assert _index_mtimes(idx) == mt, "matching ensure must not rewrite"
+    assert loaded.meta["kind"] == "ivfpq"
+    assert loaded.meta["n_lists"] == 4
+    ensure_ivfpq_index(emb, idx, corpus_tag="t2", n_lists=4)
+    assert _index_mtimes(idx) != mt, "tag change must rebuild"
+
+
+def test_ivfpq_stats_cover_corpus(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx)
+    stats = ivfpq_index_stats(spark, idx).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert {r["centroid"] for r in stats} <= set(range(4))

@@ -1104,3 +1104,60 @@ def test_ingest_ann_stream_pq_kind(spark, tmp_path):
             stream, corpus_path, index_dir, str(tmp_path / "c2"),
             kind="flat",
         )
+
+
+def test_ingest_ann_stream_ivfpq_kind(spark, tmp_path):
+    """kind='ivfpq': the first batch trains BOTH quantizers (coarse
+    centroids + residual codebooks), later batches assign + encode
+    against the frozen pair; after the drain the composed store's
+    membership is the corpus row for row and full-probe/full-margin
+    serving equals brute force over the whole streamed corpus."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivfpq_index_load,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k,
+    )
+    from uofi_payroll_etl_main_demo_spark.streaming.corpus import (
+        ingest_ann_stream,
+    )
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    feed = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "ivfpq_index")
+    q = ingest_ann_stream(
+        stream,
+        corpus_path,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        kind="ivfpq",
+        n_lists=4,
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(corpus_path)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    assert codes.select("__batch").distinct().count() == 3
+    assert sorted(r["vec_id"] for r in codes.select("vec_id").collect()) \
+        == sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    index = ivfpq_index_load(spark, index_dir)
+    assert index.meta["n_lists"] == 4
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in index.search(
+            QV, k=10, nprobe=4, candidates=10**6, rerank_corpus=feed
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(feed, QV, k=10).collect()
+    ]
+    assert got == want

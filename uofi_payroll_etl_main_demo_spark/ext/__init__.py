@@ -29,15 +29,23 @@ from uofi_payroll_etl_main_demo_spark.ext.curation import (  # noqa: F401
 )
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     IVFDiskIndex,
+    IVFPQDiskIndex,
     PQDiskIndex,
     corpus_fingerprint,
     ensure_ivf_index,
+    ensure_ivfpq_index,
     ensure_pq_index,
     ivf_index_add,
     ivf_index_build,
     ivf_index_compact,
     ivf_index_load,
     ivf_index_stats,
+    ivfpq_index_add,
+    ivfpq_index_build,
+    ivfpq_index_compact,
+    ivfpq_index_delete,
+    ivfpq_index_load,
+    ivfpq_index_stats,
     pq_index_add,
     pq_index_build,
     pq_index_compact,

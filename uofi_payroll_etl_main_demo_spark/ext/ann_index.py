@@ -72,6 +72,11 @@ _META_SCHEMA = T.StructType(
         T.StructField("dim", T.IntegerType(), False),
         T.StructField("n_centroids", T.IntegerType(), False),
         T.StructField("m", T.IntegerType(), True),
+        # IVF-PQ only: number of coarse inverted lists (n_centroids
+        # keeps its PQ meaning — per-subspace codebook size). Nullable
+        # and absent from pre-round-9 metas; _read_meta defaults it, so
+        # no format bump — v4 ivf/pq stores read unchanged.
+        T.StructField("n_lists", T.IntegerType(), True),
         T.StructField("seed", T.IntegerType(), True),
         # training hyperparameters are part of the index IDENTITY: an
         # ensure-load that ignored them would silently serve an index
@@ -772,7 +777,11 @@ def pq_index_delete(
 
 
 def _write_meta(spark: SparkSession, index_dir: str, row: dict) -> None:
-    spark.createDataFrame([row], _META_SCHEMA).coalesce(1).write.mode(
+    # nullable fields a caller omits (n_lists on ivf/pq stores, m on
+    # ivf) default to None so the schema's field list can grow without
+    # touching every writer
+    full = {f.name: row.get(f.name) for f in _META_SCHEMA.fields}
+    spark.createDataFrame([full], _META_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/meta")
 
@@ -789,6 +798,8 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
         )
     # metas written before the field existed read as never-compacted
     meta.setdefault("folded_batches", None)
+    # pre-round-9 metas (ivf/pq only) lack the IVF-PQ list count
+    meta.setdefault("n_lists", None)
     return meta
 
 
@@ -1693,6 +1704,103 @@ def _pq_encode(
     )
 
 
+def _exact_rerank_batch(
+    cand: DataFrame,
+    rerank_corpus: DataFrame,
+    qmat,
+    qid_frame: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Batched exact-rerank tail shared by the PQ and IVF-PQ serves:
+    candidate ids fetch their raw vectors from the row store
+    (semi-join keeps the store scan pruned to the candidate set), then
+    true cosine against each candidate's own query vector. Scoring is
+    an Arrow batch with the (bounded) query matrix in the closure —
+    NOT the per-pair higher-order expression, which pays 3 interpreted
+    64-element folds per (query, candidate) and dominated the
+    full-margin serve. Accumulation is a SEQUENTIAL left fold
+    vectorized ACROSS rows (acc += v_d*q_d per dimension), which is
+    bit-identical to the JVM zip_with/aggregate fold (strict IEEE
+    add/mul, no FMA, same order), so scores — and therefore ranks,
+    which stay on the unrounded value — match the single-query
+    expression path exactly (pinned at 9 decimals in tests). Zero-norm
+    candidates have undefined cosine and are dropped (the expression
+    path NULLs them below every real score; they could differ only
+    when a query has fewer than k real-scored candidates).
+
+    ``cand`` must carry (__qi int, vec_id_out) — the per-query
+    candidate frame the ADC stage produced; ``qmat`` is the (nq × dim)
+    query matrix whose row index IS ``__qi``."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    nq, dim = qmat.shape
+    Qm = qmat
+    ids = cand.select("__qi", F.col("vec_id_out").alias(id_col))
+    fetched = rerank_corpus.join(
+        F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi"
+    ).select(id_col, vec_col)
+    rs_schema = T.StructType(
+        [
+            T.StructField("__qi", T.IntegerType()),
+            T.StructField(
+                id_col, rerank_corpus.schema[id_col].dataType
+            ),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        import pandas as pd
+
+        qn = np.zeros(nq)
+        q2 = Qm * Qm
+        for d in range(dim):
+            qn += q2[:, d]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["__qi"].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Qb = Qm[qi]
+            prods = V * Qb
+            v2 = V * V
+            dot = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            for d in range(dim):
+                dot += prods[:, d]
+                na += v2[:, d]
+            denom = np.sqrt(na) * qn[qi]
+            keep = denom != 0
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "__qi": qi[keep],
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "score": dot[keep] / denom[keep],
+                }
+            )
+
+    wr = Window.partitionBy("__qi").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        ids.join(fetched, id_col)
+        .mapInPandas(rescore, rs_schema)
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= k)
+        .join(F.broadcast(qid_frame), "__qi")
+        .select(F.col(query_id_col), F.col(id_col), F.col("score"))
+    )
+
+
 def pq_index_build(
     embeddings: DataFrame,
     index_dir: str,
@@ -2003,82 +2111,15 @@ class PQDiskIndex:
                 F.col("vec_id_out").alias(id_col),
                 F.col("adc").alias("score"),
             )
-        # exact rerank: candidate ids fetch their raw vectors from the
-        # row store (semi-join keeps the store scan pruned to the
-        # candidate set), then true cosine against the query vector.
-        # Scoring is an Arrow batch with the (bounded) query matrix in
-        # the closure — NOT the per-pair higher-order expression, which
-        # pays 3 interpreted 64-element folds per (query, candidate)
-        # and dominated the full-margin serve. Accumulation is a
-        # SEQUENTIAL left fold vectorized ACROSS rows (acc += v_d*q_d
-        # per dimension), which is bit-identical to the JVM
-        # zip_with/aggregate fold (strict IEEE add/mul, no FMA, same
-        # order), so scores — and therefore ranks, which stay on the
-        # unrounded value — match the single-query expression path
-        # exactly (pinned at 9 decimals in tests). Zero-norm
-        # candidates have undefined cosine and are dropped (the
-        # expression path NULLs them below every real score; they
-        # could differ only when a query has fewer than k real-scored
-        # candidates).
-        ids = cand.select("__qi", F.col("vec_id_out").alias(id_col))
-        fetched = rerank_corpus.join(
-            F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi"
-        ).select(id_col, vec_col)
-        rs_schema = T.StructType(
-            [
-                T.StructField("__qi", T.IntegerType()),
-                T.StructField(
-                    id_col, rerank_corpus.schema[id_col].dataType
-                ),
-                T.StructField("score", T.DoubleType()),
-            ]
-        )
-        Qm = qmat
-        dim = meta["dim"]
-
-        def rescore(batches):
-            import pandas as pd
-
-            qn = np.zeros(nq)
-            q2 = Qm * Qm
-            for d in range(dim):
-                qn += q2[:, d]
-            qn = np.sqrt(qn)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qi = pdf["__qi"].to_numpy()
-                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                Qb = Qm[qi]
-                prods = V * Qb
-                v2 = V * V
-                dot = np.zeros(len(pdf))
-                na = np.zeros(len(pdf))
-                for d in range(dim):
-                    dot += prods[:, d]
-                    na += v2[:, d]
-                denom = np.sqrt(na) * qn[qi]
-                keep = denom != 0
-                if not keep.any():
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "__qi": qi[keep],
-                        id_col: pdf[id_col].to_numpy()[keep],
-                        "score": dot[keep] / denom[keep],
-                    }
-                )
-
-        wr = Window.partitionBy("__qi").orderBy(
-            F.desc("score"), F.asc(id_col)
-        )
-        return (
-            ids.join(fetched, id_col)
-            .mapInPandas(rescore, rs_schema)
-            .withColumn("__rn", F.row_number().over(wr))
-            .filter(F.col("__rn") <= k)
-            .join(F.broadcast(qid_frame), "__qi")
-            .select(F.col(query_id_col), F.col(id_col), F.col("score"))
+        return _exact_rerank_batch(
+            cand,
+            rerank_corpus,
+            qmat,
+            qid_frame,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            k=k,
         )
 
 
@@ -2320,3 +2361,680 @@ def ensure_pq_index(
         corpus_tag=corpus_tag,
     )
     return pq_index_load(spark, index_dir)
+
+
+# ---------------------------------------------------------------- IVF-PQ --
+#
+# The composed billion-scale layout (public FAISS IVFPQ shape): a
+# coarse quantizer partitions the corpus into inverted lists, and each
+# vector is stored as a PQ code of its RESIDUAL (vector minus its
+# coarse centroid) — residuals concentrate near zero, so the same
+# codebook budget quantizes them far more accurately than raw vectors.
+# Serving composes BOTH reductions: the probe filter prunes list
+# PARTITIONS at the parquet scan (the IVF-Flat store's property) and
+# the scan reads m small ints per vector instead of the raw embedding
+# (the PQ store's property). ADC decomposes exactly:
+#
+#     <q, v> ≈ <q, centroid(v)> + Σ_j <q_j, codebook[j, code_j(v)]>
+#
+# — the residual lookup table is LIST-INDEPENDENT (one m×n_centroids
+# table per query, same as flat PQ), and the coarse term is one scalar
+# per (query, list), so pruned serving pays the flat-PQ ADC arithmetic
+# over only the probed fraction of the corpus. At 100 TB this is the
+# difference between scanning 32 B/vector of everything (flat PQ) and
+# 32 B/vector of nprobe/n_lists of everything.
+
+
+def _pq_encode_residual(
+    assigned: DataFrame, codebooks, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, centroid, codes) via Arrow-batched nearest-sub-centroid
+    assignment over the RESIDUAL (vector minus its coarse centroid) —
+    the ONE encoder shared by the IVF-PQ build and the incremental
+    add, so a vector encodes identically whichever path stored it.
+    ``assigned`` must already carry the ``centroid`` column under the
+    store's assignment law (:func:`_assign_centroids`)."""
+    import numpy as np
+
+    m, _n_centroids, sub = codebooks.shape
+    cb_bc = codebooks  # closed over; shipped once per task via pickle
+    C = np.asarray(centroids, dtype=np.float64)
+    codes_schema = T.StructType(
+        [
+            T.StructField("vec_id_out", T.LongType()),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cents = pdf["centroid"].to_numpy().astype(np.int64)
+            R = mat - C[cents]
+            codes = np.empty((len(R), m), dtype=np.int64)
+            for j in range(m):
+                X = R[:, j * sub : (j + 1) * sub]
+                d2 = ((X[:, None, :] - cb_bc[None, j, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id_out": pdf[id_col].to_numpy(),
+                    "centroid": cents.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return (
+        assigned.select(id_col, vec_col, "centroid")
+        .mapInPandas(encode, codes_schema)
+        .withColumnRenamed("vec_id_out", id_col)
+    )
+
+
+def ivfpq_index_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    n_lists: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_tag: str = "",
+    batch_tag: str = "base",
+) -> None:
+    """Train the coarse quantizer AND the residual codebooks once,
+    persist the composed index: centroids (driver-small), residual
+    codebooks (KBs), and PQ codes PARTITIONED BY (centroid, __batch)
+    — the codes table has the IVF store's pruning layout at the PQ
+    store's bytes-per-vector. Coarse fit is the IVF build's
+    ``pyspark.ml`` KMeans (tree-aggregated, executor-side); residual
+    codebook training is the PQ build's deterministic Lloyd over a
+    bounded id-sorted sample — of RESIDUALS, so the sample pass reads
+    (vector, centroid) pairs from the assignment. Meta last, same
+    crash contract as both parents; ``batch_tag`` is the streaming
+    first-batch replay contract (see :func:`ivf_index_build`)."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        train_pq_codebooks,
+    )
+
+    spark = embeddings.sparkSession
+    if batch_tag != "base":
+        check_batch_tag(batch_tag)
+    head = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    dim = int(head[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    _invalidate_meta(spark, index_dir)
+    index = build_ivf_index(
+        embeddings,
+        n_centroids=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    centroids = index.centroids
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    # residual training sample: bounded, id-sorted (deterministic —
+    # the PQ build's law), but drawn AFTER assignment so each sampled
+    # vector subtracts its own coarse centroid
+    sample = (
+        index.assigned.select(vec_col, "centroid")
+        .orderBy(F.asc(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    train = np.stack(
+        [np.asarray(r[0], dtype=np.float64) - C[r[1]] for r in sample]
+    )
+    codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
+    cb_rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(n_centroids)
+    ]
+    spark.createDataFrame(
+        cb_rows, "j int, c int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    (
+        _pq_encode_residual(index.assigned, codebooks, centroids,
+                            id_col, vec_col)
+        .withColumn("__batch", F.lit(batch_tag))
+        .write.mode("overwrite")
+        .partitionBy("centroid", "__batch")
+        .parquet(f"{index_dir}/codes")
+    )
+    _write_meta(
+        spark,
+        index_dir,
+        {
+            "version": INDEX_FORMAT_VERSION,
+            "kind": "ivfpq",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "m": m,
+            "n_lists": n_lists,
+            "seed": seed,
+            "max_iter": max_iter,
+            "train_sample": train_sample,
+            "lloyd_iters": lloyd_iters,
+            "corpus_tag": corpus_tag,
+            "folded_batches": None,
+        },
+    )
+
+
+class IVFPQDiskIndex:
+    """Loaded handle: coarse centroids + residual codebooks on the
+    driver (KBs), codes lazy."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta: dict):
+        import numpy as np
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+        self.centroids: "list[list[float]]" = [
+            r["cvec"]
+            for r in spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("centroid")
+            .collect()
+        ]
+        m, n_centroids = meta["m"], meta["n_centroids"]
+        sub = meta["dim"] // m
+        self.codebooks = np.empty((m, n_centroids, sub))
+        for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+            self.codebooks[r["j"], r["c"]] = r["cvec"]
+
+    def search(
+        self,
+        query_vec: "list[float]",
+        k: int = 10,
+        nprobe: int = 4,
+        candidates: int = 100,
+        rerank_corpus: "DataFrame | None" = None,
+        filter_ids: "DataFrame | None" = None,
+    ) -> DataFrame:
+        """Pruned ADC over the probed lists ONLY: the ``centroid isin``
+        probe filter is a PARTITION filter on the codes scan (the IVF
+        store's pruning, at PQ bytes), and the ADC is the residual
+        decomposition — per-list coarse term ``<q, centroid>`` plus the
+        list-independent residual LUT sum. Probe ranking runs through
+        the ONE ``rank_centroids`` rule every IVF engine shares. With
+        ``rerank_corpus`` the top ``candidates`` exact-rerank by true
+        cosine (two-stage serving); full probe + full margin equals the
+        brute force exactly — the whole composed lifecycle's value
+        oracle. ``filter_ids`` semi-joins the pruned codes BEFORE the
+        ADC, the filtered-serving contract of both parent stores."""
+        import numpy as np
+
+        from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
+
+        meta = self.meta
+        m = meta["m"]
+        sub = meta["dim"] // m
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
+        q = np.asarray(query_vec, dtype=np.float64)
+        lut = np.einsum("jd,jcd->jc", q.reshape(m, sub), self.codebooks)
+        C = np.asarray(self.centroids, dtype=np.float64)
+        qdotc = C @ q  # coarse term per list
+        probe = rank_centroids(self.centroids, query_vec, nprobe)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id_out", T.LongType()),
+                T.StructField("adc", T.DoubleType()),
+            ]
+        )
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                cents = pdf["centroid"].to_numpy().astype(np.int64)
+                adc = (
+                    qdotc[cents]
+                    + lut[np.arange(m)[None, :], codes].sum(axis=1)
+                )
+                top = np.argsort(-adc)[:candidates]
+                yield pd.DataFrame(
+                    {
+                        "vec_id_out": pdf[id_col].to_numpy()[top],
+                        "adc": adc[top],
+                    }
+                )
+
+        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes").filter(
+            F.col("centroid").isin(*probe)
+        )
+        if filter_ids is not None:
+            codes_df = codes_df.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        cand = (
+            codes_df.mapInPandas(scan, schema)
+            .orderBy(F.desc("adc"), F.asc("vec_id_out"))
+            .limit(candidates)
+        )
+        if rerank_corpus is None:
+            return cand.select(
+                F.col("vec_id_out").alias(id_col), F.col("adc").alias("score")
+            ).limit(k)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        ids = cand.select(F.col("vec_id_out").alias(id_col))
+        return (
+            rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                cosine_similarity(F.col(vec_col), qlit).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        candidates: int = 100,
+        rerank_corpus: "DataFrame | None" = None,
+        filter_ids: "DataFrame | None" = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        max_queries: int = 65536,
+    ) -> DataFrame:
+        """BATCHED composed serving: ONE job answers the whole query
+        frame over the pruned UNION of every query's probed lists.
+        Per-query state is the flat-PQ batch serve's LUT tensor plus
+        one (nq × n_lists) coarse-term matrix (both KBs/query, bounded
+        by ``max_queries`` — the driver-state contract); the codes
+        scan is pruned to the probe union as a static partition
+        filter, and inside each Arrow chunk every centroid group
+        scores ONLY the queries that probed it. Probe ranking is the
+        vectorized ``rank_centroids`` law (one GEMM — float near-ties
+        may order probe lists differently than the scalar rule; both
+        are valid nprobe prefixes of the same ordering, identical at
+        full probe, the ``search_batch_gemm`` contract). Per-query
+        within-chunk top-``candidates`` bounds the exchange to
+        O(chunks × q × candidates) rows; optional exact rerank is the
+        shared :func:`_exact_rerank_batch` tail."""
+        import numpy as np
+
+        from pyspark.sql import Window
+
+        meta = self.meta
+        m = meta["m"]
+        sub = meta["dim"] // m
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
+        qrows = (
+            queries.select(query_id_col, query_vec_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"query batch exceeds max_queries={max_queries}; serve "
+                "larger workloads in bounded chunks of this call (the "
+                "per-query LUT tensor is driver-built by contract)"
+            )
+        if not qrows:
+            raise ValueError("empty query batch")
+        qids = [r[query_id_col] for r in qrows]
+        qmat = np.stack(
+            [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
+        )
+        if qmat.shape[1] != meta["dim"]:
+            raise ValueError(
+                f"query dimension {qmat.shape[1]} != index dim {meta['dim']}"
+            )
+        nq = len(qids)
+        n_centroids = meta["n_centroids"]
+        luts = np.einsum(
+            "qjd,jcd->qjc", qmat.reshape(nq, m, sub), self.codebooks
+        )
+        lut_flat = luts.reshape(nq, m * n_centroids)
+        offsets = (np.arange(m) * n_centroids).astype(np.int64)
+        C = np.asarray(self.centroids, dtype=np.float64)
+        qdotc = qmat @ C.T  # (nq, n_lists) coarse terms
+        # vectorized probe ranking under the shared rank law (cosine
+        # DESC, centroid id ASC — stable argsort breaks ties by index)
+        qnorms = np.linalg.norm(qmat, axis=1)
+        live = qnorms != 0
+        Qn = np.where(
+            live[:, None], qmat / np.where(live, qnorms, 1.0)[:, None], 0.0
+        )
+        cn = np.linalg.norm(C, axis=1)
+        Cn = C / np.where(cn != 0, cn, 1.0)[:, None]
+        order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        probes_by_centroid: "dict[int, list[int]]" = {}
+        for qi in range(nq):
+            if not live[qi]:
+                continue
+            for c in order[qi]:
+                probes_by_centroid.setdefault(int(c), []).append(qi)
+        probe_union = sorted(probes_by_centroid)
+        take = min(candidates, 1 << 30)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("__qi", T.IntegerType()),
+                T.StructField("vec_id_out", T.LongType()),
+                T.StructField("adc", T.DoubleType()),
+            ]
+        )
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                cents = pdf["centroid"].to_numpy().astype(np.int64)
+                flat = codes + offsets[None, :]  # (b, m)
+                ids = pdf[id_col].to_numpy()
+                out_q, out_i, out_s = [], [], []
+                for c in np.unique(cents):
+                    q_idx = probes_by_centroid.get(int(c))
+                    if not q_idx:
+                        continue
+                    rmask = cents == c
+                    rids = ids[rmask]
+                    # (nq_c, b_c): residual LUT gather + the coarse
+                    # scalar for this list
+                    adc = lut_flat[q_idx][:, flat[rmask]].sum(axis=2)
+                    adc += qdotc[np.asarray(q_idx)[:, None], c]
+                    b = adc.shape[1]
+                    t = min(take, b)
+                    part = np.argpartition(-adc, t - 1, axis=1)[:, :t]
+                    rows_q = np.repeat(np.asarray(q_idx, dtype=np.int64), t)
+                    rows_v = part.reshape(-1)
+                    rows_r = np.repeat(np.arange(len(q_idx)), t)
+                    out_q.append(rows_q)
+                    out_i.append(rids[rows_v])
+                    out_s.append(adc[rows_r, rows_v])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "__qi": np.concatenate(out_q).astype("int32"),
+                            "vec_id_out": np.concatenate(out_i),
+                            "adc": np.concatenate(out_s),
+                        }
+                    )
+
+        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes").filter(
+            F.col("centroid").isin(probe_union)
+        )
+        if filter_ids is not None:
+            codes_df = codes_df.join(
+                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+            )
+        qid_frame = self.spark.createDataFrame(
+            [(int(i), qid) for i, qid in enumerate(qids)],
+            T.StructType(
+                [
+                    T.StructField("__qi", T.IntegerType()),
+                    T.StructField(
+                        query_id_col,
+                        queries.schema[query_id_col].dataType,
+                    ),
+                ]
+            ),
+        )
+        wq = Window.partitionBy("__qi").orderBy(
+            F.desc("adc"), F.asc("vec_id_out")
+        )
+        keep = candidates if rerank_corpus is not None else min(candidates, k)
+        cand = (
+            codes_df.mapInPandas(scan, out_schema)
+            .withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= keep)
+            .drop("__rn")
+        )
+        if rerank_corpus is None:
+            return cand.join(F.broadcast(qid_frame), "__qi").select(
+                F.col(query_id_col),
+                F.col("vec_id_out").alias(id_col),
+                F.col("adc").alias("score"),
+            )
+        return _exact_rerank_batch(
+            cand,
+            rerank_corpus,
+            qmat,
+            qid_frame,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            k=k,
+        )
+
+
+def ivfpq_index_load(spark: SparkSession, index_dir: str) -> IVFPQDiskIndex:
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    return IVFPQDiskIndex(spark, index_dir, meta)
+
+
+def ivfpq_index_add(
+    embeddings_new: DataFrame,
+    index_dir: str,
+    *,
+    new_corpus_tag: str,
+    batch_id: "str | None" = None,
+) -> None:
+    """Incremental add to the composed store: assign NEW vectors to
+    the FROZEN coarse centroids (:func:`_assign_centroids`, the one
+    assignment law), encode their residuals through the FROZEN
+    codebooks (:func:`_pq_encode_residual`, the one encoder), land in
+    ``centroid=*/__batch={batch_id}`` partitions via dynamic partition
+    overwrite — idempotent per batch, replays REPLACE. Meta (the
+    corpus re-key) last; both quantizers drift only as far as the data
+    does, exactly the parents' add contracts."""
+    import numpy as np
+
+    spark = embeddings_new.sparkSession
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    check_not_compacted_away(
+        meta,
+        check_batch_tag(batch_id if batch_id is not None else new_corpus_tag),
+    )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if head and int(head[0][0]) != meta["dim"]:
+        raise ValueError(
+            f"batch dimension {int(head[0][0])} != index dim {meta['dim']}"
+            " — a mismatched add would silently misassign every vector"
+        )
+    centroids = [
+        r["cvec"]
+        for r in spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("centroid")
+        .collect()
+    ]
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    sub = meta["dim"] // m
+    codebooks = np.empty((m, n_centroids, sub))
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        codebooks[r["j"], r["c"]] = r["cvec"]
+    assigned = _assign_centroids(
+        embeddings_new.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        ),
+        centroids,
+        vec_col,
+        id_col,
+    )
+    (
+        _pq_encode_residual(assigned, codebooks, centroids, id_col, vec_col)
+        .withColumn(
+            "__batch",
+            F.lit(batch_id if batch_id is not None else new_corpus_tag),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid", "__batch")
+        .parquet(f"{index_dir}/codes")
+    )
+    _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
+
+
+def ivfpq_index_delete(
+    spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
+) -> None:
+    """Remove vectors by id from the composed store (codes rows; both
+    quantizers stay frozen — delete never retrains). Same staged
+    rewrite + folded-batch replay guard + required re-key contract as
+    :func:`ivf_index_delete`."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/codes")
+    _staged_delete(
+        spark,
+        index_dir,
+        meta,
+        "codes",
+        [
+            (
+                "codes",
+                ["centroid", "__batch"],
+                lambda df: df.join(dead, meta["id_col"], "left_anti"),
+            )
+        ],
+        {"corpus_tag": new_corpus_tag},
+        lambda row: _write_meta(spark, index_dir, row),
+        cleanup_frames=(dead,),
+    )
+
+
+def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold every add's ``__batch`` partition of the codes table into
+    ``base`` (centroid stays the first partition level — probe pruning
+    unchanged). Same contract as :func:`ivf_index_compact`."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
+    swaps = _staged_compactions(
+        spark, index_dir, [("codes", ["centroid", "__batch"], None)]
+    )
+    _invalidate_meta(spark, index_dir)
+    for swap in swaps:
+        swap()
+    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+
+
+def ivfpq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-inverted-list health panel over the CODES table (centroid,
+    n_vectors, n_batches) — the IVF skew meter at PQ bytes: column
+    pruning reads only ids/partition values, never codes."""
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    return (
+        spark.read.parquet(f"{index_dir}/codes")
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__batch").alias("n_batches"),
+        )
+        .orderBy("centroid")
+    )
+
+
+def ensure_ivfpq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    corpus_tag: str,
+    n_lists: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQDiskIndex:
+    """Load-or-build, keyed by params + corpus_tag (see
+    :func:`ensure_ivf_index`)."""
+    spark = embeddings.sparkSession
+    if _fs_exists(spark, f"{index_dir}/meta"):
+        try:
+            meta = _read_meta(spark, index_dir)
+        except Exception:
+            meta = None
+        if (
+            meta
+            and meta["kind"] == "ivfpq"
+            and meta["corpus_tag"] == corpus_tag
+            and meta["n_centroids"] == n_centroids
+            and meta["m"] == m
+            and meta.get("n_lists") == n_lists
+            and meta["id_col"] == id_col
+            and meta["vec_col"] == vec_col
+            and meta.get("seed") == seed
+            and meta.get("max_iter") == max_iter
+            and meta.get("train_sample") == train_sample
+            and meta.get("lloyd_iters") == lloyd_iters
+        ):
+            return IVFPQDiskIndex(spark, index_dir, meta)
+    ivfpq_index_build(
+        embeddings,
+        index_dir,
+        n_lists=n_lists,
+        m=m,
+        n_centroids=n_centroids,
+        train_sample=train_sample,
+        lloyd_iters=lloyd_iters,
+        seed=seed,
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_tag=corpus_tag,
+    )
+    return ivfpq_index_load(spark, index_dir)

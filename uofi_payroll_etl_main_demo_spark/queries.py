@@ -2776,6 +2776,82 @@ REGISTRY["ext_pq_batch_query"] = (
 )
 
 
+def _ensure_sf_ivfpq_index(spark, sf_dir):
+    """One ensure per sf_dir for every IVF-PQ registry row (the
+    _ensure_sf_pq_index single-build contract)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"ivfpq8_8x16_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return ensure_ivfpq_index(
+        emb,
+        idx_dir,
+        corpus_tag=corpus_fingerprint(emb_path),
+        n_lists=8,
+        m=8,
+        n_centroids=16,
+    )
+
+
+def q_ivfpq_index_query(spark, sf_dir):
+    """Persisted IVF-PQ serving (ext/ann_index.py IVFPQDiskIndex) —
+    the COMPOSED billion-scale layout: coarse lists prune the codes
+    scan at the PARTITION level (the IVF store's property) while each
+    vector costs m small ints instead of the raw embedding (the PQ
+    store's property), with ADC decomposed exactly into the per-list
+    coarse term plus the list-independent residual LUT sum. Full probe
+    + full rerank margin makes the answer exactly the brute-force
+    top-k, so the whole composed lifecycle — coarse fit, residual
+    codebook fit, residual encode, persist, load, pruned ADC, exact
+    rerank — gets a value oracle (the pruned-probe latency/recall
+    trade is pinned in tests/test_ivfpq_index.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_ivfpq_index(spark, sf_dir)
+    out = index.search(
+        QUERY_VEC, k=10, nprobe=8, candidates=1_000_000, rerank_corpus=emb
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_ivfpq_index_query"] = (q_ivfpq_index_query, _sql_topk_cosine())
+
+
+def q_ivfpq_batch_query(spark, sf_dir):
+    """Batched IVF-PQ serving (IVFPQDiskIndex.search_batch): ONE job
+    answers 40 queries over the pruned union of their probed lists —
+    per-query state is the PQ batch serve's LUT tensor plus one
+    coarse-term matrix, the codes scan is partition-pruned to the
+    probe union, and each Arrow chunk scores only the queries that
+    probed its lists before a per-query within-chunk top-candidates
+    bounds the exchange. Full probe + full margin = exact per-query
+    brute force (the third index engine under the one batch-serving
+    oracle law)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_ivfpq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = index.search_batch(
+        queries, k=5, nprobe=8, candidates=1_000_000, rerank_corpus=emb
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+REGISTRY["ext_ivfpq_batch_query"] = (
+    q_ivfpq_batch_query,
+    _sql_batch_topk_cosine(k=5, n_queries=40),
+)
+
+
 def q_hard_negatives_ivf(spark, sf_dir):
     """Hard-negative mining SERVED FROM the persisted IVF store
     (ext/ann_index.py hard_negative_mining_index, GEMM engine): 100
@@ -10755,7 +10831,6 @@ _WINDOW_50 = [
     "pipeline_payroll_shape",
     "pricing_summary",
     "samp_stratified",
-    "sql_frontend_pricing",
     "stream_rollup",
     "stream_static_join",
     "v_profile_table",
@@ -10768,8 +10843,14 @@ _WINDOW_50 = [
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
     "ext_random_projection",
-    # -- changed this round (tumbling-chunk fast path) --
-    "ext_chunk_dedup_rewrite",
+    # the composed IVF-PQ store's two new oracles displaced
+    # sql_frontend_pricing (its r4-latest twin pricing_summary stays —
+    # same computation, the frontend difference is sweep-covered; it
+    # rejoins the r10 cohort) and ext_chunk_dedup_rewrite (plan-only
+    # change, value-identity pinned by the windowed≡tumbling
+    # equivalence + the full check_oracle sweep)
+    "ext_ivfpq_index_query",
+    "ext_ivfpq_batch_query",
 ]
 
 

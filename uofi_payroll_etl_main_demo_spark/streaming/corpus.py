@@ -392,6 +392,7 @@ def ingest_ann_stream(
     m: int = 8,
     train_sample: int = 256,
     lloyd_iters: int = 5,
+    n_lists: int = 8,
 ):
     """Streaming maintenance for the persisted IVF store — the vector
     twin of :func:`ingest_dedup_stream_indexed`: embedding pipelines
@@ -430,21 +431,27 @@ def ingest_ann_stream(
 
     ``kind`` picks the store: ``"ivf"`` (inverted lists; first batch
     trains the coarse quantizer, so it needs ≥ ``n_centroids``
-    vectors) or ``"pq"`` (codes; first batch trains the codebooks on
-    its id-sorted ``train_sample`` prefix). Either way the quantizer
-    is FROZEN after the first batch — drift under a shifting embedding
-    distribution is what the stats panels + rebalance/retrain ops
-    exist for (LIFECYCLE.md cadence). Returns the StreamingQuery."""
+    vectors), ``"pq"`` (codes; first batch trains the codebooks on
+    its id-sorted ``train_sample`` prefix), or ``"ivfpq"`` (the
+    composed store; first batch trains BOTH — needs ≥ ``n_lists``
+    vectors). Either way the quantizers are FROZEN after the first
+    batch — drift under a shifting embedding distribution is what the
+    stats panels + rebalance/retrain ops exist for (LIFECYCLE.md
+    cadence). Returns the StreamingQuery."""
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
         _fs_exists,
         ivf_index_add,
         ivf_index_build,
+        ivfpq_index_add,
+        ivfpq_index_build,
         pq_index_add,
         pq_index_build,
     )
 
-    if kind not in ("ivf", "pq"):
-        raise ValueError(f"kind must be 'ivf' or 'pq', got {kind!r}")
+    if kind not in ("ivf", "pq", "ivfpq"):
+        raise ValueError(
+            f"kind must be 'ivf', 'pq' or 'ivfpq', got {kind!r}"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -459,8 +466,28 @@ def ingest_ann_stream(
                 .parquet(corpus_path)
             )
             if _fs_exists(spark, f"{index_dir}/meta"):
-                add = ivf_index_add if kind == "ivf" else pq_index_add
+                add = {
+                    "ivf": ivf_index_add,
+                    "pq": pq_index_add,
+                    "ivfpq": ivfpq_index_add,
+                }[kind]
                 add(batch, index_dir, new_corpus_tag=tag, batch_id=tag)
+            elif kind == "ivfpq":
+                ivfpq_index_build(
+                    batch,
+                    index_dir,
+                    n_lists=n_lists,
+                    m=m,
+                    n_centroids=n_centroids,
+                    train_sample=train_sample,
+                    lloyd_iters=lloyd_iters,
+                    seed=seed,
+                    max_iter=max_iter,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    corpus_tag=tag,
+                    batch_tag=tag,
+                )
             elif kind == "ivf":
                 ivf_index_build(
                     batch,
