@@ -174,9 +174,11 @@ HEADLINE = [
     "ext_random_projection",
     "ext_projected_rerank_topk",
     # round 9 (late): the COMPOSED IVF-PQ store — partition-pruned
-    # lists at PQ bytes-per-vector, residual ADC, batched serving
+    # lists at PQ bytes-per-vector, residual ADC, batched serving,
+    # and the two-leg auto-widen backstop (probe set + candidate cut)
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
+    "ext_ivfpq_autowiden_query",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work
@@ -208,6 +210,7 @@ CLOSED_FORM_ORACLE = [
     "ext_hard_negatives_ivf",
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
+    "ext_ivfpq_autowiden_query",
 ]
 
 

@@ -348,3 +348,39 @@ def test_ivfpq_stats_cover_corpus(spark, sf_dir, tmp_path):
     stats = ivfpq_index_stats(spark, idx).collect()
     assert sum(r["n_vectors"] for r in stats) == emb.count()
     assert {r["centroid"] for r in stats} <= set(range(4))
+
+
+def test_ivfpq_filtered_auto_widen_reaches_exact_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """A selective predicate can starve BOTH reductions — the probe
+    set (nearest lists exhausted) and the ADC candidate cut (allowed
+    rows ranked below the cut). auto_widen doubles nprobe, then lifts
+    the candidate budget once every list is probed, degrading to the
+    exact filtered brute force; with k above the match count the full
+    degrade path is forced."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=8)
+    loaded = ivfpq_index_load(spark, idx)
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    n_allowed = allowed.count()
+    assert 0 < n_allowed < 40
+    out = loaded.search(
+        QV,
+        k=40,
+        nprobe=1,
+        candidates=5,  # starves the ADC cut too, not just the probe
+        rerank_corpus=emb,
+        filter_ids=allowed,
+        auto_widen=True,
+    )
+    got = [(r["vec_id"], round(r["score"], 9)) for r in out.collect()]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(
+            emb.join(allowed, "vec_id", "left_semi"), QV, k=40
+        ).collect()
+    ]
+    assert got == want
+    assert len(got) == n_allowed  # every allowed row surfaced

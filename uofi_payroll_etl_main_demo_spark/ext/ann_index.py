@@ -2575,6 +2575,7 @@ class IVFPQDiskIndex:
         candidates: int = 100,
         rerank_corpus: "DataFrame | None" = None,
         filter_ids: "DataFrame | None" = None,
+        auto_widen: bool = False,
     ) -> DataFrame:
         """Pruned ADC over the probed lists ONLY: the ``centroid isin``
         probe filter is a PARTITION filter on the codes scan (the IVF
@@ -2586,7 +2587,15 @@ class IVFPQDiskIndex:
         cosine (two-stage serving); full probe + full margin equals the
         brute force exactly — the whole composed lifecycle's value
         oracle. ``filter_ids`` semi-joins the pruned codes BEFORE the
-        ADC, the filtered-serving contract of both parent stores."""
+        ADC, the filtered-serving contract of both parent stores.
+
+        ``auto_widen`` is the filtered-ANN recall backstop the parents
+        share: fewer than ``k`` survivors doubles nprobe AND the
+        candidate budget (a selective predicate can starve either the
+        probe set or the ADC cut) until k are found or every list has
+        been probed with an uncut candidate margin — degrading
+        gracefully to the exact filtered brute force when
+        ``rerank_corpus`` is supplied."""
         import numpy as np
 
         from uofi_payroll_etl_main_demo_spark.ext.ivf import rank_centroids
@@ -2601,7 +2610,6 @@ class IVFPQDiskIndex:
         lut = np.einsum("jd,jcd->jc", q.reshape(m, sub), self.codebooks)
         C = np.asarray(self.centroids, dtype=np.float64)
         qdotc = C @ q  # coarse term per list
-        probe = rank_centroids(self.centroids, query_vec, nprobe)
 
         schema = T.StructType(
             [
@@ -2610,53 +2618,77 @@ class IVFPQDiskIndex:
             ]
         )
 
-        def scan(batches):
-            import pandas as pd
+        while True:
+            probe = rank_centroids(self.centroids, query_vec, nprobe)
+            take = candidates
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-                cents = pdf["centroid"].to_numpy().astype(np.int64)
-                adc = (
-                    qdotc[cents]
-                    + lut[np.arange(m)[None, :], codes].sum(axis=1)
-                )
-                top = np.argsort(-adc)[:candidates]
-                yield pd.DataFrame(
-                    {
-                        "vec_id_out": pdf[id_col].to_numpy()[top],
-                        "adc": adc[top],
-                    }
-                )
+            def scan(batches):
+                import pandas as pd
 
-        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes").filter(
-            F.col("centroid").isin(*probe)
-        )
-        if filter_ids is not None:
-            codes_df = codes_df.join(
-                filter_ids.select(F.col(id_col)), id_col, "left_semi"
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    codes = np.stack(pdf["codes"].to_numpy()).astype(
+                        np.int64
+                    )
+                    cents = pdf["centroid"].to_numpy().astype(np.int64)
+                    adc = (
+                        qdotc[cents]
+                        + lut[np.arange(m)[None, :], codes].sum(axis=1)
+                    )
+                    top = np.argsort(-adc)[:take]
+                    yield pd.DataFrame(
+                        {
+                            "vec_id_out": pdf[id_col].to_numpy()[top],
+                            "adc": adc[top],
+                        }
+                    )
+
+            codes_df = self.spark.read.parquet(
+                f"{self.index_dir}/codes"
+            ).filter(F.col("centroid").isin(*probe))
+            if filter_ids is not None:
+                codes_df = codes_df.join(
+                    filter_ids.select(F.col(id_col)), id_col, "left_semi"
+                )
+            cand = (
+                codes_df.mapInPandas(scan, schema)
+                .orderBy(F.desc("adc"), F.asc("vec_id_out"))
+                .limit(candidates)
             )
-        cand = (
-            codes_df.mapInPandas(scan, schema)
-            .orderBy(F.desc("adc"), F.asc("vec_id_out"))
-            .limit(candidates)
-        )
-        if rerank_corpus is None:
-            return cand.select(
-                F.col("vec_id_out").alias(id_col), F.col("adc").alias("score")
-            ).limit(k)
-        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-        ids = cand.select(F.col("vec_id_out").alias(id_col))
-        return (
-            rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
-            .select(
-                F.col(id_col),
-                cosine_similarity(F.col(vec_col), qlit).alias("score"),
-            )
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
-        )
+            if rerank_corpus is None:
+                out = cand.select(
+                    F.col("vec_id_out").alias(id_col),
+                    F.col("adc").alias("score"),
+                ).limit(k)
+            else:
+                qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+                ids = cand.select(F.col("vec_id_out").alias(id_col))
+                out = (
+                    rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
+                    .select(
+                        F.col(id_col),
+                        cosine_similarity(F.col(vec_col), qlit).alias(
+                            "score"
+                        ),
+                    )
+                    .orderBy(F.desc("score"), F.asc(id_col))
+                    .limit(k)
+                )
+            if not auto_widen:
+                return out
+            # materialize ONCE and hand back a local frame (the IVF
+            # auto-widen contract: take(k) already ran the scored scan)
+            rows = out.take(k)
+            if len(rows) >= k or (
+                nprobe >= n_lists and candidates >= (1 << 30)
+            ):
+                return self.spark.createDataFrame(rows, out.schema)
+            nprobe = min(nprobe * 2, n_lists)
+            if nprobe >= n_lists:
+                # lists exhausted: the remaining starvation can only be
+                # the ADC candidate cut — lift it entirely
+                candidates = 1 << 30
 
     def search_batch(
         self,

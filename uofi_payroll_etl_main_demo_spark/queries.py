@@ -2852,6 +2852,37 @@ REGISTRY["ext_ivfpq_batch_query"] = (
 )
 
 
+def q_ivfpq_autowiden_query(spark, sf_dir):
+    """Filtered-ANN recall backstop on the COMPOSED store under an
+    extreme predicate (~1% of ids): a selective filter can starve BOTH
+    of IVF-PQ's reductions — the probe set AND the ADC candidate cut —
+    so ``auto_widen`` doubles nprobe until every list is probed, then
+    lifts the candidate budget entirely. Starting at nprobe=1 with a
+    candidate budget below k forces the FULL degrade path, and the
+    exact filtered brute force is the value oracle (the same law as
+    the IVF store's autowiden row; the candidate-lift leg is the
+    composed store's own)."""
+    index = _ensure_sf_ivfpq_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    out = index.search(
+        QUERY_VEC,
+        k=40,
+        nprobe=1,
+        candidates=20,
+        rerank_corpus=emb,
+        filter_ids=allowed,
+        auto_widen=True,
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+REGISTRY["ext_ivfpq_autowiden_query"] = (
+    q_ivfpq_autowiden_query,
+    _sql_topk_cosine(k=40, where="WHERE vec_id % 101 = 7"),
+)
+
+
 def q_hard_negatives_ivf(spark, sf_dir):
     """Hard-negative mining SERVED FROM the persisted IVF store
     (ext/ann_index.py hard_negative_mining_index, GEMM engine): 100
@@ -10826,7 +10857,6 @@ _WINDOW_50 = [
     "ext_top_ngrams",
     "ext_user_gap_stats",
     "ext_weekly_trend",
-    "gen_date_series",
     "j13_null_safe_join",
     "pipeline_payroll_shape",
     "pricing_summary",
@@ -10843,14 +10873,16 @@ _WINDOW_50 = [
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
     "ext_random_projection",
-    # the composed IVF-PQ store's two new oracles displaced
+    # the composed IVF-PQ store's three new oracles displaced
     # sql_frontend_pricing (its r4-latest twin pricing_summary stays —
-    # same computation, the frontend difference is sweep-covered; it
-    # rejoins the r10 cohort) and ext_chunk_dedup_rewrite (plan-only
-    # change, value-identity pinned by the windowed≡tumbling
-    # equivalence + the full check_oracle sweep)
+    # same computation, the frontend difference is sweep-covered),
+    # gen_date_series (a pure generator, the cohort's lowest
+    # divergence risk), and ext_chunk_dedup_rewrite (plan-only change,
+    # value-identity pinned by the windowed≡tumbling equivalence + the
+    # full check_oracle sweep); all three rejoin the r10 cohort
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
+    "ext_ivfpq_autowiden_query",
 ]
 
 
