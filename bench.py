@@ -179,6 +179,12 @@ HEADLINE = [
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
+    # round 9 (late): DSIR-style data selection (hashed-bucket
+    # importance weights in exact integer bits + the top-k selector) —
+    # computation-equivalent: both engines explode, fit the two
+    # models, and score every document
+    "ext_dsir_weights",
+    "ext_dsir_selection",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -2,13 +2,22 @@
 
 The structural claim the composition exists for: flat PQ must ADC-scan
 EVERY code (cost grows with the corpus), IVF-Flat prunes to the probed
-lists but reads RAW vectors (256 B each), IVF-PQ prunes to the probed
-lists AND reads m small ints per vector — so with n_lists grown ~√n,
-its batched serving wall should stay near-flat while flat PQ grows
-linearly. This probe measures all three engines serving the SAME
-100-query batch (ADC / GEMM candidates only — no rerank, so the scan
-is the whole cost), plus the IVF-PQ two-stage recall@10 at the probed
-setting for quality context.
+lists but reads RAW vectors (~256 B each at dim 64), IVF-PQ prunes to
+the probed lists AND reads m small ints per vector. At local[32] the
+wall times are floor-dominated (a 128k-row codes table is nothing), so
+the probe reports the metrics that DO scale — on-disk bytes per
+vector (the compression claim) and the probed-bytes fraction under the
+batch's probe union (the pruning claim) — alongside wall time and the
+two-stage recall at the probed setting.
+
+Corpus growth is JITTERED replication (each replica perturbs the
+first vector element by rep·1e-4): exact replicas would make every
+distractor's ADC tie 64-deep and crowd any bounded candidate budget —
+a test-data pathology, not a store property (measured on the first
+draft of this probe: recall 0.64 → 0.04 from 16× to 64× purely from
+tie crowding). The store runs in cosine mode (``normalize=True``) —
+the fixture is unit-norm so this is a no-op here, but it is the
+production-correct serving mode the registry rows exercise.
 
 Usage:
     python scripts/ivfpq_probe.py [FACTOR ...]
@@ -30,6 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
@@ -63,6 +73,38 @@ def _serve(fn) -> float:
     return round(min(samples), 2)
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _probed_bytes(table_dir: str, probe_union: "set[int]") -> int:
+    total = 0
+    for entry in os.listdir(table_dir):
+        if not entry.startswith("centroid="):
+            continue
+        if int(entry.split("=", 1)[1]) in probe_union:
+            total += _dir_bytes(os.path.join(table_dir, entry))
+    return total
+
+
+def _probe_union(index, qmat: "np.ndarray", nprobe: int) -> "set[int]":
+    """The union of per-query top-nprobe cosine-ranked lists (the
+    vectorized rank law both batch serves share)."""
+    C = np.asarray(index.centroids, dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    sims = (qmat / np.where(qn != 0, qn, 1.0)) @ (
+        C / np.where(cn != 0, cn, 1.0)
+    ).T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    return {int(c) for row in order for c in row}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="ivfpq_probe")
@@ -78,7 +120,19 @@ def main() -> None:
                 (F.col("vec_id") + F.col("__rep") * (n0 * 10)).alias(
                     "vec_id"
                 ),
-                "embedding",
+                F.concat(
+                    F.array(
+                        F.element_at("embedding", 1).cast("double")
+                        + F.col("__rep").cast("double") * 1e-4
+                    ),
+                    F.slice(
+                        F.transform(
+                            F.col("embedding"), lambda x: x.cast("double")
+                        ),
+                        2,
+                        10_000,
+                    ),
+                ).alias("embedding"),
                 "label",
             )
         emb = emb.persist()
@@ -94,7 +148,7 @@ def main() -> None:
         pq_index_build(emb, pq_dir, m=8, n_centroids=16, corpus_tag="p")
         ivfpq_index_build(
             emb, ivfpq_dir, n_lists=n_lists, m=8, n_centroids=16,
-            corpus_tag="p",
+            corpus_tag="p", normalize=True,
         )
         ivf = ivf_index_load(spark, ivf_dir)
         pq = pq_index_load(spark, pq_dir)
@@ -104,7 +158,12 @@ def main() -> None:
             F.col("embedding").alias("qvec"),
         )
         queries = queries.persist()
-        queries.count()
+        qmat = np.stack(
+            [
+                np.asarray(r["qvec"], dtype=np.float64)
+                for r in queries.collect()
+            ]
+        )
 
         t_pq = _serve(
             lambda: pq.search_batch(
@@ -122,9 +181,21 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
         )
 
+        # the metrics that DO scale: bytes per vector on disk, and the
+        # fraction of the store the batch's probe union has to read
+        union = _probe_union(ivfpq, qmat, NPROBE)
+        ivf_bytes = _dir_bytes(f"{ivf_dir}/assigned")
+        pq_bytes = _dir_bytes(f"{pq_dir}/codes")
+        ivfpq_bytes = _dir_bytes(f"{ivfpq_dir}/codes")
+        probed = _probed_bytes(f"{ivfpq_dir}/codes", union)
+        union_ivf = _probe_union(ivf, qmat, NPROBE)
+        probed_ivf = _probed_bytes(f"{ivf_dir}/assigned", union_ivf)
+
         # quality context: two-stage IVF-PQ recall@10 at the probed
         # setting vs exact, on a 10-query sample
-        sample_ids = [r["query_id"] for r in queries.limit(10).collect()]
+        sample_ids = [
+            r["query_id"] for r in queries.limit(10).collect()
+        ]
         got = ivfpq.search_batch(
             queries.filter(F.col("query_id").isin(sample_ids)),
             k=K,
@@ -159,6 +230,12 @@ def main() -> None:
             "flat_pq_s": t_pq,
             "ivf_flat_gemm_s": t_ivf,
             "ivfpq_s": t_ivfpq,
+            "ivf_flat_bytes_per_vec": round(ivf_bytes / n, 1),
+            "flat_pq_bytes_per_vec": round(pq_bytes / n, 1),
+            "ivfpq_bytes_per_vec": round(ivfpq_bytes / n, 1),
+            "flat_pq_read_frac": 1.0,
+            "ivfpq_read_frac": round(probed / ivfpq_bytes, 4),
+            "ivf_flat_read_frac": round(probed_ivf / ivf_bytes, 4),
             "ivfpq_recall@10": rec,
         }
         out.append(row)

@@ -384,3 +384,107 @@ def test_ivfpq_filtered_auto_widen_reaches_exact_brute_force(
     ]
     assert got == want
     assert len(got) == n_allowed  # every allowed row surfaced
+
+
+def _norm_skewed(emb):
+    """Deliberately norm-varied corpus: scale each vector by
+    1 + (vec_id % 7). Cosine ranking is SCALE-INVARIANT, so the exact
+    top-k is unchanged — but a raw inner-product ADC is biased toward
+    the up-scaled vectors by construction."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * (1 + F.col("vec_id") % 7),
+        ).alias("embedding"),
+    )
+
+
+def test_ivfpq_cosine_mode_exact_and_identity_keyed(spark, sf_dir, tmp_path):
+    """normalize=True (the public-FAISS cosine recipe): full probe +
+    full rerank margin is still the exact brute force (the rerank
+    reads the RAW corpus; cosine is scale-invariant), and the flag is
+    part of the ensure identity — a raw store must never serve a
+    caller who asked for the unit-normalized space."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    ensure_ivfpq_index(
+        emb, idx, corpus_tag="t1", n_lists=4, normalize=True
+    )
+    loaded = ivfpq_index_load(spark, idx)
+    assert loaded.meta["normalized"] is True
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+    mt = _index_mtimes(idx)
+    ensure_ivfpq_index(emb, idx, corpus_tag="t1", n_lists=4, normalize=True)
+    assert _index_mtimes(idx) == mt  # matching flag: pure load
+    ensure_ivfpq_index(emb, idx, corpus_tag="t1", n_lists=4, normalize=False)
+    assert _index_mtimes(idx) != mt  # flag flip: rebuild
+
+
+def test_ivfpq_cosine_mode_fixes_norm_biased_candidate_cut(
+    spark, sf_dir, tmp_path
+):
+    """On a norm-varied corpus the raw ADC ranks by inner product, so
+    a bounded candidate budget is crowded by up-scaled vectors;
+    cosine mode normalizes the stored space and the SAME budget
+    preserves more of the true cosine top-k (everything here is
+    deterministic — fixed data, fixed seeds — so the comparison is a
+    fixed number, pinned as an inequality)."""
+    emb = _norm_skewed(_emb(spark, sf_dir))
+    truth = {r["vec_id"] for r in brute_force_top_k(emb, QV, k=10).collect()}
+    rec = {}
+    for norm in (False, True):
+        idx = str(tmp_path / f"ivfpq_{norm}")
+        ivfpq_index_build(
+            emb, idx, n_lists=4, m=8, n_centroids=16, corpus_tag="t",
+            normalize=norm,
+        )
+        got = {
+            r["vec_id"]
+            for r in ivfpq_index_load(spark, idx)
+            .search(QV, k=50, nprobe=4, candidates=50)
+            .collect()
+        }
+        rec[norm] = len(got & truth) / 10
+    assert rec[True] > rec[False], rec
+
+
+def test_ivfpq_cosine_mode_add_serves_exact(spark, sf_dir, tmp_path):
+    """A cosine-mode store normalizes ADDED batches through the same
+    ingest transform (the flag travels in meta, never per call):
+    build-half + add-half at full margin is still the exact brute
+    force over the union."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, corpus_tag="half",
+        normalize=True,
+    )
+    ivfpq_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        idx,
+        new_corpus_tag="full",
+        batch_id="b1",
+    )
+    loaded = ivfpq_index_load(spark, idx)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want

@@ -2294,3 +2294,108 @@ def test_chunk_documents_tumbling_fast_path_matches_windowed(spark, sf_dir):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+
+# ------------------------------------------------------------- DSIR --
+
+
+def _dsir_expected(rows, target_langs, n_buckets=1024):
+    """Reference implementation of the exact DSIR law (ext/dsir.py) in
+    plain python: portable md5 buckets, Laplace counts, floor-log2 via
+    int.bit_length, signed per-token difference."""
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % n_buckets
+
+    toks = []  # (doc_id, tgt, bucket)
+    for doc_id, text, lang in rows:
+        if not text.strip():
+            continue
+        for tok in text.split():
+            toks.append((doc_id, lang in target_langs, bucket(tok)))
+    cnt_r: dict[int, int] = {}
+    cnt_t: dict[int, int] = {}
+    for _d, tgt, b in toks:
+        cnt_r[b] = cnt_r.get(b, 0) + 1
+        if tgt:
+            cnt_t[b] = cnt_t.get(b, 0) + 1
+    r_tot = len(toks) + n_buckets
+    t_tot = sum(cnt_t.values()) + n_buckets
+    wb = {
+        b: (r_tot // (cnt_r[b] + 1)).bit_length()
+        - 1
+        - ((t_tot // (cnt_t.get(b, 0) + 1)).bit_length() - 1)
+        for b in cnt_r
+    }
+    out = {}
+    for doc_id, _t, b in toks:
+        n, s = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, s + wb[b])
+    return {
+        d: (n, s, round(s * 1000.0 / n, 6)) for d, (n, s) in out.items()
+    }
+
+
+def test_dsir_weights_match_reference_law_exactly(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.dsir import dsir_weights
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the homework", "en"),
+        (3, "der hund und die katze", "de"),
+        (4, "le chat et le chien", "fr"),
+        (5, "the cat und der dog", "de"),
+        (6, "   ", "en"),  # whitespace-only: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dsir_bits_sum"],
+            r["dsir_milli_bits"],
+        )
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got == _dsir_expected(rows, {"en"})
+    assert 6 not in got
+
+
+def test_dsir_target_docs_rank_above_offdomain(spark):
+    """On the fixture corpus, English documents must score higher on
+    average than non-English ones under an English target model — the
+    selector's whole point."""
+    from uofi_payroll_etl_main_demo_spark.ext.dsir import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_milli_bits").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_dsir_select_is_topk_of_panel_under_the_ordering_law(spark):
+    from uofi_payroll_etl_main_demo_spark.ext.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = F.col("lang") == "en"
+    panel = dsir_weights(docs, tgt).collect()
+    want = sorted(
+        (
+            (-r["dsir_milli_bits"], -r["n_tokens"], r["doc_id"])
+            for r in panel
+        ),
+    )[:25]
+    got = [
+        (-r["dsir_milli_bits"], -r["n_tokens"], r["doc_id"])
+        for r in dsir_select(docs, tgt, take=25).collect()
+    ]
+    assert got == want

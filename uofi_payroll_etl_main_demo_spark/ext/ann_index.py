@@ -90,6 +90,13 @@ _META_SCHEMA = T.StructType(
         # replay-safety record; membership, not ordering, because the
         # default corpus-fingerprint tags are unordered hex
         T.StructField("folded_batches", T.StringType(), True),
+        # IVF-PQ only: vectors L2-normalized at build/add/query time
+        # (the public-FAISS cosine recipe: normalize + inner product ≡
+        # cosine, so the bounded ADC candidate cut is cosine-faithful
+        # and the euclidean assignment agrees with the cosine probe
+        # ranking). Part of the index identity. Nullable; absent from
+        # pre-existing metas (reads as false).
+        T.StructField("normalized", T.BooleanType(), True),
     ]
 )
 
@@ -800,6 +807,8 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     meta.setdefault("folded_batches", None)
     # pre-round-9 metas (ivf/pq only) lack the IVF-PQ list count
     meta.setdefault("n_lists", None)
+    # metas written before the cosine-mode flag read as un-normalized
+    meta.setdefault("normalized", None)
     return meta
 
 
@@ -2436,6 +2445,24 @@ def _pq_encode_residual(
     )
 
 
+def _l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its L2-normalized double form (the
+    cosine-mode ingest transform). Zero-norm vectors pass through as
+    zeros — their cosine is undefined under every serving path anyway
+    (the rerank drops them), and dividing by a replaced 1.0 keeps the
+    transform total instead of raising mid-build."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(
+        F.aggregate(
+            F.zip_with(arr, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    den = F.when(n != 0, n).otherwise(F.lit(1.0))
+    return df.withColumn(vec_col, F.transform(arr, lambda x: x / den))
+
+
 def ivfpq_index_build(
     embeddings: DataFrame,
     index_dir: str,
@@ -2451,6 +2478,7 @@ def ivfpq_index_build(
     vec_col: str = "embedding",
     corpus_tag: str = "",
     batch_tag: str = "base",
+    normalize: bool = False,
 ) -> None:
     """Train the coarse quantizer AND the residual codebooks once,
     persist the composed index: centroids (driver-small), residual
@@ -2462,7 +2490,20 @@ def ivfpq_index_build(
     bounded id-sorted sample — of RESIDUALS, so the sample pass reads
     (vector, centroid) pairs from the assignment. Meta last, same
     crash contract as both parents; ``batch_tag`` is the streaming
-    first-batch replay contract (see :func:`ivf_index_build`)."""
+    first-batch replay contract (see :func:`ivf_index_build`).
+
+    ``normalize=True`` is COSINE MODE (the public-FAISS cosine recipe:
+    L2-normalize vectors, serve by inner product): every ingested
+    vector is unit-normalized before assignment and encoding, and
+    every query is unit-normalized before probe ranking and the ADC,
+    so the ADC approximates the COSINE directly and a bounded
+    candidate cut is cosine-faithful — without it the ADC ranks by raw
+    inner product, and under norm variance a small candidate budget
+    can crowd out cosine-true neighbors with high-norm distractors
+    (measured in scripts/ivfpq_probe.py). Full-margin reranked
+    serving is exact either way (the rerank reads the RAW corpus);
+    the flag changes what the bounded-budget approximation preserves.
+    Part of the index identity (ensure-loads match on it)."""
     import numpy as np
 
     from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
@@ -2479,6 +2520,8 @@ def ivfpq_index_build(
     dim = int(head[0][0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if normalize:
+        embeddings = _l2_normalize(embeddings, vec_col)
     _invalidate_meta(spark, index_dir)
     index = build_ivf_index(
         embeddings,
@@ -2541,6 +2584,7 @@ def ivfpq_index_build(
             "lloyd_iters": lloyd_iters,
             "corpus_tag": corpus_tag,
             "folded_batches": None,
+            "normalized": normalize,
         },
     )
 
@@ -2607,6 +2651,13 @@ class IVFPQDiskIndex:
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)
         q = np.asarray(query_vec, dtype=np.float64)
+        if meta.get("normalized"):
+            # cosine mode: the stored space is unit-normalized, so the
+            # query joins it — IP-ADC ≡ cosine-ADC (probe ranking is
+            # cosine already, scale-invariant)
+            qn = float(np.linalg.norm(q))
+            if qn:
+                q = q / qn
         lut = np.einsum("jd,jcd->jc", q.reshape(m, sub), self.codebooks)
         C = np.asarray(self.centroids, dtype=np.float64)
         qdotc = C @ q  # coarse term per list
@@ -2749,6 +2800,17 @@ class IVFPQDiskIndex:
                 f"query dimension {qmat.shape[1]} != index dim {meta['dim']}"
             )
         nq = len(qids)
+        if meta.get("normalized"):
+            # cosine mode: queries join the unit-normalized store space
+            # for the ADC; the exact rerank still scores TRUE cosine of
+            # the raw vectors (scale-invariant), so results are
+            # unchanged at full margin
+            qn_ = np.linalg.norm(qmat, axis=1)
+            qmat = np.where(
+                (qn_ != 0)[:, None],
+                qmat / np.where(qn_ != 0, qn_, 1.0)[:, None],
+                qmat,
+            )
         n_centroids = meta["n_centroids"]
         luts = np.einsum(
             "qjd,jcd->qjc", qmat.reshape(nq, m, sub), self.codebooks
@@ -2893,7 +2955,10 @@ def ivfpq_index_add(
     ``centroid=*/__batch={batch_id}`` partitions via dynamic partition
     overwrite — idempotent per batch, replays REPLACE. Meta (the
     corpus re-key) last; both quantizers drift only as far as the data
-    does, exactly the parents' add contracts."""
+    does, exactly the parents' add contracts. A cosine-mode store
+    (``normalized`` in meta) normalizes the batch before assignment —
+    the ingest transform is part of the store identity, never a
+    per-call choice."""
     import numpy as np
 
     spark = embeddings_new.sparkSession
@@ -2902,6 +2967,8 @@ def ivfpq_index_add(
         raise ValueError(
             f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
         )
+    if meta.get("normalized"):
+        embeddings_new = _l2_normalize(embeddings_new, meta["vec_col"])
     check_not_compacted_away(
         meta,
         check_batch_tag(batch_id if batch_id is not None else new_corpus_tag),
@@ -3031,9 +3098,12 @@ def ensure_ivfpq_index(
     max_iter: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> IVFPQDiskIndex:
     """Load-or-build, keyed by params + corpus_tag (see
-    :func:`ensure_ivf_index`)."""
+    :func:`ensure_ivf_index`). ``normalize`` (cosine mode) is part of
+    the identity: a store ingested raw must never serve a caller who
+    asked for the unit-normalized space, and vice versa."""
     spark = embeddings.sparkSession
     if _fs_exists(spark, f"{index_dir}/meta"):
         try:
@@ -3053,6 +3123,7 @@ def ensure_ivfpq_index(
             and meta.get("max_iter") == max_iter
             and meta.get("train_sample") == train_sample
             and meta.get("lloyd_iters") == lloyd_iters
+            and bool(meta.get("normalized")) == normalize
         ):
             return IVFPQDiskIndex(spark, index_dir, meta)
     ivfpq_index_build(
@@ -3068,5 +3139,6 @@ def ensure_ivfpq_index(
         id_col=id_col,
         vec_col=vec_col,
         corpus_tag=corpus_tag,
+        normalize=normalize,
     )
     return ivfpq_index_load(spark, index_dir)

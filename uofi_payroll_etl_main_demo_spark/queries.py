@@ -10788,6 +10788,76 @@ REGISTRY["ext_substring_dedup_spans"] = (
 )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data selection, step 1 (ext/dsir.py): per-document
+    importance weights toward a TARGET domain (here lang='en') as the
+    hashed-bucket log-likelihood ratio log p_target − log p_raw, each
+    per-token log floor-quantized to integer bits via the
+    corpus-proven bit-length law — exact cross-engine where a libm
+    log would not be. One explode, one B-row model aggregate (both
+    models fit together), one broadcast join back: the selector's
+    cost is two token passes whatever the corpus size."""
+    from uofi_payroll_etl_main_demo_spark.ext.dsir import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _sql_dsir_panel() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS tgt, unnest({_TOKS}) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+bk AS (SELECT doc_id, tgt,
+         ('0x' || substr(md5(tok), 1, 13))::BIGINT % 1024 AS bkt
+       FROM t),
+m AS (SELECT bkt, count(*) AS cnt_r,
+        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_t
+      FROM bk GROUP BY bkt),
+tot AS (SELECT sum(cnt_r) + 1024 AS r_tot, sum(cnt_t) + 1024 AS t_tot
+        FROM m),
+w AS (SELECT bkt,
+        (length(bin(r_tot // (cnt_r + 1))) - 1)
+        - (length(bin(t_tot // (cnt_t + 1))) - 1) AS wb
+      FROM m, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(wb) AS BIGINT) AS dsir_bits_sum,
+       round(sum(wb) * 1000.0 / count(*), 6) AS dsir_milli_bits
+FROM bk JOIN w USING (bkt)
+GROUP BY doc_id
+"""
+
+
+REGISTRY["ext_dsir_weights"] = (q_dsir_weights, _sql_dsir_panel())
+
+
+def q_dsir_selection(spark, sf_dir):
+    """DSIR-style data selection, step 2: the 50 pool documents whose
+    per-token mean importance toward the target domain is highest
+    (deterministic top-k on the exact panel — the reproducible variant
+    of the paper's Gumbel resampling, whose float noise has no
+    cross-engine-exact form; ordering law milli-bits DESC, n_tokens
+    DESC, doc_id ASC)."""
+    from uofi_payroll_etl_main_demo_spark.ext.dsir import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", take=50
+    )
+
+
+REGISTRY["ext_dsir_selection"] = (
+    q_dsir_selection,
+    f"""
+WITH panel AS ({_sql_dsir_panel()})
+SELECT * FROM panel
+ORDER BY dsir_milli_bits DESC, n_tokens DESC, doc_id
+LIMIT 50
+""",
+)
+
+
 REGISTRY["ext_cdc_chunk_dedup"] = (
     q_cdc_chunk_dedup,
     f"""WITH {_sql_cdc_chunk_table()}
@@ -10827,9 +10897,7 @@ _WINDOW_50 = [
     # -- r4-latest cohort (all 42) --
     "a10_cube",
     "a11_stat_aggs",
-    "a13_histogram",
     "a18_windowed_distinct_users",
-    "arr_collect_sorted",
     "arr_explode_norms",
     "ext_bm25_search",
     "ext_boilerplate_passages",
@@ -10873,16 +10941,22 @@ _WINDOW_50 = [
     "ext_hard_negatives_ivf",
     "ext_ann_recall_report",
     "ext_random_projection",
-    # the composed IVF-PQ store's three new oracles displaced
-    # sql_frontend_pricing (its r4-latest twin pricing_summary stays —
-    # same computation, the frontend difference is sweep-covered),
-    # gen_date_series (a pure generator, the cohort's lowest
-    # divergence risk), and ext_chunk_dedup_rewrite (plan-only change,
-    # value-identity pinned by the windowed≡tumbling equivalence + the
-    # full check_oracle sweep); all three rejoin the r10 cohort
+    # the round's second wave of new oracles (the composed IVF-PQ
+    # store ×3, DSIR selection ×2) displaced five of the cohort's
+    # lowest-divergence-risk rows — sql_frontend_pricing (its twin
+    # pricing_summary stays: same computation, the frontend difference
+    # is sweep-covered), gen_date_series (a pure generator),
+    # ext_chunk_dedup_rewrite (plan-only change, value-identity pinned
+    # by the windowed≡tumbling equivalence), a13_histogram and
+    # arr_collect_sorted (single-operator relational aggs) — new
+    # oracles carry the most divergence risk, so every one gets a
+    # driver row in its landing round; the displaced five rejoin the
+    # r10 cohort, which the sweep covers at HEAD meanwhile
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
+    "ext_dsir_weights",
+    "ext_dsir_selection",
 ]
 
 
