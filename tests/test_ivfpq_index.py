@@ -488,3 +488,116 @@ def test_ivfpq_cosine_mode_add_serves_exact(spark, sf_dir, tmp_path):
         for r in brute_force_top_k(emb, QV, k=10).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_drift_stats_and_retrain_recover_adc_accuracy(
+    spark, sf_dir, tmp_path
+):
+    """The composed store's drift lifecycle, mirroring the PQ family:
+    (a) out-of-distribution adds show in the per-(batch, subspace)
+    RESIDUAL error panel, (b) the shared needs_retrain law fires, (c)
+    ivfpq_index_retrain re-fits BOTH quantizers on the current
+    membership (fresh centroids ARE the rebalance — no separate op)
+    and recovers ADC shortlist accuracy, (d) membership is bit-for-bit
+    preserved (full-probe/full-margin == brute force over the union),
+    and (e) pre-retrain replays refuse. Deterministic end-to-end, so
+    the recall thresholds are replays, not tolerances (measured
+    0.2 → 0.9)."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivfpq_index_drift_stats,
+        ivfpq_index_retrain,
+        needs_retrain,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    drift = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 4.0 + 3.0
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    union = emb.select("vec_id", "embedding").unionByName(drift)
+    _build(emb, idx, corpus_tag="base")
+    ivfpq_index_add(drift, idx, new_corpus_tag="drifted", batch_id="b1")
+
+    panel = ivfpq_index_drift_stats(spark, idx, union).collect()
+    assert len(panel) == 2 * 8  # (base, b1) × m subspaces
+    assert needs_retrain(panel, max_ratio=2.0) == ["b1"]
+
+    qd = [x * 4.0 + 3.0 for x in QV]
+    urows = union.collect()
+    uids = np.array([r["vec_id"] for r in urows])
+    umat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in urows]
+    )
+    ip = umat @ np.asarray(qd)
+    want = set(uids[np.argsort(-ip)[:10]].tolist())
+
+    def shortlist_recall():
+        got = {
+            r["vec_id"]
+            for r in ivfpq_index_load(spark, idx)
+            .search(qd, k=100, nprobe=4, candidates=100)
+            .collect()
+        }
+        return len(got & want) / 10.0
+
+    before = shortlist_recall()
+    ivfpq_index_retrain(
+        spark, idx, union, new_corpus_tag="retrained", train_sample=1000
+    )
+    after = shortlist_recall()
+    assert before <= 0.3  # frozen quantizers can't resolve the region
+    assert after >= 0.7  # both refit (measured 0.9)
+    panel2 = ivfpq_index_drift_stats(spark, idx, union).collect()
+    assert {r["batch"] for r in panel2} == {"base"}
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivfpq_index_load(spark, idx)
+        .search(QV, k=10, nprobe=4, candidates=FULL, rerank_corpus=union)
+        .collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(union, QV, k=10).collect()
+    ]
+    assert got == exact
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert meta["corpus_tag"] == "retrained"
+    assert meta["train_sample"] == 1000
+    with pytest.raises(ValueError, match="folded into base"):
+        ivfpq_index_add(drift, idx, new_corpus_tag="again", batch_id="b1")
+
+
+def test_ivfpq_skew_law_composes_with_stats(spark, sf_dir, tmp_path):
+    """needs_rebalance is panel-shape-generic: it acts on
+    ivfpq_index_stats rows unchanged, so a scheduler watches the
+    composed store's list skew with the same law as IVF-Flat (repair =
+    ivfpq_index_retrain — fresh centroids — instead of a list split)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        needs_rebalance,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, corpus_tag="base")
+    # clone one in-distribution vector 400×: every copy lands in ONE
+    # frozen list (the adds-forever skew case)
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    v0 = [float(x) for x in base[0][0]]
+    skew = spark.range(400).select(
+        (F.col("id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(v0[0]) + F.col("id").cast("double") * 1e-5),
+            F.array(*[F.lit(x) for x in v0[1:]]),
+        ).alias("embedding"),
+    )
+    ivfpq_index_add(skew, idx, new_corpus_tag="skewed", batch_id="b1")
+    stats = ivfpq_index_stats(spark, idx).collect()
+    hot = needs_rebalance(stats, max_ratio=2.0)
+    assert len(hot) == 1

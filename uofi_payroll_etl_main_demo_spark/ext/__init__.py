@@ -44,7 +44,9 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     ivfpq_index_build,
     ivfpq_index_compact,
     ivfpq_index_delete,
+    ivfpq_index_drift_stats,
     ivfpq_index_load,
+    ivfpq_index_retrain,
     ivfpq_index_stats,
     pq_index_add,
     pq_index_build,

@@ -3142,3 +3142,239 @@ def ensure_ivfpq_index(
         normalize=normalize,
     )
     return ivfpq_index_load(spark, index_dir)
+
+
+def ivfpq_index_drift_stats(
+    spark: SparkSession, index_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """Per-(batch, subspace) RESIDUAL quantization-error panel — the
+    composed store's drift meter, same shape and law as
+    :func:`pq_index_drift_stats` (so :func:`needs_retrain` acts on it
+    unchanged): adds encode against BOTH frozen quantizers, and drift
+    grows the residual reconstruction error ``||(x − centroid) −
+    cb[j, code]||²`` with no query-time symptom. One row per (batch,
+    j); compare add batches against ``base`` (both quantizers'
+    training snapshot). ``corpus`` is the raw row store; a cosine-mode
+    store normalizes it through the SAME ingest transform before
+    differencing (error must be measured in the space the codes live
+    in). Run BEFORE compaction; list-skew drift is the separate
+    :func:`ivfpq_index_stats` + :func:`needs_rebalance` meter."""
+    import numpy as np
+
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    sub = meta["dim"] // m
+    codebooks = np.empty((m, n_centroids, sub))
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        codebooks[r["j"], r["c"]] = r["cvec"]
+    C = np.stack(
+        [
+            np.asarray(r["cvec"], dtype=np.float64)
+            for r in spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("centroid")
+            .collect()
+        ]
+    )
+    if meta.get("normalized"):
+        corpus = _l2_normalize(corpus, vec_col)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("batch", T.StringType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("__n", T.LongType()),
+            T.StructField("__se", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cents = pdf["centroid"].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            R = mat - C[cents]
+            recon = codebooks[np.arange(m)[None, :], codes]  # (b, m, sub)
+            err = ((R.reshape(len(R), m, sub) - recon) ** 2).sum(axis=2)
+            frame = pd.DataFrame(err, columns=range(m))
+            frame["batch"] = pdf["__batch"].to_numpy()
+            agg = frame.groupby("batch", sort=False).agg(["count", "sum"])
+            for j in range(m):
+                yield pd.DataFrame(
+                    {
+                        "batch": agg.index.to_numpy(),
+                        "j": np.int32(j),
+                        "__n": agg[(j, "count")].to_numpy().astype("int64"),
+                        "__se": agg[(j, "sum")].to_numpy(),
+                    }
+                )
+
+    joined = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select(id_col, "codes", "centroid", "__batch")
+        .join(corpus.select(id_col, vec_col), id_col)
+    )
+    return (
+        joined.mapInPandas(partials, part_schema)
+        .groupBy("batch", "j")
+        .agg(
+            F.sum("__n").alias("n_vectors"),
+            (F.sum("__se") / F.sum("__n")).alias("mse"),
+        )
+        .orderBy("batch", "j")
+    )
+
+
+def ivfpq_index_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    *,
+    new_corpus_tag: str,
+    train_sample: "int | None" = None,
+    lloyd_iters: "int | None" = None,
+) -> None:
+    """Act on :func:`ivfpq_index_drift_stats` — the composed store's
+    ONE drift repair: re-fit BOTH quantizers on the CURRENT membership
+    (coarse KMeans through the build's own ``pyspark.ml`` fit;
+    residual codebooks on a deterministic id-HASH-ordered sample — the
+    drift-aware sampling law :func:`pq_index_retrain` established: an
+    id-prefix sample never sees the drifted adds) and re-encode every
+    stored vector through them, staged-swap. List skew heals as a side
+    effect (fresh centroids ARE the rebalance), so the composed store
+    needs no separate rebalance op.
+
+    Same contracts as the PQ retrain, enforced the same way: refuses
+    a corpus that under- or over-covers the membership (a retrain
+    must never erase or admit ids), records the training params back
+    into meta, folds batches to base (pre-retrain replays refuse via
+    ``folded_batches``), REQUIRES ``new_corpus_tag``, and is a
+    quiescent-point op with the meta-last crash contract. A
+    cosine-mode store retrains in its normalized space (the flag is
+    identity, so it survives the retrain)."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        train_pq_codebooks,
+    )
+
+    meta = _read_meta(spark, index_dir)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(
+            f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, n_centroids = meta["m"], meta["n_centroids"]
+    if train_sample is None:
+        train_sample = meta["train_sample"]
+    if lloyd_iters is None:
+        lloyd_iters = meta["lloyd_iters"]
+    if meta.get("normalized"):
+        corpus = _l2_normalize(corpus, vec_col)
+    ids = (
+        spark.read.parquet(f"{index_dir}/codes").select(id_col).distinct()
+    )
+    member = corpus.select(id_col, vec_col).join(ids, id_col, "left_semi")
+    member = member.persist()
+    try:
+        n_ids = ids.count()
+        n_member = member.count()
+        if n_member < n_ids:
+            raise ValueError(
+                f"corpus covers {n_member} of the store's {n_ids} ids — a "
+                "retrain over a partial corpus would silently erase the "
+                "uncovered vectors; pass the full row store"
+            )
+        if n_member > n_ids:
+            raise ValueError(
+                f"corpus holds duplicate ids ({n_member} rows for {n_ids} "
+                "store ids) — a retrain would store two codes per id"
+            )
+        head = member.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if head and int(head[0][0]) != meta["dim"]:
+            raise ValueError(
+                f"corpus dimension {int(head[0][0])} != index dim "
+                f"{meta['dim']} — a mismatched retrain would mis-encode "
+                "every vector"
+            )
+        # coarse re-fit over the full membership (the build's own law)
+        index = build_ivf_index(
+            member,
+            n_centroids=meta["n_lists"],
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=meta["seed"],
+            max_iter=meta["max_iter"],
+        )
+        centroids = index.centroids
+        C = np.asarray(centroids, dtype=np.float64)
+        # residual codebook re-fit: id-HASH-ordered bounded sample of
+        # the FRESH residuals (drift-aware, exactly reproducible)
+        sample = (
+            index.assigned.select(vec_col, "centroid")
+            .orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
+            .limit(train_sample)
+            .collect()
+        )
+        train = np.stack(
+            [np.asarray(r[0], dtype=np.float64) - C[r[1]] for r in sample]
+        )
+        codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
+        folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
+        swaps = _staged_compactions(
+            spark,
+            index_dir,
+            [
+                (
+                    "codes",
+                    ["centroid", "__batch"],
+                    # fresh encode of the membership through BOTH new
+                    # quantizers (old codes are meaningless under them)
+                    lambda _old: _pq_encode_residual(
+                        index.assigned, codebooks, centroids, id_col,
+                        vec_col,
+                    ).withColumn("__batch", F.lit("base")),
+                )
+            ],
+        )
+        _invalidate_meta(spark, index_dir)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid int, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/centroids"
+        )
+        cb_rows = [
+            (j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(m)
+            for c in range(n_centroids)
+        ]
+        spark.createDataFrame(
+            cb_rows, "j int, c int, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/codebooks"
+        )
+        for swap in swaps:
+            swap()
+        _write_meta(
+            spark,
+            index_dir,
+            {
+                **meta,
+                "corpus_tag": new_corpus_tag,
+                "train_sample": train_sample,
+                "lloyd_iters": lloyd_iters,
+                "folded_batches": folded,
+            },
+        )
+    finally:
+        member.unpersist()
