@@ -185,6 +185,9 @@ HEADLINE = [
     # models, and score every document
     "ext_dsir_weights",
     "ext_dsir_selection",
+    # round 9 (late): incremental semantic dedup served from the ANN
+    # store (one batched k=1 serve decides the whole new batch)
+    "ext_semantic_dedup_incremental",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work
@@ -217,6 +220,7 @@ CLOSED_FORM_ORACLE = [
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
+    "ext_semantic_dedup_incremental",
 ]
 
 

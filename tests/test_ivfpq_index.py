@@ -601,3 +601,48 @@ def test_ivfpq_skew_law_composes_with_stats(spark, sf_dir, tmp_path):
     stats = ivfpq_index_stats(spark, idx).collect()
     hot = needs_rebalance(stats, max_ratio=2.0)
     assert len(hot) == 1
+
+
+def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
+    spark, sf_dir, tmp_path
+):
+    """Index-served incremental semantic dedup at full probe: each new
+    vector's (nn_id, score) equals the brute-force nearest OLD
+    neighbor under the shared (score DESC, id ASC) law, and the
+    threshold flag fires both ways on the fixture."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_build,
+        ivf_index_load,
+        semantic_dedup_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 7 != 3)
+    new = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(old, idx, n_centroids=4, corpus_tag="old")
+    out = semantic_dedup_index(
+        ivf_index_load(spark, idx), new, threshold=0.37
+    ).collect()
+    got = {
+        r["new_id"]: (r["nn_id"], r["score"], r["is_dup"]) for r in out
+    }
+    orows = old.select("vec_id", "embedding").collect()
+    oids = np.array([r["vec_id"] for r in orows])
+    omat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in orows]
+    )
+    onorm = np.linalg.norm(omat, axis=1)
+    for r in new.collect():
+        q = np.asarray(r["embedding"], dtype=np.float64)
+        cos = (omat @ q) / (onorm * np.linalg.norm(q))
+        # shared law: score DESC, id ASC
+        order = np.lexsort((oids, -cos))
+        best = order[0]
+        want = (int(oids[best]), round(float(cos[best]), 6))
+        assert got[r["vec_id"]][:2] == want
+        assert got[r["vec_id"]][2] == (want[1] >= 0.37)
+    flags = {v[2] for v in got.values()}
+    assert flags == {True, False}

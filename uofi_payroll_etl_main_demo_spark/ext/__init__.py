@@ -52,6 +52,7 @@ from uofi_payroll_etl_main_demo_spark.ext.ann_index import (  # noqa: F401
     pq_index_build,
     pq_index_compact,
     pq_index_load,
+    semantic_dedup_index,
 )
 from uofi_payroll_etl_main_demo_spark.ext.cdc_index import (  # noqa: F401
     CdcDiskIndex,

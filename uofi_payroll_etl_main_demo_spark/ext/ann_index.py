@@ -3378,3 +3378,48 @@ def ivfpq_index_retrain(
         )
     finally:
         member.unpersist()
+
+
+def semantic_dedup_index(
+    index: "IVFDiskIndex",
+    new_vecs: DataFrame,
+    threshold: float,
+    *,
+    nprobe: "int | None" = None,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SEMANTIC dedup served from the persisted ANN store —
+    the embedding-space member of the incremental-dedup family
+    (MinHash ``incremental_near_dup_pairs``, SimHash, image dHash):
+    which documents of a NEW batch near-duplicate the EXISTING corpus,
+    where "near" is cosine similarity of their embeddings (the
+    SemDeDup signal) and the existing corpus is the store's inverted
+    lists, not a rescan of the raw table.
+
+    A duplicate decision needs only each new vector's NEAREST stored
+    neighbor (any-neighbor-above-τ ⇔ top-1-above-τ), so the whole
+    batch is ONE ``search_batch`` at k=1 — daily dedup cost tracks the
+    batch × probed lists, never the corpus². Full probe (the default)
+    makes the decision exact; bounded ``nprobe`` trades recall for
+    probe cost exactly like every other serve. Returns one row per
+    new vector: (new_id, nn_id, score, is_dup) — is_dup compares the
+    6dp-ROUNDED score against ``threshold`` so the flag is stable
+    across engines."""
+    n_lists = len(index.centroids)
+    nprobe = n_lists if nprobe is None else nprobe
+    id_col = index.meta["id_col"]
+    out = index.search_batch(
+        new_vecs.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        k=1,
+        nprobe=nprobe,
+    )
+    return out.select(
+        F.col("query_id").alias("new_id"),
+        F.col(id_col).alias("nn_id"),
+        F.round("score", 6).alias("score"),
+        (F.round("score", 6) >= threshold).alias("is_dup"),
+    )

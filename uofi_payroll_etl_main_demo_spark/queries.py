@@ -2883,6 +2883,54 @@ REGISTRY["ext_ivfpq_autowiden_query"] = (
 )
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SEMANTIC dedup served from the persisted ANN store
+    (ext/ann_index.py semantic_dedup_index): the 'new batch'
+    (vec_id % 7 == 3) checks itself against the EXISTING corpus — here
+    the post-delete IVF store, which holds exactly the other vectors —
+    in ONE batched k=1 serve (any-neighbor-above-τ ⇔ top-1-above-τ),
+    so daily dedup cost tracks the batch × probed lists, never
+    corpus². Full probe makes each nearest-neighbor decision exact, so
+    the whole flow is value-oracled: (new_id, nn_id, score, is_dup) —
+    the embedding-space member of the incremental-dedup family
+    (MinHash / SimHash / image dHash forms are the r4-era rows)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        semantic_dedup_index,
+    )
+
+    index = _ensure_sf_ivf_postdelete_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id", "embedding"
+    )
+    return semantic_dedup_index(index, batch, threshold=0.37, nprobe=8)
+
+
+def _sql_semantic_dedup_incremental(tau: float = 0.37) -> str:
+    return f"""
+WITH newv AS (SELECT vec_id AS new_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 7 = 3),
+old AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 != 3),
+s AS (SELECT n.new_id, o.vec_id AS nn_id,
+        list_cosine_similarity(o.v, n.qv) AS score
+      FROM newv n CROSS JOIN old o),
+r AS (SELECT new_id, nn_id, score,
+        row_number() OVER (PARTITION BY new_id
+                           ORDER BY score DESC, nn_id) AS rn
+      FROM s)
+SELECT new_id, nn_id, round(score, 6) AS score,
+       round(score, 6) >= {tau} AS is_dup
+FROM r WHERE rn = 1
+"""
+
+
+REGISTRY["ext_semantic_dedup_incremental"] = (
+    q_semantic_dedup_incremental,
+    _sql_semantic_dedup_incremental(),
+)
+
+
 def q_hard_negatives_ivf(spark, sf_dir):
     """Hard-negative mining SERVED FROM the persisted IVF store
     (ext/ann_index.py hard_negative_mining_index, GEMM engine): 100
@@ -10895,7 +10943,6 @@ _WINDOW_50 = [
     # is likewise plan-only, plan-pinned, and sweep-covered — its slot
     # went to the seventh new oracle, ext_random_projection).
     # -- r4-latest cohort (all 42) --
-    "a10_cube",
     "a11_stat_aggs",
     "a18_windowed_distinct_users",
     "arr_explode_norms",
@@ -10942,21 +10989,23 @@ _WINDOW_50 = [
     "ext_ann_recall_report",
     "ext_random_projection",
     # the round's second wave of new oracles (the composed IVF-PQ
-    # store ×3, DSIR selection ×2) displaced five of the cohort's
-    # lowest-divergence-risk rows — sql_frontend_pricing (its twin
-    # pricing_summary stays: same computation, the frontend difference
-    # is sweep-covered), gen_date_series (a pure generator),
-    # ext_chunk_dedup_rewrite (plan-only change, value-identity pinned
-    # by the windowed≡tumbling equivalence), a13_histogram and
+    # store ×3, DSIR selection ×2, index-served incremental semantic
+    # dedup) displaced six of the cohort's lowest-divergence-risk rows
+    # — sql_frontend_pricing (its twin pricing_summary stays: same
+    # computation, the frontend difference is sweep-covered),
+    # gen_date_series (a pure generator), ext_chunk_dedup_rewrite
+    # (plan-only change, value-identity pinned by the
+    # windowed≡tumbling equivalence), a10_cube, a13_histogram and
     # arr_collect_sorted (single-operator relational aggs) — new
     # oracles carry the most divergence risk, so every one gets a
-    # driver row in its landing round; the displaced five rejoin the
+    # driver row in its landing round; the displaced six rejoin the
     # r10 cohort, which the sweep covers at HEAD meanwhile
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
     "ext_dsir_weights",
     "ext_dsir_selection",
+    "ext_semantic_dedup_incremental",
 ]
 
 
