@@ -646,3 +646,46 @@ def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
         assert got[r["vec_id"]][2] == (want[1] >= 0.37)
     flags = {v[2] for v in got.values()}
     assert flags == {True, False}
+
+
+def test_ivfpq_batched_auto_widen_degrades_to_exact(spark, sf_dir, tmp_path):
+    """Batched auto-widen under an extreme predicate: every starved
+    query re-runs together with doubled nprobe, then the ADC candidate
+    budget lifts once every list is probed — per query the result must
+    equal the exact filtered brute force (k above the match count
+    forces the full two-leg path for EVERY query)."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=8)
+    loaded = ivfpq_index_load(spark, idx)
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    n_allowed = allowed.count()
+    assert 0 < n_allowed < 40
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = loaded.search_batch(
+        queries,
+        k=40,
+        nprobe=1,
+        candidates=5,
+        rerank_corpus=emb,
+        filter_ids=allowed,
+        auto_widen=True,
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    filtered = emb.join(allowed, "vec_id", "left_semi")
+    for r in queries.collect():
+        want = [
+            (x["vec_id"], round(x["score"], 9))
+            for x in brute_force_top_k(
+                filtered, [float(v) for v in r["qvec"]], k=40
+            ).collect()
+        ]
+        got = sorted(by_q[r["query_id"]], key=lambda t: (-t[1], t[0]))
+        assert got == want
+        assert len(got) == n_allowed

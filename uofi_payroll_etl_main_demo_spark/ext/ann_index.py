@@ -2752,9 +2752,20 @@ class IVFPQDiskIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
         max_queries: int = 65536,
+        auto_widen: bool = False,
     ) -> DataFrame:
         """BATCHED composed serving: ONE job answers the whole query
         frame over the pruned UNION of every query's probed lists.
+
+        ``auto_widen`` is the batched recall backstop (the IVF batch
+        serve's contract, plus the composed store's second leg):
+        queries that return fewer than ``k`` survivors re-run TOGETHER
+        with doubled nprobe — one job per widening round over ONLY the
+        starved queries — and once every list is probed the ADC
+        candidate budget is lifted entirely, degrading gracefully to
+        the exact filtered brute force. Results materialize
+        driver-side per round (bounded: ≤ batch × k rows) and return
+        as a local frame.
         Per-query state is the flat-PQ batch serve's LUT tensor plus
         one (nq × n_lists) coarse-term matrix (both KBs/query, bounded
         by ``max_queries`` — the driver-state contract); the codes
@@ -2778,6 +2789,52 @@ class IVFPQDiskIndex:
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)
+        if auto_widen:
+            spark = self.spark
+            done: "dict[object, list]" = {}
+            remaining = queries
+            cand_budget = candidates
+            while True:
+                out = self.search_batch(
+                    remaining,
+                    k=k,
+                    nprobe=nprobe,
+                    candidates=cand_budget,
+                    rerank_corpus=rerank_corpus,
+                    filter_ids=filter_ids,
+                    query_id_col=query_id_col,
+                    query_vec_col=query_vec_col,
+                    max_queries=max_queries,
+                )
+                rows = out.collect()
+                schema = out.schema
+                by_q: "dict[object, list]" = {}
+                for r in rows:
+                    by_q.setdefault(r[query_id_col], []).append(r)
+                qids_r = [
+                    r[query_id_col]
+                    for r in remaining.select(query_id_col).collect()
+                ]
+                starved = [q for q in qids_r if len(by_q.get(q, [])) < k]
+                for q in qids_r:
+                    if q not in starved:
+                        done[q] = by_q.get(q, [])
+                exhausted = nprobe >= n_lists and cand_budget >= (1 << 30)
+                if not starved or exhausted:
+                    for q in starved:
+                        done[q] = by_q.get(q, [])
+                    break
+                if nprobe >= n_lists:
+                    # lists exhausted: only the ADC cut can still
+                    # starve — lift it entirely (the second leg)
+                    cand_budget = 1 << 30
+                else:
+                    nprobe = min(nprobe * 2, n_lists)
+                remaining = remaining.filter(
+                    F.col(query_id_col).isin(starved)
+                )
+            flat = [r for rs in done.values() for r in rs]
+            return spark.createDataFrame(flat, schema)
         qrows = (
             queries.select(query_id_col, query_vec_col)
             .limit(max_queries + 1)
