@@ -608,8 +608,9 @@ def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
 ):
     """Index-served incremental semantic dedup at full probe: each new
     vector's (nn_id, score) equals the brute-force nearest OLD
-    neighbor under the shared (score DESC, id ASC) law, and the
-    threshold flag fires both ways on the fixture."""
+    neighbor under the GEMM rank law (6dp-rounded score DESC, id ASC),
+    the threshold flag fires both ways on the fixture, and the
+    expression engine picks the same neighbors."""
     import numpy as np
 
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
@@ -623,9 +624,8 @@ def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
     new = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id", "embedding")
     idx = str(tmp_path / "ivf")
     ivf_index_build(old, idx, n_centroids=4, corpus_tag="old")
-    out = semantic_dedup_index(
-        ivf_index_load(spark, idx), new, threshold=0.37
-    ).collect()
+    loaded = ivf_index_load(spark, idx)
+    out = semantic_dedup_index(loaded, new, threshold=0.37).collect()
     got = {
         r["new_id"]: (r["nn_id"], r["score"], r["is_dup"]) for r in out
     }
@@ -637,8 +637,8 @@ def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
     onorm = np.linalg.norm(omat, axis=1)
     for r in new.collect():
         q = np.asarray(r["embedding"], dtype=np.float64)
-        cos = (omat @ q) / (onorm * np.linalg.norm(q))
-        # shared law: score DESC, id ASC
+        cos = np.round((omat @ q) / (onorm * np.linalg.norm(q)), 6)
+        # the GEMM rank law: rounded score DESC, id ASC
         order = np.lexsort((oids, -cos))
         best = order[0]
         want = (int(oids[best]), round(float(cos[best]), 6))
@@ -646,6 +646,15 @@ def test_semantic_dedup_index_matches_bruteforce_and_flags_both_ways(
         assert got[r["vec_id"]][2] == (want[1] >= 0.37)
     flags = {v[2] for v in got.values()}
     assert flags == {True, False}
+    # engine parity: the plan-fused expression form picks the same
+    # neighbors on this fixture (no sub-1e-6 old-vector ties)
+    expr = {
+        r["new_id"]: (r["nn_id"], r["score"], r["is_dup"])
+        for r in semantic_dedup_index(
+            loaded, new, threshold=0.37, engine="expression"
+        ).collect()
+    }
+    assert expr == got
 
 
 def test_ivfpq_batched_auto_widen_degrades_to_exact(spark, sf_dir, tmp_path):

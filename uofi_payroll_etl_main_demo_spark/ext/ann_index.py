@@ -3445,6 +3445,7 @@ def semantic_dedup_index(
     nprobe: "int | None" = None,
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    engine: str = "gemm",
 ) -> DataFrame:
     """Incremental SEMANTIC dedup served from the persisted ANN store —
     the embedding-space member of the incremental-dedup family
@@ -3456,24 +3457,37 @@ def semantic_dedup_index(
 
     A duplicate decision needs only each new vector's NEAREST stored
     neighbor (any-neighbor-above-τ ⇔ top-1-above-τ), so the whole
-    batch is ONE ``search_batch`` at k=1 — daily dedup cost tracks the
+    batch is ONE batched serve at k=1 — daily dedup cost tracks the
     batch × probed lists, never the corpus². Full probe (the default)
     makes the decision exact; bounded ``nprobe`` trades recall for
     probe cost exactly like every other serve. Returns one row per
     new vector: (new_id, nn_id, score, is_dup) — is_dup compares the
     6dp-ROUNDED score against ``threshold`` so the flag is stable
-    across engines."""
+    across engines.
+
+    ``engine="gemm"`` (default) scores through
+    :meth:`IVFDiskIndex.search_batch_gemm` — one BLAS GEMM per pruned
+    list chunk instead of an interpreted higher-order cosine per
+    (new × old) pair, and the nearest-neighbor pick lives on the
+    6dp-ROUNDED score (the GEMM rank law: float-sum order differs
+    under BLAS, so round-then-rank with id tie-break keeps the pick
+    engine-exact). ``engine="expression"`` keeps the plan-fused JVM
+    Column form, ranking on the unrounded fold (the two laws pick the
+    same neighbor unless two old vectors tie within 1e-6 of the
+    query)."""
+    if engine not in ("gemm", "expression"):
+        raise ValueError(f"engine must be 'gemm' or 'expression', not {engine!r}")
     n_lists = len(index.centroids)
     nprobe = n_lists if nprobe is None else nprobe
     id_col = index.meta["id_col"]
-    out = index.search_batch(
-        new_vecs.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("qvec"),
-        ),
-        k=1,
-        nprobe=nprobe,
+    queries = new_vecs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
     )
+    if engine == "gemm":
+        out = index.search_batch_gemm(queries, k=1, nprobe=nprobe)
+    else:
+        out = index.search_batch(queries, k=1, nprobe=nprobe)
     return out.select(
         F.col("query_id").alias("new_id"),
         F.col(id_col).alias("nn_id"),
