@@ -188,6 +188,10 @@ HEADLINE = [
     # round 9 (late): incremental semantic dedup served from the ANN
     # store (one batched k=1 serve decides the whole new batch)
     "ext_semantic_dedup_incremental",
+    # round 9 (late): order-aware retrieval eval (MRR/DCG/NDCG with
+    # integer milli-weights) — computation-equivalent: the twin runs
+    # both legs' pair crosses too
+    "ext_retrieval_rank_eval",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -3099,6 +3099,144 @@ REGISTRY["ext_ann_recall_report"] = (
 )
 
 
+# DCG@10 position weights in integer MILLI-units: round(1e6/log2(i+1))
+# for i = 1..10 — the ranking-eval LAW ships its constants (a libm
+# log2 inside either engine could flip a rounding boundary; fixed
+# integer literals are exact everywhere — the integer-BM25/milli-bit
+# philosophy). IDCG@5 = sum of the first five (binary relevance,
+# 5-deep truth set).
+_DCG_MILLI = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_IDCG5_MILLI = sum(_DCG_MILLI[:5])
+
+
+def q_retrieval_rank_eval(spark, sf_dir):
+    """Ranking-quality EVAL panel — the recall report's sibling for
+    ORDER-aware serving quality: per query, MRR, DCG@10 (integer
+    milli-weights — the constant-shipping law above) and NDCG@10 of
+    the deterministic LSH retrieval ranking against a 5-deep exact
+    ground-truth set. Ground truth is the persisted IVF store at full
+    probe through the GEMM batch path (self excluded in-scan); the
+    system ranking is knn_join_gemm's in-bucket top-10 with its
+    rounded-cosine rank law. Queries whose LSH bucket is empty still
+    report (zeros) — an eval that silently drops its failures isn't
+    one. Every number is value-oracled; at 100 TB both legs keep
+    their banded/pruned shapes, and the metric join is one
+    (query, neighbor) hash join."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        knn_join_gemm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = index.search_batch_gemm(
+        queries, k=5, nprobe=8, exclude_query_id=True
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("__rel"),
+    )
+    approx = knn_join_gemm(emb, dim=64, k=10, n_planes=4).select(
+        F.col("vec_id").alias("query_id"), "neighbor_id", "rank"
+    )
+    warr = F.array(*[F.lit(w) for w in _DCG_MILLI])
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.when(F.col("__rel").isNotNull(), F.col("rank")).alias("__fr"),
+        F.when(
+            F.col("__rel").isNotNull(), F.element_at(warr, F.col("rank"))
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__w"),
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.min("__fr").alias("__first"), F.sum("__w").alias("__dcg")
+    )
+    return (
+        queries.select("query_id")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.coalesce(F.col("__dcg"), F.lit(0)).cast("long").alias(
+                "dcg_milli"
+            ),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0))
+                / F.lit(float(_IDCG5_MILLI)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def _sql_retrieval_rank_eval(
+    dim: int = 64, n_planes: int = 4, seed: int = 42
+) -> str:
+    """Twin: LSH buckets + rounded-cosine rank (the approx leg's law),
+    exact 5-deep truth ranked on the ROUNDED score (the GEMM leg's
+    law), the SAME milli-weight literals, one left join."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import _hyperplanes
+
+    terms = []
+    for bit, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    w_lst = "[" + ", ".join(str(w) for w in _DCG_MILLI) + "]"
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {bucket} AS bucket FROM embeddings),
+ap AS (SELECT a.vec_id AS query_id, x.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, x.v), 6) AS cosine
+       FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+approx AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ap) WHERE rn <= 10),
+ex AS (SELECT a.vec_id AS query_id, x.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, x.v), 6) AS s
+       FROM b a JOIN b x ON a.vec_id <> x.vec_id),
+truth AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id) AS rn
+    FROM ex) WHERE rn <= 5),
+h AS (SELECT ap2.query_id, ap2.rank,
+        t.neighbor_id IS NOT NULL AS rel
+      FROM approx ap2 LEFT JOIN truth t
+        USING (query_id, neighbor_id)),
+pq AS (SELECT query_id,
+         min(CASE WHEN rel THEN rank END) AS fr,
+         sum(CASE WHEN rel THEN {w_lst}[rank] ELSE 0 END) AS dcg
+       FROM h GROUP BY query_id)
+SELECT q.query_id,
+       round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+       CAST(coalesce(dcg, 0) AS BIGINT) AS dcg_milli,
+       round(coalesce(dcg, 0) / {float(_IDCG5_MILLI)}, 6) AS ndcg
+FROM (SELECT vec_id AS query_id FROM embeddings) q
+LEFT JOIN pq USING (query_id)
+"""
+
+
+REGISTRY["ext_retrieval_rank_eval"] = (
+    q_retrieval_rank_eval,
+    _sql_retrieval_rank_eval(),
+)
+
+
 def q_random_projection(spark, sf_dir):
     """Johnson–Lindenstrauss reduction of the embedding column
     (ext/similarity.py random_projection): 64 → 16 dims via a seeded
@@ -10974,7 +11112,6 @@ _WINDOW_50 = [
     "ext_token_stats",
     "ext_top_ngrams",
     "ext_user_gap_stats",
-    "ext_weekly_trend",
     "j13_null_safe_join",
     "pipeline_payroll_shape",
     "pricing_summary",
@@ -10998,17 +11135,19 @@ _WINDOW_50 = [
     # computation, the frontend difference is sweep-covered),
     # gen_date_series (a pure generator), ext_chunk_dedup_rewrite
     # (plan-only change, value-identity pinned by the
-    # windowed≡tumbling equivalence), a10_cube, a13_histogram and
-    # arr_collect_sorted (single-operator relational aggs) — new
-    # oracles carry the most divergence risk, so every one gets a
-    # driver row in its landing round; the displaced six rejoin the
-    # r10 cohort, which the sweep covers at HEAD meanwhile
+    # windowed≡tumbling equivalence), a10_cube, a13_histogram,
+    # arr_collect_sorted and ext_weekly_trend (single-operator
+    # relational aggs) — new oracles carry the most divergence risk,
+    # so every one gets a driver row in its landing round; the
+    # displaced seven rejoin the r10 cohort, which the sweep covers
+    # at HEAD meanwhile
     "ext_ivfpq_index_query",
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
     "ext_dsir_weights",
     "ext_dsir_selection",
     "ext_semantic_dedup_incremental",
+    "ext_retrieval_rank_eval",
 ]
 
 
