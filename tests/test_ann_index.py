@@ -1137,3 +1137,81 @@ def test_hard_negatives_gemm_engine_matches_expression(
         index.search_batch_gemm(
             _qframe(emb, 3), k=2, neq_attr=("query_id", "label")
         )
+
+
+def test_pq_cosine_mode_exact_identity_and_norm_skew_fix(
+    spark, sf_dir, tmp_path
+):
+    """Flat-PQ cosine mode (normalize=True — the flat store has the
+    same IP-ADC sharp edge the composed store fixed): full-margin
+    reranked serving is still the exact brute force, the flag is part
+    of the ensure identity and travels through adds, and on a
+    deliberately norm-skewed corpus the SAME bounded candidate budget
+    preserves at least as much of the true cosine top-k as the raw
+    store (deterministic end-to-end, pinned as an inequality)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ensure_pq_index,
+        pq_index_add,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "pq")
+    ensure_pq_index(emb, idx, corpus_tag="t1", normalize=True)
+    loaded = pq_index_load(spark, idx)
+    assert loaded.meta["normalized"] is True
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in loaded.search(
+            QV, k=10, candidates=10**6, rerank_corpus=emb
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in brute_force_top_k(emb, QV, k=10).collect()
+    ]
+    assert got == want
+    mt = _index_mtimes(idx)
+    ensure_pq_index(emb, idx, corpus_tag="t1", normalize=True)
+    assert _index_mtimes(idx) == mt  # matching flag: pure load
+    ensure_pq_index(emb, idx, corpus_tag="t1", normalize=False)
+    assert _index_mtimes(idx) != mt  # flag flip: rebuild
+
+    # add travels through the flag: build-half + add-half, full margin
+    # == brute force over the union
+    idx2 = str(tmp_path / "pq2")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    pq_index_build(old, idx2, corpus_tag="half", normalize=True)
+    pq_index_add(new, idx2, new_corpus_tag="full", batch_id="b1")
+    got2 = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq_index_load(spark, idx2)
+        .search(QV, k=10, candidates=10**6, rerank_corpus=emb)
+        .collect()
+    ]
+    assert got2 == want
+
+    # norm-skew: cosine ranking is scale-invariant, raw IP-ADC is not
+    skew = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * (1 + F.col("vec_id") % 7),
+        ).alias("embedding"),
+    )
+    truth = {
+        r["vec_id"] for r in brute_force_top_k(skew, QV, k=10).collect()
+    }
+    rec = {}
+    for norm in (False, True):
+        d = str(tmp_path / f"pqskew_{norm}")
+        pq_index_build(skew, d, corpus_tag="t", normalize=norm)
+        cands = {
+            r["vec_id"]
+            for r in pq_index_load(spark, d)
+            .search(QV, k=50, candidates=50)
+            .collect()
+        }
+        rec[norm] = len(cands & truth) / 10
+    assert rec[True] >= rec[False], rec
+    assert rec[True] > 0

@@ -353,6 +353,9 @@ def pq_index_drift_stats(
     codebooks = np.empty((m, n_centroids, sub))
     for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
         codebooks[r["j"], r["c"]] = r["cvec"]
+    if meta.get("normalized"):
+        # error must be measured in the space the codes live in
+        corpus = _l2_normalize(corpus, vec_col)
 
     part_schema = T.StructType(
         [
@@ -1822,6 +1825,7 @@ def pq_index_build(
     vec_col: str = "embedding",
     corpus_tag: str = "",
     batch_tag: str = "base",
+    normalize: bool = False,
 ) -> None:
     """Train PQ codebooks ONCE (deterministic Lloyd on the id-sorted
     sample — shared trainer with the in-query ``pq_top_k``), encode the
@@ -1829,6 +1833,14 @@ def pq_index_build(
     Meta last, same crash-safety contract as the IVF build.
     ``batch_tag`` names the build's own ``__batch`` partition — the
     streaming first-batch replay contract, see :func:`ivf_index_build`.
+
+    ``normalize=True`` is COSINE MODE (see :func:`ivfpq_index_build` —
+    the flat store has the same sharp edge: its ADC ranks by raw
+    inner product, so under norm variance a bounded candidate budget
+    is biased toward high-norm vectors). Vectors unit-normalize at
+    ingest, queries at serve time; full-margin reranked answers are
+    unchanged, bounded candidate cuts become cosine-faithful. Part of
+    the index identity; travels in meta through adds and retrains.
     """
     import numpy as np
 
@@ -1839,6 +1851,8 @@ def pq_index_build(
     spark = embeddings.sparkSession
     if batch_tag != "base":
         check_batch_tag(batch_tag)
+    if normalize:
+        embeddings = _l2_normalize(embeddings, vec_col)
     # validate BEFORE invalidating: a bad call (empty upstream frame)
     # must not destroy a previously valid serving index
     sample = (
@@ -1887,6 +1901,7 @@ def pq_index_build(
             "lloyd_iters": lloyd_iters,
             "corpus_tag": corpus_tag,
             "folded_batches": None,
+            "normalized": normalize,
         },
     )
 
@@ -1933,6 +1948,12 @@ class PQDiskIndex:
         m = meta["m"]
         sub = meta["dim"] // m
         q = np.asarray(query_vec, dtype=np.float64)
+        if meta.get("normalized"):
+            # cosine mode: the stored space is unit-normalized, so the
+            # query joins it — IP-ADC ≡ cosine-ADC
+            qn = float(np.linalg.norm(q))
+            if qn:
+                q = q / qn
         lut = np.einsum("jd,jcd->jc", q.reshape(m, sub), self.codebooks)
         id_col, vec_col = meta["id_col"], meta["vec_col"]
 
@@ -2046,6 +2067,16 @@ class PQDiskIndex:
                 f"query dimension {qmat.shape[1]} != index dim {meta['dim']}"
             )
         nq = len(qids)
+        if meta.get("normalized"):
+            # cosine mode: queries join the unit-normalized store space
+            # for the ADC; the exact rerank scores TRUE cosine of the
+            # raw vectors (scale-invariant), unchanged at full margin
+            qn_ = np.linalg.norm(qmat, axis=1)
+            qmat = np.where(
+                (qn_ != 0)[:, None],
+                qmat / np.where(qn_ != 0, qn_, 1.0)[:, None],
+                qmat,
+            )
         # luts[q, j, c] = <q_sub_j, codebook[j, c]>; flattened so the
         # scan's gather is one fancy-index over (j*n_centroids + code)
         luts = np.einsum("qjd,jcd->qjc", qmat.reshape(nq, m, sub),
@@ -2165,6 +2196,8 @@ def pq_index_add(
         check_batch_tag(batch_id if batch_id is not None else new_corpus_tag),
     )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if meta.get("normalized"):
+        embeddings_new = _l2_normalize(embeddings_new, vec_col)
     head = embeddings_new.select(F.size(vec_col).alias("d")).limit(1).collect()
     if head and int(head[0][0]) != meta["dim"]:
         raise ValueError(
@@ -2238,6 +2271,10 @@ def pq_index_retrain(
         train_sample = meta["train_sample"]
     if lloyd_iters is None:
         lloyd_iters = meta["lloyd_iters"]
+    if meta.get("normalized"):
+        # cosine mode retrains in its normalized space (flag is
+        # identity, so it survives the retrain)
+        corpus = _l2_normalize(corpus, vec_col)
     ids = (
         spark.read.parquet(f"{index_dir}/codes").select(id_col).distinct()
     )
@@ -2337,9 +2374,11 @@ def ensure_pq_index(
     lloyd_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> PQDiskIndex:
     """Load-or-build, keyed by params + corpus_tag (see
-    :func:`ensure_ivf_index`)."""
+    :func:`ensure_ivf_index`). ``normalize`` (cosine mode) is part of
+    the identity."""
     spark = embeddings.sparkSession
     if _fs_exists(spark, f"{index_dir}/meta"):
         try:
@@ -2356,6 +2395,7 @@ def ensure_pq_index(
             and meta["vec_col"] == vec_col
             and meta.get("train_sample") == train_sample
             and meta.get("lloyd_iters") == lloyd_iters
+            and bool(meta.get("normalized")) == normalize
         ):
             return PQDiskIndex(spark, index_dir, meta)
     pq_index_build(
@@ -2368,6 +2408,7 @@ def ensure_pq_index(
         id_col=id_col,
         vec_col=vec_col,
         corpus_tag=corpus_tag,
+        normalize=normalize,
     )
     return pq_index_load(spark, index_dir)
 
