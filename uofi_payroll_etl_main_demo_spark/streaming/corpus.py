@@ -393,6 +393,7 @@ def ingest_ann_stream(
     train_sample: int = 256,
     lloyd_iters: int = 5,
     n_lists: int = 8,
+    normalize: bool = False,
 ):
     """Streaming maintenance for the persisted IVF store — the vector
     twin of :func:`ingest_dedup_stream_indexed`: embedding pipelines
@@ -437,7 +438,10 @@ def ingest_ann_stream(
     vectors). Either way the quantizers are FROZEN after the first
     batch — drift under a shifting embedding distribution is what the
     stats panels + rebalance/retrain ops exist for (LIFECYCLE.md
-    cadence). Returns the StreamingQuery."""
+    cadence). ``normalize`` requests COSINE MODE for a pq/ivfpq store
+    the FIRST batch builds (adds read the flag from meta, so only the
+    build needs it; ivf scores true cosine and ignores it). Returns
+    the StreamingQuery."""
     from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
         _fs_exists,
         ivf_index_add,
@@ -487,6 +491,7 @@ def ingest_ann_stream(
                     vec_col=vec_col,
                     corpus_tag=tag,
                     batch_tag=tag,
+                    normalize=normalize,
                 )
             elif kind == "ivf":
                 ivf_index_build(
@@ -512,6 +517,7 @@ def ingest_ann_stream(
                     vec_col=vec_col,
                     corpus_tag=tag,
                     batch_tag=tag,
+                    normalize=normalize,
                 )
         finally:
             batch.unpersist()
