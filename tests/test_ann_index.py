@@ -648,15 +648,38 @@ def test_ivf_batch_one_plan_with_partition_pruning(spark, sf_dir, tmp_path):
         assert "assigned" in loc or "embeddings" in loc, loc
 
 
-def test_pq_search_batch_query_cap_and_empty_guards(spark, sf_dir, tmp_path):
-    """The driver-built LUT tensor is bounded by contract: an
-    over-cap batch and an empty batch both refuse loudly."""
+def test_pq_search_batch_pages_over_cap_batches(spark, sf_dir, tmp_path):
+    """An over-cap batch no longer refuses: the serving layer pages
+    ``max_queries``-sized chunks itself (one job per chunk, union of
+    results), and the result is IDENTICAL to manual chunking — which
+    per-query top-k guarantees by construction. 10 queries at
+    max_queries=4 is a 3-chunk serve. Empty batches still refuse."""
     idx = str(tmp_path / "pq")
     emb = _emb(spark, sf_dir)
     pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t")
     index = pq_index_load(spark, idx)
-    with pytest.raises(ValueError, match="max_queries"):
-        index.search_batch(_qframe(emb, 10), k=2, max_queries=5)
+    queries = _qframe(emb, 10)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    paged = rows(
+        index.search_batch(
+            queries, k=3, rerank_corpus=emb, max_queries=4
+        )
+    )
+    manual = []
+    for lo, hi in [(0, 4), (4, 8), (8, 10)]:
+        chunk = queries.filter(
+            (F.col("query_id") >= lo) & (F.col("query_id") < hi)
+        )
+        manual.extend(
+            rows(index.search_batch(chunk, k=3, rerank_corpus=emb))
+        )
+    assert paged == sorted(manual) and len(paged) == 30
     with pytest.raises(ValueError, match="empty query batch"):
         index.search_batch(_qframe(emb, 0), k=2)
 
@@ -1082,15 +1105,28 @@ def test_search_batch_gemm_matches_expression_path_pruned(
         assert got == want and got
 
 
-def test_search_batch_gemm_bounded_batch_guards(spark, sf_dir, tmp_path):
-    """The driver-held query matrix is bounded by contract: over-cap
-    and empty batches refuse loudly (the PQ LUT contract)."""
+def test_search_batch_gemm_pages_over_cap_batches(spark, sf_dir, tmp_path):
+    """Over-cap GEMM batches page themselves in bounded chunks (the PQ
+    serve's paging contract): 10 queries at max_queries=4 run as three
+    chunk jobs whose union equals the under-cap serve of the same
+    batch at the same full probe. Empty batches still refuse."""
     idx = str(tmp_path / "ivf")
     emb = _emb(spark, sf_dir)
     ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t")
     index = ivf_index_load(spark, idx)
-    with pytest.raises(ValueError, match="max_queries"):
-        index.search_batch_gemm(_qframe(emb, 10), k=2, max_queries=5)
+    queries = _qframe(emb, 10)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    paged = rows(
+        index.search_batch_gemm(queries, k=3, nprobe=4, max_queries=4)
+    )
+    whole = rows(index.search_batch_gemm(queries, k=3, nprobe=4))
+    assert paged == whole and len(paged) == 30
     with pytest.raises(ValueError, match="empty query batch"):
         index.search_batch_gemm(_qframe(emb, 0), k=2)
 
@@ -1215,3 +1251,68 @@ def test_pq_cosine_mode_exact_identity_and_norm_skew_fix(
         rec[norm] = len(cands & truth) / 10
     assert rec[True] >= rec[False], rec
     assert rec[True] > 0
+
+
+def test_search_batch_auto_widen_zero_driver_materialization(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r9 #2 done-criterion: the batched auto-widen loop keeps
+    result rows on the executors — ZERO ``DataFrame.collect()`` /
+    ``SparkSession.createDataFrame`` calls anywhere in the widen serve
+    (per-round outputs localCheckpoint; satisfied/starved sets are
+    broadcast semi/anti joins; loop control is a JVM-side isEmpty
+    probe). A spy trips if driver materialization ever creeps back."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    queries = _qframe(emb, 4)
+
+    calls: list[str] = []
+    real_collect = _CDF.collect
+    real_create = type(spark).createDataFrame
+
+    def spy_collect(self):
+        calls.append("collect")
+        return real_collect(self)
+
+    def spy_create(self, *a, **kw):
+        calls.append("createDataFrame")
+        return real_create(self, *a, **kw)
+
+    monkeypatch.setattr(_CDF, "collect", spy_collect)
+    monkeypatch.setattr(type(spark), "createDataFrame", spy_create)
+    out = index.search_batch(
+        queries, k=40, nprobe=1, filter_ids=allowed, auto_widen=True
+    )
+    monkeypatch.undo()
+    assert calls == [], calls
+    # and the relational result is real (k above the match count:
+    # every allowed vector surfaces for every query at full probe)
+    n_allowed = allowed.count()
+    assert out.count() == 4 * n_allowed
+
+
+def test_search_batch_auto_widen_excludes_zero_norm_queries(
+    spark, sf_dir, tmp_path
+):
+    """A zero-norm query has undefined cosine and can never reach k
+    survivors: it must yield NO rows and must NOT drive the widen loop
+    — live queries in the same batch still serve normally."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    live = _qframe(emb, 2)
+    dead = live.sparkSession.createDataFrame(
+        [(999, [0.0] * 64)], schema=live.schema
+    )
+    out = index.search_batch(
+        live.unionByName(dead), k=5, nprobe=2, auto_widen=True
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    assert all(len([r for r in out if r["query_id"] == q]) == 5
+               for q in (0, 1))

@@ -698,3 +698,94 @@ def test_ivfpq_batched_auto_widen_degrades_to_exact(spark, sf_dir, tmp_path):
         got = sorted(by_q[r["query_id"]], key=lambda t: (-t[1], t[0]))
         assert got == want
         assert len(got) == n_allowed
+
+
+def test_ivfpq_zero_norm_query_consistent_no_rows(spark, sf_dir, tmp_path):
+    """Zero-norm queries have undefined cosine: the single-query path
+    emits NO rows (never k zero-ADC rows), matching the batched paths'
+    live-mask skip — and under batched auto_widen the dead query is
+    excluded from the starved set, so it cannot force the full
+    widen-to-exhaustion sequence while the live queries serve."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=4)
+    loaded = ivfpq_index_load(spark, idx)
+    zq = [0.0] * 64
+    assert loaded.search(zq, k=5).count() == 0
+    assert loaded.search(zq, k=5, rerank_corpus=emb).count() == 0
+    live = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dead = spark.createDataFrame([(999, zq)], schema=live.schema)
+    out = loaded.search_batch(
+        live.unionByName(dead),
+        k=5,
+        nprobe=1,
+        candidates=5,
+        rerank_corpus=emb,
+        auto_widen=True,
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    assert all(len([r for r in out if r["query_id"] == q]) == 5
+               for q in (0, 1))
+
+
+def test_ivfpq_search_batch_pages_over_cap_batches(spark, sf_dir, tmp_path):
+    """Over-cap composed-store batches page themselves in bounded
+    chunks (one job per chunk, union of results) — identical to the
+    under-cap serve of the same batch at full probe + full margin."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=4)
+    loaded = ivfpq_index_load(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    paged = rows(
+        loaded.search_batch(
+            queries, k=3, nprobe=4, candidates=FULL,
+            rerank_corpus=emb, max_queries=4,
+        )
+    )
+    whole = rows(
+        loaded.search_batch(
+            queries, k=3, nprobe=4, candidates=FULL, rerank_corpus=emb,
+        )
+    )
+    assert paged == whole and len(paged) == 27
+
+
+def test_ivfpq_build_validates_before_invalidating(spark, sf_dir, tmp_path):
+    """A build that cannot fit the coarse quantizer (corpus smaller
+    than n_lists) must refuse BEFORE touching a previously valid
+    serving index under the same dir — the pq_index_build
+    validate-before-invalidate contract."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=4)
+    want = {
+        r["vec_id"]
+        for r in ivfpq_index_load(spark, idx)
+        .search(QV, k=5, nprobe=4, candidates=FULL, rerank_corpus=emb)
+        .collect()
+    }
+    tiny = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="fewer than"):
+        ivfpq_index_build(
+            tiny, idx, n_lists=4, m=8, n_centroids=16, corpus_tag="t2"
+        )
+    # the old index still loads and serves identically
+    got = {
+        r["vec_id"]
+        for r in ivfpq_index_load(spark, idx)
+        .search(QV, k=5, nprobe=4, candidates=FULL, rerank_corpus=emb)
+        .collect()
+    }
+    assert got == want

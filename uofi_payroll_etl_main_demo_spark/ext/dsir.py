@@ -109,22 +109,32 @@ def dsir_weights(
         .cast("long")
         .alias("wb"),
     )
-    return (
-        tok.join(F.broadcast(per_bucket), "__b")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("wb").alias("dsir_bits_sum"),
+    try:
+        # materialize the per-doc panel (lineage-truncated, executor
+        # storage — the _staged_delete cleanup pattern) so the cached
+        # token explode can be RELEASED before returning: the panel is
+        # one row per document, the token frame one row per token —
+        # leaving the latter cached for the session lifetime is the
+        # leak, not the panel
+        return (
+            tok.join(F.broadcast(per_bucket), "__b")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("wb").alias("dsir_bits_sum"),
+            )
+            .select(
+                id_col,
+                "n_tokens",
+                "dsir_bits_sum",
+                F.round(
+                    F.col("dsir_bits_sum") * 1000.0 / F.col("n_tokens"), 6
+                ).alias("dsir_milli_bits"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            id_col,
-            "n_tokens",
-            "dsir_bits_sum",
-            F.round(
-                F.col("dsir_bits_sum") * 1000.0 / F.col("n_tokens"), 6
-            ).alias("dsir_milli_bits"),
-        )
-    )
+    finally:
+        tok.unpersist()
 
 
 def dsir_select(
