@@ -103,7 +103,6 @@ HEADLINE = [
     # IS the workload the oracle's exact top-k answers. The audits
     # stay in the registry as correctness rows.
     "ext_ivf_index_query",
-    "ext_ivf_index_query_probe",
     "ext_pq_index_query",
     "ext_pathological_text_stats",
     # round 5: corpus rewrite + vocabulary panel + rewrite composite
@@ -202,7 +201,6 @@ HEADLINE = [
 # (BASELINE.md round-8 "headline-ratio split").
 CLOSED_FORM_ORACLE = [
     "ext_ivf_index_query",
-    "ext_ivf_index_query_probe",
     "ext_pq_index_query",
     "ext_ivf_filtered_query",
     "ext_pq_filtered_query",
@@ -229,7 +227,16 @@ CLOSED_FORM_ORACLE = [
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # The console progress bar interleaves "[Stage N:>..]" carriage-
+    # return frames with stdout; a capture that merges stderr (2>&1)
+    # then shreds the JSON line (BENCH_r08/r09 recorded parsed: null).
+    # Kill the noise at the source AND write the record to a file —
+    # the JSON line on stdout is a convenience copy, the file is the
+    # record.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = R.queries()
     # Warm the JVM + parquet footer caches so query timings measure the
@@ -260,18 +267,25 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "closed_form_oracle": CLOSED_FORM_ORACLE,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "closed_form_oracle": CLOSED_FORM_ORACLE,
+            "sf": sf_val,
+        }
     )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LATEST.json"),
+    )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

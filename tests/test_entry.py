@@ -55,21 +55,18 @@ def test_contract_shape():
     # documented hash-family/approximate ops
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "ext_ivf_topk",  # data-adaptive k-means index
-        "ext_ivf_pq_topk",  # data-adaptive (k-means + Lloyd codebooks)
-        "ext_pq_topk",  # data-adaptive Lloyd codebooks
-        # data-adaptive nprobe pruning over the persisted index; its
-        # full-probe twin ext_ivf_index_query is the value oracle
-        "ext_ivf_index_query_probe",
         # lossy codec: quantization noise has no closed form; the codec
         # is value-pinned against hand-built spec streams in test_jpeg
         "ext_image_dhash_jpeg_pairs",
+        # ext_ivf_topk / ext_pq_topk / ext_ivf_pq_topk are NOT here
+        # since round 10: folded into their full-probe/full-margin
+        # exactness forms (value oracle = exact SQL top-k); the
+        # bounded probe/margin trades stay pinned in tests and probe
+        # scripts. ext_ivf_index_query_probe was delisted (partial-
+        # probe results are data-adaptive — un-oracle-able by nature).
         # ext_bpe_merges / ext_bpe_encode are NOT here since round 8:
         # bracket-encoded symbols + a recursive-CTE trainer made the
         # greedy merge SQL-expressible after all
-        # ext_minhash_pairs_prod is NOT here since round 4: the exact
-        # n-gram Jaccard SQL is its value oracle (full-recall pin in
-        # test_text_ext.py covers every fixture sf the driver can run)
     }
 
 

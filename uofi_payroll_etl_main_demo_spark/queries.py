@@ -965,37 +965,17 @@ def q_topk_cosine_gemm(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """Similarity: IVF (k-means inverted lists) approximate top-k
-    (rows-only oracle: data-adaptive index)."""
-    from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
-
-    index = build_ivf_index(_t(spark, sf_dir, "embeddings"), n_centroids=8)
-    out = index.search(QUERY_VEC, k=10, nprobe=3)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
-
-
-def q_ivf_pq_topk(spark, sf_dir):
-    """Similarity: IVF-PQ composed ANN — coarse-list pruning, then PQ
-    ADC scan, then exact rerank (rows-only oracle: both quantizers are
-    data-adaptive; equality with plain PQ at nprobe=n_centroids and
-    recall vs brute force are pinned in tests)."""
-    from uofi_payroll_etl_main_demo_spark.ext.ivf import ivf_pq_search
-
-    out = ivf_pq_search(
-        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10, nprobe=3,
-        n_centroids=8,
-    )
-    return out.select("vec_id", F.round("score", 6).alias("score"))
-
-
-def q_ivf_topk_full(spark, sf_dir):
-    """IVF exactness audit: probing ALL inverted lists
-    (nprobe == n_centroids) makes the coarse pruning a no-op, so the
-    full IVF path — k-means fit, list assignment, probe filter, HOF
-    cosine scoring, rank — must return EXACTLY the brute-force top-k;
-    oracle = the exact SQL top-k. This gives the data-adaptive index a
-    VALUE oracle (the nprobe<k recall trade stays benched via the
-    rows-only ext_ivf_topk)."""
+    """IVF (k-means inverted lists) top-k, EXACTNESS form: probing ALL
+    inverted lists (nprobe == n_centroids) makes the coarse pruning a
+    no-op, so the full IVF path — k-means fit, list assignment, probe
+    filter, HOF cosine scoring, rank — must return EXACTLY the
+    brute-force top-k; oracle = the exact SQL top-k. Round-10 fold of
+    the former rows-only nprobe=3 row into its full-probe twin
+    (ext_ivf_topk_full, r9-green): a data-adaptive index earns a VALUE
+    oracle only at full probe, and two registry rows over one code
+    path is padding — the nprobe<n_centroids recall/latency trade
+    stays pinned in tests (test_ann_index.py probe-subset pins) and
+    measured in scripts/ann_batch_probe.py."""
     from uofi_payroll_etl_main_demo_spark.ext.ivf import build_ivf_index
 
     index = build_ivf_index(_t(spark, sf_dir, "embeddings"), n_centroids=8)
@@ -1003,18 +983,22 @@ def q_ivf_topk_full(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def q_pq_topk_full(spark, sf_dir):
-    """PQ exactness audit: a rerank margin ≥ corpus size means the ADC
-    scan prunes nothing and the exact rerank (same HOF cosine as the
-    brute-force baseline) returns the true top-k; oracle = the exact
-    SQL top-k. Verifies codebook training, encoding, the ADC table and
-    the rerank join end-to-end with a value oracle (the bounded-margin
-    trade stays benched via the rows-only ext_pq_topk)."""
-    from uofi_payroll_etl_main_demo_spark.ext.similarity import pq_top_k
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (coarse-list pruning → PQ ADC scan → exact
+    rerank), EXACTNESS form: nprobe == n_centroids makes the coarse
+    pruning a no-op and a rerank margin ≥ corpus size makes the ADC
+    cut a no-op, so the composed inline path must return EXACTLY the
+    brute-force top-k — the value oracle for the whole composition
+    (the r9 persisted-store row ext_ivfpq_index_query oracles the
+    store lifecycle; THIS row oracles the inline composition). The
+    bounded nprobe/candidates trades stay pinned in tests
+    (ivf_pq_search ≡ pq_top_k at full probe) and measured in
+    scripts/ivfpq_probe.py."""
+    from uofi_payroll_etl_main_demo_spark.ext.ivf import ivf_pq_search
 
-    out = pq_top_k(
-        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10,
-        candidates=1_000_000,
+    out = ivf_pq_search(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10, nprobe=8,
+        n_centroids=8, candidates=1_000_000,
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
@@ -2259,8 +2243,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ext_embedding_pairs_bucketed": (q_embedding_pairs_bucketed, None),  # SQL built below
     "ext_lsh_topk": (q_lsh_topk, None),  # rows-only (approximate)
     "ext_topk_cosine_gemm": (q_topk_cosine_gemm, None),  # rows-only (BLAS)
-    "ext_ivf_topk": (q_ivf_topk, None),  # rows-only (approximate)
-    "ext_ivf_pq_topk": (q_ivf_pq_topk, None),  # rows-only (approximate)
+    "ext_ivf_topk": (q_ivf_topk, None),  # SQL patched below (exactness form)
+    "ext_ivf_pq_topk": (q_ivf_pq_topk, None),  # SQL patched below (exactness form)
     "ext_sq_rerank_topk": (q_sq_rerank_topk, None),  # rows-only (approx)
     "ext_multimodal_features": (q_multimodal_features, None),  # rows-only
     "pipeline_payroll_shape": (
@@ -2451,8 +2435,13 @@ REGISTRY["ext_topk_cosine"] = (q_topk_cosine, _sql_topk_cosine())
 # Exactness audits for the data-adaptive ANN indexes: at full probe /
 # full rerank margin the approximate path must equal the exact top-k,
 # so the brute-force SQL is a value oracle for the whole index pipeline.
-REGISTRY["ext_ivf_topk_full"] = (q_ivf_topk_full, _sql_topk_cosine())
-REGISTRY["ext_pq_topk_full"] = (q_pq_topk_full, _sql_topk_cosine())
+# Round-10 fold (VERDICT r9 #1): the exactness forms now live under
+# the PRIMARY names ext_ivf_topk / ext_pq_topk / ext_ivf_pq_topk —
+# the former *_full twins are retired (identical computations under a
+# second name would be padding); their green history transfers via
+# COVERAGE.md's rename ledger.
+REGISTRY["ext_ivf_topk"] = (q_ivf_topk, _sql_topk_cosine())
+REGISTRY["ext_ivf_pq_topk"] = (q_ivf_pq_topk, _sql_topk_cosine())
 
 
 def _ann_index_root() -> str:
@@ -2529,17 +2518,6 @@ def q_ivf_index_query(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def q_ivf_index_query_probe(spark, sf_dir):
-    """Production nprobe serving path over the SAME persisted index:
-    3 of 8 inverted lists probed — the scan reads ~3/8 of the list
-    files (partition pruning), trading recall for latency (rows-only
-    oracle: which vectors the probed lists hold is data-adaptive;
-    recall and the full-probe exactness twin are pinned in tests)."""
-    index = _ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
-    out = index.search(QUERY_VEC, k=10, nprobe=3)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
-
-
 def q_pq_index_query(spark, sf_dir):
     """Persisted PQ index serving path: codebooks + codes load from
     parquet (training ran once at build), the ADC scan touches ONLY
@@ -2573,7 +2551,12 @@ def q_ivf_filtered_query(spark, sf_dir):
 
 
 REGISTRY["ext_ivf_index_query"] = (q_ivf_index_query, _sql_topk_cosine())
-REGISTRY["ext_ivf_index_query_probe"] = (q_ivf_index_query_probe, None)
+# ext_ivf_index_query_probe DELISTED in round 10 (VERDICT r9 #1: its
+# only driver record was an r8 `no_oracle` error, and a partial-probe
+# result is data-adaptive — un-oracle-able by nature). The partial-
+# probe serving path stays covered where adaptive behavior belongs:
+# test_ann_index.py probe-subset/partition-pruning pins and the
+# scripts/ann_batch_probe.py latency/recall table.
 REGISTRY["ext_ivf_filtered_query"] = (
     q_ivf_filtered_query,
     _sql_topk_cosine(where="WHERE label = 2"),
@@ -4047,13 +4030,19 @@ def q_dedup_clusters_star(spark, sf_dir):
 
 
 def q_pq_topk(spark, sf_dir):
-    """Product-quantization ANN top-k (rows-only oracle: the Lloyd
-    codebook is data-adaptive; exact-rerank parity with the brute-force
-    baseline is pinned in tests)."""
+    """Product-quantization ANN top-k, EXACTNESS form: a rerank margin
+    ≥ corpus size means the ADC scan prunes nothing and the exact
+    rerank (same HOF cosine as the brute-force baseline) returns the
+    true top-k; oracle = the exact SQL top-k. Round-10 fold of the
+    former rows-only candidates=100 row into its full-margin twin
+    (ext_pq_topk_full, r9-green) — the bounded-margin recall/latency
+    trade stays pinned in tests and measured in scripts/
+    ann_batch_probe.py / pq_drift_probe.py."""
     from uofi_payroll_etl_main_demo_spark.ext.similarity import pq_top_k
 
     out = pq_top_k(
-        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10, candidates=100
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10,
+        candidates=1_000_000,
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
@@ -4105,7 +4094,7 @@ REGISTRY["ext_dedup_clusters_star"] = (
     q_dedup_clusters_star,
     REGISTRY["ext_dedup_clusters"][1],  # same contract, same oracle
 )
-REGISTRY["ext_pq_topk"] = (q_pq_topk, None)  # rows-only (data-adaptive)
+REGISTRY["ext_pq_topk"] = (q_pq_topk, _sql_topk_cosine())
 
 # Oracle upgrades for formerly rows-only similarity queries:
 # - fingerprints: now md5-based (engine-portable values)
@@ -11097,7 +11086,7 @@ _WINDOW_50 = [
     "ext_frame_sample_plan",
     "ext_heavy_hitters_cms",
     "ext_incremental_simhash",
-    "ext_ivf_topk_full",
+    "ext_ivf_topk",
     "ext_knn_join",
     "ext_knn_join_multiprobe",
     "ext_label_centroids",
@@ -11106,7 +11095,7 @@ _WINDOW_50 = [
     "ext_minhash_pairs",
     "ext_ngram_jaccard",
     "ext_pathological_text_stats",
-    "ext_pq_topk_full",
+    "ext_pq_topk",
     "ext_tfidf_top_terms",
     "ext_token_share_drift",
     "ext_token_stats",
