@@ -191,6 +191,11 @@ HEADLINE = [
     # integer milli-weights) — computation-equivalent: the twin runs
     # both legs' pair crosses too
     "ext_retrieval_rank_eval",
+    # round 10: late-interaction (multi-vector MaxSim) retrieval served
+    # from the IVF-PQ passage store — the batched serve at realistic
+    # token fan-out + per-doc max-sim pooling (computation-equivalent:
+    # the twin crosses every (query-vector, passage) pair too)
+    "ext_late_interaction_topk",
 ]
 
 # Headline rows whose DuckDB oracle does NOT perform equivalent work

@@ -2866,6 +2866,133 @@ REGISTRY["ext_ivfpq_autowiden_query"] = (
 )
 
 
+def _ensure_sf_passage_ivfpq_index(spark, sf_dir):
+    """Persisted IVF-PQ store over the PASSAGE vectors of the
+    documents corpus (docs 0–2 are the standing multi-vector queries
+    and stay out of the store) — one ensure per sf_dir for the
+    late-interaction row, keyed on the documents fingerprint. Vector
+    id packs (doc, chunk) as ``doc_id·4096 + chunk_idx``; dim 16 →
+    m=8 two-float subvectors."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+    )
+    from uofi_payroll_etl_main_demo_spark.ext.late_interaction import (
+        chunk_bow_vectors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pv = chunk_bow_vectors(docs).filter(F.col("doc_id") >= 3)
+    corpus = pv.select(
+        (F.col("doc_id") * 4096 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("vec_id"),
+        F.col("v"),
+    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    idx_dir = os.path.join(
+        _ann_index_root(),
+        f"ivfpq_passages8_8x16_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    index = ensure_ivfpq_index(
+        corpus,
+        idx_dir,
+        corpus_tag=corpus_fingerprint(docs_path),
+        n_lists=8,
+        m=8,
+        n_centroids=16,
+        vec_col="v",
+    )
+    return index, corpus
+
+
+def q_late_interaction_topk(spark, sf_dir):
+    """LATE-INTERACTION retrieval (multi-vector MaxSim — the ColBERT
+    serving shape, ext/late_interaction.py): queries are BAGS of
+    passage vectors (docs 0–2's tumbling-chunk hashed-BOW embeddings),
+    the corpus is the persisted IVF-PQ store over every other doc's
+    passage vectors, and MaxSim(q, d) = Σ per query vector of its best
+    cosine within d — served as ONE batched store query answering the
+    whole (queries × query-vectors) fan-out, then max-pooled per doc
+    and summed as exact integer milli-cosines. Full probe + full
+    margin + full per-vector k make the serve return every
+    (query-vector, passage) pair with exact reranked cosines, so the
+    whole composed lifecycle (chunk → embed → store → batched serve →
+    pool) carries a VALUE oracle; the bounded-probe approximation and
+    the brute-force-pooling comparison live in
+    scripts/late_interaction_probe.py and tests."""
+    from uofi_payroll_etl_main_demo_spark.ext.late_interaction import (
+        chunk_bow_vectors,
+        maxsim_topk_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qv = (
+        chunk_bow_vectors(docs)
+        .filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("chunk_idx").alias("qvec_idx"),
+            F.col("v").alias("qv"),
+        )
+    )
+    index, corpus = _ensure_sf_passage_ivfpq_index(spark, sf_dir)
+    out = maxsim_topk_index(
+        index,
+        qv,
+        k=5,
+        rerank_corpus=corpus,
+        qtok_mod=4096,
+    )
+    return out.select("query_id", "doc_id", "maxsim_milli")
+
+
+def _sql_late_interaction(
+    dim: int = 16, size: int = 32, k: int = 5, n_queries: int = 3
+) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+             ELSE {_TOKS} END AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor((greatest(len(toks) - {size}, 0) + {size - 1})
+               / {size}.0) AS INT) + 1
+        ELSE 0 END AS nc FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         toks[i * {size} + 1 : i * {size} + {size}] AS ctoks
+       FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+bk AS (SELECT doc_id, chunk_idx, list_transform(ctoks,
+         tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim}) AS b
+       FROM ch WHERE len(ctoks) > 0),
+cnt AS (SELECT doc_id, chunk_idx, list_transform(range(0, {dim}),
+          j -> CAST(len(list_filter(b, x -> x = j)) AS DOUBLE)) AS cv
+        FROM bk),
+emb AS (SELECT doc_id, chunk_idx, list_transform(cv, x -> x / sqrt(
+          list_aggregate(list_transform(cv, y -> y * y), 'sum'))) AS v
+        FROM cnt),
+q AS (SELECT doc_id AS query_id, chunk_idx AS qvec_idx, v AS qv
+      FROM emb WHERE doc_id < {n_queries}),
+d AS (SELECT doc_id, v FROM emb WHERE doc_id >= {n_queries}),
+mx AS (SELECT q.query_id, q.qvec_idx, d.doc_id,
+         CAST(floor(max(list_cosine_similarity(d.v, q.qv)) * 1e6)
+              AS BIGINT) AS milli
+       FROM q, d GROUP BY q.query_id, q.qvec_idx, d.doc_id),
+sm AS (SELECT query_id, doc_id,
+         CAST(sum(milli) AS BIGINT) AS maxsim_milli
+       FROM mx GROUP BY query_id, doc_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY maxsim_milli DESC, doc_id) AS rn FROM sm)
+SELECT query_id, doc_id, maxsim_milli FROM rk WHERE rn <= {k}
+"""
+
+
+REGISTRY["ext_late_interaction_topk"] = (
+    q_late_interaction_topk,
+    _sql_late_interaction(),
+)
+
+
 def q_semantic_dedup_incremental(spark, sf_dir):
     """Incremental SEMANTIC dedup served from the persisted ANN store
     (ext/ann_index.py semantic_dedup_index): the 'new batch'
@@ -11053,90 +11180,83 @@ HAVING count(DISTINCT doc_id) >= 2
 # entries each round; _WINDOW_50 reorders the registry so the stalest
 # cohort plus this round's new/changed rows come first (max-staleness
 # policy, VERDICT r7+). History: r4 covered the never-checked
-# remainder; r8 cleared the <=r3 cohort; r9 clears the r4 cohort.
+# remainder; r8 cleared the <=r3 cohort; r9 cleared the r4 cohort;
+# r10 clears the r5 cohort AND the never-checked tail.
 _WINDOW_50 = [
-    # Round-9 rotation (max staleness policy): the ENTIRE r4-latest
-    # cohort — all 42 queries whose latest driver row is r4 (the
-    # a10/a11/arr_*/ext relational-and-text block below) — so the
-    # stalest live cohort advances to r5 (VERDICT r8 #6; the 44
-    # r5-latest rows are next round's cohort). The other 8 slots are
-    # this round's SIX brand-new oracles (batched ANN serving ×2, PQ
-    # post-retrain, hybrid RRF retrieval, index-backed hard negatives,
-    # ANN recall panel — new oracles carry the most divergence risk,
-    # so every one gets a driver row in its landing round) plus 2
-    # representatives of the changed-plan rows: ext_chunk_dedup_rewrite
-    # for the tumbling-chunk fast path (one chunking law; the other
-    # three rows sharing it — chunk_dedup_stats, passage_topk,
-    # pipeline_rewrite_curation — are value-identical by the pinned
-    # windowed≡tumbling equivalence and stay covered by
-    # scripts/check_oracle.py + pytest; ext_data_constraints' fk fold
-    # is likewise plan-only, plan-pinned, and sweep-covered — its slot
-    # went to the seventh new oracle, ext_random_projection).
-    # -- r4-latest cohort (all 42) --
-    "a11_stat_aggs",
-    "a18_windowed_distinct_users",
-    "arr_explode_norms",
-    "ext_bm25_search",
-    "ext_boilerplate_passages",
-    "ext_boilerplate_stats",
-    "ext_cross_source_dup_matrix",
-    "ext_embedding_norm_stats",
-    "ext_embedding_outliers",
-    "ext_fingerprints",
-    "ext_frame_sample_plan",
-    "ext_heavy_hitters_cms",
-    "ext_incremental_simhash",
+    # Round-10 rotation (VERDICT r9 #1, verbatim): the ENTIRE
+    # r5-latest cohort (all 44 rows whose latest green driver row is
+    # r5) plus the 5 never-driver-checked rows — ext_projected_rerank
+    # (twin existed, never windowed), the three ANN top-k rows (folded
+    # this round into full-probe/full-margin EXACTNESS forms with the
+    # exact-SQL-top-k value oracle) and the one genuinely lossy
+    # rows-only row (JPEG dHash pairs — the driver records its
+    # rows-only evidence) — plus this round's ONE new oracle
+    # (late-interaction MaxSim, landing-round rule). 44+5+1 = 50.
+    # ext_ivf_index_query_probe was DELISTED (its only driver record
+    # was an r8 no_oracle error; partial-probe results are
+    # data-adaptive — un-oracle-able). The 6 r4-latest rows
+    # (sql_frontend_pricing, gen_date_series, a10_cube, a13_histogram,
+    # arr_collect_sorted, ext_weekly_trend — displaced by r9's
+    # second-wave landings) did not fit: they are single-operator
+    # relational rows with the lowest divergence risk, stay covered by
+    # the scripts/check_oracle.py HEAD sweep recorded in BASELINE.md,
+    # and lead the r11 cohort. Rows whose IMPLEMENTATION changed this
+    # round (auto-widen rewrite, chunk paging: ext_ivf_autowiden_query,
+    # ext_ivfpq_autowiden_query, ext_*_batch_query) keep their r9
+    # driver rows and were re-proven by the same HEAD sweep.
+    # -- r5-latest cohort (all 44) --
+    "p1_projection",
+    "p2_output_contract",
+    "p6_p7_filter_eq_between",
+    "p8_format_violations",
+    "p9_tristate_missing",
+    "p10_first_pick",
+    "o_topk_orders",
+    "j1_broadcast_left_join",
+    "j6_synthetic_key_join",
+    "j7_multi_key_join",
+    "jx_semi_join",
+    "jx_anti_join",
+    "j10_mode_lookup_join",
+    "a1_mode_by_group",
+    "a2_a4_minmax_counts",
+    "a8_percentiles",
+    "a6_rollup",
+    "a7_pivot",
+    "w3_running_total",
+    "w4_rank_lag",
+    "a5_count_distinct",
+    "w2_dedup_keep_first",
+    "d1_distinct_rows",
+    "d2_dedup_business_key",
+    "u1_union_by_name",
+    "f6_split_code_name",
+    "f10_timestamp_coerce",
+    "f12_fiscal_year",
+    "a12_unpivot",
+    "w5_topk_per_group",
+    "w8_ntile_deciles",
+    "ext_minhash_pairs_prod",
+    "pipeline_curation",
+    "ext_packing_efficiency",
+    "ext_bloom_decontaminate",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "ext_media_quarantine_report",
+    "ext_length_bucketed_batches",
+    "ext_audio_energy_hash_pairs",
+    "ext_incremental_image_dedup",
+    "ext_quality_calibrated_filter",
+    "ext_text_embed_topk",
+    "ext_vocab_panel",
+    # -- never-driver-checked tail (5) --
+    "ext_projected_rerank_topk",
     "ext_ivf_topk",
-    "ext_knn_join",
-    "ext_knn_join_multiprobe",
-    "ext_label_centroids",
-    "ext_leakage_split3",
-    "ext_minhash_estimate_audit",
-    "ext_minhash_pairs",
-    "ext_ngram_jaccard",
-    "ext_pathological_text_stats",
     "ext_pq_topk",
-    "ext_tfidf_top_terms",
-    "ext_token_share_drift",
-    "ext_token_stats",
-    "ext_top_ngrams",
-    "ext_user_gap_stats",
-    "j13_null_safe_join",
-    "pipeline_payroll_shape",
-    "pricing_summary",
-    "samp_stratified",
-    "stream_rollup",
-    "stream_static_join",
-    "v_profile_table",
-    "w9_session_window_native",
-    # -- new this round (oracled) --
-    "ext_ivf_batch_query",
-    "ext_pq_batch_query",
-    "ext_pq_postretrain_query",
-    "ext_hybrid_rrf",
-    "ext_hard_negatives_ivf",
-    "ext_ann_recall_report",
-    "ext_random_projection",
-    # the round's second wave of new oracles (the composed IVF-PQ
-    # store ×3, DSIR selection ×2, index-served incremental semantic
-    # dedup) displaced six of the cohort's lowest-divergence-risk rows
-    # — sql_frontend_pricing (its twin pricing_summary stays: same
-    # computation, the frontend difference is sweep-covered),
-    # gen_date_series (a pure generator), ext_chunk_dedup_rewrite
-    # (plan-only change, value-identity pinned by the
-    # windowed≡tumbling equivalence), a10_cube, a13_histogram,
-    # arr_collect_sorted and ext_weekly_trend (single-operator
-    # relational aggs) — new oracles carry the most divergence risk,
-    # so every one gets a driver row in its landing round; the
-    # displaced seven rejoin the r10 cohort, which the sweep covers
-    # at HEAD meanwhile
-    "ext_ivfpq_index_query",
-    "ext_ivfpq_batch_query",
-    "ext_ivfpq_autowiden_query",
-    "ext_dsir_weights",
-    "ext_dsir_selection",
-    "ext_semantic_dedup_incremental",
-    "ext_retrieval_rank_eval",
+    "ext_ivf_pq_topk",
+    "ext_image_dhash_jpeg_pairs",
+    # -- new this round (oracled, landing-round rule) --
+    "ext_late_interaction_topk",
 ]
 
 
