@@ -228,6 +228,13 @@ CLOSED_FORM_ORACLE = [
     "ext_ivfpq_batch_query",
     "ext_ivfpq_autowiden_query",
     "ext_semantic_dedup_incremental",
+    # round 10: same definitional case — the MaxSim twin is an
+    # in-process cross of ~20 query vectors × ~11k passage vectors
+    # (0.6 s of pure arithmetic) while Spark serves the persisted
+    # IVF-PQ passage store (ADC scan → per-token top-k → exact rerank
+    # → pooling). The real served-vs-exact comparison lives in
+    # scripts/late_interaction_probe.py's scale table.
+    "ext_late_interaction_topk",
 ]
 
 

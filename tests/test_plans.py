@@ -106,15 +106,17 @@ _NESTED_LOOP_OK: set[str] = set()
 def test_ivf_index_registry_query_reads_only_index(spark, sf_dir):
     """The persisted-index SERVING queries' plans read the index store,
     not the corpus: ext_ivf_index_query scans ONLY the index directory
-    (training never re-runs in the serving plan) and its probe filter
-    lands as a partition filter; the probe variant prunes to a strict
-    subset of the inverted-list partitions."""
+    (training never re-runs in the serving plan) and the probe filter
+    lands as a PARTITION filter on the inverted lists. The partial-
+    probe serving path (nprobe < n_lists — the delisted registry row's
+    shape) keeps the same pruning through the index handle directly."""
     r = inspect_plan(R.q_ivf_index_query(spark, sf_dir))
     assert r.scans, "expected parquet scans"
     for s in r.scans:
         assert "/spark_graft_indexes/" in s["location"] or "ivf8_" in s["location"], s
         assert "embeddings.parquet" not in s["location"], s
-    plan = formatted_plan(R.q_ivf_index_query_probe(spark, sf_dir))
+    index = R._ensure_sf_ivf_index(spark, sf_dir, n_centroids=8)
+    plan = formatted_plan(index.search(R.QUERY_VEC, k=10, nprobe=3))
     assert "PartitionFilters" in plan
     i = plan.index("PartitionFilters")
     assert "centroid" in plan[i : i + 200]
