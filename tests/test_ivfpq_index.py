@@ -789,3 +789,55 @@ def test_ivfpq_build_validates_before_invalidating(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ivfpq_auto_widen_composes_with_chunk_paging(
+    spark, sf_dir, tmp_path
+):
+    """The relational widen loop re-serves starved queries through the
+    same batch entrypoint that pages over-cap frames — compose both:
+    5 queries, max_queries=2 (every widening round must page 3 chunks),
+    an extreme predicate forcing the full two-leg widen. Results must
+    equal the exact filtered brute force per query, identical to the
+    unpaged widen serve."""
+    from uofi_payroll_etl_main_demo_spark.ext.similarity import (
+        brute_force_top_k,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=8)
+    loaded = ivfpq_index_load(spark, idx)
+    allowed = emb.filter(F.col("vec_id") % 101 == 7).select("vec_id")
+    n_allowed = allowed.count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def rows(max_q):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9))
+            for r in loaded.search_batch(
+                queries,
+                k=40,
+                nprobe=1,
+                candidates=5,
+                rerank_corpus=emb,
+                filter_ids=allowed,
+                auto_widen=True,
+                max_queries=max_q,
+            ).collect()
+        )
+
+    paged = rows(2)
+    unpaged = rows(65536)
+    assert paged == unpaged
+    filtered = emb.join(allowed, "vec_id", "left_semi")
+    want = []
+    for r in queries.collect():
+        for x in brute_force_top_k(
+            filtered, [float(v) for v in r["qvec"]], k=40
+        ).collect():
+            want.append((r["query_id"], x["vec_id"], round(x["score"], 9)))
+    assert paged == sorted(want)
+    assert len(paged) == 5 * n_allowed
