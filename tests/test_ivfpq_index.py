@@ -841,3 +841,24 @@ def test_ivfpq_auto_widen_composes_with_chunk_paging(
             want.append((r["query_id"], x["vec_id"], round(x["score"], 9)))
     assert paged == sorted(want)
     assert len(paged) == 5 * n_allowed
+
+
+def test_ivfpq_all_zero_norm_widen_batch_returns_empty(
+    spark, sf_dir, tmp_path
+):
+    """A NON-empty batch whose every query is zero-norm must return an
+    empty frame under auto_widen (not raise the LUT paths' empty-batch
+    refusal, and not spin widening rounds)."""
+    idx = str(tmp_path / "ivfpq")
+    emb = _emb(spark, sf_dir)
+    _build(emb, idx, n_lists=4)
+    loaded = ivfpq_index_load(spark, idx)
+    dead = spark.createDataFrame(
+        [(7, [0.0] * 64), (8, [0.0] * 64)],
+        "query_id long, qvec array<double>",
+    )
+    out = loaded.search_batch(
+        dead, k=3, nprobe=1, candidates=5, rerank_corpus=emb,
+        auto_widen=True,
+    )
+    assert out.count() == 0

@@ -146,3 +146,35 @@ def test_chunk_vectors_are_unit_norm(corpus):
         (F.col("n") < 0.999999) | (F.col("n") > 1.000001)
     )
     assert bad.count() == 0
+
+
+def test_packed_key_validation_and_exact_unpack(spark, corpus, store):
+    """The packed serve key fails LOUDLY on a qvec_idx outside
+    [0, qtok_mod) (silent key-space collision otherwise), and huge
+    query ids round-trip exactly through the broadcast-join unpack —
+    the double-division floor this replaced misattributes keys above
+    2^53."""
+    qv, _dv = corpus
+    index, packed = store
+    # qvec_idx >= qtok_mod refuses
+    with pytest.raises(ValueError, match="qtok_mod"):
+        maxsim_topk_index(
+            index, qv, k=3, rerank_corpus=packed, qtok_mod=1
+        )
+    # a query id near the top of the packed range survives exactly
+    big = (1 << 40) + 3
+    qbig = qv.filter(F.col("query_id") == 0).select(
+        F.lit(big).cast("long").alias("query_id"), "qvec_idx", "qv"
+    )
+    out = maxsim_topk_index(
+        index, qbig, k=3, rerank_corpus=packed, qtok_mod=4096
+    ).collect()
+    assert out and all(r["query_id"] == big for r in out)
+    # overflow guard refuses ids that cannot pack
+    too_big = qbig.select(
+        F.lit((1 << 61)).cast("long").alias("query_id"), "qvec_idx", "qv"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        maxsim_topk_index(
+            index, too_big, k=3, rerank_corpus=packed, qtok_mod=4096
+        )

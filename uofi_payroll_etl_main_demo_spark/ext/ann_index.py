@@ -972,14 +972,16 @@ def _relational_auto_widen(
     caller's starting state, last element exhaustion (full probe /
     uncut budget); ``run_round(remaining, state)`` serves one round.
     """
-    remaining = queries.filter(
-        F.aggregate(
-            F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
-        > 0
-    )
+    from uofi_payroll_etl_main_demo_spark.functions.vectors import l2_norm
+
+    remaining = queries.filter(l2_norm(F.col(query_vec_col)) > 0)
+    if remaining.isEmpty():
+        # no live queries (all zero-norm): one plain round over the
+        # original batch returns the correctly-shaped empty frame
+        # (zero-norm queries emit no rows on every serving path) —
+        # running the widen loop on an empty remaining would hit the
+        # LUT paths' empty-batch refusal with a misleading error
+        return run_round(queries, states[0])
     kept: "list[DataFrame]" = []
     for i, state in enumerate(states):
         out = run_round(remaining, state).localCheckpoint(eager=True)
@@ -1181,7 +1183,12 @@ class IVFDiskIndex:
             cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
                 "score"
             ),
-        )
+        ).filter(F.col("score").isNotNull())
+        # ^ zero-norm vectors (either side) have undefined cosine —
+        # NULL from cosine_similarity — and are dropped, the contract
+        # the GEMM path documents and the IVFPQ zero-norm
+        # short-circuit shares; without the filter a zero-norm query
+        # would emit k NULL-score rows here but none under auto_widen
         w = Window.partitionBy(query_id_col).orderBy(
             F.desc("score"), F.asc(id_col)
         )
@@ -1450,6 +1457,7 @@ class IVFDiskIndex:
                     F.col(id_col),
                     cosine_similarity(F.col(vec_col), q).alias("score"),
                 )
+                .filter(F.col("score").isNotNull())
                 .orderBy(F.desc("score"), F.asc(id_col))
                 .limit(k)
             )

@@ -198,22 +198,53 @@ def maxsim_topk_index(
 
     The composite (query, query-vector) key rides the serve as ONE
     packed long — ``query_id · qtok_mod + qvec_idx`` — because the
-    store's batched serve keys on a single column; ``qvec_idx`` must
-    be < ``qtok_mod``."""
+    store's batched serve keys on a single column. The pack is
+    VALIDATED up front (one tiny agg over the small-by-contract query
+    frame: 0 ≤ qvec_idx < qtok_mod, 0 ≤ query_id ≤ 2⁶²/qtok_mod) so a
+    key-space collision fails loudly instead of silently pooling one
+    query's vectors under another; the UNPACK is a broadcast join back
+    to the query frame — exact for any id, where a floor(double
+    division) would misattribute keys ≥ 2⁵³."""
     id_col = index.meta["id_col"]
     n_lists = len(index.centroids)
     if nprobe is None:
         nprobe = n_lists
     if doc_of_vec is None:
         def doc_of_vec(c):
-            return F.floor(c / 4096).cast("long")
+            # packed (doc, chunk) convention: doc = vec_id >> 12 —
+            # exact long arithmetic (4096 = 2^12), never a double
+            return F.shiftright(c.cast("long"), 12)
 
+    bounds = query_vectors.agg(
+        F.min(qvec_idx_col).alias("imin"),
+        F.max(qvec_idx_col).alias("imax"),
+        F.min(query_id_col).alias("qmin"),
+        F.max(query_id_col).alias("qmax"),
+    ).first()
+    if bounds["imin"] is None:
+        raise ValueError("empty query-vector frame")
+    if bounds["imin"] < 0 or bounds["imax"] >= qtok_mod:
+        raise ValueError(
+            f"qvec_idx range [{bounds['imin']}, {bounds['imax']}] outside "
+            f"[0, qtok_mod={qtok_mod}) — packed keys would collide across "
+            "queries; raise qtok_mod"
+        )
+    if bounds["qmin"] < 0 or int(bounds["qmax"]) > (1 << 62) // qtok_mod:
+        raise ValueError(
+            f"query_id range [{bounds['qmin']}, {bounds['qmax']}] would "
+            f"overflow the packed long at qtok_mod={qtok_mod}"
+        )
+    key = (
+        F.col(query_id_col).cast("long") * qtok_mod
+        + F.col(qvec_idx_col).cast("long")
+    )
     qtok = query_vectors.select(
-        (
-            F.col(query_id_col).cast("long") * qtok_mod
-            + F.col(qvec_idx_col).cast("long")
-        ).alias("__qtok"),
-        F.col(query_vec_col).alias("__qv"),
+        key.alias("__qtok"), F.col(query_vec_col).alias("__qv")
+    )
+    keymap = query_vectors.select(
+        key.alias("__qtok"),
+        F.col(query_id_col),
+        F.col(qvec_idx_col).alias("__qi"),
     )
     served = index.search_batch(
         qtok,
@@ -224,9 +255,9 @@ def maxsim_topk_index(
         query_id_col="__qtok",
         query_vec_col="__qv",
     )
-    scored = served.select(
-        F.floor(F.col("__qtok") / qtok_mod).cast("long").alias(query_id_col),
-        (F.col("__qtok") % qtok_mod).alias("__qi"),
+    scored = served.join(F.broadcast(keymap), "__qtok").select(
+        F.col(query_id_col),
+        F.col("__qi"),
         doc_of_vec(F.col(id_col)).alias("doc_id"),
         F.col("score").alias("__cos"),
     )
