@@ -1316,3 +1316,37 @@ def test_search_batch_auto_widen_excludes_zero_norm_queries(
     assert {r["query_id"] for r in out} == {0, 1}
     assert all(len([r for r in out if r["query_id"] == q]) == 5
                for q in (0, 1))
+
+
+def test_ivf_single_query_zero_norm_short_circuits(spark, sf_dir, tmp_path):
+    """A zero-norm single query emits NO rows immediately — with and
+    without auto_widen (without the short-circuit, the NULL-score
+    filter would drive the widen loop through every probe width down
+    to a full-index scan before returning the same empty frame)."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=8, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    zq = [0.0] * 64
+    assert index.search(zq, k=5).count() == 0
+    assert index.search(zq, k=5, auto_widen=True).count() == 0
+
+
+def test_widen_batch_of_null_vectors_refuses_loudly(spark, sf_dir, tmp_path):
+    """A widen batch whose every vector is NULL cannot be served (a
+    NULL vector would reach the driver-side matrix build as None) —
+    it refuses with a clear message instead of a numpy TypeError;
+    an all-zero-norm batch still returns the shaped empty frame."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t")
+    index = ivf_index_load(spark, idx)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "query_id long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        index.search_batch(nulls, k=3, auto_widen=True)
+    zeros = spark.createDataFrame(
+        [(1, [0.0] * 64)], "query_id long, qvec array<double>"
+    )
+    assert index.search_batch(zeros, k=3, auto_widen=True).count() == 0

@@ -161,8 +161,11 @@ def test_packed_key_validation_and_exact_unpack(spark, corpus, store):
         maxsim_topk_index(
             index, qv, k=3, rerank_corpus=packed, qtok_mod=1
         )
-    # a query id near the top of the packed range survives exactly
-    big = (1 << 40) + 3
+    # a query id whose PACKED key exceeds 2^53 survives exactly —
+    # (2^45+3)·4096 ≈ 2^57 is beyond double precision, so the old
+    # floor(double-division) unpack would misattribute it
+    big = (1 << 45) + 3
+    assert big * 4096 > (1 << 53)
     qbig = qv.filter(F.col("query_id") == 0).select(
         F.lit(big).cast("long").alias("query_id"), "qvec_idx", "qv"
     )
@@ -177,4 +180,15 @@ def test_packed_key_validation_and_exact_unpack(spark, corpus, store):
     with pytest.raises(ValueError, match="overflow"):
         maxsim_topk_index(
             index, too_big, k=3, rerank_corpus=packed, qtok_mod=4096
+        )
+    # NULL ids/indices would pack to a NULL key and silently drop
+    # their contribution — they refuse loudly instead
+    withnull = qbig.unionByName(
+        qbig.limit(1).select(
+            F.lit(None).cast("long").alias("query_id"), "qvec_idx", "qv"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        maxsim_topk_index(
+            index, withnull, k=3, rerank_corpus=packed, qtok_mod=4096
         )

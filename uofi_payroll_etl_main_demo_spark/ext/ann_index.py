@@ -977,11 +977,18 @@ def _relational_auto_widen(
     remaining = queries.filter(l2_norm(F.col(query_vec_col)) > 0)
     if remaining.isEmpty():
         # no live queries (all zero-norm): one plain round over the
-        # original batch returns the correctly-shaped empty frame
-        # (zero-norm queries emit no rows on every serving path) —
-        # running the widen loop on an empty remaining would hit the
-        # LUT paths' empty-batch refusal with a misleading error
-        return run_round(queries, states[0])
+        # NON-NULL-vector rows returns the correctly-shaped empty
+        # frame (zero-norm queries emit no rows on every serving
+        # path) — running the widen loop on an empty remaining would
+        # hit the LUT paths' empty-batch refusal with a misleading
+        # error, and letting NULL vectors reach their driver-side
+        # matrix build would raise an opaque numpy TypeError
+        fallback = queries.filter(F.col(query_vec_col).isNotNull())
+        if fallback.isEmpty():
+            raise ValueError(
+                "no live queries: every query vector is NULL"
+            )
+        return run_round(fallback, states[0])
     kept: "list[DataFrame]" = []
     for i, state in enumerate(states):
         out = run_round(remaining, state).localCheckpoint(eager=True)
@@ -1440,6 +1447,20 @@ class IVFDiskIndex:
         take, and nprobe = #lists degrades gracefully to the exact
         filtered brute force."""
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        if not any(float(x) for x in query_vec):
+            # zero-norm query: cosine undefined — emit NO rows (the
+            # IVFPQ short-circuit's contract); without this the
+            # NULL-score filter below would drive an auto_widen loop
+            # through every probe width down to a full-index scan
+            # before returning the same empty frame
+            return (
+                self.spark.read.parquet(f"{self.index_dir}/assigned")
+                .select(
+                    F.col(id_col),
+                    F.lit(None).cast("double").alias("score"),
+                )
+                .filter(F.lit(False))
+            )
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)

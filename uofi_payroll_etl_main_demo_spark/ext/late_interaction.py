@@ -199,12 +199,14 @@ def maxsim_topk_index(
     The composite (query, query-vector) key rides the serve as ONE
     packed long — ``query_id · qtok_mod + qvec_idx`` — because the
     store's batched serve keys on a single column. The pack is
-    VALIDATED up front (one tiny agg over the small-by-contract query
-    frame: 0 ≤ qvec_idx < qtok_mod, 0 ≤ query_id ≤ 2⁶²/qtok_mod) so a
-    key-space collision fails loudly instead of silently pooling one
-    query's vectors under another; the UNPACK is a broadcast join back
-    to the query frame — exact for any id, where a floor(double
-    division) would misattribute keys ≥ 2⁵³."""
+    VALIDATED up front (one tiny agg: no NULL ids/indices/vectors,
+    0 ≤ qvec_idx < qtok_mod, 0 ≤ query_id ≤ 2⁶²/qtok_mod) so a
+    key-space collision or a silent NULL-key row fails loudly instead
+    of pooling one query's vectors under another; the UNPACK is exact
+    integer arithmetic (``div`` / ``%`` on the packed long — a
+    floor(double division) would misattribute keys ≥ 2⁵³), so no
+    second evaluation of the query frame and no broadcast of it —
+    the serve itself already pages unbounded query frames."""
     id_col = index.meta["id_col"]
     n_lists = len(index.centroids)
     if nprobe is None:
@@ -216,13 +218,27 @@ def maxsim_topk_index(
             return F.shiftright(c.cast("long"), 12)
 
     bounds = query_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col(query_id_col).isNull()
+                | F.col(qvec_idx_col).isNull()
+                | F.col(query_vec_col).isNull()
+            ).cast("int")
+        ).alias("n_null"),
         F.min(qvec_idx_col).alias("imin"),
         F.max(qvec_idx_col).alias("imax"),
         F.min(query_id_col).alias("qmin"),
         F.max(query_id_col).alias("qmax"),
     ).first()
-    if bounds["imin"] is None:
+    if bounds["n"] == 0:
         raise ValueError("empty query-vector frame")
+    if bounds["n_null"]:
+        raise ValueError(
+            f"{bounds['n_null']} query-vector rows carry a NULL id, "
+            "index, or vector — they would pack to a NULL key and "
+            "silently drop their MaxSim contribution"
+        )
     if bounds["imin"] < 0 or bounds["imax"] >= qtok_mod:
         raise ValueError(
             f"qvec_idx range [{bounds['imin']}, {bounds['imax']}] outside "
@@ -234,17 +250,12 @@ def maxsim_topk_index(
             f"query_id range [{bounds['qmin']}, {bounds['qmax']}] would "
             f"overflow the packed long at qtok_mod={qtok_mod}"
         )
-    key = (
-        F.col(query_id_col).cast("long") * qtok_mod
-        + F.col(qvec_idx_col).cast("long")
-    )
     qtok = query_vectors.select(
-        key.alias("__qtok"), F.col(query_vec_col).alias("__qv")
-    )
-    keymap = query_vectors.select(
-        key.alias("__qtok"),
-        F.col(query_id_col),
-        F.col(qvec_idx_col).alias("__qi"),
+        (
+            F.col(query_id_col).cast("long") * qtok_mod
+            + F.col(qvec_idx_col).cast("long")
+        ).alias("__qtok"),
+        F.col(query_vec_col).alias("__qv"),
     )
     served = index.search_batch(
         qtok,
@@ -255,9 +266,9 @@ def maxsim_topk_index(
         query_id_col="__qtok",
         query_vec_col="__qv",
     )
-    scored = served.join(F.broadcast(keymap), "__qtok").select(
-        F.col(query_id_col),
-        F.col("__qi"),
+    scored = served.select(
+        F.expr(f"__qtok div {int(qtok_mod)}").alias(query_id_col),
+        (F.col("__qtok") % qtok_mod).alias("__qi"),
         doc_of_vec(F.col(id_col)).alias("doc_id"),
         F.col("score").alias("__cos"),
     )
