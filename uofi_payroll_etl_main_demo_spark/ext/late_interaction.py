@@ -173,7 +173,7 @@ def maxsim_topk_index(
     index,
     query_vectors: DataFrame,
     k: int = 10,
-    per_vector_k: int = 1 << 20,
+    per_vector_k: int = 1 << 40,
     nprobe: int | None = None,
     candidates: int = 1 << 30,
     rerank_corpus: DataFrame | None = None,
@@ -194,7 +194,11 @@ def maxsim_topk_index(
     per_vector_k ≥ corpus the result equals :func:`maxsim_topk`
     exactly (every pair retrieved, exact reranked cosines); bounded
     values give the standard approximate MaxSim where un-retrieved
-    (query-vector, doc) pairs contribute 0.
+    (query-vector, doc) pairs contribute 0. The ``per_vector_k``
+    default is deliberately above any realistic passage count (2⁴⁰) so
+    the EXACT configuration cannot silently truncate when the corpus
+    grows past a smaller hidden bound — tighten it explicitly to buy
+    latency.
 
     The composite (query, query-vector) key rides the serve as ONE
     packed long — ``query_id · qtok_mod + qvec_idx`` — because the

@@ -2883,8 +2883,21 @@ def _ensure_sf_passage_ivfpq_index(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pv = chunk_bow_vectors(docs).filter(F.col("doc_id") >= 3)
+    # in-expression pack guard (zero extra jobs — the hashed_bow dim
+    # guard's pattern): a chunk_idx ≥ 4096 would pack into the NEXT
+    # doc's vec_id space and pool its cosines under the wrong doc_id,
+    # silently diverging from the twin's true doc_id; fail the task
+    # loudly instead (needs a >131k-token document to ever fire)
+    checked_idx = F.when(
+        F.assert_true(
+            F.col("chunk_idx") < 4096,
+            F.lit("chunk_idx >= 4096: packed vec_id would collide "
+                  "across documents"),
+        ).isNull(),
+        F.col("chunk_idx"),
+    )
     corpus = pv.select(
-        (F.col("doc_id") * 4096 + F.col("chunk_idx"))
+        (F.col("doc_id") * 4096 + checked_idx)
         .cast("long")
         .alias("vec_id"),
         F.col("v"),
