@@ -298,6 +298,24 @@ def main() -> None:
         fh.write(line + "\n")
     sys.stdout.flush()
     print(line, flush=True)
+    # The driver records only a ~2000-char TAIL of stdout, and the full
+    # line above is ~4 KB — BENCH_r08..r10 all recorded parsed: null
+    # from the resulting truncation (VERDICT r10 "What's wrong" #4).
+    # Emit a compact totals-only line LAST so the tail capture always
+    # contains one complete, parseable JSON record; the per-query map
+    # lives in the full line and in BENCH_LATEST.json (the in-repo
+    # record of record).
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": "see BENCH_LATEST.json (per-query map)",
+        }
+    )
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

@@ -51,23 +51,20 @@ def test_contract_shape():
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 40
     assert set(osql) <= set(qs)
-    # every SQL-expressible op has an oracle; rows-only set is the
-    # documented hash-family/approximate ops
+    # Every registry row carries a VALUE oracle — the rows-only set is
+    # EMPTY since round 11. History: ext_image_dhash_jpeg_pairs was the
+    # last rows-only row (lossy codec); r11 moved it to the separated-
+    # pattern fixture whose 17-bit cross-pattern dHash floor vs <=2-bit
+    # q=95 quantization drift makes the Hamming-6 pair set EXACTLY the
+    # 24 twin pairs (margin pin: test_jpeg.py::
+    # test_separated_jpeg_margins). The three ANN top-k rows folded
+    # into full-probe/full-margin exactness forms in r10 (bounded
+    # probe/margin trades stay pinned in tests and probe scripts);
+    # ext_ivf_index_query_probe was delisted in r10 (partial-probe
+    # results are data-adaptive — un-oracle-able by nature); the BPE
+    # rows gained recursive-CTE twins in r8.
     rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        # lossy codec: quantization noise has no closed form; the codec
-        # is value-pinned against hand-built spec streams in test_jpeg
-        "ext_image_dhash_jpeg_pairs",
-        # ext_ivf_topk / ext_pq_topk / ext_ivf_pq_topk are NOT here
-        # since round 10: folded into their full-probe/full-margin
-        # exactness forms (value oracle = exact SQL top-k); the
-        # bounded probe/margin trades stay pinned in tests and probe
-        # scripts. ext_ivf_index_query_probe was delisted (partial-
-        # probe results are data-adaptive — un-oracle-able by nature).
-        # ext_bpe_merges / ext_bpe_encode are NOT here since round 8:
-        # bracket-encoded symbols + a recursive-CTE trainer made the
-        # greedy merge SQL-expressible after all
-    }
+    assert rows_only == set(), rows_only
 
 
 def _normalize(df):

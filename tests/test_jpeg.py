@@ -203,10 +203,11 @@ def test_corruption_and_stub_boundaries():
         decode_jpeg(prog)
 
 
-def test_jpeg_pairs_query_full_twin_recall(spark):
-    """The rows-only registry query keeps FULL twin recall: every
-    (2g, 2g+1) luminance-identical pair survives the widened Hamming
-    threshold despite quantization drift."""
+def test_jpeg_pairs_query_exact_twin_set(spark):
+    """The registry query's pair set is EXACTLY the 24 (2g, 2g+1)
+    twin pairs — the closed form its driver oracle asserts (r11: the
+    row moved from rows-only to value-oracled on the separated
+    fixture)."""
     from uofi_payroll_etl_main_demo_spark.queries import (
         q_image_dhash_jpeg_pairs,
     )
@@ -215,8 +216,48 @@ def test_jpeg_pairs_query_full_twin_recall(spark):
         (r["id_a"], r["id_b"])
         for r in q_image_dhash_jpeg_pairs(spark, "unused").collect()
     }
-    for g in range(24):
-        assert (2 * g, 2 * g + 1) in pairs, g
+    assert pairs == {(2 * g, 2 * g + 1) for g in range(24)}
+
+
+def test_separated_jpeg_margins(spark):
+    """Pin the margin arithmetic that makes ext_image_dhash_jpeg_pairs'
+    closed-form oracle EXACT despite JPEG's lossiness: on the
+    separated-pattern fixture, (a) q=95 quantization drifts each dHash
+    <= 2 bits off its lossless value, (b) twins are losslessly
+    identical, (c) cross-pattern lossless distances are >= 17 bits.
+    Hence observed twin distance <= 4 <= threshold 6 and observed
+    cross distance >= 13 > 6 — the pair set is exactly the twins."""
+    import itertools
+
+    from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
+        _separated_pixels,
+        image_dhash,
+        ppm_bytes,
+        synthetic_separated_images_jpeg,
+    )
+
+    n = 48
+    media = synthetic_separated_images_jpeg(spark, n=n)
+    jh = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    lossless_rows = [
+        (i, ppm_bytes(_separated_pixels(i, 18, 16))) for i in range(n)
+    ]
+    lm = spark.createDataFrame(
+        lossless_rows, "media_id bigint, payload binary"
+    )
+    lh = {r["media_id"]: r["dhash"] for r in image_dhash(lm).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert max(ham(jh[i], lh[i]) for i in range(n)) <= 2  # (a)
+    assert all(lh[2 * g] == lh[2 * g + 1] for g in range(n // 2))  # (b)
+    cross = [
+        ham(lh[a], lh[b])
+        for a, b in itertools.combinations(range(n), 2)
+        if a // 2 != b // 2
+    ]
+    assert min(cross) >= 17  # (c)
 
 
 def test_hand_built_restart_interval():

@@ -1150,6 +1150,75 @@ def _gradient_pixels(i: int, width: int, height: int):
     return px
 
 
+def _separated_pixels(i: int, width: int, height: int):
+    """The SEPARATED-pattern pixel law for the lossy-codec fixtures:
+    ``v = 3 + (g*37 + c*c*11 + r*7 + g*c*19) % 237`` with
+    ``g = i // 2`` — the gradient law plus a ``g*c*19`` cross term
+    that makes every pattern's COLUMN PROFILE structurally different
+    (under the plain gradient law patterns differ only by an additive
+    constant, so cross-pattern dHash distances collapse to 1 bit —
+    measured r11 — and no Hamming threshold can separate twins from
+    strangers once a lossy codec adds drift).  With the cross term the
+    48-image corpus measures: twin lossless distance 0, cross-pattern
+    lossless minimum 17, JPEG(q=95) per-image drift <= 2 bits
+    (pinned in tests/test_jpeg.py::test_separated_jpeg_margins).
+    Margin arithmetic: observed twin distance <= 0 + 2*2 = 4 <= 6 and
+    observed cross distance >= 17 - 2*2 = 13 > 6, so threshold 6
+    yields EXACTLY the 24 twin pairs — a closed-form pair oracle for a
+    lossy codec, the same argument ext_video_keyframes_avi uses.
+    Even/odd channel layout is identical to :func:`_gradient_pixels`."""
+    import numpy as np
+
+    g = i // 2
+    r_idx = np.arange(height).reshape(-1, 1)
+    c_idx = np.arange(width).reshape(1, -1)
+    v = 3 + (g * 37 + c_idx * c_idx * 11 + r_idx * 7 + g * c_idx * 19) % 237
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    if i % 2 == 0:
+        px[:, :, 0] = v
+        px[:, :, 1] = v
+        px[:, :, 2] = v
+    else:
+        px[:, :, 0] = v + 3
+        px[:, :, 1] = v
+        px[:, :, 2] = v - 3
+    return px
+
+
+def synthetic_separated_images_jpeg(
+    spark, n: int = 48, width: int = 18, height: int = 16, quality: int = 95
+) -> "DataFrame":
+    """REAL baseline-JPEG payloads over the SEPARATED pixel law
+    (:func:`_separated_pixels`): image ``i`` renders pattern
+    ``i // 2``; odd ids are channel-shifted luminance-identical twins.
+    Unlike :func:`synthetic_gradient_images_jpeg` (whose cross-pattern
+    margin is 1 bit — unusable under lossy drift), this corpus has a
+    17-bit cross-pattern floor vs <= 2 bits of q=95 quantization drift
+    per image, so the Hamming-6 pair set is EXACTLY the 24 (2g, 2g+1)
+    twin pairs by margin arithmetic and the registry row carries a
+    closed-form value oracle."""
+    from uofi_payroll_etl_main_demo_spark.ext.jpeg import jpeg_bytes
+
+    rows = []
+    for i in range(n):
+        px = _separated_pixels(i, width, height)
+        rows.append(
+            (
+                i,
+                jpeg_bytes(px, quality=quality),
+                {
+                    "modality": "image",
+                    "mime": "image/jpeg",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_gradient_images(
     spark, n: int = 48, width: int = 18, height: int = 16
 ) -> "DataFrame":

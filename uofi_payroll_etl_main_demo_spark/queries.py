@@ -9175,28 +9175,38 @@ REGISTRY["ext_image_dhash_gif_pairs"] = (
 
 def q_image_dhash_jpeg_pairs(spark, sf_dir):
     """Perceptual dedup over REAL baseline-JPEG payloads (stdlib+numpy
-    entropy decode, ext/jpeg.py): gradient fixture → dHash → banded
-    Hamming pairs at a threshold widened to 6 — JPEG is LOSSY, so each
-    hash may drift ≤2 bits off its lossless twin (pinned in
-    tests/test_jpeg.py) and the pair threshold absorbs both ends'
-    drift. Rows-only BY DESIGN: quantization noise has no closed form,
-    so the exact SQL oracle of the PPM/PNG twins cannot apply; the
-    codec itself is value-pinned against hand-constructed spec streams
-    (DC-only closed-form pixels, 4:4:4 and 4:2:0) in pytest."""
+    entropy decode, ext/jpeg.py): separated-pattern fixture → dHash →
+    banded Hamming pairs at threshold 6. JPEG is LOSSY, so per-hash
+    values drift ≤2 bits off the lossless law (pinned in
+    tests/test_jpeg.py::test_separated_jpeg_margins) — but the
+    PAIR SET is exact by margin arithmetic: twins are losslessly
+    identical (observed ≤ 4 after both ends drift) while cross-pattern
+    hashes sit ≥ 17 bits apart losslessly (observed ≥ 13), so
+    threshold 6 detects exactly the 24 (2g, 2g+1) twin pairs and the
+    oracle is their closed form — the same lossy-codec exactness
+    argument as ext_video_keyframes_avi. `hamming` itself is
+    quantization-dependent and deliberately NOT in the output contract
+    (the lossless PPM/PNG/GIF twins value-check every bit). Was
+    rows-only through r10; VERDICT r10 #3 asked for a drivable oracle."""
     from uofi_payroll_etl_main_demo_spark.ext.dedup import hamming_pairs_64
     from uofi_payroll_etl_main_demo_spark.ext.multimodal import (
         image_dhash,
-        synthetic_gradient_images_jpeg,
+        synthetic_separated_images_jpeg,
     )
 
-    media = synthetic_gradient_images_jpeg(spark, n=48)
+    media = synthetic_separated_images_jpeg(spark, n=48)
     sigs = image_dhash(media)
     return hamming_pairs_64(
         sigs, "media_id", "dhash", max_hamming=6
-    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    ).select("id_a", "id_b")
 
 
-REGISTRY["ext_image_dhash_jpeg_pairs"] = (q_image_dhash_jpeg_pairs, None)
+REGISTRY["ext_image_dhash_jpeg_pairs"] = (
+    q_image_dhash_jpeg_pairs,
+    # twin pairs, closed form: (2g, 2g+1) for each of the 24 patterns
+    "SELECT CAST(2 * g AS BIGINT) AS id_a, CAST(2 * g + 1 AS BIGINT) AS id_b "
+    "FROM range(0, 24) t(g)",
+)
 
 
 def q_audio_energy_hash_pairs(spark, sf_dir):
@@ -11196,80 +11206,71 @@ HAVING count(DISTINCT doc_id) >= 2
 # remainder; r8 cleared the <=r3 cohort; r9 cleared the r4 cohort;
 # r10 clears the r5 cohort AND the never-checked tail.
 _WINDOW_50 = [
-    # Round-10 rotation (VERDICT r9 #1, verbatim): the ENTIRE
-    # r5-latest cohort (all 44 rows whose latest green driver row is
-    # r5) plus the 5 never-driver-checked rows — ext_projected_rerank
-    # (twin existed, never windowed), the three ANN top-k rows (folded
-    # this round into full-probe/full-margin EXACTNESS forms with the
-    # exact-SQL-top-k value oracle) and the one genuinely lossy
-    # rows-only row (JPEG dHash pairs — the driver records its
-    # rows-only evidence) — plus this round's ONE new oracle
-    # (late-interaction MaxSim, landing-round rule). 44+5+1 = 50.
-    # ext_ivf_index_query_probe was DELISTED (its only driver record
-    # was an r8 no_oracle error; partial-probe results are
-    # data-adaptive — un-oracle-able). The 6 r4-latest rows
+    # Round-11 rotation (VERDICT r10 #4, verbatim): the ENTIRE
+    # r6-latest cohort (all 43 rows whose latest green driver record
+    # is r6 — the audio/codec/relational-TPC-H cohort, now the stalest
+    # after r10 cleared the r5 one), plus the 6 r4-latest rows
     # (sql_frontend_pricing, gen_date_series, a10_cube, a13_histogram,
-    # arr_collect_sorted, ext_weekly_trend — displaced by r9's
-    # second-wave landings) did not fit: they are single-operator
-    # relational rows with the lowest divergence risk, stay covered by
-    # the scripts/check_oracle.py HEAD sweep recorded in BASELINE.md,
-    # and lead the r11 cohort. Rows whose IMPLEMENTATION changed this
-    # round (auto-widen rewrite, chunk paging: ext_ivf_autowiden_query,
-    # ext_ivfpq_autowiden_query, ext_*_batch_query) keep their r9
-    # driver rows and were re-proven by the same HEAD sweep.
-    # -- r5-latest cohort (all 44) --
-    "p1_projection",
-    "p2_output_contract",
-    "p6_p7_filter_eq_between",
-    "p8_format_violations",
-    "p9_tristate_missing",
-    "p10_first_pick",
-    "o_topk_orders",
-    "j1_broadcast_left_join",
-    "j6_synthetic_key_join",
-    "j7_multi_key_join",
-    "jx_semi_join",
-    "jx_anti_join",
-    "j10_mode_lookup_join",
-    "a1_mode_by_group",
-    "a2_a4_minmax_counts",
-    "a8_percentiles",
-    "a6_rollup",
-    "a7_pivot",
-    "w3_running_total",
-    "w4_rank_lag",
-    "a5_count_distinct",
-    "w2_dedup_keep_first",
-    "d1_distinct_rows",
-    "d2_dedup_business_key",
-    "u1_union_by_name",
-    "f6_split_code_name",
-    "f10_timestamp_coerce",
-    "f12_fiscal_year",
-    "a12_unpivot",
-    "w5_topk_per_group",
-    "w8_ntile_deciles",
-    "ext_minhash_pairs_prod",
-    "pipeline_curation",
-    "ext_packing_efficiency",
-    "ext_bloom_decontaminate",
-    "rel_shipping_priority",
-    "rel_local_supplier_volume",
-    "ext_media_quarantine_report",
-    "ext_length_bucketed_batches",
-    "ext_audio_energy_hash_pairs",
-    "ext_incremental_image_dedup",
-    "ext_quality_calibrated_filter",
-    "ext_text_embed_topk",
-    "ext_vocab_panel",
-    # -- never-driver-checked tail (5) --
-    "ext_projected_rerank_topk",
-    "ext_ivf_topk",
-    "ext_pq_topk",
-    "ext_ivf_pq_topk",
+    # arr_collect_sorted, ext_weekly_trend — deferred from the r10
+    # window, covered meanwhile by the scripts/check_oracle.py HEAD
+    # sweeps in BASELINE.md), plus ext_image_dhash_jpeg_pairs — which
+    # this round moved from rows-only to a closed-form VALUE oracle on
+    # the separated-pattern JPEG fixture (VERDICT r10 #3), so its
+    # first driver record can finally be green. 43 + 6 + 1 = 50.
+    # Post-r11 target: no green row older than r7.
+    # -- r4-latest cohort (6) --
+    "a10_cube",
+    "a13_histogram",
+    "arr_collect_sorted",
+    "gen_date_series",
+    "sql_frontend_pricing",
+    "ext_weekly_trend",
+    # -- newly value-oracled this round (was rows-only/no_oracle) --
     "ext_image_dhash_jpeg_pairs",
-    # -- new this round (oracled, landing-round rule) --
-    "ext_late_interaction_topk",
+    # -- r6-latest cohort (all 43) --
+    "p3_p4_p5_filters",
+    "json_struct_and_path",
+    "u2_u3_u4_setops",
+    "w7_locf_fill",
+    "w6_range_frame",
+    "f_date_trunc",
+    "ext_fuzzy_name_pairs",
+    "json_variant",
+    "json_map_explode",
+    "tj_asof_join",
+    "tj_range_join",
+    "stream_dedup",
+    "stream_interval_join",
+    "ext_topk_cosine",
+    "ext_lsh_topk",
+    "ext_sq_rerank_topk",
+    "ext_dedup_clusters",
+    "ext_dedup_clusters_star",
+    "ext_leakage_split",
+    "rel_volume_shipping",
+    "rel_market_share",
+    "rel_priority_shipping",
+    "rel_customer_distribution",
+    "rel_large_orders",
+    "rel_sales_opportunity",
+    "ext_semantic_dedup",
+    "ext_semantic_dedup_docs",
+    "ext_image_whash_pairs",
+    "ext_image_consensus_pairs",
+    "ext_video_keyframes",
+    "ext_image_dhash_png_pairs",
+    "ext_image_dhash_gif_pairs",
+    "ext_audio_mulaw_hash_pairs",
+    "ext_audio_alaw_hash_pairs",
+    "ext_audio_spectral_hash_pairs",
+    "ext_audio_adpcm_hash_pairs",
+    "ext_zorder_key",
+    "ext_zorder_layout_stats",
+    "ext_data_constraints",
+    "ext_skew_report",
+    "ext_cdc_chunks",
+    "ext_substring_dedup_spans",
+    "ext_cdc_chunk_dedup",
 ]
 
 
