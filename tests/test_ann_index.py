@@ -682,6 +682,14 @@ def test_pq_search_batch_pages_over_cap_batches(spark, sf_dir, tmp_path):
     assert paged == sorted(manual) and len(paged) == 30
     with pytest.raises(ValueError, match="empty query batch"):
         index.search_batch(_qframe(emb, 0), k=2)
+    # duplicate query ids in an over-cap batch refuse loudly: paged
+    # serving computes per-chunk top-k, so a duplicate id straddling a
+    # chunk boundary would fragment its top-k (ADVICE r10)
+    dup = queries.unionByName(queries.limit(1))
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        index.search_batch(
+            dup, k=3, rerank_corpus=emb, max_queries=4
+        )
 
 
 def _drift_batch(spark, emb, scale=4.0, shift=3.0, offset=100_000):
@@ -1346,6 +1354,19 @@ def test_widen_batch_of_null_vectors_refuses_loudly(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         index.search_batch(nulls, k=3, auto_widen=True)
+    # MIXED batches refuse too (ADVICE r10: before r11 the NULL rows
+    # were silently dropped by the live-query filter while all-NULL
+    # batches raised — inconsistent)
+    live_vec = [1.0] + [0.0] * 63
+    mixed = spark.createDataFrame(
+        [(1, live_vec), (2, None)], "query_id long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        index.search_batch(mixed, k=3, auto_widen=True)
+    # empty widen batches use the non-widen paths' established message
+    empty = spark.createDataFrame([], "query_id long, qvec array<double>")
+    with pytest.raises(ValueError, match="empty query batch"):
+        index.search_batch(empty, k=3, auto_widen=True)
     zeros = spark.createDataFrame(
         [(1, [0.0] * 64)], "query_id long, qvec array<double>"
     )

@@ -974,21 +974,32 @@ def _relational_auto_widen(
     """
     from uofi_payroll_etl_main_demo_spark.functions.vectors import l2_norm
 
+    # Batch intake validation, mirroring the non-widen paths' contract
+    # (ADVICE r10): empty batches raise the established message, and
+    # NULL vectors raise LOUDLY for mixed batches too — before r11 a
+    # batch of live + NULL-vector queries silently dropped the NULL
+    # rows through the l2_norm filter while an all-NULL batch raised,
+    # an inconsistency. Both checks are JVM ``isEmpty`` probes (never
+    # a driver collect — the zero-driver-materialization spy pin in
+    # test_ann_index.py stays intact); the count() runs only on the
+    # raise path, for the message.
+    if queries.isEmpty():
+        raise ValueError("empty query batch")
+    nulls = queries.filter(F.col(query_vec_col).isNull())
+    if not nulls.isEmpty():
+        raise ValueError(
+            f"{nulls.count()} query vectors are NULL — auto-widen "
+            "serves cosine top-k, which is undefined for NULL vectors; "
+            "drop or impute them before serving"
+        )
     remaining = queries.filter(l2_norm(F.col(query_vec_col)) > 0)
     if remaining.isEmpty():
-        # no live queries (all zero-norm): one plain round over the
-        # NON-NULL-vector rows returns the correctly-shaped empty
-        # frame (zero-norm queries emit no rows on every serving
-        # path) — running the widen loop on an empty remaining would
-        # hit the LUT paths' empty-batch refusal with a misleading
-        # error, and letting NULL vectors reach their driver-side
-        # matrix build would raise an opaque numpy TypeError
-        fallback = queries.filter(F.col(query_vec_col).isNotNull())
-        if fallback.isEmpty():
-            raise ValueError(
-                "no live queries: every query vector is NULL"
-            )
-        return run_round(fallback, states[0])
+        # no live queries (all zero-norm): one plain round returns the
+        # correctly-shaped empty frame (zero-norm queries emit no rows
+        # on every serving path) — running the widen loop on an empty
+        # remaining would hit the LUT paths' empty-batch refusal with
+        # a misleading error
+        return run_round(queries, states[0])
     kept: "list[DataFrame]" = []
     for i, state in enumerate(states):
         out = run_round(remaining, state).localCheckpoint(eager=True)
@@ -1031,12 +1042,27 @@ def _paged_batch_serve(
     chunk respects by construction) as one job whose result is
     localCheckpointed — releasing that chunk's Arrow closure before
     the next is built, so memory stays flat — and the result is the
-    union of the per-chunk outputs. Per-query top-k is chunk-local by
-    construction (a query lives in exactly one chunk), so results are
-    identical to manual chunking."""
+    union of the per-chunk outputs. Per-query top-k is chunk-local,
+    which is identical to manual chunking ONLY when each query id
+    lives in exactly one chunk — duplicate ids straddling a chunk
+    boundary would yield per-fragment top-k (up to 2k rows per id,
+    ADVICE r10) — so id uniqueness is ASSERTED up front (one bounded
+    agg job; ``qcols[0]`` is the query-id column at every call site)."""
     import itertools
 
     spark = queries.sparkSession
+    dup = (
+        queries.groupBy(qcols[0])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    if not dup.isEmpty():
+        sample = [r[0] for r in dup.limit(3).collect()]
+        raise ValueError(
+            "duplicate query ids in an over-cap batch (paged serving "
+            f"computes per-chunk top-k, so duplicates straddling a "
+            f"chunk boundary would fragment their top-k): e.g. {sample}"
+        )
     narrowed = queries.select(*qcols)
     schema = narrowed.schema
     it = narrowed.toLocalIterator()
@@ -2711,7 +2737,12 @@ def ivfpq_index_build(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     # validate BEFORE invalidating (the pq_index_build contract): a
     # build doomed to fail in the coarse KMeans fit must not destroy a
-    # previously valid serving index under the same dir
+    # previously valid serving index under the same dir. Row count (not
+    # DISTINCT count) is sufficient for that contract: Spark ML KMeans
+    # never raises on duplicate-heavy corpora — with < n_lists distinct
+    # vectors it converges to duplicate/fewer centers (degenerate lists
+    # but a servable index; probe ranking tie-breaks on centroid id),
+    # so no post-invalidate failure path exists (ADVICE r10 #4).
     n_seen = embeddings.limit(n_lists).count()
     if n_seen < n_lists:
         raise ValueError(

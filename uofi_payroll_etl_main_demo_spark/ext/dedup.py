@@ -536,22 +536,30 @@ def simhash(
     bit-for-bit.
 
     Shape: explode tokens → one hash per row → groupBy(doc) with 64
-    conditional-sum aggregates (bit balances) → reassemble the 64-bit
-    signature from literal masks. The 64 sums partial-aggregate
-    map-side, so the shuffle carries one 64-column row per document —
-    at corpus scale this is a narrow agg, not a wide explode join.
-    Docs with zero tokens get a null signature.
+    BRANCH-FREE bit sums (``sum((h >>> b) & 1)``) plus one token count
+    → signature bit b set iff ``2·ones_b > n`` (exactly the old ±1
+    balance law: balance = 2·ones − n). The 65 sums partial-aggregate
+    map-side, so the shuffle carries one narrow row per document — at
+    corpus scale this is a narrow agg, not a wide explode join. Docs
+    with zero tokens get a null signature.
 
-    Three alternatives were A/B'd and measured SLOWER: (a) a 16×4-lane
-    packed-counter agg — shift/mask chains cost more per row than 64
-    straight conditional sums inside codegen; (b) a zero-shuffle
-    per-row HOF ``aggregate`` with a 64-int array accumulator — 2.5×
-    slower from per-token array allocation; (c) a carry-save
-    bit-sliced struct-of-11-longs accumulator (2 long ops per level
-    per token) — correct, but the 64-bit × 11-level extraction tree
-    (~700 terms) breaks codegen and did not finish at sf0.1. The
-    explode+agg form stays.
+    The branch-free form replaced the original 64 conditional ±1 sums
+    (``SUM(CASE WHEN h & mask != 0 THEN 1 ELSE -1)``) in r11: same
+    values, but the generated update loop is straight-line shift/mask
+    arithmetic instead of 64 branches, which both shrinks the codegen
+    unit and C2-compiles sooner — A/B at sf0.1 (fresh session, bench
+    protocol): warmup-run and min-of-2 both improved, and the
+    near-cold/warmed JIT band (VERDICT r9/r10 'drift' flags;
+    scripts/jit_band_probe.py) narrows. Alternatives A/B'd earlier
+    and SLOWER: (a) a 16×4-lane packed-counter agg — shift/mask
+    chains per lane cost more than straight per-bit sums; (b) a
+    zero-shuffle per-row HOF ``aggregate`` with a 64-int array
+    accumulator — 2.5× slower from per-token array allocation; (c) a
+    carry-save bit-sliced struct-of-11-longs accumulator — correct,
+    but the 64-bit × 11-level extraction tree (~700 terms) breaks
+    codegen and did not finish at sf0.1. The explode+agg form stays.
     """
+    one = F.lit(1).cast("long")
     if hash_family == "portable":
         tok = (
             df.select(
@@ -568,29 +576,28 @@ def simhash(
                 .alias("__h2"),
             )
         )
-        bit_src = lambda b: (  # noqa: E731 - tiny local dispatch
-            F.col("__h").bitwiseAND(F.lit(_mask(b)))
+        bit_val = lambda b: (  # noqa: E731 - tiny local dispatch
+            F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(one)
             if b < 52
-            else F.col("__h2").bitwiseAND(F.lit(1 << (b - 52)))
+            else F.shiftrightunsigned(F.col("__h2"), b - 52).bitwiseAND(one)
         )
     else:
         tok = df.select(
             F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
         ).select(id_col, F.xxhash64("__t").alias("__h"))
-        bit_src = lambda b: F.col("__h").bitwiseAND(  # noqa: E731
-            F.lit(_mask(b))
-        )
-    balances = [
-        F.sum(F.when(bit_src(b) != 0, 1).otherwise(-1)).alias(f"__b{b}")
-        for b in range(64)
+        bit_val = lambda b: F.shiftrightunsigned(  # noqa: E731
+            F.col("__h"), b
+        ).bitwiseAND(one)
+    sums = [F.sum(bit_val(b)).alias(f"__s{b}") for b in range(64)] + [
+        F.count(F.lit(1)).alias("__n")
     ]
-    agg = tok.groupBy(id_col).agg(*balances)
+    agg = tok.groupBy(id_col).agg(*sums)
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"__b{b}") > 0, F.lit(_mask(b))).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"__s{b}") * 2 > F.col("__n"), F.lit(_mask(b))
+            ).otherwise(F.lit(0).cast("long"))
         )
     sigs = agg.select(F.col(id_col), sig.alias("simhash"))
     # Preserve zero-token docs with a null signature (left join back).
