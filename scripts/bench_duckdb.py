@@ -29,17 +29,43 @@ TABLES = (
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # --headline: sweep only bench.py's headline rows (the ratio
+    # comparison set) instead of all twins. SPARK_GRAFT_DUCK_TIMEOUT
+    # (seconds): interrupt any single query past the budget and record
+    # it as -budget (a quadratic twin at a big sf can grind for hours;
+    # a negative timing says "DNF at N s" without stalling the sweep).
+    names = None
+    if "--headline" in sys.argv:
+        import bench as B
+
+        names = set(B.HEADLINE)
+    budget = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "0") or 0)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     timings: dict[str, float] = {}
     for name, sql in E.oracle_sql().items():
+        if names is not None and name not in names:
+            continue
+        timer = None
+        if budget:
+            import threading
+
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         t0 = time.perf_counter()
-        con.sql(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            con.sql(sql).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except duckdb.InterruptException:
+            timings[name] = -budget
+        finally:
+            if timer is not None:
+                timer.cancel()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

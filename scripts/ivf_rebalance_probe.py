@@ -45,9 +45,19 @@ from uofi_payroll_etl_main_demo_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _stats(spark, idx):
     rows = (
-        spark.read.parquet(f"{idx}/assigned")
+        spark.read.parquet(_tp(spark, idx, "assigned"))
         .groupBy("centroid")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .collect()
@@ -118,7 +128,7 @@ def main(factor: int, skew: int) -> None:
         "stats": st,
         "q_nprobe1_sec": _qtime(index, qv, 1),
         "hot_lists": needs_rebalance(
-            spark.read.parquet(f"{idx}/assigned")
+            spark.read.parquet(_tp(spark, idx, "assigned"))
             .groupBy("centroid")
             .agg(F.count(F.lit(1)).alias("n_vectors"))
             .collect()

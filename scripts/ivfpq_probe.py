@@ -62,6 +62,16 @@ K = 10
 NPROBE = 3
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs)."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _serve(fn) -> float:
     """min-of-2 after one warm run (the bench hygiene)."""
     fn()
@@ -184,12 +194,12 @@ def main() -> None:
         # the metrics that DO scale: bytes per vector on disk, and the
         # fraction of the store the batch's probe union has to read
         union = _probe_union(ivfpq, qmat, NPROBE)
-        ivf_bytes = _dir_bytes(f"{ivf_dir}/assigned")
-        pq_bytes = _dir_bytes(f"{pq_dir}/codes")
-        ivfpq_bytes = _dir_bytes(f"{ivfpq_dir}/codes")
-        probed = _probed_bytes(f"{ivfpq_dir}/codes", union)
+        ivf_bytes = _dir_bytes(_tp(spark, ivf_dir, "assigned"))
+        pq_bytes = _dir_bytes(_tp(spark, pq_dir, "codes"))
+        ivfpq_bytes = _dir_bytes(_tp(spark, ivfpq_dir, "codes"))
+        probed = _probed_bytes(_tp(spark, ivfpq_dir, "codes"), union)
         union_ivf = _probe_union(ivf, qmat, NPROBE)
-        probed_ivf = _probed_bytes(f"{ivf_dir}/assigned", union_ivf)
+        probed_ivf = _probed_bytes(_tp(spark, ivf_dir, "assigned"), union_ivf)
 
         # quality context: two-stage IVF-PQ recall@10 at the probed
         # setting vs exact, on a 10-query sample

@@ -35,6 +35,18 @@ from uofi_payroll_etl_main_demo_spark.plans.inspect import (
 QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs): rewrites land
+    in ``{table}__e{N}`` dirs, so direct-layout assertions must read
+    the CURRENT epoch's dir, not the bare build-time one."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -194,7 +206,7 @@ def test_pq_codes_table_shape_and_adc_only_path(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "pq")
     emb = _emb(spark, sf_dir)
     pq_index_build(emb, idx, m=8, n_centroids=16, corpus_tag="t1")
-    codes = spark.read.parquet(f"{idx}/codes")
+    codes = spark.read.parquet(_tp(spark, idx, "codes"))
     n = emb.count()
     assert codes.count() == n  # every vector encoded
     bad = codes.filter(
@@ -238,9 +250,9 @@ def test_ivf_index_add_grows_lists_without_retrain(spark, sf_dir, tmp_path):
     old = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter(F.col("vec_id") % 2 == 1)
     ivf_index_build(old, idx, n_centroids=4, corpus_tag="half")
-    cents_before = spark.read.parquet(f"{idx}/centroids").collect()
+    cents_before = spark.read.parquet(_tp(spark, idx, "centroids")).collect()
     ivf_index_add(new, idx, new_corpus_tag="full")
-    assert spark.read.parquet(f"{idx}/centroids").collect() == cents_before
+    assert spark.read.parquet(_tp(spark, idx, "centroids")).collect() == cents_before
     loaded = ensure_ivf_index(emb, idx, corpus_tag="full", n_centroids=4)
     got = [
         (r["vec_id"], round(r["score"], 9))
@@ -256,7 +268,7 @@ def test_ivf_index_add_grows_lists_without_retrain(spark, sf_dir, tmp_path):
 
     C = np.array([r["cvec"] for r in sorted(cents_before, key=lambda r: r["centroid"])])
     rows = (
-        spark.read.parquet(f"{idx}/assigned")
+        spark.read.parquet(_tp(spark, idx, "assigned"))
         .filter(F.col("vec_id") % 2 == 1)
         .collect()
     )
@@ -282,20 +294,20 @@ def test_pq_index_add_grows_codes_without_retrain(spark, sf_dir, tmp_path):
     pq_index_build(old, idx, m=8, n_centroids=16, corpus_tag="half")
     cbs_before = sorted(
         (r["j"], r["c"], tuple(r["cvec"]))
-        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+        for r in spark.read.parquet(_tp(spark, idx, "codebooks")).collect()
     )
     pq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
     assert (
         sorted(
             (r["j"], r["c"], tuple(r["cvec"]))
-            for r in spark.read.parquet(f"{idx}/codebooks").collect()
+            for r in spark.read.parquet(_tp(spark, idx, "codebooks")).collect()
         )
         == cbs_before
     )
-    n = spark.read.parquet(f"{idx}/codes").count()
+    n = spark.read.parquet(_tp(spark, idx, "codes")).count()
     assert n == emb.count()
     pq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
-    assert spark.read.parquet(f"{idx}/codes").count() == n
+    assert spark.read.parquet(_tp(spark, idx, "codes")).count() == n
     loaded = pq_index_load(spark, idx)
     got = [
         (r["vec_id"], round(r["score"], 9))
@@ -388,9 +400,9 @@ def test_ivf_index_add_replay_is_idempotent(spark, sf_dir, tmp_path):
     new = emb.filter(F.col("vec_id") % 2 == 1)
     ivf_index_build(old, idx, n_centroids=4, corpus_tag="half")
     ivf_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
-    n = spark.read.parquet(f"{idx}/assigned").count()
+    n = spark.read.parquet(_tp(spark, idx, "assigned")).count()
     ivf_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
-    assert spark.read.parquet(f"{idx}/assigned").count() == n
+    assert spark.read.parquet(_tp(spark, idx, "assigned")).count() == n
     assert n == emb.count()
 
 
@@ -477,7 +489,7 @@ def test_ivf_rebalance_splits_skewed_list_and_preserves_recall(
         (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
     )
     ivf_index_add(more, idx, new_corpus_tag="more", batch_id="b2")
-    assert spark.read.parquet(f"{idx}/assigned").count() == (
+    assert spark.read.parquet(_tp(spark, idx, "assigned")).count() == (
         emb.count() + 410
     )
     # ensure with the ORIGINAL build params still LOADS (rebalance
@@ -827,7 +839,7 @@ def test_pq_retrain_preserves_deletes_and_coverage_guards(
     pq_index_retrain(spark, idx, emb, new_corpus_tag="t2")
     ids = {
         r["vec_id"]
-        for r in spark.read.parquet(f"{idx}/codes").select("vec_id").collect()
+        for r in spark.read.parquet(_tp(spark, idx, "codes")).select("vec_id").collect()
     }
     assert len(ids) == n_surv and all(v % 7 != 3 for v in ids)
     got = [
@@ -1371,3 +1383,122 @@ def test_widen_batch_of_null_vectors_refuses_loudly(spark, sf_dir, tmp_path):
         [(1, [0.0] * 64)], "query_id long, qvec array<double>"
     )
     assert index.search_batch(zeros, k=3, auto_widen=True).count() == 0
+
+
+def _rows(df):
+    return sorted(
+        (r["vec_id"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+def test_serve_pinned_across_compact(spark, sf_dir, tmp_path):
+    """Snapshot epochs (VERDICT r10 #7): a handle loaded BEFORE a
+    compaction commits keeps serving one consistent snapshot — the
+    rewrite lands in the NEXT epoch's dirs and never deletes or
+    renames the loaded epoch's files (the pre-r11 swap's delete+rename
+    window could fail an in-flight lazy read). A fresh post-compact
+    load serves the new epoch with identical results (compaction is
+    result-invariant) at epoch+1."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_add,
+        ivf_index_compact,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t1")
+    batch = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ).limit(40)
+    ivf_index_add(batch, idx, new_corpus_tag="t2", batch_id="b1")
+    old = ivf_index_load(spark, idx)
+    lazy = old.search(QV, k=12, nprobe=4)  # plan built pre-compact
+    before = _rows(old.search(QV, k=12, nprobe=4))
+    ivf_index_compact(spark, idx)
+    # the pre-compact handle — including a plan built before the
+    # commit — still reads its intact epoch
+    assert _rows(lazy) == before
+    assert _rows(old.search(QV, k=12, nprobe=4)) == before
+    new = ivf_index_load(spark, idx)
+    assert new.meta["epoch"] == old.meta["epoch"] + 1
+    assert _rows(new.search(QV, k=12, nprobe=4)) == before
+
+
+def test_serve_pinned_across_retrain(spark, sf_dir, tmp_path):
+    """A PQ handle loaded before a retrain completes serves the OLD
+    codebooks against the OLD codes — one consistent generation, never
+    old-codebooks-over-new-codes (which would decode garbage). ADC
+    scores (no rerank) are codebook-dependent, so bit-equality of the
+    pre/post result is the sharp pin."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        pq_index_retrain,
+    )
+
+    idx = str(tmp_path / "pq")
+    emb = _emb(spark, sf_dir)
+    pq_index_build(
+        emb, idx, m=8, n_centroids=16, corpus_tag="t1", train_sample=64
+    )
+    old = pq_index_load(spark, idx)
+    before = _rows(old.search(QV, k=10, candidates=50))
+    pq_index_retrain(
+        spark, idx, emb, new_corpus_tag="t2", train_sample=192
+    )
+    assert _rows(old.search(QV, k=10, candidates=50)) == before
+    new = pq_index_load(spark, idx)
+    assert new.meta["epoch"] == old.meta["epoch"] + 1
+    assert new.meta["train_sample"] == 192
+    # the new generation serves (scores differ in general — different
+    # codebooks — but exact full-margin rerank is still the brute force)
+    got = _rows(
+        new.search(QV, k=10, candidates=1_000_000, rerank_corpus=emb)
+    )
+    want = _rows(brute_force_top_k(emb, QV, k=10))
+    assert got == want
+
+
+def test_epoch_gc_keeps_exactly_two_generations(spark, sf_dir, tmp_path):
+    """Epoch GC: each rewrite retains ONE previous generation as the
+    serve-grace snapshot and reclaims anything older."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        ivf_index_add,
+        ivf_index_compact,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ivf_index_build(emb, idx, n_centroids=4, corpus_tag="t1")
+    ivf_index_add(
+        emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+        .limit(20),
+        idx,
+        new_corpus_tag="t2",
+        batch_id="b1",
+    )
+    ivf_index_compact(spark, idx)  # epoch 0 -> 1
+    names = set(os.listdir(idx))
+    assert {"assigned", "assigned__e1"} <= names  # grace window kept
+    ivf_index_compact(spark, idx)  # epoch 1 -> 2
+    names = set(os.listdir(idx))
+    assert "assigned__e2" in names and "assigned__e1" in names
+    assert "assigned" not in names  # epoch 0 reclaimed
+    assert ivf_index_load(spark, idx).meta["epoch"] == 2
+
+
+def test_rebuild_over_serving_dir_is_snapshot_safe(spark, sf_dir, tmp_path):
+    """An ensure-path REBUILD (corpus-tag change) over a serving dir
+    stages into the next epoch: a handle loaded against the old tag
+    keeps serving its snapshot, and a crash mid-rebuild would have
+    left it fully valid (the old meta is only replaced at commit)."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark, sf_dir)
+    ensure_ivf_index(emb, idx, corpus_tag="snap1", n_centroids=4)
+    old = ivf_index_load(spark, idx)
+    before = _rows(old.search(QV, k=10, nprobe=4))
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ensure_ivf_index(half, idx, corpus_tag="snap2", n_centroids=4)
+    assert _rows(old.search(QV, k=10, nprobe=4)) == before
+    new = ivf_index_load(spark, idx)
+    assert new.meta["epoch"] == old.meta["epoch"] + 1
+    got = _rows(new.search(QV, k=10, nprobe=4))
+    assert got == _rows(brute_force_top_k(half, QV, k=10))

@@ -38,6 +38,18 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
 QV = [0.1] * 64
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs): rewrites land
+    in ``{table}__e{N}`` dirs, so direct-layout assertions must read
+    the CURRENT epoch's dir, not the bare build-time one."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -67,13 +79,13 @@ def test_ivf_compact_collapses_batches_and_preserves_results(
             emb.filter(F.col("vec_id") % 3 == m), idx,
             new_corpus_tag="full", batch_id=f"b{m}",
         )
-    assert _batches(spark, f"{idx}/assigned") == {"base", "b1", "b2"}
+    assert _batches(spark, _tp(spark, idx, "assigned")) == {"base", "b1", "b2"}
     before = [
         (r["vec_id"], round(r["score"], 9))
         for r in ivf_index_load(spark, idx).search(QV, k=10, nprobe=4).collect()
     ]
     ivf_index_compact(spark, idx)
-    assert _batches(spark, f"{idx}/assigned") == {"base"}
+    assert _batches(spark, _tp(spark, idx, "assigned")) == {"base"}
     loaded = ivf_index_load(spark, idx)
     assert loaded.meta["corpus_tag"] == "full"  # meta preserved
     after = [
@@ -83,7 +95,7 @@ def test_ivf_compact_collapses_batches_and_preserves_results(
     assert after == before
     # centroid stays the first partition level (probe pruning layout)
     assert any(
-        d.startswith("centroid=") for d in os.listdir(f"{idx}/assigned")
+        d.startswith("centroid=") for d in os.listdir(_tp(spark, idx, "assigned"))
     )
 
 
@@ -105,7 +117,7 @@ def test_pq_compact(spark, sf_dir, tmp_path):
         .collect()
     ]
     pq_index_compact(spark, idx)
-    assert _batches(spark, f"{idx}/codes") == {"base"}
+    assert _batches(spark, _tp(spark, idx, "codes")) == {"base"}
     after = [
         (r["vec_id"], round(r["score"], 9))
         for r in pq_index_load(spark, idx)

@@ -40,6 +40,18 @@ from uofi_payroll_etl_main_demo_spark.ext.dedup_index import (
 QV = [0.1] * 64
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs): rewrites land
+    in ``{table}__e{N}`` dirs, so direct-layout assertions must read
+    the CURRENT epoch's dir, not the bare build-time one."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -86,12 +98,12 @@ def test_ivf_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
     )
     got_lists = {
         (r["vec_id"], r["centroid"])
-        for r in spark.read.parquet(f"{idx}/assigned")
+        for r in spark.read.parquet(_tp(spark, idx, "assigned"))
         .select("vec_id", "centroid").collect()
     }
     want_lists = {
         (r["vec_id"], r["centroid"])
-        for r in spark.read.parquet(f"{ref}/assigned")
+        for r in spark.read.parquet(_tp(spark, ref, "assigned"))
         .select("vec_id", "centroid").collect()
         if r["vec_id"] not in set(dead)
     }
@@ -110,10 +122,10 @@ def test_ivf_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
     ]
     assert got == want
     # layout: centroid stays the first partition level, all base
-    assert any(d.startswith("centroid=") for d in os.listdir(f"{idx}/assigned"))
+    assert any(d.startswith("centroid=") for d in os.listdir(_tp(spark, idx, "assigned")))
     batches = {
         r["__batch"]
-        for r in spark.read.parquet(f"{idx}/assigned")
+        for r in spark.read.parquet(_tp(spark, idx, "assigned"))
         .select("__batch").distinct().collect()
     }
     assert batches == {"base"}
@@ -171,12 +183,12 @@ def test_pq_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
     # codes table == the twin's codes minus nothing (dead rows gone)
     got_codes = {
         (r["vec_id"], tuple(r["codes"]))
-        for r in spark.read.parquet(f"{idx}/codes")
+        for r in spark.read.parquet(_tp(spark, idx, "codes"))
         .select("vec_id", "codes").collect()
     }
     want_codes = {
         (r["vec_id"], tuple(r["codes"]))
-        for r in spark.read.parquet(f"{ref}/codes")
+        for r in spark.read.parquet(_tp(spark, ref, "codes"))
         .select("vec_id", "codes").collect()
     }
     assert got_codes == want_codes

@@ -42,6 +42,18 @@ QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 FULL = 1_000_000  # rerank margin >= corpus: exact two-stage serving
 
 
+
+def _tp(spark, idx, table):
+    """Epoch-resolved table path (r11 snapshot epochs): rewrites land
+    in ``{table}__e{N}`` dirs, so direct-layout assertions must read
+    the CURRENT epoch's dir, not the bare build-time one."""
+    from uofi_payroll_etl_main_demo_spark.ext.ann_index import (
+        _data_path,
+        _read_meta,
+    )
+
+    return _data_path(idx, table, _read_meta(spark, idx))
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -208,7 +220,7 @@ def test_ivfpq_residual_codes_beat_flat_pq_reconstruction(
 
     def _codebooks(d):
         cb = np.empty((8, 16, 8))
-        for r in spark.read.parquet(f"{d}/codebooks").collect():
+        for r in spark.read.parquet(_tp(spark, d, "codebooks")).collect():
             cb[r["j"], r["c"]] = r["cvec"]
         return cb
 
@@ -217,7 +229,7 @@ def test_ivfpq_residual_codes_beat_flat_pq_reconstruction(
     C = np.stack(
         [
             np.asarray(r["cvec"])
-            for r in spark.read.parquet(f"{ivfpq_dir}/centroids")
+            for r in spark.read.parquet(_tp(spark, ivfpq_dir, "centroids"))
             .orderBy("centroid")
             .collect()
         ]
@@ -227,8 +239,8 @@ def test_ivfpq_residual_codes_beat_flat_pq_reconstruction(
         return np.concatenate([cb[j, codes[j]] for j in range(8)])
 
     err_r = err_f = 0.0
-    rows_r = spark.read.parquet(f"{ivfpq_dir}/codes").collect()
-    rows_f = spark.read.parquet(f"{pq_dir}/codes").collect()
+    rows_r = spark.read.parquet(_tp(spark, ivfpq_dir, "codes")).collect()
+    rows_f = spark.read.parquet(_tp(spark, pq_dir, "codes")).collect()
     for r in rows_r:
         rec = C[r["centroid"]] + _decode(r["codes"], cb_r)
         err_r += float(((V[r["vec_id"]] - rec) ** 2).sum())
@@ -253,9 +265,9 @@ def test_ivfpq_add_then_serve_exact_and_replay_idempotent(
     new = emb.filter(F.col("vec_id") % 2 == 1)
     _build(old, idx, corpus_tag="half")
     ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")
-    n = spark.read.parquet(f"{idx}/codes").count()
+    n = spark.read.parquet(_tp(spark, idx, "codes")).count()
     ivfpq_index_add(new, idx, new_corpus_tag="full", batch_id="b1")  # replay
-    assert spark.read.parquet(f"{idx}/codes").count() == n
+    assert spark.read.parquet(_tp(spark, idx, "codes")).count() == n
     assert n == emb.count()
     loaded = ivfpq_index_load(spark, idx)
     got = [
@@ -284,7 +296,7 @@ def test_ivfpq_delete_erases_from_serving_and_refuses_replay(
     ivfpq_index_delete(spark, idx, dead, new_corpus_tag="post-del")
     survivors = emb.filter(F.col("vec_id") % 7 != 3)
     assert (
-        spark.read.parquet(f"{idx}/codes").count() == survivors.count()
+        spark.read.parquet(_tp(spark, idx, "codes")).count() == survivors.count()
     )
     loaded = ivfpq_index_load(spark, idx)
     got = [

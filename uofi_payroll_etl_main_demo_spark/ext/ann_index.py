@@ -31,6 +31,22 @@ contents directly, and a cluster deployment inherits Spark's
 writer/committer semantics (atomic via _SUCCESS markers) on any
 Hadoop-compatible filesystem.
 
+**Snapshot epochs (round 11).** Every op that REWRITES served data —
+compact, delete, rebalance, retrain, rebuild-over-a-serving-dir —
+stages the new generation into ``{table}__e{N}`` dirs (``meta.epoch``
+names the serving generation; epoch 0 is the bare ``{table}`` dir, so
+pre-epoch stores read unchanged with no format bump) and commits by
+repointing meta. A handle loaded BEFORE the commit captured the old
+meta and keeps lazily reading the old epoch's files, which the commit
+never touches — a serve started before a retrain/compact completes
+therefore reads one consistent snapshot end-to-end (pinned in
+tests/test_ann_index.py::test_serve_pinned_across_*). Exactly one
+previous epoch is retained as that grace window; older epochs are
+GC'd at commit. Incremental ADDS land new ``__batch`` partitions
+inside the current epoch (additive, never destructive — in-flight
+serves may or may not see them, the usual read-committed semantics
+for appends).
+
 No reference parity: the reference
 (`/root/reference/etl_payroll_pipeline_demo.py`) has no vector surface;
 this is extension scope (SURVEY.md §2.9 similarity-search family).
@@ -97,6 +113,16 @@ _META_SCHEMA = T.StructType(
         # ranking). Part of the index identity. Nullable; absent from
         # pre-existing metas (reads as false).
         T.StructField("normalized", T.BooleanType(), True),
+        # Snapshot epoch (round 11): every REWRITE of served data
+        # (compact / delete / rebalance / retrain / rebuild) writes the
+        # next epoch's table dirs (``{table}__e{N}``; epoch 0 is the
+        # bare ``{table}`` dir, so pre-epoch stores read unchanged — no
+        # format bump) and repoints meta. A handle loaded before the
+        # rewrite committed keeps its meta's epoch and therefore reads
+        # an IMMUTABLE snapshot: the old epoch's files are retained as
+        # the serve-grace window (exactly one previous epoch; older
+        # epochs are GC'd at meta commit). Nullable; absent reads as 0.
+        T.StructField("epoch", T.IntegerType(), True),
     ]
 )
 
@@ -137,6 +163,58 @@ def corpus_fingerprint(*paths: str) -> str:
             st = os.stat(p)
             h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:12]
+
+
+def _data_path(index_dir: str, table: str, meta: "dict | None") -> str:
+    """Epoch-resolved table path: epoch 0 is the bare ``{table}`` dir
+    (pre-epoch stores read unchanged), epoch N>0 is ``{table}__e{N}``.
+    EVERY read and write of a data table routes through this function;
+    a loaded handle resolves with the meta it captured at load time,
+    so its reads pin an immutable snapshot across concurrent
+    rewrites."""
+    e = int(meta.get("epoch", 0) or 0) if meta else 0
+    return f"{index_dir}/{table}" if e == 0 else f"{index_dir}/{table}__e{e}"
+
+
+def _next_epoch_meta(meta: dict) -> dict:
+    """The meta a rewrite op will commit: same identity, epoch + 1."""
+    return {**meta, "epoch": int(meta.get("epoch", 0) or 0) + 1}
+
+
+def _gc_epochs(
+    spark: SparkSession,
+    index_dir: str,
+    tables: "list[str]",
+    keep: "set[int]",
+) -> None:
+    """Best-effort removal of table dirs whose epoch is not in
+    ``keep`` — run AFTER a rewrite's meta commit, keeping {new, old}
+    so serves that loaded before the commit finish against intact
+    files (the grace snapshot), while epochs older than that are
+    reclaimed. Failures are swallowed: GC is hygiene, never
+    correctness (an un-deleted old epoch is unreachable data)."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    try:
+        fs = root.getFileSystem(conf)
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            for t in tables:
+                if name == t:
+                    e = 0
+                elif name.startswith(f"{t}__e"):
+                    try:
+                        e = int(name[len(t) + 3:])
+                    except ValueError:
+                        continue
+                else:
+                    continue
+                if e not in keep:
+                    fs.delete(status.getPath(), True)
+                break
+    except Exception:
+        pass
 
 
 def _invalidate_meta(spark: SparkSession, index_dir: str) -> None:
@@ -269,7 +347,14 @@ def _staged_compactions(
     spark: SparkSession, index_dir: str, tables: "list[tuple]"
 ) -> "list":
     """Stage every table's compacted rewrite (non-destructive), return
-    the swap callables to run after meta invalidation."""
+    the swap callables to run after meta invalidation.
+
+    Still used by the CDC and MinHash stores (ext/cdc_index.py,
+    ext/dedup_index.py — delete-in-place + rename swap). The ANN
+    stores migrated to SNAPSHOT EPOCHS in r11 (:func:`_data_path`,
+    :func:`_epoch_rewrite`): rewrites land in next-epoch dirs and the
+    old epoch stays readable for in-flight serves, which the swap's
+    delete+rename window cannot guarantee."""
     swaps = []
     for table, partition_cols, prepare in tables:
         stage, swap = _compact_swap(
@@ -278,6 +363,76 @@ def _staged_compactions(
         stage()
         swaps.append(swap)
     return swaps
+
+
+def _stage_folded(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_cols: "list[str]",
+    prepare=None,
+) -> None:
+    """Stage one table's batch-folding rewrite into its NEXT-epoch dir
+    (same fold semantics as :func:`_compact_swap`'s stage phase, no
+    swap needed — the destination is a fresh dir and the live epoch's
+    files are never touched)."""
+    src = spark.read.parquet(src_path).drop("__batch")
+    out = src.withColumn("__batch", F.lit("base"))
+    if prepare is not None:
+        out = prepare(out)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(dst_path)
+
+
+def _copy_to_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    old_meta: dict,
+    new_meta: dict,
+) -> None:
+    """Carry an UNCHANGED (small: centroids/codebooks) table into the
+    next epoch verbatim — every epoch is self-contained, so a pinned
+    handle never mixes generations."""
+    spark.read.parquet(_data_path(index_dir, table, old_meta)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_data_path(index_dir, table, new_meta))
+
+
+def _commit_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    old_meta: dict,
+    new_meta: dict,
+    tables: "list[str]",
+) -> None:
+    """Atomically repoint the store at the staged next epoch: delete
+    meta, write the new meta (the only mutation of shared state), then
+    GC table dirs of epochs older than the grace snapshot {new, old}.
+    A handle loaded before this commit holds old_meta and keeps
+    reading the old epoch's intact files; a crash BEFORE the commit
+    leaves the old index fully valid (strictly better than the v3 swap
+    story, where the crash window left the table dir absent)."""
+    _invalidate_meta(spark, index_dir)
+    _write_meta(spark, index_dir, new_meta)
+    _gc_epochs(
+        spark,
+        index_dir,
+        tables,
+        keep={
+            int(new_meta.get("epoch", 0) or 0),
+            int(old_meta.get("epoch", 0) or 0),
+        },
+    )
+
+
+def _folded_tags_at(spark: SparkSession, path: str):
+    """Epoch-resolved variant of :func:`_folded_tags` (the ANN stores
+    pass the resolved table path; the CDC/MinHash stores still use the
+    bare-layout form)."""
+    rows = (
+        spark.read.parquet(path).select("__batch").distinct().collect()
+    )
+    return sorted(r["__batch"] for r in rows if r["__batch"] != "base")
 
 
 def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -294,7 +449,7 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
     return (
-        spark.read.parquet(f"{index_dir}/assigned")
+        spark.read.parquet(_data_path(index_dir, "assigned", meta))
         .groupBy("centroid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -312,7 +467,7 @@ def pq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
-    return spark.read.parquet(f"{index_dir}/codes").agg(
+    return spark.read.parquet(_data_path(index_dir, "codes", meta)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_codes"),
         F.countDistinct("__batch").alias("n_batches"),
     )
@@ -351,7 +506,9 @@ def pq_index_drift_stats(
     m, n_centroids = meta["m"], meta["n_centroids"]
     sub = meta["dim"] // m
     codebooks = np.empty((m, n_centroids, sub))
-    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+    for r in spark.read.parquet(
+        _data_path(index_dir, "codebooks", meta)
+    ).collect():
         codebooks[r["j"], r["c"]] = r["cvec"]
     if meta.get("normalized"):
         # error must be measured in the space the codes live in
@@ -391,7 +548,7 @@ def pq_index_drift_stats(
                 )
 
     joined = (
-        spark.read.parquet(f"{index_dir}/codes")
+        spark.read.parquet(_data_path(index_dir, "codes", meta))
         .select(id_col, "codes", "__batch")
         .join(corpus.select(id_col, vec_col), id_col)
     )
@@ -499,7 +656,7 @@ def ivf_index_rebalance(
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
     stats = (
-        spark.read.parquet(f"{index_dir}/assigned")
+        spark.read.parquet(_data_path(index_dir, "assigned", meta))
         .groupBy("centroid")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .collect()
@@ -515,11 +672,11 @@ def ivf_index_rebalance(
     mean = sum(counts.values()) / len(counts)
     centroids = [
         list(r["cvec"])
-        for r in spark.read.parquet(f"{index_dir}/centroids")
+        for r in spark.read.parquet(_data_path(index_dir, "centroids", meta))
         .orderBy("centroid")
         .collect()
     ]
-    assigned = spark.read.parquet(f"{index_dir}/assigned")
+    assigned = spark.read.parquet(_data_path(index_dir, "assigned", meta))
     for c in split_ids:
         k_c = max(2, int(-(-counts[c] // max(mean, 1.0))))  # ceil
         feats = (
@@ -542,33 +699,33 @@ def ivf_index_rebalance(
         subs = [list(cc) for cc in model.clusterCenters()]
         centroids[c] = subs[0]
         centroids.extend(subs[1:])
-    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "assigned"))
-    id_col = meta["id_col"]
-    swaps = _staged_compactions(
-        spark,
-        index_dir,
-        [
-            (
-                "assigned",
-                ["centroid", "__batch"],
-                # strategy picked by POST-split centroid count — the
-                # enumerated literal stops being the right plan as
-                # repeated rebalances grow the table past
-                # _LITERAL_ASSIGN_MAX (see _assign_centroids)
-                lambda df: _assign_centroids(
-                    df.drop("centroid"), centroids, vec_col, id_col
-                ),
-            )
-        ],
+    folded = _merge_folded(
+        meta, _folded_tags_at(spark, _data_path(index_dir, "assigned", meta))
     )
-    _invalidate_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    new_meta = {**_next_epoch_meta(meta), "folded_batches": folded}
+    _stage_folded(
+        spark,
+        _data_path(index_dir, "assigned", meta),
+        _data_path(index_dir, "assigned", new_meta),
+        ["centroid", "__batch"],
+        # strategy picked by POST-split centroid count — the
+        # enumerated literal stops being the right plan as
+        # repeated rebalances grow the table past
+        # _LITERAL_ASSIGN_MAX (see _assign_centroids)
+        lambda df: _assign_centroids(
+            df.drop("centroid"), centroids, vec_col, id_col
+        ),
+    )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    for swap in swaps:
-        swap()
-    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _data_path(index_dir, "centroids", new_meta)
+    )
+    _commit_epoch(
+        spark, index_dir, meta, new_meta, ["assigned", "centroids"]
+    )
     return split_ids
 
 
@@ -582,14 +739,20 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
-    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "assigned"))
-    swaps = _staged_compactions(
-        spark, index_dir, [("assigned", ["centroid", "__batch"], None)]
+    folded = _merge_folded(
+        meta, _folded_tags_at(spark, _data_path(index_dir, "assigned", meta))
     )
-    _invalidate_meta(spark, index_dir)
-    for swap in swaps:
-        swap()
-    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+    new_meta = {**_next_epoch_meta(meta), "folded_batches": folded}
+    _stage_folded(
+        spark,
+        _data_path(index_dir, "assigned", meta),
+        _data_path(index_dir, "assigned", new_meta),
+        ["centroid", "__batch"],
+    )
+    _copy_to_epoch(spark, index_dir, "centroids", meta, new_meta)
+    _commit_epoch(
+        spark, index_dir, meta, new_meta, ["assigned", "centroids"]
+    )
 
 
 def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
@@ -598,14 +761,18 @@ def pq_index_compact(spark: SparkSession, index_dir: str) -> None:
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
-    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
-    swaps = _staged_compactions(
-        spark, index_dir, [("codes", ["__batch"], None)]
+    folded = _merge_folded(
+        meta, _folded_tags_at(spark, _data_path(index_dir, "codes", meta))
     )
-    _invalidate_meta(spark, index_dir)
-    for swap in swaps:
-        swap()
-    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+    new_meta = {**_next_epoch_meta(meta), "folded_batches": folded}
+    _stage_folded(
+        spark,
+        _data_path(index_dir, "codes", meta),
+        _data_path(index_dir, "codes", new_meta),
+        ["__batch"],
+    )
+    _copy_to_epoch(spark, index_dir, "codebooks", meta, new_meta)
+    _commit_epoch(spark, index_dir, meta, new_meta, ["codes", "codebooks"])
 
 
 def check_batch_tag(tag: str) -> str:
@@ -725,6 +892,55 @@ def _staged_delete(
                 pass  # cleanup must never mask the delete's own error
 
 
+def _epoch_delete(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    data_table: str,
+    partition_cols: "list[str]",
+    prepare,
+    meta_update: dict,
+    *,
+    copy_tables: "list[str]",
+    cleanup_frames=(),
+) -> None:
+    """The ANN stores' delete tail as a SNAPSHOT-EPOCH rewrite (r11):
+    fold the folded-batch record, stage the anti-joined data table and
+    verbatim copies of the small tables into the next epoch's dirs,
+    then commit meta — a serve that loaded before the commit keeps
+    reading the old epoch's intact files (the CDC/MinHash stores still
+    use :func:`_staged_delete`'s in-place swap). Same replay contract:
+    every ``__batch`` folds to base, so pre-delete replays raise."""
+    try:
+        folded = _merge_folded(
+            meta,
+            _folded_tags_at(spark, _data_path(index_dir, data_table, meta)),
+        )
+        new_meta = {
+            **_next_epoch_meta(meta),
+            "folded_batches": folded,
+            **meta_update,
+        }
+        _stage_folded(
+            spark,
+            _data_path(index_dir, data_table, meta),
+            _data_path(index_dir, data_table, new_meta),
+            partition_cols,
+            prepare,
+        )
+        for t in copy_tables:
+            _copy_to_epoch(spark, index_dir, t, meta, new_meta)
+        _commit_epoch(
+            spark, index_dir, meta, new_meta, [data_table] + copy_tables
+        )
+    finally:
+        for f in cleanup_frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # cleanup must never mask the delete's own error
+
+
 def ivf_index_delete(
     spark: SparkSession, index_dir: str, ids, *, new_corpus_tag: str
 ) -> None:
@@ -739,21 +955,18 @@ def ivf_index_delete(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "ivf":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not ivf")
-    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/assigned")
-    _staged_delete(
+    dead = _ids_frame(
+        spark, ids, meta["id_col"], _data_path(index_dir, "assigned", meta)
+    )
+    _epoch_delete(
         spark,
         index_dir,
         meta,
         "assigned",
-        [
-            (
-                "assigned",
-                ["centroid", "__batch"],
-                lambda df: df.join(dead, meta["id_col"], "left_anti"),
-            )
-        ],
+        ["centroid", "__batch"],
+        lambda df: df.join(dead, meta["id_col"], "left_anti"),
         {"corpus_tag": new_corpus_tag},
-        lambda row: _write_meta(spark, index_dir, row),
+        copy_tables=["centroids"],
         cleanup_frames=(dead,),
     )
 
@@ -767,21 +980,18 @@ def pq_index_delete(
     meta = _read_meta(spark, index_dir)
     if meta["kind"] != "pq":
         raise ValueError(f"{index_dir} holds a {meta['kind']!r} index, not pq")
-    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/codes")
-    _staged_delete(
+    dead = _ids_frame(
+        spark, ids, meta["id_col"], _data_path(index_dir, "codes", meta)
+    )
+    _epoch_delete(
         spark,
         index_dir,
         meta,
         "codes",
-        [
-            (
-                "codes",
-                ["__batch"],
-                lambda df: df.join(dead, meta["id_col"], "left_anti"),
-            )
-        ],
+        ["__batch"],
+        lambda df: df.join(dead, meta["id_col"], "left_anti"),
         {"corpus_tag": new_corpus_tag},
-        lambda row: _write_meta(spark, index_dir, row),
+        copy_tables=["codebooks"],
         cleanup_frames=(dead,),
     )
 
@@ -812,10 +1022,30 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     meta.setdefault("n_lists", None)
     # metas written before the cosine-mode flag read as un-normalized
     meta.setdefault("normalized", None)
+    # metas written before snapshot epochs read as epoch 0 (bare dirs)
+    if meta.get("epoch") is None:
+        meta["epoch"] = 0
     return meta
 
 
 # ------------------------------------------------------------------ IVF --
+
+
+def _build_target_epoch(spark: SparkSession, index_dir: str) -> "tuple[int, int]":
+    """(new_epoch, old_epoch) for a (re)build. A readable current-format
+    meta means the dir is SERVING: the rebuild stages into the next
+    epoch's dirs so handles loaded against the old meta keep reading
+    intact files, and the commit (meta write) is the switch point.
+    Anything else — fresh dir, invalidated or unreadable meta — builds
+    at epoch 0 (bare dirs, pre-epoch layout)."""
+    try:
+        if _fs_exists(spark, f"{index_dir}/meta"):
+            old = _read_meta(spark, index_dir)
+            e = int(old.get("epoch", 0) or 0)
+            return e + 1, e
+    except Exception:
+        pass
+    return 0, 0
 
 
 def ivf_index_build(
@@ -835,9 +1065,13 @@ def ivf_index_build(
     k-means fits through ``pyspark.ml`` (tree-aggregated, executor
     side); the assignment pass is a narrow map; the inverted lists
     land partitioned by ``centroid`` so the serving path's probe
-    filter prunes partitions at the scan. Meta is written LAST — a
-    build that dies mid-write leaves no meta row, and
-    :func:`ensure_ivf_index` treats the directory as absent.
+    filter prunes partitions at the scan. Meta is written LAST, and a
+    REBUILD over a serving dir stages into the next snapshot epoch's
+    dirs (r11): a build that dies mid-write leaves the previous index
+    fully valid (or, for a first build, no meta row —
+    :func:`ensure_ivf_index` treats the directory as absent), and
+    handles loaded before the rebuild's meta commit keep serving the
+    old epoch's intact files.
 
     ``batch_tag`` names the build's own ``__batch`` partition (default
     ``base``) — a streaming ingester's FIRST batch builds under its
@@ -854,7 +1088,8 @@ def ivf_index_build(
     if not head:
         raise ValueError("cannot build an IVF index over an empty corpus")
     dim = int(head[0][0])
-    _invalidate_meta(spark, index_dir)
+    epoch, old_epoch = _build_target_epoch(spark, index_dir)
+    emeta = {"epoch": epoch}
     index = build_ivf_index(
         embeddings,
         n_centroids=n_centroids,
@@ -866,7 +1101,9 @@ def ivf_index_build(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
         "centroid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _data_path(index_dir, "centroids", emeta)
+    )
     # __batch is the idempotence unit for incremental adds (see
     # ivf_index_add); the build's rows all land in one "base" batch.
     # centroid stays the FIRST partition level so the serving path's
@@ -876,8 +1113,9 @@ def ivf_index_build(
         .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("centroid", "__batch")
-        .parquet(f"{index_dir}/assigned")
+        .parquet(_data_path(index_dir, "assigned", emeta))
     )
+    _invalidate_meta(spark, index_dir)
     _write_meta(
         spark,
         index_dir,
@@ -895,7 +1133,11 @@ def ivf_index_build(
             "lloyd_iters": None,
             "corpus_tag": corpus_tag,
             "folded_batches": None,
+            "epoch": epoch,
         },
+    )
+    _gc_epochs(
+        spark, index_dir, ["assigned", "centroids"], keep={epoch, old_epoch}
     )
 
 
@@ -1089,7 +1331,9 @@ class IVFDiskIndex:
         self.meta = meta
         self.centroids: list[list[float]] = [
             r["cvec"]
-            for r in spark.read.parquet(f"{index_dir}/centroids")
+            for r in spark.read.parquet(
+                _data_path(index_dir, "centroids", meta)
+            )
             .orderBy("centroid")
             .collect()
         ]
@@ -1197,7 +1441,7 @@ class IVFDiskIndex:
             *queries.columns,
             F.col("__p.i").alias("centroid"),
         )
-        lists = self.spark.read.parquet(f"{self.index_dir}/assigned")
+        lists = self.spark.read.parquet(_data_path(self.index_dir, "assigned", self.meta))
         if filter_ids is not None:
             lists = lists.join(
                 filter_ids.select(F.col(id_col)), id_col, "left_semi"
@@ -1354,7 +1598,7 @@ class IVFDiskIndex:
             for c in order[qi]:
                 probes_by_centroid.setdefault(int(c), []).append(qi)
         probe_union = sorted(probes_by_centroid)
-        lists = self.spark.read.parquet(f"{self.index_dir}/assigned").filter(
+        lists = self.spark.read.parquet(_data_path(self.index_dir, "assigned", self.meta)).filter(
             F.col("centroid").isin(probe_union)
         )
         if filter_ids is not None:
@@ -1480,7 +1724,7 @@ class IVFDiskIndex:
             # through every probe width down to a full-index scan
             # before returning the same empty frame
             return (
-                self.spark.read.parquet(f"{self.index_dir}/assigned")
+                self.spark.read.parquet(_data_path(self.index_dir, "assigned", self.meta))
                 .select(
                     F.col(id_col),
                     F.lit(None).cast("double").alias("score"),
@@ -1493,7 +1737,7 @@ class IVFDiskIndex:
         while True:
             probe = self.nearest_centroids(query_vec, nprobe)
             lists = self.spark.read.parquet(
-                f"{self.index_dir}/assigned"
+                _data_path(self.index_dir, "assigned", self.meta)
             ).filter(F.col("centroid").isin(*probe))
             if filter_ids is not None:
                 lists = lists.join(
@@ -1797,7 +2041,7 @@ def ivf_index_add(
         )
     centroids = [
         r["cvec"]
-        for r in spark.read.parquet(f"{index_dir}/centroids")
+        for r in spark.read.parquet(_data_path(index_dir, "centroids", meta))
         .orderBy("centroid")
         .collect()
     ]
@@ -1806,7 +2050,9 @@ def ivf_index_add(
     # mixed-typed partitions and make the whole table unreadable —
     # scoring always runs in double either way
     stored_vec_type = (
-        spark.read.parquet(f"{index_dir}/assigned").schema[vec_col].dataType
+        spark.read.parquet(_data_path(index_dir, "assigned", meta))
+        .schema[vec_col]
+        .dataType
     )
     assigned = _assign_centroids(
         embeddings_new.select(
@@ -1824,7 +2070,7 @@ def ivf_index_add(
         assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("centroid", "__batch")
-        .parquet(f"{index_dir}/assigned")
+        .parquet(_data_path(index_dir, "assigned", meta))
     )
     _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
 
@@ -2022,7 +2268,8 @@ def pq_index_build(
     )
     if not sample:
         raise ValueError("cannot build a PQ index over an empty corpus")
-    _invalidate_meta(spark, index_dir)
+    epoch, old_epoch = _build_target_epoch(spark, index_dir)
+    emeta = {"epoch": epoch}
     train = np.stack([r[0] for r in sample]).astype(np.float64)
     dim = train.shape[1]
     codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
@@ -2034,15 +2281,18 @@ def pq_index_build(
     ]
     spark.createDataFrame(
         cb_rows, "j int, c int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _data_path(index_dir, "codebooks", emeta)
+    )
 
     (
         _pq_encode(embeddings, codebooks, id_col, vec_col)
         .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("__batch")
-        .parquet(f"{index_dir}/codes")
+        .parquet(_data_path(index_dir, "codes", emeta))
     )
+    _invalidate_meta(spark, index_dir)
     _write_meta(
         spark,
         index_dir,
@@ -2061,7 +2311,11 @@ def pq_index_build(
             "corpus_tag": corpus_tag,
             "folded_batches": None,
             "normalized": normalize,
+            "epoch": epoch,
         },
+    )
+    _gc_epochs(
+        spark, index_dir, ["codes", "codebooks"], keep={epoch, old_epoch}
     )
 
 
@@ -2078,7 +2332,9 @@ class PQDiskIndex:
         m, n_centroids = meta["m"], meta["n_centroids"]
         sub = meta["dim"] // m
         self.codebooks = np.empty((m, n_centroids, sub))
-        for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        for r in spark.read.parquet(
+            _data_path(index_dir, "codebooks", meta)
+        ).collect():
             self.codebooks[r["j"], r["c"]] = r["cvec"]
 
     def search(
@@ -2139,7 +2395,7 @@ class PQDiskIndex:
                     }
                 )
 
-        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes")
+        codes_df = self.spark.read.parquet(_data_path(self.index_dir, "codes", self.meta))
         if filter_ids is not None:
             codes_df = codes_df.join(
                 filter_ids.select(F.col(id_col)), id_col, "left_semi"
@@ -2292,7 +2548,7 @@ class PQDiskIndex:
                     }
                 )
 
-        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes")
+        codes_df = self.spark.read.parquet(_data_path(self.index_dir, "codes", self.meta))
         if filter_ids is not None:
             codes_df = codes_df.join(
                 filter_ids.select(F.col(id_col)), id_col, "left_semi"
@@ -2381,7 +2637,9 @@ def pq_index_add(
     m, n_centroids = meta["m"], meta["n_centroids"]
     sub = meta["dim"] // m
     codebooks = np.empty((m, n_centroids, sub))
-    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+    for r in spark.read.parquet(
+        _data_path(index_dir, "codebooks", meta)
+    ).collect():
         codebooks[r["j"], r["c"]] = r["cvec"]
     tag = batch_id if batch_id is not None else new_corpus_tag
     (
@@ -2390,7 +2648,7 @@ def pq_index_add(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch")
-        .parquet(f"{index_dir}/codes")
+        .parquet(_data_path(index_dir, "codes", meta))
     )
     _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
 
@@ -2450,7 +2708,9 @@ def pq_index_retrain(
         # identity, so it survives the retrain)
         corpus = _l2_normalize(corpus, vec_col)
     ids = (
-        spark.read.parquet(f"{index_dir}/codes").select(id_col).distinct()
+        spark.read.parquet(_data_path(index_dir, "codes", meta))
+        .select(id_col)
+        .distinct()
     )
     member = corpus.select(id_col, vec_col).join(ids, id_col, "left_semi")
     member = member.persist()
@@ -2491,25 +2751,27 @@ def pq_index_retrain(
         )
         train = np.stack([r[0] for r in sample]).astype(np.float64)
         codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
-        folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
-        swaps = _staged_compactions(
-            spark,
-            index_dir,
-            [
-                (
-                    "codes",
-                    ["__batch"],
-                    # the staged content is a FRESH encode of the
-                    # membership through the NEW codebooks, not a
-                    # rewrite of the old codes (which are unreadable
-                    # under the new codebooks by definition)
-                    lambda _old: _pq_encode(
-                        member, codebooks, id_col, vec_col
-                    ).withColumn("__batch", F.lit("base")),
-                )
-            ],
+        folded = _merge_folded(
+            meta,
+            _folded_tags_at(spark, _data_path(index_dir, "codes", meta)),
         )
-        _invalidate_meta(spark, index_dir)
+        new_meta = {
+            **_next_epoch_meta(meta),
+            "corpus_tag": new_corpus_tag,
+            "train_sample": train_sample,
+            "lloyd_iters": lloyd_iters,
+            "folded_batches": folded,
+        }
+        # the staged content is a FRESH encode of the membership
+        # through the NEW codebooks, not a rewrite of the old codes
+        # (which are unreadable under the new codebooks by definition)
+        (
+            _pq_encode(member, codebooks, id_col, vec_col)
+            .withColumn("__batch", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(_data_path(index_dir, "codes", new_meta))
+        )
         cb_rows = [
             (j, c, [float(x) for x in codebooks[j, c]])
             for j in range(m)
@@ -2518,20 +2780,10 @@ def pq_index_retrain(
         spark.createDataFrame(
             cb_rows, "j int, c int, cvec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/codebooks"
+            _data_path(index_dir, "codebooks", new_meta)
         )
-        for swap in swaps:
-            swap()
-        _write_meta(
-            spark,
-            index_dir,
-            {
-                **meta,
-                "corpus_tag": new_corpus_tag,
-                "train_sample": train_sample,
-                "lloyd_iters": lloyd_iters,
-                "folded_batches": folded,
-            },
+        _commit_epoch(
+            spark, index_dir, meta, new_meta, ["codes", "codebooks"]
         )
     finally:
         member.unpersist()
@@ -2751,7 +3003,8 @@ def ivfpq_index_build(
         )
     if normalize:
         embeddings = _l2_normalize(embeddings, vec_col)
-    _invalidate_meta(spark, index_dir)
+    epoch, old_epoch = _build_target_epoch(spark, index_dir)
+    emeta = {"epoch": epoch}
     index = build_ivf_index(
         embeddings,
         n_centroids=n_lists,
@@ -2764,7 +3017,9 @@ def ivfpq_index_build(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _data_path(index_dir, "centroids", emeta)
+    )
     # residual training sample: bounded, id-sorted (deterministic —
     # the PQ build's law), but drawn AFTER assignment so each sampled
     # vector subtracts its own coarse centroid
@@ -2786,15 +3041,18 @@ def ivfpq_index_build(
     ]
     spark.createDataFrame(
         cb_rows, "j int, c int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _data_path(index_dir, "codebooks", emeta)
+    )
     (
         _pq_encode_residual(index.assigned, codebooks, centroids,
                             id_col, vec_col)
         .withColumn("__batch", F.lit(batch_tag))
         .write.mode("overwrite")
         .partitionBy("centroid", "__batch")
-        .parquet(f"{index_dir}/codes")
+        .parquet(_data_path(index_dir, "codes", emeta))
     )
+    _invalidate_meta(spark, index_dir)
     _write_meta(
         spark,
         index_dir,
@@ -2814,7 +3072,14 @@ def ivfpq_index_build(
             "corpus_tag": corpus_tag,
             "folded_batches": None,
             "normalized": normalize,
+            "epoch": epoch,
         },
+    )
+    _gc_epochs(
+        spark,
+        index_dir,
+        ["codes", "codebooks", "centroids"],
+        keep={epoch, old_epoch},
     )
 
 
@@ -2830,14 +3095,18 @@ class IVFPQDiskIndex:
         self.meta = meta
         self.centroids: "list[list[float]]" = [
             r["cvec"]
-            for r in spark.read.parquet(f"{index_dir}/centroids")
+            for r in spark.read.parquet(
+                _data_path(index_dir, "centroids", meta)
+            )
             .orderBy("centroid")
             .collect()
         ]
         m, n_centroids = meta["m"], meta["n_centroids"]
         sub = meta["dim"] // m
         self.codebooks = np.empty((m, n_centroids, sub))
-        for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        for r in spark.read.parquet(
+            _data_path(index_dir, "codebooks", meta)
+        ).collect():
             self.codebooks[r["j"], r["c"]] = r["cvec"]
 
     def search(
@@ -2887,7 +3156,7 @@ class IVFPQDiskIndex:
             # lists and return k zero-ADC rows; under auto_widen the
             # inconsistency forces pointless widen-to-exhaustion)
             return (
-                self.spark.read.parquet(f"{self.index_dir}/codes")
+                self.spark.read.parquet(_data_path(self.index_dir, "codes", self.meta))
                 .select(
                     F.col(id_col),
                     F.lit(None).cast("double").alias("score"),
@@ -2939,7 +3208,7 @@ class IVFPQDiskIndex:
                     )
 
             codes_df = self.spark.read.parquet(
-                f"{self.index_dir}/codes"
+                _data_path(self.index_dir, "codes", self.meta)
             ).filter(F.col("centroid").isin(*probe))
             if filter_ids is not None:
                 codes_df = codes_df.join(
@@ -3187,7 +3456,7 @@ class IVFPQDiskIndex:
                         }
                     )
 
-        codes_df = self.spark.read.parquet(f"{self.index_dir}/codes").filter(
+        codes_df = self.spark.read.parquet(_data_path(self.index_dir, "codes", self.meta)).filter(
             F.col("centroid").isin(probe_union)
         )
         if filter_ids is not None:
@@ -3284,14 +3553,16 @@ def ivfpq_index_add(
         )
     centroids = [
         r["cvec"]
-        for r in spark.read.parquet(f"{index_dir}/centroids")
+        for r in spark.read.parquet(_data_path(index_dir, "centroids", meta))
         .orderBy("centroid")
         .collect()
     ]
     m, n_centroids = meta["m"], meta["n_centroids"]
     sub = meta["dim"] // m
     codebooks = np.empty((m, n_centroids, sub))
-    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+    for r in spark.read.parquet(
+        _data_path(index_dir, "codebooks", meta)
+    ).collect():
         codebooks[r["j"], r["c"]] = r["cvec"]
     assigned = _assign_centroids(
         embeddings_new.select(
@@ -3311,7 +3582,7 @@ def ivfpq_index_add(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("centroid", "__batch")
-        .parquet(f"{index_dir}/codes")
+        .parquet(_data_path(index_dir, "codes", meta))
     )
     _write_meta(spark, index_dir, {**meta, "corpus_tag": new_corpus_tag})
 
@@ -3328,21 +3599,18 @@ def ivfpq_index_delete(
         raise ValueError(
             f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
         )
-    dead = _ids_frame(spark, ids, meta["id_col"], f"{index_dir}/codes")
-    _staged_delete(
+    dead = _ids_frame(
+        spark, ids, meta["id_col"], _data_path(index_dir, "codes", meta)
+    )
+    _epoch_delete(
         spark,
         index_dir,
         meta,
         "codes",
-        [
-            (
-                "codes",
-                ["centroid", "__batch"],
-                lambda df: df.join(dead, meta["id_col"], "left_anti"),
-            )
-        ],
+        ["centroid", "__batch"],
+        lambda df: df.join(dead, meta["id_col"], "left_anti"),
         {"corpus_tag": new_corpus_tag},
-        lambda row: _write_meta(spark, index_dir, row),
+        copy_tables=["codebooks", "centroids"],
         cleanup_frames=(dead,),
     )
 
@@ -3356,14 +3624,25 @@ def ivfpq_index_compact(spark: SparkSession, index_dir: str) -> None:
         raise ValueError(
             f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
         )
-    folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
-    swaps = _staged_compactions(
-        spark, index_dir, [("codes", ["centroid", "__batch"], None)]
+    folded = _merge_folded(
+        meta, _folded_tags_at(spark, _data_path(index_dir, "codes", meta))
     )
-    _invalidate_meta(spark, index_dir)
-    for swap in swaps:
-        swap()
-    _write_meta(spark, index_dir, {**meta, "folded_batches": folded})
+    new_meta = {**_next_epoch_meta(meta), "folded_batches": folded}
+    _stage_folded(
+        spark,
+        _data_path(index_dir, "codes", meta),
+        _data_path(index_dir, "codes", new_meta),
+        ["centroid", "__batch"],
+    )
+    _copy_to_epoch(spark, index_dir, "codebooks", meta, new_meta)
+    _copy_to_epoch(spark, index_dir, "centroids", meta, new_meta)
+    _commit_epoch(
+        spark,
+        index_dir,
+        meta,
+        new_meta,
+        ["codes", "codebooks", "centroids"],
+    )
 
 
 def ivfpq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -3376,7 +3655,7 @@ def ivfpq_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
             f"{index_dir} holds a {meta['kind']!r} index, not ivfpq"
         )
     return (
-        spark.read.parquet(f"{index_dir}/codes")
+        spark.read.parquet(_data_path(index_dir, "codes", meta))
         .groupBy("centroid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -3472,12 +3751,16 @@ def ivfpq_index_drift_stats(
     m, n_centroids = meta["m"], meta["n_centroids"]
     sub = meta["dim"] // m
     codebooks = np.empty((m, n_centroids, sub))
-    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+    for r in spark.read.parquet(
+        _data_path(index_dir, "codebooks", meta)
+    ).collect():
         codebooks[r["j"], r["c"]] = r["cvec"]
     C = np.stack(
         [
             np.asarray(r["cvec"], dtype=np.float64)
-            for r in spark.read.parquet(f"{index_dir}/centroids")
+            for r in spark.read.parquet(
+                _data_path(index_dir, "centroids", meta)
+            )
             .orderBy("centroid")
             .collect()
         ]
@@ -3520,7 +3803,7 @@ def ivfpq_index_drift_stats(
                 )
 
     joined = (
-        spark.read.parquet(f"{index_dir}/codes")
+        spark.read.parquet(_data_path(index_dir, "codes", meta))
         .select(id_col, "codes", "centroid", "__batch")
         .join(corpus.select(id_col, vec_col), id_col)
     )
@@ -3583,7 +3866,9 @@ def ivfpq_index_retrain(
     if meta.get("normalized"):
         corpus = _l2_normalize(corpus, vec_col)
     ids = (
-        spark.read.parquet(f"{index_dir}/codes").select(id_col).distinct()
+        spark.read.parquet(_data_path(index_dir, "codes", meta))
+        .select(id_col)
+        .distinct()
     )
     member = corpus.select(id_col, vec_col).join(ids, id_col, "left_semi")
     member = member.persist()
@@ -3631,29 +3916,33 @@ def ivfpq_index_retrain(
             [np.asarray(r[0], dtype=np.float64) - C[r[1]] for r in sample]
         )
         codebooks = train_pq_codebooks(train, m, n_centroids, lloyd_iters)
-        folded = _merge_folded(meta, _folded_tags(spark, index_dir, "codes"))
-        swaps = _staged_compactions(
-            spark,
-            index_dir,
-            [
-                (
-                    "codes",
-                    ["centroid", "__batch"],
-                    # fresh encode of the membership through BOTH new
-                    # quantizers (old codes are meaningless under them)
-                    lambda _old: _pq_encode_residual(
-                        index.assigned, codebooks, centroids, id_col,
-                        vec_col,
-                    ).withColumn("__batch", F.lit("base")),
-                )
-            ],
+        folded = _merge_folded(
+            meta,
+            _folded_tags_at(spark, _data_path(index_dir, "codes", meta)),
         )
-        _invalidate_meta(spark, index_dir)
+        new_meta = {
+            **_next_epoch_meta(meta),
+            "corpus_tag": new_corpus_tag,
+            "train_sample": train_sample,
+            "lloyd_iters": lloyd_iters,
+            "folded_batches": folded,
+        }
+        # fresh encode of the membership through BOTH new quantizers
+        # (old codes are meaningless under them)
+        (
+            _pq_encode_residual(
+                index.assigned, codebooks, centroids, id_col, vec_col
+            )
+            .withColumn("__batch", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("centroid", "__batch")
+            .parquet(_data_path(index_dir, "codes", new_meta))
+        )
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "centroid int, cvec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/centroids"
+            _data_path(index_dir, "centroids", new_meta)
         )
         cb_rows = [
             (j, c, [float(x) for x in codebooks[j, c]])
@@ -3663,20 +3952,14 @@ def ivfpq_index_retrain(
         spark.createDataFrame(
             cb_rows, "j int, c int, cvec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/codebooks"
+            _data_path(index_dir, "codebooks", new_meta)
         )
-        for swap in swaps:
-            swap()
-        _write_meta(
+        _commit_epoch(
             spark,
             index_dir,
-            {
-                **meta,
-                "corpus_tag": new_corpus_tag,
-                "train_sample": train_sample,
-                "lloyd_iters": lloyd_iters,
-                "folded_batches": folded,
-            },
+            meta,
+            new_meta,
+            ["codes", "codebooks", "centroids"],
         )
     finally:
         member.unpersist()

@@ -117,23 +117,39 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
+    from pyspark.sql import Window
+
     sh = _shingle_hashes(df, text_col, id_col, k)
-    # consumed twice (sizes + buckets): persist so the shingle explode
-    # runs once (MEMORY_AND_DISK — spills, never recomputes)
-    sh = sh.persist()
-    # shingles are distinct per doc, so set size == exploded row count;
-    # deriving it from `sh` avoids a second shingle computation
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    # Pair generation WITHOUT a self-join: group ids per shingle bucket
-    # and expand ordered pairs in-bucket with higher-order functions —
-    # one shuffle instead of a join of the exploded frame against
-    # itself (measured 2.2× faster at bench scale; same shape the LSH
-    # banding path uses). A doc appears at most once per bucket
-    # (shingles are distinct per doc), so counting expanded pairs per
-    # (id_a, id_b) IS the intersection size.
+    # shingles are distinct per doc, so set size == per-doc row count;
+    # a window count ANNOTATES each shingle row with its doc's size
+    # (one shuffle of the O(corpus·shingles) frame by id) so the sizes
+    # ride the bucket expansion and the pair frame needs NO join back.
+    # The former shape joined the pair counts against a per-doc sizes
+    # frame twice — at sf1 those corpus-scaling join sides sat under
+    # the broadcast threshold while the 100M-row pair-count shuffle
+    # had the driver heap under pressure, and the broadcast build
+    # OOM'd (r11 sf1 bench); at 100 TB a per-doc frame must never
+    # broadcast at all. Carrying the two ints through the buckets is
+    # strictly cheaper than shuffling the pair frame through two
+    # joins, and leaves this path with ZERO joins.
+    szd = sh.select(
+        F.col(id_col),
+        "sh",
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col))
+        .alias("__n"),
+    )
+    # Pair generation WITHOUT a self-join: group (id, n) per shingle
+    # bucket and expand ordered pairs in-bucket with higher-order
+    # functions — one shuffle instead of a join of the exploded frame
+    # against itself (measured 2.2× faster at bench scale; same shape
+    # the LSH banding path uses). A doc appears at most once per
+    # bucket (shingles are distinct per doc), so counting expanded
+    # pairs per (id_a, id_b) IS the intersection size.
+    member = F.struct(F.col(id_col).alias("id"), F.col("__n").alias("n"))
     buckets = (
-        sh.groupBy("sh")
-        .agg(F.collect_list(id_col).alias("ids"))
+        szd.groupBy("sh")
+        .agg(F.collect_list(member).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_shingle_freq is not None:
@@ -147,7 +163,14 @@ def ngram_jaccard_pairs(
             lambda x, i: F.transform(
                 F.slice(ids, i + F.lit(2), F.size(ids)),
                 lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.when(x["id"] < y["id"], x["n"])
+                    .otherwise(y["n"])
+                    .alias("na"),
+                    F.when(x["id"] < y["id"], y["n"])
+                    .otherwise(x["n"])
+                    .alias("nb"),
                 ),
             ),
         )
@@ -155,14 +178,14 @@ def ngram_jaccard_pairs(
     inter = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__i"))
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.min("p.na").alias("__na"),
+            F.min("p.nb").alias("__nb"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
         )
@@ -408,12 +431,22 @@ def verify_jaccard_pairs(
     are (id, __set) shingle-hash frames for each side (the same frame
     twice for a self-corpus check). Returns (a_col, b_col, jaccard ≥
     threshold)."""
+    # The set frames are PER-DOC ARRAYS — they grow with the corpus,
+    # so they must never be driver-broadcast (at sf1 corpus-scaling
+    # sides under the broadcast threshold OOM'd the driver while the
+    # candidate shuffle held the heap; at 100 TB they are terabytes).
+    # shuffle_hash keeps the join executor-side with the smaller side
+    # hashed per-partition — no sort of the candidate frame either.
     with_a = cand.join(
-        sets_a.select(F.col(id_col).alias(a_col), F.col("__set").alias("set_a")),
+        sets_a.select(
+            F.col(id_col).alias(a_col), F.col("__set").alias("set_a")
+        ).hint("shuffle_hash"),
         a_col,
     )
     with_b = with_a.join(
-        sets_b.select(F.col(id_col).alias(b_col), F.col("__set").alias("set_b")),
+        sets_b.select(
+            F.col(id_col).alias(b_col), F.col("__set").alias("set_b")
+        ).hint("shuffle_hash"),
         b_col,
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))

@@ -5080,8 +5080,13 @@ def q_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: six-way join (region-filtered nations →
     customers ⋈ orders ⋈ lineitem ⋈ supplier with the LOCAL-supplier
     constraint c_nationkey = s_nationkey) → per-nation decimal-exact
-    revenue. Every dimension chain broadcasts; the only shuffle the
-    fact table pays is the final per-nation partial agg."""
+    revenue. True dimensions (region/nation/supplier/customer chains)
+    broadcast under the 10 MB threshold; the orders-side chain grows
+    with sf, so past toy scale the fact⋈orders join is a sort-merge
+    on o_orderkey — the 100 TB-correct shape. (Through r10 the 64 MB
+    threshold made Spark driver-broadcast LINEITEM ITSELF at sf1 —
+    the r11 decade flagged the 4× ratio drift and the session posture
+    was fixed; see session.py.)"""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")

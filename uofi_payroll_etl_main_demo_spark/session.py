@@ -51,8 +51,17 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # All reference dimensions are KB–MB scale: broadcast aggressively.
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Spark's default 10 MB: dimension-sized. The posture was 64 MB
+        # through r10 ("every reference dimension is KB-scale"), but
+        # the r11 sf1 decade proved 64 MB is a SCALE TRAP: mid-scale
+        # FACT tables (sf1 lineitem ≈ 6M rows) slip under it and get
+        # driver-broadcast — the TPC-H Q5 row was broadcasting
+        # lineitem itself (4× ratio drift sf0.1→sf1; at 100 TB the
+        # same posture would broadcast any fact partition estimated
+        # <64 MB after pushdown). Real dimensions are KBs and still
+        # broadcast at 10 MB; operators that KNOW a side is bounded
+        # say so explicitly with F.broadcast().
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
         # Arrow for any pandas boundary (Excel bridge, pandas UDFs).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
