@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.functions.scale import (
+    scale_input_parallelism as _scale_in,
+)
 from uofi_payroll_etl_main_demo_spark.functions.text import (
     shingles_from_tokens,
     tokenize_ws,
@@ -78,7 +81,12 @@ def _shingle_hashes(
     per element, so inlining the tokenize re-runs the regex split once
     per shingle slice (measured 6× slower; see
     ``shingles_from_tokens``'s perf contract)."""
-    base = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    # scale-adaptive scan parallelism: a tiny corpus reads as one row
+    # group/task; repartition the projected raw rows so the HOF-heavy
+    # shingle stage runs wide (no-op whenever the scan is already wider)
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
+    )
     exploded = base.select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__s"),
@@ -117,28 +125,57 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    from pyspark.sql import Window
-
-    sh = _shingle_hashes(df, text_col, id_col, k)
-    # shingles are distinct per doc, so set size == per-doc row count;
-    # a window count ANNOTATES each shingle row with its doc's size
-    # (one shuffle of the O(corpus·shingles) frame by id) so the sizes
-    # ride the bucket expansion and the pair frame needs NO join back.
-    # The former shape joined the pair counts against a per-doc sizes
-    # frame twice — at sf1 those corpus-scaling join sides sat under
-    # the broadcast threshold while the 100M-row pair-count shuffle
-    # had the driver heap under pressure, and the broadcast build
-    # OOM'd (r11 sf1 bench); at 100 TB a per-doc frame must never
-    # broadcast at all. Carrying the two ints through the buckets is
-    # strictly cheaper than shuffling the pair frame through two
-    # joins, and leaves this path with ZERO joins.
-    szd = sh.select(
-        F.col(id_col),
-        "sh",
-        F.count(F.lit(1))
-        .over(Window.partitionBy(id_col))
-        .alias("__n"),
+    # shingles are distinct per doc (array_distinct in
+    # shingles_from_tokens), so the per-doc set size is just F.size of
+    # the shingle ARRAY — known BEFORE the explode. Annotating each
+    # exploded row with it costs nothing, and the sizes then ride the
+    # bucket expansion so the pair frame needs NO join back.
+    #   - The r10 shape joined the pair counts against a per-doc sizes
+    #     frame twice — at sf1 those corpus-scaling join sides sat
+    #     under the broadcast threshold and the broadcast build OOM'd
+    #     the driver; at 100 TB a per-doc frame must never broadcast.
+    #   - The first r11 shape annotated via a window count, which
+    #     costs one full Exchange+Sort of the exploded shingle frame —
+    #     the LARGEST frame in the plan — purely to recount what the
+    #     array already knows (3 Exchanges; plans/r11/
+    #     ext_ngram_jaccard_before.txt ops 5–7).
+    # This shape: size-before-explode, zero joins, 2 Exchanges (bucket
+    # groupBy + pair groupBy — both fundamental). The two-reference
+    # projection (__arr feeds size AND explode) is NOT re-inlined by
+    # CollapseProject (non-cheap expressions used >1× stay
+    # materialized since SPARK-36718), so the shingle transform still
+    # runs once per row — verified in the _after plan.
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
     )
+    arr = base.select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), k).alias("__arr")
+    )
+    # explode a COALESCE-wrapped (non-attribute) input: with a bare
+    # attribute, InferFiltersFromGenerate adds size(__arr)>0 AND
+    # isnotnull(__arr) and PushDownPredicate then inlines the FULL
+    # shingle transform into that predicate through both projections —
+    # tripling the per-document tokenize+shingle work (observed in the
+    # first _after plan). The rule only fires on attribute inputs
+    # (SPARK-33544), the wrapper is free (the array is never NULL by
+    # construction), and explode drops empty arrays anyway.
+    # size is computed in a projection BELOW the generate and the array
+    # column is dropped AT the generate (unrequired child output):
+    # computing size in the same select as the explode puts it in the
+    # project ABOVE the generate, which forces the full shingle array
+    # into every exploded row's buffer — O(shingles²) bytes per doc of
+    # row-copy traffic (measured ~25% slower than the window shape it
+    # was meant to beat).
+    sized = arr.select(
+        F.col(id_col), F.size("__arr").alias("__n"), F.col("__arr")
+    )
+    szd = sized.select(
+        id_col,
+        "__n",
+        F.explode(
+            F.coalesce(F.col("__arr"), F.array().cast("array<string>"))
+        ).alias("__s"),
+    ).select(id_col, "__n", F.xxhash64("__s").alias("sh"))
     # Pair generation WITHOUT a self-join: group (id, n) per shingle
     # bucket and expand ordered pairs in-bucket with higher-order
     # functions — one shuffle instead of a join of the exploded frame
