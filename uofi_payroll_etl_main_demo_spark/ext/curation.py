@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.functions.scale import (
+    scale_input_parallelism as _scale_in,
+)
 from uofi_payroll_etl_main_demo_spark.functions.text import (
     punct_count,
     shingles_from_tokens,
@@ -128,7 +131,9 @@ def repetition_stats(
     both from HEAD. Judge bench values for this row only against
     in-suite runs.
     """
-    toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    toks = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
+    )
     # sorted arrays MATERIALIZED through a projection boundary: the
     # stats lambdas index into them per element, and an inline sort
     # expression would re-sort once per element (the HOF
@@ -275,7 +280,9 @@ def _term_frequencies(
     set — downstream scalar counts (N for idf) come off it instead of
     re-scanning the raw corpus. Consumers filter NULL terms out of the
     vocabulary paths."""
-    toks = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    toks = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
+    )
     return (
         toks.select(F.col(id_col), F.explode_outer("__toks").alias("term"))
         .groupBy(id_col, "term")
@@ -569,7 +576,7 @@ def gopher_rules(
 
     Fractions are round-6 so the SQL oracle compares exactly.
     """
-    base = df.select(
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         tokenize_ws(text_col).alias("__toks"),

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.functions.scale import (
+    scale_input_parallelism as _scale_in,
+)
 from uofi_payroll_etl_main_demo_spark.functions.text import tokenize_ws
 
 
@@ -102,9 +105,9 @@ def heavy_hitters_report(
     Output: (term, exact_count, cms_count), top_n rows by exact count
     (ties broken by term for determinism).
     """
-    toks = df.select(tokenize_ws(text_col).alias("__toks")).select(
-        F.explode("__toks").alias("term")
-    )
+    toks = _scale_in(df.select(F.col(text_col))).select(
+        tokenize_ws(text_col).alias("__toks")
+    ).select(F.explode("__toks").alias("term"))
     exact = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_count"))

@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uofi_payroll_etl_main_demo_spark.functions.scale import (
+    scale_input_parallelism as _scale_in,
+)
 from uofi_payroll_etl_main_demo_spark.functions.text import (
     STOPWORDS,
     fingerprint64,
@@ -32,7 +35,7 @@ def document_stats(
     avg_token_len, quality — the cheap pre-filters of a training-data
     pipeline, computed in one pass.
     """
-    base = df.select(
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         tokenize_ws(text_col).alias("__toks"),
@@ -92,7 +95,9 @@ def curation_scores(
     them don't re-join the input — re-joining is the exact
     anti-pattern this function exists to remove.
     """
-    base = df.select(
+    base = _scale_in(
+        df.select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col))
+    ).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.col(text_col).alias("__text"),
@@ -162,7 +167,7 @@ def language_id(
         # close over via a factory instead.
         return lambda t: F.lower(t).isin(*sw)
 
-    base = df.select(
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         tokenize_ws(text_col).alias("__toks"),
     )
@@ -699,7 +704,9 @@ def boilerplate_stats(
         shingles_from_tokens,
     )
 
-    base = df.select(F.col(id_col), tokenize_ws(text_col).alias("__toks"))
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize_ws(text_col).alias("__toks")
+    )
     occ = base.select(
         F.col(id_col),
         F.explode(

@@ -5,12 +5,12 @@ everything up to the first exchange (tokenize, shingle/array HOFs,
 hashing, partial aggregation) runs single-threaded no matter how many
 cores the cluster has. ``scale_input_parallelism`` round-robin
 repartitions the RAW input rows to ``defaultParallelism`` — but ONLY
-when the scan has fewer partitions than that, so at any real corpus
-scale (where the scan already has more partitions than cores) it is a
-no-op and nothing here is tuned to local mode. The exchange that does
-fire moves exactly the projected bytes of a tiny input, which is why
-callers should pass a PROJECTED frame (id + the columns the heavy
-stage actually reads).
+when the input is a plain file scan with fewer partitions than that,
+so at any real corpus scale (where the scan already has more
+partitions than cores) it is a no-op and nothing here is tuned to
+local mode. The exchange that does fire moves exactly the projected
+bytes of a tiny input, which is why callers should pass a PROJECTED
+frame (id + the columns the heavy stage actually reads).
 
 This is the guide's "make partitioning scale-adaptive (derive from
 input size) rather than a constant tuned for either local mode or the
@@ -21,10 +21,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Leaf relations whose scan parallelism is worth probing. LocalRelation
+# (createDataFrame fixtures) is deliberately absent: test-sized frames
+# should not grow exchanges.
+_SCAN_LEAVES = {"LogicalRelation", "DataSourceV2Relation"}
+# Single-child wrappers a projected scan may sit under.
+_TRANSPARENT = {"Project", "Filter", "SubqueryAlias", "View", "ResolvedHint"}
+
+
+def _is_scan_like(jplan) -> bool:
+    node = jplan
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in _SCAN_LEAVES:
+            return True
+        if name in _TRANSPARENT and node.children().size() == 1:
+            node = node.children().head()
+            continue
+        return False
+
 
 def scale_input_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` up to ``defaultParallelism`` iff its plan
-    currently yields fewer partitions (tiny scans); identity otherwise.
+    """Repartition ``df`` up to ``defaultParallelism`` iff it is a plain
+    (projected/filtered) file scan that currently yields fewer
+    partitions (tiny inputs); identity otherwise.
+
+    DERIVED frames (anything with a join/agg/generate inside) are left
+    alone without even probing them: their parallelism already comes
+    from their own exchanges, and probing would compile a second
+    physical plan for a possibly large tree at every call site
+    (measured +0.8 s on a rewrite→rescore pipeline when this helper
+    naively called ``.rdd`` on the composite).
 
     Round-robin (keyless) repartition: perfectly even spread for the
     downstream per-row work, deterministic under retries via Spark's
@@ -33,6 +60,11 @@ def scale_input_parallelism(df: DataFrame) -> DataFrame:
     aggregations), so this never changes what a query computes."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        if not _is_scan_like(df._jdf.queryExecution().analyzed()):
+            return df
+    except Exception:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
