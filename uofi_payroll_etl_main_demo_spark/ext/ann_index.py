@@ -1457,9 +1457,9 @@ class IVFDiskIndex:
             F.col(query_id_col),
             F.col(id_col),
             *[F.col(c) for c in carry_cols],
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
-                "score"
-            ),
+            cosine_similarity(
+                vec_col, query_vec_col, dim=int(self.meta["dim"])
+            ).alias("score"),
         ).filter(F.col("score").isNotNull())
         # ^ zero-norm vectors (either side) have undefined cosine —
         # NULL from cosine_similarity — and are dropped, the contract
@@ -1731,7 +1731,6 @@ class IVFDiskIndex:
                 )
                 .filter(F.lit(False))
             )
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
         n_lists = len(self.centroids)
         nprobe = min(nprobe, n_lists)
         while True:
@@ -1746,7 +1745,7 @@ class IVFDiskIndex:
             out = (
                 lists.select(
                     F.col(id_col),
-                    cosine_similarity(F.col(vec_col), q).alias("score"),
+                    cosine_similarity(vec_col, query_vec).alias("score"),
                 )
                 .filter(F.col("score").isNotNull())
                 .orderBy(F.desc("score"), F.asc(id_col))
@@ -2409,13 +2408,12 @@ class PQDiskIndex:
             return cand.select(
                 F.col("vec_id_out").alias(id_col), F.col("adc").alias("score")
             ).limit(k)
-        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
         ids = cand.select(F.col("vec_id_out").alias(id_col))
         return (
             rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
             .select(
                 F.col(id_col),
-                cosine_similarity(F.col(vec_col), qlit).alias("score"),
+                cosine_similarity(vec_col, query_vec).alias("score"),
             )
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
@@ -3225,13 +3223,12 @@ class IVFPQDiskIndex:
                     F.col("adc").alias("score"),
                 ).limit(k)
             else:
-                qlit = F.array(*[F.lit(float(x)) for x in query_vec])
                 ids = cand.select(F.col("vec_id_out").alias(id_col))
                 out = (
                     rerank_corpus.join(F.broadcast(ids), id_col, "left_semi")
                     .select(
                         F.col(id_col),
-                        cosine_similarity(F.col(vec_col), qlit).alias(
+                        cosine_similarity(vec_col, query_vec).alias(
                             "score"
                         ),
                     )

@@ -446,11 +446,10 @@ def hybrid_rrf_search(
         F.col(doc_id_col).alias("__id"),
         F.row_number().over(wb).alias("__rb"),
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     dense = (
         embeddings.select(
             F.col(vec_id_col).alias("__id"),
-            cosine_similarity(F.col(vec_col), qlit).alias("__score"),
+            cosine_similarity(vec_col, query_vec).alias("__score"),
         )
         .orderBy(F.desc("__score"), F.asc("__id"))
         .limit(top_n_each)

@@ -63,12 +63,11 @@ class IVFIndex:
     ) -> DataFrame:
         """Top-k over the nprobe nearest inverted lists only."""
         probe = self.nearest_centroids(query_vec, nprobe)
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             self.assigned.filter(F.col("centroid").isin(*probe))
             .select(
                 F.col(self.id_col),
-                cosine_similarity(F.col(self.vec_col), q).alias("score"),
+                cosine_similarity(self.vec_col, query_vec).alias("score"),
             )
             .orderBy(F.desc("score"), F.asc(self.id_col))
             .limit(k)

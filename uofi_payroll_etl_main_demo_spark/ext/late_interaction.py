@@ -141,9 +141,12 @@ def maxsim_topk(
     query_id_col: str = "query_id",
     qvec_idx_col: str = "qvec_idx",
     query_vec_col: str = "qv",
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Exact MaxSim top-k: every query vector against every passage
-    vector, by broadcast (query side small by contract). Returns
+    vector, by broadcast (query side small by contract). ``dim``
+    (when known) switches the per-pair cosine to the codegen-unrolled
+    form — bit-identical, see functions.vectors.dot_product. Returns
     (query_id, doc_id, maxsim_milli) — the per-query top-k documents.
 
     Plan: pruned scan of the passage frame → broadcast nested-loop
@@ -162,7 +165,7 @@ def maxsim_topk(
         query_id_col,
         "__qi",
         F.col(doc_id_col),
-        cosine_similarity(F.col(doc_vec_col), F.col("__qv")).alias("__cos"),
+        cosine_similarity(doc_vec_col, "__qv", dim=dim).alias("__cos"),
     )
     return _pool_maxsim(
         scored, k, query_id_col=query_id_col, doc_id_col=doc_id_col

@@ -45,11 +45,10 @@ def brute_force_top_k(
     plan itself); scoring is a JVM-side higher-order expression. Output:
     (id, score) ordered by score desc with id as deterministic tie-break.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     score = (
-        cosine_similarity(F.col(vec_col), q)
+        cosine_similarity(vec_col, query_vec)
         if metric == "cosine"
-        else dot_product(F.col(vec_col), q)
+        else dot_product(vec_col, query_vec)
     )
     return (
         embeddings.select(F.col(id_col), score.alias("score"))
@@ -353,11 +352,10 @@ def projected_rerank_top_k(
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         coarse_df.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), q).alias("score"),
+            cosine_similarity(vec_col, query_vec).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -383,10 +381,9 @@ def random_hyperplane_buckets(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot_product(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            dot_product(vec_col, plane) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, b))
     return embeddings.withColumn(out_col, bucket)
 
@@ -429,12 +426,11 @@ def lsh_bucket_top_k(
     bucketed = random_hyperplane_buckets(
         embeddings, dim, n_planes, vec_col, seed
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("bucket").isin(*probe))
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), q).alias("score"),
+            cosine_similarity(vec_col, query_vec).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -574,20 +570,16 @@ def all_pairs_above(
     left = b.select(
         F.col(id_col).alias("id_a"),
         dbl.alias("v_a"),
-        l2_norm(vec_col).alias("n_a"),
+        l2_norm(vec_col, dim=dim).alias("n_a"),
         "bucket",
     )
     right = b.select(
         F.col(id_col).alias("id_b"),
         dbl.alias("v_b"),
-        l2_norm(vec_col).alias("n_b"),
+        l2_norm(vec_col, dim=dim).alias("n_b"),
         "bucket",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = dot_product("v_a", "v_b", dim=dim)
     denom = F.col("n_a") * F.col("n_b")
     return (
         left.join(right, "bucket")
@@ -653,20 +645,16 @@ def knn_join(
     left = b.select(
         F.col(id_col),
         dbl.alias("__v"),
-        l2_norm(vec_col).alias("__na"),
+        l2_norm(vec_col, dim=dim).alias("__na"),
         "bucket",
     )
     right = b.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("__w"),
-        l2_norm(vec_col).alias("__nb"),
+        l2_norm(vec_col, dim=dim).alias("__nb"),
         "bucket",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__w"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = dot_product("__v", "__w", dim=dim)
     denom = F.col("__na") * F.col("__nb")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -893,12 +881,11 @@ def pq_top_k(
         .limit(candidates)
         .select(F.col("vec_id_out").alias(id_col))
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         embeddings.join(F.broadcast(cand), id_col, "left_semi")
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), qlit).alias("score"),
+            cosine_similarity(vec_col, query_vec).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -961,11 +948,10 @@ def sq_rerank_top_k(
         .orderBy(F.desc("__qs"), F.asc(id_col))
         .limit(candidates)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), q).alias("score"),
+            cosine_similarity(vec_col, query_vec).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
