@@ -223,9 +223,21 @@ def connected_components_star(
 
     Returns (id, component): component = min reachable id. Executes
     under ``session.iterative_conf`` like :func:`connected_components`.
+
+    The (often expensive) pair plan is persisted before the star loop:
+    ``_cc_star`` materializes TWO frames off it (the node set and the
+    edge set), which without the cache re-runs the full pair generator
+    twice — at sf1 that alone was ~100 s of the 175 s
+    ``ext_dedup_clusters_star`` wall (the adaptive
+    :func:`connected_components` router always had this cache; the
+    direct star entry was missing it).
     """
-    with iterative_conf(pairs.sparkSession, state_partitions):
-        return _cc_star(pairs, src, dst, max_iter)
+    pairs = pairs.select(src, dst).persist()
+    try:
+        with iterative_conf(pairs.sparkSession, state_partitions):
+            return _cc_star(pairs, src, dst, max_iter)
+    finally:
+        pairs.unpersist()
 
 
 def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
