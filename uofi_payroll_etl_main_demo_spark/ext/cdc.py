@@ -168,6 +168,12 @@ def cdc_chunks(
                 }
             )
 
+    # NOT widened via scale_input_parallelism: unlike the width-gram
+    # scan (_gram_rows, ~12 rows out per corpus char), the per-doc
+    # chunker emits ~1 row per 64 chars and its numpy work is light —
+    # the A/B read flat-to-slower (chunks 0.52→0.54, containment
+    # 0.98→1.16 at sf0.1), the exchange costs more than the Python
+    # parallelism buys. Documented negative, r12.
     return df.select(id_col, text_col).mapInPandas(batches, CDC_SCHEMA)
 
 
@@ -361,7 +367,18 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, width: int):
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, GRAM_SCHEMA)
+    # scale-adaptive scan parallelism (functions/scale.py): a tiny
+    # corpus reads as 1-3 scan tasks, so the numpy gram hashing runs
+    # on 1-3 Python workers no matter how many cores exist; widen the
+    # projected raw rows first (a no-op whenever the scan is already
+    # wider than the cluster's default parallelism).
+    from uofi_payroll_etl_main_demo_spark.functions.scale import (
+        scale_input_parallelism as _scale_in,
+    )
+
+    return _scale_in(df.select(id_col, text_col)).mapInPandas(
+        batches, GRAM_SCHEMA
+    )
 
 
 def substring_dedup_spans(

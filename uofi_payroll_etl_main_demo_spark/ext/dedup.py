@@ -630,9 +630,16 @@ def simhash(
     codegen and did not finish at sf0.1. The explode+agg form stays.
     """
     one = F.lit(1).cast("long")
+    # scale-adaptive scan parallelism (same rationale as _shingle_hashes):
+    # a tiny corpus reads as one row group/task, serializing the per-token
+    # md5 + 64 bit-sum stage; repartition the projected raw rows so it
+    # runs wide (no-op whenever the scan is already wider than the
+    # cluster). Partial aggregation still emits ~one row per doc — docs
+    # are not split across partitions by the row-level repartition.
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col)))
     if hash_family == "portable":
         tok = (
-            df.select(
+            base.select(
                 F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
             )
             .select(id_col, F.md5("__t").alias("__m"))
@@ -652,7 +659,7 @@ def simhash(
             else F.shiftrightunsigned(F.col("__h2"), b - 52).bitwiseAND(one)
         )
     else:
-        tok = df.select(
+        tok = base.select(
             F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
         ).select(id_col, F.xxhash64("__t").alias("__h"))
         bit_val = lambda b: F.shiftrightunsigned(  # noqa: E731
