@@ -65,6 +65,7 @@ def _shingle_hashes(
     id_col: str,
     k: int,
     hash_family: str = "xxhash64",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingle_hash) exploded pairs; shingles distinct per doc and
     hashed to 64-bit so shuffle rows are two longs.
@@ -80,21 +81,29 @@ def _shingle_hashes(
     shingle transform — HOF lambdas re-evaluate inline subexpressions
     per element, so inlining the tokenize re-runs the regex split once
     per shingle slice (measured 6× slower; see
-    ``shingles_from_tokens``'s perf contract)."""
+    ``shingles_from_tokens``'s perf contract).
+
+    ``carry`` names per-doc columns copied through every projection —
+    the incremental pair generators thread their ``__new`` tag this
+    way instead of joining a corpus-sized flag frame back onto the
+    aggregated signatures (an avoidable corpus-scale join)."""
+    cy = [F.col(c) for c in carry]
     # scale-adaptive scan parallelism: a tiny corpus reads as one row
     # group/task; repartition the projected raw rows so the HOF-heavy
     # shingle stage runs wide (no-op whenever the scan is already wider)
-    base = _scale_in(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), tokenize_ws(text_col).alias("__toks")
-    )
+    base = _scale_in(
+        df.select(F.col(id_col), F.col(text_col), *cy)
+    ).select(F.col(id_col), tokenize_ws(text_col).alias("__toks"), *cy)
     exploded = base.select(
         F.col(id_col),
+        *cy,
         F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__s"),
     )
     if hash_family == "portable":
-        md5ed = exploded.select(id_col, F.md5("__s").alias("__m"))
+        md5ed = exploded.select(id_col, *cy, F.md5("__s").alias("__m"))
         return md5ed.select(
             id_col,
+            *cy,
             F.conv(F.substring("__m", 1, 13), 16, 10)
             .cast("long")
             .alias("sh"),
@@ -102,7 +111,7 @@ def _shingle_hashes(
             .cast("long")
             .alias("sh2"),
         )
-    return exploded.select(id_col, F.xxhash64("__s").alias("sh"))
+    return exploded.select(id_col, *cy, F.xxhash64("__s").alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -262,6 +271,7 @@ def _min_sig_agg(
     num_hashes: int,
     *extra_aggs,
     hash_family: str = "xxhash64",
+    group_extra: tuple[str, ...] = (),
 ):
     """(id, m0..m{n-1} [, extra]) via explode + partial-min aggregates.
 
@@ -286,7 +296,10 @@ def _min_sig_agg(
             F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
-    return sh.groupBy(id_col).agg(*mins, *extra_aggs)
+    # group_extra: per-doc tag columns carried through _shingle_hashes
+    # (functionally dependent on the id, so the groups are unchanged —
+    # the tag rides the aggregation instead of joining back later)
+    return sh.groupBy(id_col, *group_extra).agg(*mins, *extra_aggs)
 
 
 def minhash_signatures(
@@ -529,14 +542,21 @@ def incremental_near_dup_pairs(
             F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
         )
     )
-    flags = tagged.select(id_col, "__new")
+    # __new rides the shingle pass and the signature aggregation
+    # (carry/group_extra) — the previous shape joined a corpus-sized
+    # (id, flag) frame back onto the aggregated signatures, an
+    # avoidable corpus-scale join (broadcast locally, a full SMJ
+    # shuffle pair at 100 TB).
     per_doc = _min_sig_agg(
-        _shingle_hashes(tagged, text_col, id_col, k, hash_family),
+        _shingle_hashes(
+            tagged, text_col, id_col, k, hash_family, carry=("__new",)
+        ),
         id_col,
         num_hashes,
         F.collect_list("sh").alias("__set"),
         hash_family=hash_family,
-    ).join(flags, id_col).persist()
+        group_extra=("__new",),
+    ).persist()
     band_structs = band_key_structs(num_hashes, bands)
     banded = per_doc.select(
         F.col(id_col),
@@ -629,22 +649,43 @@ def simhash(
     but the 64-bit × 11-level extraction tree (~700 terms) breaks
     codegen and did not finish at sf0.1. The explode+agg form stays.
     """
+    sigs = _simhash_agg(df, text_col, id_col, hash_family)
+    # Preserve zero-token docs with a null signature (left join back).
+    return df.select(id_col).join(sigs, id_col, "left")
+
+
+def _simhash_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_family: str = "xxhash64",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, *carry], simhash) for docs with >= 1 token — docs with
+    zero tokens are ABSENT (not null); :func:`simhash` restores them
+    with the left join back. ``carry`` threads per-doc tag columns
+    (functionally dependent on the id) through the aggregation so
+    incremental callers never join a corpus-sized flag frame back."""
     one = F.lit(1).cast("long")
+    cy = [F.col(c) for c in carry]
     # scale-adaptive scan parallelism (same rationale as _shingle_hashes):
     # a tiny corpus reads as one row group/task, serializing the per-token
     # md5 + 64 bit-sum stage; repartition the projected raw rows so it
     # runs wide (no-op whenever the scan is already wider than the
     # cluster). Partial aggregation still emits ~one row per doc — docs
     # are not split across partitions by the row-level repartition.
-    base = _scale_in(df.select(F.col(id_col), F.col(text_col)))
+    base = _scale_in(df.select(F.col(id_col), F.col(text_col), *cy))
     if hash_family == "portable":
         tok = (
             base.select(
-                F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
+                F.col(id_col),
+                *cy,
+                F.explode(tokenize_ws(text_col)).alias("__t"),
             )
-            .select(id_col, F.md5("__t").alias("__m"))
+            .select(id_col, *cy, F.md5("__t").alias("__m"))
             .select(
                 id_col,
+                *cy,
                 F.conv(F.substring("__m", 1, 13), 16, 10)
                 .cast("long")
                 .alias("__h"),
@@ -660,15 +701,15 @@ def simhash(
         )
     else:
         tok = base.select(
-            F.col(id_col), F.explode(tokenize_ws(text_col)).alias("__t")
-        ).select(id_col, F.xxhash64("__t").alias("__h"))
+            F.col(id_col), *cy, F.explode(tokenize_ws(text_col)).alias("__t")
+        ).select(id_col, *cy, F.xxhash64("__t").alias("__h"))
         bit_val = lambda b: F.shiftrightunsigned(  # noqa: E731
             F.col("__h"), b
         ).bitwiseAND(one)
     sums = [F.sum(bit_val(b)).alias(f"__s{b}") for b in range(64)] + [
         F.count(F.lit(1)).alias("__n")
     ]
-    agg = tok.groupBy(id_col).agg(*sums)
+    agg = tok.groupBy(id_col, *carry).agg(*sums)
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig.bitwiseOR(
@@ -676,9 +717,7 @@ def simhash(
                 F.col(f"__s{b}") * 2 > F.col("__n"), F.lit(_mask(b))
             ).otherwise(F.lit(0).cast("long"))
         )
-    sigs = agg.select(F.col(id_col), sig.alias("simhash"))
-    # Preserve zero-token docs with a null signature (left join back).
-    return df.select(id_col).join(sigs, id_col, "left")
+    return agg.select(F.col(id_col), *cy, sig.alias("simhash"))
 
 
 def _mask(b: int) -> int:
@@ -908,11 +947,11 @@ def incremental_simhash_pairs(
     )
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sh = (
-        simhash(tagged, text_col, id_col, hash_family)
-        .filter(F.col("simhash").isNotNull())
-        .join(tagged.select(id_col, "__new"), id_col)
-    )
+    # _simhash_agg omits zero-token docs instead of marking them null,
+    # which is exactly the isNotNull-filtered set the banding needs —
+    # and __new rides the aggregation (carry), so the corpus-sized
+    # (id, flag) join-back of the previous shape is gone.
+    sh = _simhash_agg(tagged, text_col, id_col, hash_family, carry=("__new",))
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),

@@ -38,6 +38,14 @@ def _is_scan_like(jplan) -> bool:
         if name in _TRANSPARENT and node.children().size() == 1:
             node = node.children().head()
             continue
+        if name == "Union":
+            # a union of plain scans (the incremental corpus+batch
+            # shape) is as repartition-safe as one scan, and reads as
+            # few partitions as its widest branch
+            kids = node.children()
+            return all(
+                _is_scan_like(kids.apply(i)) for i in range(kids.size())
+            )
         return False
 
 
