@@ -221,6 +221,44 @@ def test_vector_functions(spark):
     assert sum(x * x for x in normed[1]["u"]) == pytest.approx(1.0)
 
 
+def test_vector_unroll_edge_operands(spark):
+    """The unrolled (dim=) forms must stay value-identical to the fold
+    on every operand the API accepts — and fall back (never inject or
+    silently NULL) on the ones the SQL encoding cannot represent:
+    backticked/dotted column names, non-finite driver vectors, numpy
+    arrays."""
+    df = spark.createDataFrame(
+        [([3.0, 4.0], ([1.0, 2.0],))],
+        "a array<double>, w struct<x: array<double>>",
+    )
+    # dotted (nested-field) name: the unroll path would quote it as one
+    # backticked identifier and fail analysis — it must fall to the
+    # fold, where F.col resolves the field reference
+    r = df.select(
+        dot_product("a", "a", dim=2).alias("aa"),
+        l2_norm("w.x", dim=2).alias("nx"),
+        cosine_similarity("a", "w.x", dim=2).alias("c"),
+    ).collect()[0]
+    assert r["aa"] == 25.0
+    assert r["nx"] == pytest.approx(math.sqrt(5))
+    assert r["c"] == pytest.approx(11.0 / (5 * math.sqrt(5)))
+    # non-finite driver vector: fold path preserves the IEEE value
+    # (the unrolled literal encoding would reject 'inf')
+    r2 = df.select(
+        dot_product("a", [float("inf"), 0.0], dim=2).alias("d")
+    ).collect()[0]
+    assert r2["d"] == float("inf")
+    # numpy query vector: accepted as a driver vector
+    np = pytest.importorskip("numpy")
+    r3 = df.select(
+        dot_product("a", np.array([1.0, 1.0]), dim=2).alias("d")
+    ).collect()[0]
+    assert r3["d"] == 7.0
+    # junk operand raises a clear TypeError, not an opaque HOF failure
+    with pytest.raises(TypeError, match="Column, a column name"):
+        df.select(dot_product("a", object()).alias("d"))
+
+
 def test_brute_force_top_k_orders_by_similarity(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0]), (3, [0.0, 1.0])],

@@ -14,6 +14,8 @@ results match engines that accumulate in fp64 (DuckDB oracle).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,15 +32,32 @@ def _to_double_array(c: ColumnOrName) -> Column:
 
 def _sql_term(c, i: int) -> str:
     """One SQL operand for the unrolled forms: element i of a named
-    array column, or a driver-held vector element as an exact literal
-    (repr round-trips doubles; the string cast constant-folds)."""
+    array column (backticks escaped — a name may not inject into the
+    expression), or a driver-held vector element as an exact literal
+    (repr round-trips finite doubles; the string cast constant-folds).
+    Callers gate on :func:`_unrollable`, which rejects the cases this
+    encoding cannot represent."""
     if isinstance(c, str):
-        return f"CAST(get(`{c}`, {i}) AS DOUBLE)"
+        return f"CAST(get(`{c.replace('`', '``')}`, {i}) AS DOUBLE)"
     return f"CAST('{float(c[i])!r}' AS DOUBLE)"
 
 
 def _unrollable(c) -> bool:
-    return isinstance(c, (str, list, tuple))
+    """True iff the operand survives the unrolled SQL encoding exactly:
+    a SIMPLE top-level column name (a dotted string would be quoted as
+    one backticked identifier, breaking qualified refs that F.col
+    resolves on the fold path), or a driver list/tuple of FINITE
+    numbers (repr of inf/nan is rejected by Spark's string->double
+    cast: runtime error under ANSI, silent NULL otherwise — the fold's
+    F.lit preserves them). Everything else falls back to the fold."""
+    if isinstance(c, str):
+        return "." not in c
+    if isinstance(c, (list, tuple)):
+        try:
+            return all(math.isfinite(float(x)) for x in c)
+        except (TypeError, ValueError):
+            return False
+    return False
 
 
 def dot_product(a, b, dim: int | None = None) -> Column:
@@ -80,10 +99,23 @@ def dot_product(a, b, dim: int | None = None) -> Column:
 
 
 def _vec_col(c) -> Column:
-    """Column/name/driver-vector → Column (vectors become literals)."""
-    if isinstance(c, (list, tuple)):
-        return F.array(*[F.lit(float(x)) for x in c])
-    return _col(c)
+    """Column/name/driver-vector → Column (vectors become literals).
+    Any non-Column, non-str iterable of numbers (list, tuple, numpy
+    array, generator) is treated as a driver vector; anything else
+    raises a TypeError naming the accepted types instead of failing
+    opaquely inside a higher-order function."""
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.col(c)
+    try:
+        items = [float(x) for x in c]
+    except TypeError:
+        raise TypeError(
+            "vector operand must be a Column, a column name, or an "
+            f"iterable of numbers; got {type(c).__name__}"
+        ) from None
+    return F.array(*[F.lit(x) for x in items])
 
 
 def l2_norm(a, dim: int | None = None) -> Column:
