@@ -11211,71 +11211,70 @@ HAVING count(DISTINCT doc_id) >= 2
 # remainder; r8 cleared the <=r3 cohort; r9 cleared the r4 cohort;
 # r10 clears the r5 cohort AND the never-checked tail.
 _WINDOW_50 = [
-    # Round-11 rotation (VERDICT r10 #4, verbatim): the ENTIRE
-    # r6-latest cohort (all 43 rows whose latest green driver record
-    # is r6 — the audio/codec/relational-TPC-H cohort, now the stalest
-    # after r10 cleared the r5 one), plus the 6 r4-latest rows
-    # (sql_frontend_pricing, gen_date_series, a10_cube, a13_histogram,
-    # arr_collect_sorted, ext_weekly_trend — deferred from the r10
-    # window, covered meanwhile by the scripts/check_oracle.py HEAD
-    # sweeps in BASELINE.md), plus ext_image_dhash_jpeg_pairs — which
-    # this round moved from rows-only to a closed-form VALUE oracle on
-    # the separated-pattern JPEG fixture (VERDICT r10 #3), so its
-    # first driver record can finally be green. 43 + 6 + 1 = 50.
-    # Post-r11 target: no green row older than r7.
-    # -- r4-latest cohort (6) --
-    "a10_cube",
-    "a13_histogram",
-    "arr_collect_sorted",
-    "gen_date_series",
-    "sql_frontend_pricing",
-    "ext_weekly_trend",
-    # -- newly value-oracled this round (was rows-only/no_oracle) --
-    "ext_image_dhash_jpeg_pairs",
-    # -- r6-latest cohort (all 43) --
-    "p3_p4_p5_filters",
-    "json_struct_and_path",
-    "u2_u3_u4_setops",
-    "w7_locf_fill",
-    "w6_range_frame",
-    "f_date_trunc",
-    "ext_fuzzy_name_pairs",
-    "json_variant",
-    "json_map_explode",
-    "tj_asof_join",
-    "tj_range_join",
-    "stream_dedup",
-    "stream_interval_join",
-    "ext_topk_cosine",
-    "ext_lsh_topk",
-    "ext_sq_rerank_topk",
-    "ext_dedup_clusters",
-    "ext_dedup_clusters_star",
-    "ext_leakage_split",
-    "rel_volume_shipping",
-    "rel_market_share",
-    "rel_priority_shipping",
-    "rel_customer_distribution",
-    "rel_large_orders",
-    "rel_sales_opportunity",
-    "ext_semantic_dedup",
-    "ext_semantic_dedup_docs",
-    "ext_image_whash_pairs",
-    "ext_image_consensus_pairs",
-    "ext_video_keyframes",
-    "ext_image_dhash_png_pairs",
-    "ext_image_dhash_gif_pairs",
-    "ext_audio_mulaw_hash_pairs",
-    "ext_audio_alaw_hash_pairs",
-    "ext_audio_spectral_hash_pairs",
-    "ext_audio_adpcm_hash_pairs",
-    "ext_zorder_key",
-    "ext_zorder_layout_stats",
-    "ext_data_constraints",
-    "ext_skew_report",
-    "ext_cdc_chunks",
-    "ext_substring_dedup_spans",
-    "ext_cdc_chunk_dedup",
+    # Round-12 rotation (max-staleness policy, VERDICT r11 item 9):
+    # this round's CHANGED value-oracled rows whose latest green record
+    # predates the change (the simhash scale-in rewrite and the
+    # incremental tag-carry — ext_simhash_pairs r8, ext_incremental_dedup
+    # r8, ext_incremental_simhash r9), then the r7-latest cohort — the
+    # stalest after r11 cleared the r6 one (49 rows; includes the other
+    # two changed rows, ext_dedup_method_agreement and
+    # ext_minhash_index_query). 3 + 47 = 50: two single-row-aggregate
+    # r7 rows (rel_promo_revenue, rel_top_supplier) are DEFERRED to the
+    # r13 window to fit — both are covered by this round's full
+    # check_oracle.py HEAD sweeps (OPTIMIZATION_r12.md).
+    # Post-r12 target: no green row older than r8 (+ the 2 deferrals).
+    # -- changed this round, stalest first (3) --
+    "ext_simhash_pairs",
+    "ext_incremental_dedup",
+    "ext_incremental_simhash",
+    # -- r7-latest cohort (47 of 49) --
+    "a9_approx_distinct",
+    "f_cleanse_normalize",
+    "f_try_cast",
+    "f_regexp_extract",
+    "ext_zscore",
+    "samp_hash_sample",
+    "scd2_history",
+    "ext_language_id",
+    "ext_exact_dedup",
+    "ext_embedding_pairs_bucketed",
+    "ext_ivf_index_query",
+    "ext_ivf_filtered_query",
+    "ext_pq_index_query",
+    "ext_pq_filtered_query",
+    "ext_dedup_method_agreement",
+    "ext_winnow_fingerprints",
+    "ext_winnow_containment",
+    "pipeline_cpa_shape",
+    "ext_decontaminate",
+    "ext_repetition_stats",
+    "ext_pii_redact",
+    "ext_shard_assign",
+    "rel_part_type_revenue",
+    "rel_returned_item_report",
+    "rel_forecast_revenue",
+    "rel_priority_late_orders",
+    "rel_min_price_supplier",
+    "rel_important_parts",
+    "rel_parts_supplier_count",
+    "rel_small_qty_revenue",
+    "rel_brand_size_discount",
+    "rel_promo_part_suppliers",
+    "rel_waiting_suppliers",
+    "ext_minhash_index_query",
+    "ext_mixture_take",
+    "ext_quality_classifier",
+    "ext_dataset_card",
+    "ext_hard_negatives",
+    "ext_dedup_best_of_cluster",
+    "a14_quantiles",
+    "ext_image_dhash_pairs",
+    "ext_video_keyframes_avi",
+    "ext_video_dhash_pairs",
+    "ext_rewrite_quarantine_report",
+    "pipeline_rewrite_curation",
+    "ext_cdc_containment",
+    "ext_cdc_containment_index",
 ]
 
 
