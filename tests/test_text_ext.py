@@ -204,6 +204,57 @@ def test_simhash_near_dup(docs):
     assert pairs[(0, 1)] == 0
 
 
+def test_pretokenized_paths_match_text_paths(docs):
+    """tokens_col= (the shared-tokenize path used by
+    ext_dedup_method_agreement) must be value-identical to the
+    text-column path for BOTH detector legs, including the zero-token
+    doc's absence/null handling."""
+    tok = docs.select("doc_id", tokenize_ws("text").alias("__toks"))
+    for fam in ("xxhash64", "portable"):
+        mh_text = sorted(
+            map(
+                tuple,
+                minhash_near_dup_pairs(
+                    docs, num_hashes=32, bands=16, k=3, threshold=0.2,
+                    hash_family=fam,
+                ).collect(),
+            )
+        )
+        mh_tok = sorted(
+            map(
+                tuple,
+                minhash_near_dup_pairs(
+                    tok, num_hashes=32, bands=16, k=3, threshold=0.2,
+                    hash_family=fam, tokens_col="__toks",
+                ).collect(),
+            )
+        )
+        assert mh_text == mh_tok and mh_text
+        sh_text = sorted(
+            map(
+                tuple,
+                simhash_near_dup_pairs(
+                    docs, max_hamming=3, hash_family=fam
+                ).collect(),
+            )
+        )
+        sh_tok = sorted(
+            map(
+                tuple,
+                simhash_near_dup_pairs(
+                    tok, max_hamming=3, hash_family=fam, tokens_col="__toks"
+                ).collect(),
+            )
+        )
+        assert sh_text == sh_tok and sh_text
+    # the simhash wrapper's zero-token restore also rides tokens_col
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(tok, tokens_col="__toks").collect()
+    }
+    assert sh[4] is None and sh[0] == sh[1]
+
+
 def test_vector_functions(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])],

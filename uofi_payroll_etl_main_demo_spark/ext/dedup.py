@@ -66,6 +66,7 @@ def _shingle_hashes(
     k: int,
     hash_family: str = "xxhash64",
     carry: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, shingle_hash) exploded pairs; shingles distinct per doc and
     hashed to 64-bit so shuffle rows are two longs.
@@ -86,14 +87,26 @@ def _shingle_hashes(
     ``carry`` names per-doc columns copied through every projection —
     the incremental pair generators thread their ``__new`` tag this
     way instead of joining a corpus-sized flag frame back onto the
-    aggregated signatures (an avoidable corpus-scale join)."""
+    aggregated signatures (an avoidable corpus-scale join).
+
+    ``tokens_col`` names a PRE-TOKENIZED array column on ``df``: the
+    scan widening and the tokenize are skipped (the caller already paid
+    both — e.g. ``q_dedup_method_agreement`` tokenizes the corpus once
+    and feeds the SAME persisted frame to the minhash and simhash legs,
+    halving the scan+tokenize work of the agreement audit)."""
     cy = [F.col(c) for c in carry]
-    # scale-adaptive scan parallelism: a tiny corpus reads as one row
-    # group/task; repartition the projected raw rows so the HOF-heavy
-    # shingle stage runs wide (no-op whenever the scan is already wider)
-    base = _scale_in(
-        df.select(F.col(id_col), F.col(text_col), *cy)
-    ).select(F.col(id_col), tokenize_ws(text_col).alias("__toks"), *cy)
+    if tokens_col is not None:
+        base = df.select(
+            F.col(id_col), F.col(tokens_col).alias("__toks"), *cy
+        )
+    else:
+        # scale-adaptive scan parallelism: a tiny corpus reads as one
+        # row group/task; repartition the projected raw rows so the
+        # HOF-heavy shingle stage runs wide (no-op whenever the scan is
+        # already wider)
+        base = _scale_in(
+            df.select(F.col(id_col), F.col(text_col), *cy)
+        ).select(F.col(id_col), tokenize_ws(text_col).alias("__toks"), *cy)
     exploded = base.select(
         F.col(id_col),
         *cy,
@@ -342,6 +355,7 @@ def minhash_near_dup_pairs(
     verify: bool = True,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
@@ -375,7 +389,9 @@ def minhash_near_dup_pairs(
     # (id + 32 longs + shingle-hash list), so this caches O(corpus
     # signature) bytes, not documents.
     per_doc = _min_sig_agg(
-        _shingle_hashes(df, text_col, id_col, k, hash_family),
+        _shingle_hashes(
+            df, text_col, id_col, k, hash_family, tokens_col=tokens_col
+        ),
         id_col,
         num_hashes,
         *([F.collect_list("sh").alias("__set")] if verify else []),
@@ -612,8 +628,12 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document → (id, simhash bigint).
+
+    ``tokens_col`` names a pre-tokenized array column (see
+    ``_shingle_hashes``): the scan widening and tokenize are skipped.
 
     Each whitespace token is hashed to 64 bits; bit b of the signature
     is 1 iff more token-hashes have bit b set than unset.
@@ -649,7 +669,7 @@ def simhash(
     but the 64-bit × 11-level extraction tree (~700 terms) breaks
     codegen and did not finish at sf0.1. The explode+agg form stays.
     """
-    sigs = _simhash_agg(df, text_col, id_col, hash_family)
+    sigs = _simhash_agg(df, text_col, id_col, hash_family, tokens_col=tokens_col)
     # Preserve zero-token docs with a null signature (left join back).
     return df.select(id_col).join(sigs, id_col, "left")
 
@@ -660,6 +680,7 @@ def _simhash_agg(
     id_col: str,
     hash_family: str = "xxhash64",
     carry: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id[, *carry], simhash) for docs with >= 1 token — docs with
     zero tokens are ABSENT (not null); :func:`simhash` restores them
@@ -668,19 +689,27 @@ def _simhash_agg(
     incremental callers never join a corpus-sized flag frame back."""
     one = F.lit(1).cast("long")
     cy = [F.col(c) for c in carry]
-    # scale-adaptive scan parallelism (same rationale as _shingle_hashes):
-    # a tiny corpus reads as one row group/task, serializing the per-token
-    # md5 + 64 bit-sum stage; repartition the projected raw rows so it
-    # runs wide (no-op whenever the scan is already wider than the
-    # cluster). Partial aggregation still emits ~one row per doc — docs
-    # are not split across partitions by the row-level repartition.
-    base = _scale_in(df.select(F.col(id_col), F.col(text_col), *cy))
+    if tokens_col is not None:
+        # pre-tokenized input (see _shingle_hashes): the caller already
+        # widened and tokenized — skip both
+        base = df.select(F.col(id_col), F.col(tokens_col), *cy)
+        toks_expr = F.col(tokens_col)
+    else:
+        # scale-adaptive scan parallelism (same rationale as
+        # _shingle_hashes): a tiny corpus reads as one row group/task,
+        # serializing the per-token md5 + 64 bit-sum stage; repartition
+        # the projected raw rows so it runs wide (no-op whenever the
+        # scan is already wider than the cluster). Partial aggregation
+        # still emits ~one row per doc — docs are not split across
+        # partitions by the row-level repartition.
+        base = _scale_in(df.select(F.col(id_col), F.col(text_col), *cy))
+        toks_expr = tokenize_ws(text_col)
     if hash_family == "portable":
         tok = (
             base.select(
                 F.col(id_col),
                 *cy,
-                F.explode(tokenize_ws(text_col)).alias("__t"),
+                F.explode(toks_expr).alias("__t"),
             )
             .select(id_col, *cy, F.md5("__t").alias("__m"))
             .select(
@@ -701,7 +730,7 @@ def _simhash_agg(
         )
     else:
         tok = base.select(
-            F.col(id_col), *cy, F.explode(tokenize_ws(text_col)).alias("__t")
+            F.col(id_col), *cy, F.explode(toks_expr).alias("__t")
         ).select(id_col, *cy, F.xxhash64("__t").alias("__h"))
         bit_val = lambda b: F.shiftrightunsigned(  # noqa: E731
             F.col("__h"), b
@@ -732,6 +761,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -754,7 +784,7 @@ def simhash_near_dup_pairs(
     The banding itself is signature-agnostic and lives in
     :func:`hamming_pairs_64` (also used for perceptual image hashes).
     """
-    sh = simhash(df, text_col, id_col, hash_family)
+    sh = simhash(df, text_col, id_col, hash_family, tokens_col=tokens_col)
     return hamming_pairs_64(
         sh, id_col, "simhash", max_hamming, max_bucket_size
     )

@@ -3700,18 +3700,37 @@ def q_dedup_method_agreement(spark, sf_dir):
     (id_a, id_b): pairs only one method flags surface with the other
     side NULL. Both laws are the engine-portable families, so the
     oracle reproduces BOTH pipelines and the join — disagreement rows
-    are value-checked, not sampled. Cost: the two existing pair
-    passes + one pair-key join (pairs, not corpus, scale)."""
+    are value-checked, not sampled. Cost: ONE corpus scan+tokenize
+    (persisted, shared by both legs — each leg previously re-read and
+    re-tokenized the corpus), the two pair passes over the shared
+    token arrays, + one pair-key join (pairs, not corpus, scale)."""
+    from uofi_payroll_etl_main_demo_spark.functions.scale import (
+        scale_input_parallelism,
+    )
+    from uofi_payroll_etl_main_demo_spark.functions.text import (
+        tokenize_ws,
+    )
+
     docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE for both detector legs: the minhash leg shingles
+    # these tokens, the simhash leg hashes them per-token — the scan +
+    # regex split is identical work in both, so it is paid once and the
+    # (id, tokens) frame persists at O(corpus tokens), no shuffle
+    _drain_persist_pool()
+    tok = _pooled_persist(
+        scale_input_parallelism(docs.select("doc_id", "text")).select(
+            "doc_id", tokenize_ws("text").alias("__toks")
+        )
+    )
     mh = minhash_near_dup_pairs(
-        docs, num_hashes=32, bands=16, k=3, threshold=0.2,
-        hash_family="portable",
+        tok, num_hashes=32, bands=16, k=3, threshold=0.2,
+        hash_family="portable", tokens_col="__toks",
     ).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
         F.lit(True).alias("__mh"),
     )
     sh = simhash_near_dup_pairs(
-        docs, max_hamming=3, hash_family="portable"
+        tok, max_hamming=3, hash_family="portable", tokens_col="__toks"
     ).select("id_a", "id_b", "hamming", F.lit(True).alias("__sh"))
     return mh.join(sh, ["id_a", "id_b"], "full").select(
         "id_a",
